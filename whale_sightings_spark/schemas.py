@@ -1,0 +1,171 @@
+"""Fixed StructType schemas (SURVEY.md §1.2) + testdata loaders.
+
+The canonical occurrence schema mirrors the reference's declared
+Pydantic model (reference ``whalefinder/validate.py:17-34``): declared
++ coercive, unknown fields dropped. In Spark the declared schema is
+applied at read time — no inference in the pipeline path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Occurrence pipeline schemas
+# ---------------------------------------------------------------------------
+
+#: Raw OBIS-shaped occurrence record as read from the raw zone. Everything
+#: arrives as strings/doubles and is validated by operators.validate
+#: (reference validate.py:17-34; numeric fields read permissively as
+#: strings so uncastable values route to the error channel, not a crash).
+OCCURRENCE_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("occurrenceID", T.StringType(), True),
+        T.StructField("eventDate", T.StringType(), True),
+        T.StructField("verbatimEventDate", T.StringType(), True),
+        T.StructField("decimalLatitude", T.StringType(), True),
+        T.StructField("decimalLongitude", T.StringType(), True),
+        T.StructField("waterBody", T.StringType(), True),
+        T.StructField("species", T.StringType(), True),
+        T.StructField("speciesid", T.StringType(), True),
+        T.StructField("vernacularName", T.StringType(), True),
+        T.StructField("individualCount", T.StringType(), True),
+        T.StructField("basisOfRecord", T.StringType(), True),
+        T.StructField("bibliographicCitation", T.StringType(), True),
+    ]
+)
+
+#: One validation diagnostic: mirrors the reference's trimmed error
+#: detail dicts ``{type, loc, msg}`` (reference validate.py:180-183).
+ERROR_DETAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("type", T.StringType(), False),
+        T.StructField("loc", T.StringType(), False),
+        T.StructField("msg", T.StringType(), False),
+    ]
+)
+
+#: Typed occurrence row after validation (valid channel).
+OCCURRENCE_SCHEMA = T.StructType(
+    [
+        T.StructField("occurrenceID", T.StringType(), True),
+        T.StructField("eventDate", T.StringType(), True),  # ISO-normalized string, §1.4
+        T.StructField("verbatimEventDate", T.StringType(), True),
+        T.StructField("decimalLatitude", T.DoubleType(), True),
+        T.StructField("decimalLongitude", T.DoubleType(), True),
+        T.StructField("waterBody", T.StringType(), True),
+        T.StructField("species", T.StringType(), True),
+        T.StructField("speciesid", T.IntegerType(), True),
+        T.StructField("vernacularName", T.StringType(), True),
+        T.StructField("individualCount", T.IntegerType(), True),
+        T.StructField("basisOfRecord", T.StringType(), True),
+        T.StructField("bibliographicCitation", T.StringType(), True),
+    ]
+)
+
+#: Six derived date-part columns added by the date normalizer
+#: (reference cleaner.py:302,333).
+DATE_PARTS_FIELDS = [
+    "start_year",
+    "start_month",
+    "start_day",
+    "end_year",
+    "end_month",
+    "end_day",
+]
+
+DATE_PARTS_SCHEMA = T.StructType(
+    [T.StructField(f, T.IntegerType(), False) for f in DATE_PARTS_FIELDS]
+)
+
+#: Ocean polygon dimension (spatial join right side): named polygon rings
+#: as arrays of (lon, lat) vertices — the engine-native form of the
+#: reference's GOaS shapefile load (reference cleaner.py:18-27).
+OCEAN_POLYGON_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType(), False),
+        T.StructField(
+            "ring",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("lon", T.DoubleType(), False),
+                        T.StructField("lat", T.DoubleType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Serving star schema (reference db/scripts/db.sql:5-44)
+# ---------------------------------------------------------------------------
+
+LOCATIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("waterBody", T.StringType(), True),
+    ]
+)
+
+SPECIES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("speciesName", T.StringType(), True),
+        T.StructField("vernacularName", T.StringType(), True),
+    ]
+)
+
+OCCURRENCES_FACT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("eventDate", T.StringType(), True),
+        T.StructField("waterBodyId", T.IntegerType(), True),
+        T.StructField("latitude", T.DecimalType(9, 7), True),
+        T.StructField("longitude", T.DecimalType(10, 7), True),
+        T.StructField("speciesId", T.IntegerType(), True),
+        T.StructField("individualCount", T.IntegerType(), True),
+        T.StructField("start_year", T.IntegerType(), True),
+        T.StructField("start_month", T.IntegerType(), True),
+        T.StructField("start_day", T.IntegerType(), True),
+        T.StructField("end_year", T.IntegerType(), True),
+        T.StructField("end_month", T.IntegerType(), True),
+        T.StructField("end_day", T.IntegerType(), True),
+        T.StructField("date_is_valid", T.BooleanType(), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Driver testdata
+# ---------------------------------------------------------------------------
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for Spark SQL."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
