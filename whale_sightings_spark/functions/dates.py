@@ -26,6 +26,8 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from whale_sightings_spark.schemas import DATE_PARTS_FIELDS
+
 # ---------------------------------------------------------------------------
 # P2: bad-format rejection regexes (reference validate.py:49-62).
 # Python re.match anchors at the start only -> translate to ^pattern
@@ -204,12 +206,23 @@ def split_dates_py(date_str: str) -> tuple[int, int, int, int, int, int]:
         return _ZEROS
 
 
+#: month names ordered so array_position(...) % 12 yields the month number
+_MONTH_NAMES = [calendar.month_abbr[i].lower() for i in range(1, 13)] + [
+    calendar.month_name[i].lower() for i in range(1, 13)
+]
+
+
 def _month_num(name_col: Column) -> Column:
-    """Month-name (any case, abbrev or full) -> 1..12, null if not a month."""
-    pairs: list[Column] = []
-    for name, num in MONTHS.items():
-        pairs.extend([F.lit(name), F.lit(num)])
-    return F.create_map(*pairs)[F.lower(name_col)]
+    """Month-name (any case, abbrev or full) -> 1..12, null if not a month.
+
+    array_position over a 24-element literal array keeps the expression
+    tree small (it is inlined several times per cascade — a 48-pair
+    create_map here multiplies codegen size and compile time).
+    """
+    pos = F.array_position(
+        F.array(*[F.lit(n) for n in _MONTH_NAMES]), F.lower(name_col)
+    )
+    return F.when(pos > 0, ((pos - 1) % 12 + 1).cast("int"))
 
 
 def _days_in_month(year: Column, month: Column) -> Column:
@@ -334,17 +347,16 @@ def split_dates(col: Column) -> Column:
 
 
 def with_date_parts(df, src: str = "eventDate"):
-    """Attach the six date-part columns (reference cleaner.py:302,333)."""
-    parts = split_dates(F.col(src))
-    return df.withColumns(
-        {
-            "start_year": parts["start_year"],
-            "start_month": parts["start_month"],
-            "start_day": parts["start_day"],
-            "end_year": parts["end_year"],
-            "end_month": parts["end_month"],
-            "end_day": parts["end_day"],
-        }
+    """Attach the six date-part columns (reference cleaner.py:302,333).
+
+    The struct is materialized in its own projection step before field
+    extraction — extracting six fields straight off the cascade would
+    let CollapseProject duplicate the whole expression six times,
+    multiplying codegen compile time.
+    """
+    staged = df.withColumn("__parts", split_dates(F.col(src)))
+    return staged.select(
+        *df.columns, *[F.col(f"__parts.{f}").alias(f) for f in DATE_PARTS_FIELDS]
     )
 
 

@@ -24,8 +24,8 @@ from whale_sightings_spark.functions.dates import (
     BAD_DATE_FORMATS,
     date_is_valid,
     is_bad_date_format,
-    split_dates,
     split_dates_duckdb_sql,
+    with_date_parts,
 )
 from whale_sightings_spark.schemas import load_table
 
@@ -422,22 +422,13 @@ def q10_split_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    parts = split_dates(F.col("raw"))
-    return (
+    return with_date_parts(
         li.select(
             F.col("l_orderkey").alias("order_key"),
             F.col("l_linenumber").alias("line_no"),
             raw.alias("raw"),
-        )
-        .select(
-            "order_key",
-            "line_no",
-            "raw",
-            *[parts[f].alias(f) for f in (
-                "start_year", "start_month", "start_day",
-                "end_year", "end_month", "end_day",
-            )],
-        )
+        ),
+        src="raw",
     )
 
 
