@@ -1,0 +1,191 @@
+"""Golden end-to-end pipeline tests (SURVEY §5): OBIS-shaped JSON
+fixtures -> full pipeline -> conservation invariants + star schema
+goldens, mirroring the reference's logged accounting
+(valid + errors = input; processed + exported = errors)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from whale_sightings_spark.operators.clean import dedup_keep_first
+from whale_sightings_spark.operators.spatial import oceans_from_wkt
+from whale_sightings_spark.operators.validate import validation_counts
+from whale_sightings_spark.plans.pipeline import (
+    PipelineContext,
+    build_star_schema,
+    clean_occurrences,
+    run_pipeline,
+)
+from whale_sightings_spark.sources.files import match_raw_files, read_raw_occurrences
+
+# 12 rows: 8 valid (1 dup pair), 3 repairable errors, 1 unrepairable
+FIXTURE_ROWS = [
+    # valid ISO
+    {"occurrenceID": "a1", "eventDate": "1913-03-17", "decimalLatitude": 60.1,
+     "decimalLongitude": -150.2, "species": "Delphinapterus leucas", "speciesid": 137115},
+    # valid with time
+    {"occurrenceID": "a2", "eventDate": "1849-12-04 23:12:00", "decimalLatitude": 61.0,
+     "decimalLongitude": -151.0, "species": "Delphinapterus leucas", "speciesid": 137115,
+     "vernacularName": "White whale", "waterBody": "Wrong Sea"},
+    # valid ISO+T+Z
+    {"occurrenceID": "a3", "eventDate": "1849-12-04T23:12:00Z", "decimalLatitude": 10.0,
+     "decimalLongitude": 10.0, "species": "Delphinapterus leucas", "speciesid": 137115},
+    # valid with offset
+    {"occurrenceID": "a4", "eventDate": "1971-01-01 00:00:00+00", "decimalLatitude": 20.0,
+     "decimalLongitude": 20.0, "species": "Delphinapterus leucas", "speciesid": 137115,
+     "individualCount": 3},
+    # duplicate of a1 on (eventDate, lat, lon) — must lose to a1
+    {"occurrenceID": "dup", "eventDate": "1913-03-17", "decimalLatitude": 60.1,
+     "decimalLongitude": -150.2, "species": "Delphinapterus leucas", "speciesid": 137115},
+    # null occurrenceID #1 (gets -1)
+    {"occurrenceID": None, "eventDate": "1910-12-24T02:00", "decimalLatitude": 62.5,
+     "decimalLongitude": -149.9, "species": "Delphinapterus leucas", "speciesid": 137115},
+    # null occurrenceID #2 (gets -2)
+    {"occurrenceID": None, "eventDate": "1920-06-06", "decimalLatitude": 63.5,
+     "decimalLongitude": -148.9, "species": "Delphinapterus leucas", "speciesid": 137115},
+    # valid, extra unknown field dropped by schema projection
+    {"occurrenceID": "a5", "eventDate": "1930-01-02", "decimalLatitude": 30.0,
+     "decimalLongitude": 30.0, "species": "Delphinapterus leucas", "speciesid": 137115,
+     "unknownField": "ignored"},
+    # error: year-month (repairable)
+    {"occurrenceID": "e1", "eventDate": "1925-11", "decimalLatitude": 40.0,
+     "decimalLongitude": 40.0, "species": "Delphinapterus leucas", "speciesid": 137115},
+    # error: range with slash (repairable)
+    {"occurrenceID": "e2", "eventDate": "1800-01-01/1874-06-24", "decimalLatitude": 41.0,
+     "decimalLongitude": 41.0, "species": "Delphinapterus leucas", "speciesid": 137115},
+    # error: bare year (repairable)
+    {"occurrenceID": "e3", "eventDate": "1985", "decimalLatitude": 42.0,
+     "decimalLongitude": 42.0, "species": "Delphinapterus leucas", "speciesid": 137115},
+    # error: unrepairable garbage date + missing latitude (2 details)
+    {"occurrenceID": "e4", "eventDate": "unknown", "decimalLatitude": None,
+     "decimalLongitude": 43.0, "species": "Delphinapterus leucas", "speciesid": 137115},
+]
+
+# two disjoint rectangles: north box covers the Alaska-ish points,
+# east box covers the (10..45, 10..45) points
+OCEANS_WKT = [
+    ("North Box", "POLYGON ((-160 55, -140 55, -140 70, -160 70, -160 55))"),
+    ("East Box", "POLYGON ((5 5, 50 5, 50 50, 5 50, 5 5))"),
+]
+
+
+@pytest.fixture(scope="module")
+def raw_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("rawzone")
+    whale_dir = d / "beluga_whale"
+    whale_dir.mkdir()
+    (whale_dir / "1900-01-01--1950-12-31.json").write_text(
+        json.dumps({"results": FIXTURE_ROWS[:8]}, indent=4)
+    )
+    (whale_dir / "1951-01-01--1999-12-31.json").write_text(
+        json.dumps({"results": FIXTURE_ROWS[8:]}, indent=4)
+    )
+    # a file that must be ignored by the range regex
+    (whale_dir / "notes.json").write_text(json.dumps({"results": []}))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def result(spark, raw_dir):
+    ctx = PipelineContext(whale="beluga_whale", data_dir=raw_dir)
+    oceans = oceans_from_wkt(spark, OCEANS_WKT)
+    return run_pipeline(spark, ctx, oceans)
+
+
+def test_file_pruning(raw_dir):
+    assert len(match_raw_files(raw_dir, "beluga_whale", None, None)) == 2
+    assert len(match_raw_files(raw_dir, "beluga_whale", "1900-01-01", "1950-12-31")) == 1
+    assert len(match_raw_files(raw_dir, "beluga_whale", "1951-01-01", None)) == 1
+    assert len(match_raw_files(raw_dir, "beluga_whale", None, "1950-12-31")) == 1
+
+
+def test_validation_accounting(spark, raw_dir):
+    """Reference invariant: Validated N + error rows = input rows;
+    e4 contributes 2 details (bad date + missing latitude)."""
+    from whale_sightings_spark.operators.validate import validate_occurrences
+
+    raw = read_raw_occurrences(
+        spark, match_raw_files(raw_dir, "beluga_whale", None, None)
+    )
+    assert raw.count() == 12
+    valid, errors = validate_occurrences(raw)
+    n_valid, n_details = validation_counts(valid, errors)
+    assert n_valid == 8
+    assert errors.count() == 4
+    assert n_details == 5  # e1,e2,e3 one each; e4 two
+
+
+def test_clean_merge_dedup_and_fills(result):
+    rows = {r["occurrenceID"]: r.asDict() for r in result.cleaned.collect()}
+    # 8 valid + 3 repaired - 1 dup = 10 surviving rows
+    assert len(rows) == 10
+    assert "dup" not in rows  # a1 won keep-first
+    assert "a1" in rows
+    # null ids re-keyed in encounter order
+    assert "-1" in rows and "-2" in rows
+    assert rows["-1"]["eventDate"] == "1910-12-24"
+    assert rows["-2"]["eventDate"] == "1920-06-06"
+    # vernacular fill with Title Cased whale name
+    assert rows["a1"]["vernacularName"] == "Beluga Whale"
+    # supplied vernacular kept
+    assert rows["a2"]["vernacularName"] == "White whale"
+    # repaired error date parts
+    assert rows["e1"]["start_year"] == 1925 and rows["e1"]["end_day"] == 30
+    assert rows["e2"]["start_year"] == 1800 and rows["e2"]["end_year"] == 1874
+    assert rows["e3"]["start_year"] == 1985 and rows["e3"]["end_month"] == 12
+    # ISO normalization of a valid timestamped date (§1.4)
+    assert rows["a2"]["eventDate"] == "1849-12-04"
+    assert rows["a2"]["date_is_valid"] is True
+    assert rows["e3"]["date_is_valid"] is False
+
+
+def test_spatial_overwrite(result):
+    rows = {r["occurrenceID"]: r.asDict() for r in result.cleaned.collect()}
+    # waterBody always overwritten by the join (a2 supplied "Wrong Sea")
+    assert rows["a2"]["waterBody"] == "North Box"
+    assert rows["a1"]["waterBody"] == "North Box"
+    assert rows["a3"]["waterBody"] == "East Box"
+    assert rows["e1"]["waterBody"] == "East Box"
+
+
+def test_unrepaired_export_shape(result):
+    errs = result.unrepaired_errors.collect()
+    assert len(errs) == 1
+    e = errs[0].asDict()
+    assert e["occurrenceID"] == "e4"
+    locs = {d["loc"] for d in e["details"]}
+    assert locs == {"eventDate", "decimalLatitude"}
+
+
+def test_bounds_derivation(result):
+    assert result.startdate == "1849-12-04"
+    assert result.enddate == "1971-01-01"
+
+
+def test_star_schema(result):
+    star = build_star_schema(result.cleaned)
+    locations = {r["waterBody"]: r["id"] for r in star["locations"].collect()}
+    # ids assigned 0.. in first-encounter order; no-match rows -> NULL name row
+    assert set(locations.values()) == set(range(len(locations)))
+    species = star["species"].collect()
+    assert len(species) == 1
+    assert species[0]["vernacularName"] == "Beluga Whale"
+    fact = star["occurrences"]
+    assert fact.count() == 10
+    fk_null = fact.filter(F.col("waterBodyId").isNull()).count()
+    assert fk_null == 0  # every row got a location id (incl. NULL-name row)
+    # conflict-update column subset is fixed (S12)
+    from whale_sightings_spark.sources.jdbc import OCCURRENCES_UPDATE_COLS
+
+    assert set(OCCURRENCES_UPDATE_COLS) < set(fact.columns) | {
+        "latitude", "longitude"
+    }
+
+
+def test_dedup_is_deterministic_across_runs(result):
+    c1 = sorted(r["occurrenceID"] for r in result.cleaned.collect())
+    c2 = sorted(r["occurrenceID"] for r in dedup_keep_first(result.cleaned).collect())
+    assert c1 == c2

@@ -1,0 +1,97 @@
+"""Unit tests: OBIS batch planner (S4 greedy packing semantics,
+reference obis.py:166-203) and the batched JDBC upsert writer (S12/R8)
+against SQLite (the container has no MySQL; dialect is parameterized)."""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+import tempfile
+
+from whale_sightings_spark.sources.jdbc import (
+    OCCURRENCES_UPDATE_COLS,
+    mysql_upsert_sql,
+    sqlite_upsert_sql,
+    upsert_via_foreach_partition,
+)
+from whale_sightings_spark.sources.obis import Batch, pad_date_format, plan_batches
+
+
+def years(*pairs):
+    return [{"year": str(y), "records": n} for y, n in pairs]
+
+
+def test_single_request_when_under_size():
+    batches, start, end = plan_batches(years((2000, 10), (2001, 20)), None, None, size=100)
+    assert batches == [Batch("2000", "2001")]
+    assert (start, end) == ("2000", "2001")
+
+
+def test_explicit_bounds_passthrough():
+    batches, start, end = plan_batches(
+        years((2000, 10)), "1999-01-01", "2002-12-31", size=100
+    )
+    assert batches == [Batch("1999-01-01", "2002-12-31")]
+
+
+def test_greedy_packing_flushes_on_overflow():
+    # 60+50 > 100 -> first batch [2000..2000]; then 50+30 <= 100 packed;
+    # tail flush covers through the end bound
+    batches, _, _ = plan_batches(
+        years((2000, 60), (2001, 50), (2002, 30)), None, None, size=100
+    )
+    assert batches == [Batch("2000", "2000"), Batch("2001", "2002")]
+
+
+def test_large_single_year_gets_own_request():
+    batches, _, _ = plan_batches(
+        years((2000, 10), (2001, 500), (2002, 20)), None, None, size=100
+    )
+    assert batches == [
+        Batch("2000", "2000"),   # flush of the running batch
+        Batch("2001", "2001"),   # the large year alone
+        Batch("2002", "2002"),   # tail flush (start reset after large year)
+    ]
+
+
+def test_large_year_first_no_empty_flush():
+    batches, _, _ = plan_batches(years((2000, 500), (2001, 20)), None, None, size=100)
+    assert batches == [Batch("2000", "2000"), Batch("2001", "2001")]
+
+
+def test_pad_date_format():
+    assert pad_date_format("1999", "2001") == ("1999-01-01", "2001-12-31")
+    assert pad_date_format("1999-02-03", "2001-04-05") == ("1999-02-03", "2001-04-05")
+
+
+def test_mysql_upsert_sql_column_subset():
+    sql = mysql_upsert_sql("occurrences", ("id", "eventDate", "waterBodyId"), OCCURRENCES_UPDATE_COLS)
+    assert "ON DUPLICATE KEY UPDATE" in sql
+    # FK columns never updated on conflict (storage.py:71-76)
+    assert "waterBodyId=VALUES" not in sql
+    assert "speciesId=VALUES" not in sql
+    assert "eventDate=VALUES(eventDate)" in sql
+
+
+def test_sqlite_upsert_roundtrip(spark):
+    path = os.path.join(tempfile.mkdtemp(), "t.db")
+    con = sqlite3.connect(path)
+    con.execute("CREATE TABLE kv (id TEXT PRIMARY KEY, v INTEGER, fk INTEGER)")
+    con.execute("INSERT INTO kv VALUES ('a', 1, 100)")
+    con.commit()
+    con.close()
+
+    df = spark.createDataFrame(
+        [("a", 10, 999), ("b", 20, 200)], "id string, v int, fk int"
+    ).coalesce(1)  # sqlite: single-writer file lock
+    sql = sqlite_upsert_sql("kv", ("id", "v", "fk"), ("v",), ("id",))
+    upsert_via_foreach_partition(df, sql, lambda: sqlite3.connect(path))
+
+    con = sqlite3.connect(path)
+    rows = dict(
+        (r[0], (r[1], r[2])) for r in con.execute("SELECT id, v, fk FROM kv").fetchall()
+    )
+    con.close()
+    # 'a' conflict: v updated, fk NOT updated (subset semantics)
+    assert rows["a"] == (10, 100)
+    assert rows["b"] == (20, 200)

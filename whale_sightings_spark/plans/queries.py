@@ -37,7 +37,17 @@ ORACLE_SQL: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # ship the package to executors once per context so queries
+            # using pandas UDFs work whatever the driver's cwd is
+            from whale_sightings_spark.deploy import ship_package
+
+            ship_package(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE_SQL[name] = oracle
         return fn

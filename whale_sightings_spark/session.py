@@ -52,4 +52,7 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    from whale_sightings_spark.deploy import ship_package
+
+    ship_package(spark)
     return spark

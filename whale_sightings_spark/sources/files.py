@@ -1,0 +1,99 @@
+"""Raw/curated-zone file sources & sinks (SURVEY.md §2.1 S5-S9).
+
+The reference stages API JSON at ``data/{whale}/{start}--{end}.json``
+and prunes files by parsing year ranges out of filenames
+(``whalefinder/validate.py:85-143``). Spark-first replacement: read the
+same layout with a declared schema + ``pathGlobFilter``, pruning
+file paths *before* the scan — the same I/O win, no custom code path,
+and at cluster scale the raw zone graduates to a
+``whale=<w>/year=<y>`` partition layout where Catalyst partition
+pruning does it for free.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whale_sightings_spark.operators.validate import with_ingest_ordinal
+from whale_sightings_spark.schemas import OCCURRENCE_RAW_SCHEMA
+
+FILE_RANGE_RE = re.compile(r"(\d{4})-\d{2}-\d{2}--(\d{4})-\d{2}-\d{2}")
+
+
+def match_raw_files(
+    data_dir: str, whale: str, startdate: str | None, enddate: str | None
+) -> list[str]:
+    """S6 (validate.py:85-143): glob ``*.json`` and prune by comparing
+    filename year ranges against the requested bounds (4 cases: both /
+    start-only / end-only / all)."""
+    whale_dir = Path(data_dir) / whale
+    files = [f for f in sorted(whale_dir.glob("*.json")) if FILE_RANGE_RE.search(f.name)]
+    start_year = int(startdate[:4]) if startdate else None
+    end_year = int(enddate[:4]) if enddate else None
+
+    out: list[str] = []
+    for f in files:
+        m = FILE_RANGE_RE.search(f.name)
+        fs, fe = int(m.group(1)), int(m.group(2))
+        if start_year is not None and end_year is not None:
+            if start_year <= fs <= end_year and start_year <= fe <= end_year:
+                out.append(str(f))
+        elif start_year is not None:
+            if start_year <= fs:
+                out.append(str(f))
+        elif end_year is not None:
+            if fe <= end_year:
+                out.append(str(f))
+        else:
+            out.append(str(f))
+    return out
+
+
+def read_raw_occurrences(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """S7: multi-file JSON union with the declared schema — each file is
+    ``{"results": [...]}`` (obis.py:149-164); unknown keys are dropped
+    by schema projection (P1, validate.py:21).
+
+    ``multiLine=True`` because the reference writes indented JSON
+    documents, not JSONL. The ``results`` array is exploded in file
+    order and stamped with the deterministic ingest ordinal.
+    """
+    import pyspark.sql.types as T
+
+    doc_schema = T.StructType(
+        [T.StructField("results", T.ArrayType(OCCURRENCE_RAW_SCHEMA), True)]
+    )
+    if not paths:
+        return with_ingest_ordinal(
+            spark.createDataFrame([], OCCURRENCE_RAW_SCHEMA)
+        )
+    docs = spark.read.schema(doc_schema).option("multiLine", "true").json(paths)
+    rows = (
+        docs.withColumn("_ingest_file", F.input_file_name())
+        .select(
+            "_ingest_file",
+            F.posexplode_outer("results").alias("_ingest_pos", "_row"),
+        )
+        .filter(F.col("_row").isNotNull())
+        .select("_row.*", "_ingest_file", F.col("_ingest_pos").cast("long"))
+    )
+    return rows
+
+
+def write_curated_csv(df: DataFrame, out_dir: str) -> None:
+    """S8 (cleaner.py:382-398): curated CSV checkpoint. Parquet is the
+    real curated format at scale; CSV kept for reference parity."""
+    df.write.mode("overwrite").option("header", True).csv(out_dir)
+
+
+def write_curated_parquet(df: DataFrame, out_dir: str) -> None:
+    df.write.mode("overwrite").parquet(out_dir)
+
+
+def read_curated_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """S9 (storage.py:126-131): curated CSV re-entry point."""
+    return spark.read.option("header", True).schema(schema).csv(path)
