@@ -16,8 +16,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from whale_sightings_spark.plans.queries import QUERIES  # noqa: E402
+from whale_sightings_spark.plans.queries import queries  # noqa: E402
 from whale_sightings_spark.session import get_spark  # noqa: E402
+
+QUERIES = queries()
 
 
 def main() -> None:

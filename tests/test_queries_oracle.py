@@ -10,8 +10,11 @@ import os
 import duckdb
 import pytest
 
-from whale_sightings_spark.plans.queries import ORACLE_SQL, QUERIES
+from whale_sightings_spark.plans.queries import oracle_sql, queries
 from whale_sightings_spark.schemas import TESTDATA_TABLES
+
+QUERIES = queries()
+ORACLE_SQL = oracle_sql()
 
 
 @pytest.fixture(scope="module")

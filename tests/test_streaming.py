@@ -1,0 +1,108 @@
+"""Streaming surface tests (SURVEY §5 streaming plan): replay the
+events parquet through readStream and check stream == batch
+recomputation; exercise watermarked dedup and the custom stateful
+operator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from whale_sightings_spark.schemas import load_table
+from whale_sightings_spark.streaming.events import (
+    run_stream_to_memory,
+    session_windows,
+    stage_event_replay,
+    streaming_dedup_within_watermark,
+    streaming_tumbling_counts,
+    stateful_user_running_totals,
+    tumbling_window_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Replay zone: several files so maxFilesPerTrigger=1 yields a
+    multi-micro-batch stream."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    return stage_event_replay(spark, sf_dir, out, n_files=4)
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir, events_dir):
+    stream = streaming_tumbling_counts(spark, events_dir, "1 hour")
+    q = run_stream_to_memory(stream, "tumbling_out", output_mode="complete")
+    try:
+        got = {
+            (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM tumbling_out").collect()
+        }
+    finally:
+        q.stop()
+    batch_src = spark.read.parquet(events_dir)
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in tumbling_window_counts(batch_src, "1 hour").collect()
+    }
+    assert got == expected
+    assert len(got) > 100
+
+
+def test_streaming_dedup_within_watermark(spark, events_dir):
+    # watermark wider than the 30-day event span: every duplicate falls
+    # within the horizon, so the exactly-once-per-key guarantee is
+    # global (with a short watermark, re-emission after state expiry is
+    # legitimate behavior, not a bug)
+    stream = streaming_dedup_within_watermark(spark, events_dir, watermark="45 days")
+    q = run_stream_to_memory(stream, "dedup_out", output_mode="append")
+    try:
+        rows = spark.sql("SELECT user_id, event_type FROM dedup_out").collect()
+    finally:
+        q.stop()
+    keys = [(r["user_id"], r["event_type"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    assert len(keys) > 0
+
+
+def test_stateful_running_totals(spark, sf_dir, events_dir):
+    stream = stateful_user_running_totals(spark, events_dir)
+    q = run_stream_to_memory(stream, "totals_out", output_mode="update")
+    try:
+        # update mode re-emits per micro-batch: keep the final row per user
+        rows = spark.sql(
+            """
+            SELECT user_id, n_events, total_value FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY n_events DESC) AS rn
+                FROM totals_out) WHERE rn = 1
+            """
+        ).collect()
+    finally:
+        q.stop()
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 4)) for r in rows}
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 4).alias("t"))
+        .collect()
+    )
+    expected = {r["user_id"]: (r["n"], r["t"]) for r in batch}
+    assert set(got) == set(expected)
+    mismatches = {
+        u: (got[u], expected[u]) for u in expected if got[u][0] != expected[u][0]
+        or abs(got[u][1] - expected[u][1]) > 1e-6
+    }
+    assert not mismatches, list(mismatches.items())[:5]
+
+
+def test_session_window_end_is_last_plus_gap(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    out = session_windows(events, "30 minutes")
+    row = out.orderBy("user_id", "session_start").first()
+    # end - start >= gap always (single-event session end = ts + gap)
+    from datetime import datetime
+
+    fmt = "%Y-%m-%d %H:%M:%S.%f"
+    delta = datetime.strptime(row["session_end"], fmt) - datetime.strptime(
+        row["session_start"], fmt
+    )
+    assert delta.total_seconds() >= 30 * 60

@@ -1,0 +1,112 @@
+"""Unit tests: text functions and cross-engine hashing primitives —
+every Spark expression must agree with its DuckDB SQL twin on the same
+inputs (the property the oracle queries depend on)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from whale_sightings_spark.functions import text as TX
+from whale_sightings_spark.functions.hashing import (
+    hash60,
+    hash60_sql,
+    minhash_signature,
+    minhash_signature_sql,
+    simhash,
+    simhash_sql,
+    hamming60,
+    hamming60_sql,
+)
+
+SAMPLES = [
+    "the quick brown fox jumps over the lazy dog",
+    "der schnelle braune fuchs und der hund",
+    "le renard et le chien les amis",
+    "el zorro y los perros que juegan",
+    "one two three",
+    "x",
+    "",
+    "  spaced   out   tokens  ",
+    "punct, heavy!! text??? here...",
+]
+
+
+def _spark_vals(spark, expr_fn, col="t"):
+    df = spark.createDataFrame([(s,) for s in SAMPLES], f"{col} string")
+    return [r["v"] for r in df.select(expr_fn(F.col(col)).alias("v")).collect()]
+
+
+def _duck_vals(sql_expr):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s (t VARCHAR)")
+    con.executemany("INSERT INTO s VALUES (?)", [(s,) for s in SAMPLES])
+    return [r[0] for r in con.execute(f"SELECT {sql_expr} FROM s").fetchall()]
+
+
+@pytest.mark.parametrize(
+    "spark_fn,sql",
+    [
+        (TX.token_count, TX.token_count_sql("t")),
+        (TX.regex_token_count, TX.regex_token_count_sql("t")),
+        (TX.lang_id, TX.lang_id_sql("t")),
+        (TX.quality_score, TX.quality_score_sql("t")),
+        (TX.normalize_text, TX.normalize_text_sql("t")),
+        (TX.fingerprint_md5, TX.fingerprint_md5_sql("t")),
+        (hash60, hash60_sql("t")),
+    ],
+    ids=["token_count", "regex_tokens", "lang_id", "quality", "normalize", "fp_md5", "hash60"],
+)
+def test_spark_matches_duckdb(spark, spark_fn, sql):
+    s_vals = _spark_vals(spark, spark_fn)
+    d_vals = _duck_vals(sql)
+    norm = lambda v: round(v, 9) if isinstance(v, float) else v
+    assert [norm(v) for v in s_vals] == [norm(v) for v in d_vals]
+
+
+def test_word_shingles_cross_engine(spark):
+    n = 3
+    s_vals = _spark_vals(spark, lambda c: TX.word_shingles(c, n))
+    d_vals = _duck_vals(TX.word_shingles_sql("t", n))
+    assert [list(v) for v in s_vals] == [list(v) for v in d_vals]
+
+
+def test_minhash_signature_cross_engine(spark):
+    fn = lambda c: minhash_signature(TX.word_shingles(c, 3))
+    s_vals = _spark_vals(spark, fn)
+    sig_sql = minhash_signature_sql(TX.word_shingles_sql("t", 3))
+    d_vals = _duck_vals("[" + ", ".join(sig_sql) + "]")
+    # empty-shingle docs produce null slots in Spark / None in DuckDB
+    assert [list(v) if v else v for v in s_vals] == [
+        [x for x in v] if v else v for v in d_vals
+    ]
+
+
+def test_simhash_cross_engine(spark):
+    fn = lambda c: simhash(F.transform(TX.tokens(c), hash60))
+    s_vals = _spark_vals(spark, fn)
+    th = f"list_transform({TX.tokens_sql('t')}, x -> {hash60_sql('x')})"
+    d_vals = _duck_vals(simhash_sql(th))
+    assert s_vals == d_vals
+
+
+def test_hamming_cross_engine(spark):
+    pairs = [(0b1010, 0b0110), (0, 0), ((1 << 60) - 1, 0), (12345678901234, 98765432109876)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    s = [r["h"] for r in df.select(hamming60(F.col("a"), F.col("b")).alias("h")).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", pairs)
+    d = [r[0] for r in con.execute(f"SELECT {hamming60_sql('a','b')} FROM p").fetchall()]
+    assert s == d
+    assert s == [bin(a ^ b).count("1") for a, b in pairs]
+
+
+def test_lang_profiles_hit_real_stopwords(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog of it",), ("der hund und die katze ist",)],
+        "t string",
+    )
+    got = [r["l"] for r in df.select(TX.lang_id(F.col("t")).alias("l")).collect()]
+    assert got == ["en", "de"]

@@ -1,0 +1,76 @@
+"""CLI mirroring the reference's entry points (``main.py:33-84``):
+``pipeline`` (full ETL), ``obis`` (fetch only), ``process``
+(validate+clean only), ``db`` (load only from curated data).
+
+argparse instead of Typer (not shipped in this environment); the
+command surface and resumable-checkpoint contract match the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from whale_sightings_spark.plans.pipeline import (
+    PipelineContext,
+    build_star_schema,
+    run_pipeline,
+)
+from whale_sightings_spark.session import get_spark
+from whale_sightings_spark.sources.files import write_curated_csv, write_curated_parquet
+from whale_sightings_spark.sources.obis import (
+    ObisClient,
+    fetch_occurrences_to_raw_zone,
+)
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("whale", help="whale name, e.g. beluga_whale")
+    p.add_argument("startdate", nargs="?", default=None, help="YYYY-MM-DD")
+    p.add_argument("enddate", nargs="?", default=None, help="YYYY-MM-DD")
+    p.add_argument("--data-dir", default="data")
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="whale-spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    for name in ("pipeline", "obis", "process", "db"):
+        sp = sub.add_parser(name)
+        _add_common(sp)
+        if name in ("pipeline", "process"):
+            sp.add_argument("--out", default=None, help="curated output dir")
+            sp.add_argument("--csv", action="store_true", help="also write CSV (reference parity)")
+
+    args = parser.parse_args(argv)
+    ctx = PipelineContext(
+        whale=args.whale,
+        startdate=args.startdate,
+        enddate=args.enddate,
+        data_dir=args.data_dir,
+    )
+
+    if args.cmd in ("pipeline", "obis"):
+        fetch_occurrences_to_raw_zone(
+            ObisClient(), ctx.whale, ctx.scientificname, ctx.data_dir,
+            ctx.startdate, ctx.enddate,
+        )
+        if args.cmd == "obis":
+            return 0
+
+    spark = get_spark()
+    result = run_pipeline(spark, ctx)
+    out = getattr(args, "out", None) or f"{ctx.data_dir}/{ctx.whale}/curated"
+    write_curated_parquet(result.cleaned, out)
+    if getattr(args, "csv", False):
+        write_curated_csv(result.cleaned, out + "_csv")
+    if args.cmd in ("pipeline", "db"):
+        star = build_star_schema(result.cleaned)
+        for name, df in star.items():
+            write_curated_parquet(df, f"{out}_star/{name}")
+    print(f"curated output at {out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

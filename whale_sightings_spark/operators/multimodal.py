@@ -1,0 +1,143 @@
+"""Multimodal column plumbing (net-new scale surface).
+
+Image/audio/video ride through the engine as opaque ``binary`` payloads
+with a typed metadata struct; decode / feature-extract / resize /
+frame-sample are Arrow-batched ``mapInPandas`` operators so payload
+bytes never round-trip through Python row objects.
+
+The container ships no image/audio codecs, so the *decode* step is
+stubbed per the build contract: ``decoder="real"`` raises
+``NotImplementedError`` with the integration point documented, while
+``decoder="fake"`` is a deterministic byte-level featurizer
+(nibble histogram) that exercises the full Spark plumbing — schema,
+partitioning, UDF signature, Arrow batch shape — and is oracle-checkable
+(the histogram of md5-bytes is computable in SQL from the hex string).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                    T.StructField("format", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+KINDS = ("image", "audio", "video")
+
+
+def attach_fake_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from ``documents``: payload =
+    md5(text) bytes, kind cycles by doc_id, metadata from n_chars.
+    Stands in for a real object-store read of media blobs."""
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.unhex(F.md5("text")).alias("payload"),
+        F.struct(
+            (F.col("n_chars") % 640).cast("int").alias("width"),
+            (F.col("n_chars") % 480).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+            F.lit("fake/v1").alias("format"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
+    """Per-payload feature extraction via mapInPandas.
+
+    ``fake``: 16-bin nibble histogram of the payload bytes (real Arrow
+    binary plumbing, deterministic, SQL-checkable). ``real``: the
+    integration point for an actual codec (PIL/librosa/ffmpeg) — not
+    available in this environment.
+    """
+    if decoder == "real":
+        raise NotImplementedError(
+            "real media decoding needs image/audio codecs (PIL / librosa / "
+            "ffmpeg) not present in this environment; plug the codec into "
+            "_featurize_batch and keep the mapInPandas contract"
+        )
+    if decoder != "fake":
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    out_schema = "media_id long, kind string, feature string"
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    feats.append(None)
+                    continue
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                nibbles = np.concatenate([arr >> 4, arr & 0xF])
+                hist = np.bincount(nibbles, minlength=16)[:16]
+                feats.append(",".join(str(int(v)) for v in hist))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": pdf["kind"], "feature": feats}
+            )
+
+    return media.mapInPandas(featurize, schema=out_schema)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize operator: stubbed decode, real plumbing — updates
+    the metadata struct and passes payload through (a real impl decodes,
+    resizes, re-encodes inside the same mapInPandas contract)."""
+    images = media.filter(F.col("kind") == "image")
+    return images.withColumn(
+        "meta",
+        F.struct(
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            F.col("meta.sample_rate"),
+            F.col("meta.duration_ms"),
+            F.concat(F.col("meta.format"), F.lit(f";resized={width}x{height}")).alias(
+                "format"
+            ),
+        ),
+    )
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame offset
+    (posexplode over the duration grid). Frame decode itself is the
+    stubbed step; the row explosion, offsets, and lineage are real."""
+    videos = media.filter(F.col("kind") == "video")
+    return videos.select(
+        "media_id",
+        F.posexplode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_index", "offset_ms"),
+        F.col("payload"),
+    ).withColumn("frame", F.lit(None).cast("binary"))  # <- codec integration point

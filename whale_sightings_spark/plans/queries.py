@@ -514,8 +514,17 @@ def q12_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, QueryFn]:
+    _load_extra_registries()
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_extra_registries()
     return dict(ORACLE_SQL)
+
+
+def _load_extra_registries() -> None:
+    """Import side-effect registries (kept separate to bound module
+    size); import at call time to avoid a cycle."""
+    import whale_sightings_spark.plans.queries_llm  # noqa: F401
+    import whale_sightings_spark.plans.queries_stream  # noqa: F401

@@ -1,0 +1,328 @@
+"""Registered queries for the net-new training-data-pipeline surface
+(dedup / similarity / text analysis) over ``documents`` and
+``embeddings``. Imported by plans.queries for registry side effects.
+
+Each query pairs the Spark operator (operators/dedup, similarity,
+functions/text) with a DuckDB oracle generated from the *same* Python
+constants — one spec, two engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whale_sightings_spark.functions import text as TX
+from whale_sightings_spark.functions.hashing import (
+    band_keys_sql,
+    hash60_sql,
+    minhash_signature_sql,
+    simhash_sql,
+    simhash_band_sql,
+    hamming60_sql,
+)
+from whale_sightings_spark.operators import dedup as DD
+from whale_sightings_spark.operators import similarity as SIM
+from whale_sightings_spark.plans.queries import register
+from whale_sightings_spark.schemas import load_table
+
+# ---------------------------------------------------------------------------
+# q13 — exact dedup (hash-groupBy on normalized fingerprint)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q13_dedup_exact",
+    f"""
+    SELECT {TX.fingerprint_md5_sql('text')} AS fp,
+           min(doc_id) AS survivor_id,
+           count(*) AS group_size
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q13_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q14 — n-gram Jaccard near-dup pairs (inverted index + df cap)
+# ---------------------------------------------------------------------------
+
+_SHINGLES = TX.word_shingles_sql("text", DD.SHINGLE_N)
+
+_JACCARD_BASE = f"""
+    WITH spairs AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents)
+    ),
+    keep AS (
+        SELECT shingle FROM spairs GROUP BY shingle HAVING count(*) <= {DD.MAX_SHINGLE_DF}
+    ),
+    fpairs AS (SELECT p.doc_id, p.shingle FROM spairs p JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM fpairs GROUP BY doc_id)
+"""
+
+
+@register(
+    "q14_dedup_ngram_jaccard",
+    _JACCARD_BASE
+    + f"""
+    , inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM fpairs a JOIN fpairs b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = inter.doc_a
+    JOIN sizes sb ON sb.doc_id = inter.doc_b
+    WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= {DD.JACCARD_THRESHOLD}
+    """,
+)
+def q14_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q15 — MinHash + LSH near-dup (shingle -> minhash -> band -> bucket join)
+# ---------------------------------------------------------------------------
+
+_SIG_EXPRS = minhash_signature_sql("shingles")
+_BAND_EXPRS = band_keys_sql([f"sig[{i + 1}]" for i in range(len(_SIG_EXPRS))])
+
+
+@register(
+    "q15_dedup_minhash_lsh",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, [{", ".join(_SIG_EXPRS)}] AS sig
+        FROM sh WHERE len(shingles) > 0
+    ),
+    banded AS (
+        SELECT doc_id, unnest([{", ".join(_BAND_EXPRS)}]) AS band FROM sig
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    spairs AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents)
+    ),
+    keep AS (
+        SELECT shingle FROM spairs GROUP BY shingle HAVING count(*) <= {DD.MAX_SHINGLE_DF}
+    ),
+    fpairs AS (SELECT p.doc_id, p.shingle FROM spairs p JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM fpairs GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cands c
+        JOIN fpairs a ON a.doc_id = c.doc_a
+        JOIN fpairs b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = inter.doc_a
+    JOIN sizes sb ON sb.doc_id = inter.doc_b
+    WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= {DD.JACCARD_THRESHOLD}
+    """,
+)
+def q15_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q16 — SimHash near-dup (60-bit signature, banded blocking, Hamming verify)
+# ---------------------------------------------------------------------------
+
+_TOKEN_HASHES = f"list_transform({TX.tokens_sql('text')}, t -> {hash60_sql('t')})"
+_SIMHASH_BANDS_SQL = ", ".join(
+    f"'{i}' || ':' || CAST({simhash_band_sql('sh', i)} AS VARCHAR)" for i in range(4)
+)
+
+
+@register(
+    "q16_dedup_simhash",
+    f"""
+    WITH th AS (
+        SELECT doc_id, {_TOKEN_HASHES} AS hashes FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, {simhash_sql('hashes')} AS sh FROM th WHERE len(hashes) > 0
+    ),
+    banded AS (
+        SELECT doc_id, sh, unnest([{_SIMHASH_BANDS_SQL}]) AS band FROM sig
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.sh AS sh_a, b.sh AS sh_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, {hamming60_sql('sh_a', 'sh_b')} AS hamming
+    FROM cands
+    WHERE {hamming60_sql('sh_a', 'sh_b')} <= {DD.HAMMING_THRESHOLD}
+    """,
+)
+def q16_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q17 — brute-force cosine top-k ANN (exactness baseline)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q17_ann_bruteforce",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round({SIM.cosine_sql('q.qvec', 'c.embedding')}, 6) AS cos
+        FROM embeddings c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def q17_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.ann_bruteforce_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# q18 — IVF-style probe ANN (label = coarse cell)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q18_ann_ivf",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec, label AS cell
+        FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.query_id, q.cell, c.vec_id AS neighbor_id,
+               round({SIM.cosine_sql('q.qvec', 'c.embedding')}, 6) AS cos
+        FROM embeddings c JOIN q ON c.label = q.cell
+        WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, cell, neighbor_id, cos,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def q18_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.ann_ivf_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# q19 — embedding near-dup via hyperplane LSH blocking + cosine verify
+# ---------------------------------------------------------------------------
+
+@register(
+    "q19_embedding_neardup",
+    f"""
+    WITH sigs AS (
+        SELECT vec_id, embedding, {SIM.lsh_signature_sql('embedding')} AS sig
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({SIM.cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos
+    FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    WHERE round({SIM.cosine_sql('a.embedding', 'b.embedding')}, 6) >= {SIM.COSINE_DUP_THRESHOLD}
+    """,
+)
+def q19_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# q20 — text statistics: token counts + quality scoring per document
+# ---------------------------------------------------------------------------
+
+@register(
+    "q20_text_stats",
+    f"""
+    SELECT doc_id,
+           {TX.token_count_sql('text')} AS n_tokens,
+           {TX.regex_token_count_sql('text')} AS n_regex_tokens,
+           length(text) AS n_chars_actual,
+           {TX.quality_score_sql('text')} AS quality
+    FROM documents
+    """,
+)
+def q20_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.regex_token_count(F.col("text")).alias("n_regex_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — language-ID heuristic vs the labeled lang column
+# ---------------------------------------------------------------------------
+
+@register(
+    "q21_lang_id",
+    f"""
+    SELECT lang, {TX.lang_id_sql('text')} AS predicted, count(*) AS n
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q21_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TX.lang_id(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 — document fingerprinting (whole-doc md5 + min-shingle rolling hash)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q22_fingerprint",
+    f"""
+    SELECT doc_id,
+           {TX.fingerprint_md5_sql('text')} AS fp_md5,
+           (CASE WHEN len({_SHINGLES}) > 0
+                 THEN list_min(list_transform({_SHINGLES}, s -> {hash60_sql('s')}))
+                 ELSE CAST(-1 AS BIGINT) END) AS fp_min_shingle
+    FROM documents
+    """,
+)
+def q22_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.functions.hashing import hash60
+    from whale_sightings_spark.functions.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = word_shingles(F.col("text"), DD.SHINGLE_N)
+    return docs.select(
+        "doc_id",
+        TX.fingerprint_md5(F.col("text")).alias("fp_md5"),
+        F.when(
+            F.size(shingles) > 0,
+            F.array_min(F.transform(shingles, hash60)),
+        )
+        .otherwise(F.lit(-1).cast("bigint"))
+        .alias("fp_min_shingle"),
+    )

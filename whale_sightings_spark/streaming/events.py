@@ -1,0 +1,191 @@
+"""Streaming operators over the ``events`` stream (SURVEY.md §2.9).
+
+The reference is strictly batch; this is the net-new Structured
+Streaming surface the driver's testdata (``events``) exists for:
+
+- tumbling / sliding window aggregation with watermarked late data
+- session windows (gap-based)
+- streaming dedup within the watermark (the streaming analog of the
+  pipeline's U4 keep-first dedup)
+- a custom stateful operator via ``applyInPandasWithState``
+
+Every transformation is defined once on an unbounded-agnostic
+DataFrame: the same function serves batch DataFrames (used by the
+DuckDB-oracle queries — batch `window()`/`session_window()` have
+identical semantics) and `readStream` DataFrames. Streaming tests
+validate stream == batch recomputation (SURVEY §7.3.6: no reference
+ground truth, batch is the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: replay-zone schema: ts as TIMESTAMP (with-local-tz — watermarks
+#: require it; session TZ is pinned UTC). The driver's original
+#: events.parquet carries TIMESTAMP(NANOS) readable only via
+#: schemas.load_table; stage it with stage_event_replay first.
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stage_event_replay(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
+) -> str:
+    """Rewrite the events table into ``n_files`` parquet files with an
+    ltz timestamp — the streaming replay zone (n_files micro-batches
+    with maxFilesPerTrigger=1)."""
+    from whale_sightings_spark.schemas import load_table
+
+    (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def tumbling_window_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window count/sum per event_type. Epoch-aligned windows
+    (same alignment as date_trunc for whole-unit widths)."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding-window event counts (each event lands in width/slide
+    windows)."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessionization per user (session ends after ``gap`` of
+    inactivity; session end = last event + gap)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), TS_FMT + ".SSSSSS").alias("session_start"),
+            F.date_format(F.col("w.end"), TS_FMT + ".SSSSSS").alias("session_end"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming runners (readStream -> memory sink), used by tests/demos
+# ---------------------------------------------------------------------------
+
+def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-based replay of the events table as a stream (one file per
+    micro-batch via maxFilesPerTrigger)."""
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+):
+    """Drive a streaming DataFrame through the memory sink until all
+    available input is processed; returns the StreamingQuery (caller
+    reads ``SELECT * FROM {query_name}`` and stops it)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    return q
+
+
+def streaming_tumbling_counts(
+    spark: SparkSession, events_dir: str, width: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked streaming version of :func:`tumbling_window_counts`.
+
+    The watermark bounds state: windows older than (max event time -
+    watermark) are finalized and dropped from state — required for an
+    unbounded stream at scale.
+    """
+    events = read_event_stream(spark, events_dir).withWatermark("ts", watermark)
+    return tumbling_window_counts(events, width)
+
+
+def streaming_dedup_within_watermark(
+    spark: SparkSession, events_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming analog of the pipeline's U4 subset-key dedup:
+    dropDuplicatesWithinWatermark on the dedup key — exactly-once per
+    key within the watermark horizon, bounded state."""
+    events = read_event_stream(spark, events_dir).withWatermark("ts", watermark)
+    return events.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+
+
+def stateful_user_running_totals(
+    spark: SparkSession, events_dir: str
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running
+    per-user event count + value total, emitted each micro-batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, round(total, 6)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    events = read_event_stream(spark, events_dir)
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
