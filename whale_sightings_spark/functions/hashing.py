@@ -58,15 +58,29 @@ def minhash_term_sql(expr: str, j: int) -> str:
     return f"(({MINHASH_A[j]} * (({expr}) % {MINHASH_P}) + {MINHASH_B[j]}) % {MINHASH_P})"
 
 
-def minhash_signature(shingles: Column) -> Column:
-    """array<bigint> of length 8: min over shingles of each h_j.
-
-    Empty shingle set -> nulls (caller filters). Entirely native —
-    transform + array_min stay in codegen.
-    """
+def minhash_signature_from_hashes(hashed: Column) -> Column:
+    """array<bigint> of length 8: min over pre-hashed shingles of each
+    h_j. ``hashed`` must be a **materialized** array<bigint> column
+    (``transform(shingles, hash60)`` staged via a select) — it is
+    referenced once per hash function, and an inline md5 there would be
+    recomputed 8x per shingle."""
     def term(j: int):
         # factory, not default-arg binding: PySpark dispatches on lambda
         # arity, so a second parameter would be treated as the index arg
+        return lambda h: minhash_term(h, j)
+
+    sig = [F.array_min(F.transform(hashed, term(j))) for j in range(len(MINHASH_A))]
+    return F.array(*sig)
+
+
+def minhash_signature(shingles: Column) -> Column:
+    """array<bigint> of length 8: min over shingles of each h_j.
+
+    Empty shingle set -> nulls (caller filters). Convenience form; the
+    hot path stages ``transform(shingles, hash60)`` into a column first
+    and uses :func:`minhash_signature_from_hashes` (one md5 per shingle
+    instead of 8)."""
+    def term(j: int):
         return lambda s: minhash_term(hash60(s), j)
 
     sig = [F.array_min(F.transform(shingles, term(j))) for j in range(len(MINHASH_A))]
@@ -108,20 +122,39 @@ def simhash(token_hashes: Column) -> Column:
     """60-bit SimHash of an array of token hashes (already hash60'd).
 
     bit b of the result is 1 iff more tokens have bit b set than not.
-    Bit extraction uses shifts, not float division — doubles lose bits
-    above 2^53.
-    """
-    def bit_sum(b: int):
-        return lambda acc, h: acc + (F.shiftright(h, b) % 2)
+    Single pass over the array: one ``aggregate`` builds a 60-slot
+    ones-counter (``getbit`` takes a column bit position), then the
+    counters fold into the signature against a literal power array.
+    The naive per-bit formulation (60 separate aggregates) re-walks the
+    array 60 times and benches ~25x slower. Integer ops only — doubles
+    lose bits above 2^53.
 
+    ``token_hashes`` must be a **materialized** column ref (it is
+    referenced by both the counter pass and ``size``).
+    """
+    seq = F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
+    counts = F.aggregate(
+        token_hashes,
+        F.array_repeat(F.lit(0).cast("bigint"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(acc, seq, lambda a, b: a + F.getbit(h, b)),
+    )
     total = F.size(token_hashes)
-    out = F.lit(0).cast("bigint")
-    for b in range(SIMHASH_BITS):
-        ones = F.aggregate(token_hashes, F.lit(0).cast("bigint"), bit_sum(b))
-        out = out + F.when(ones * 2 > total, F.lit(1 << b).cast("bigint")).otherwise(
-            F.lit(0)
-        )
-    return out
+    powers = F.array(*[F.lit(1 << b).cast("bigint") for b in range(SIMHASH_BITS)])
+    folded = F.aggregate(
+        F.zip_with(
+            counts,
+            powers,
+            lambda c, p: F.when(c * 2 > total, p).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    # coalesce makes the column provably non-nullable (aggregate() is
+    # nullable by signature): otherwise downstream joins infer an
+    # isnotnull(sh) constraint that predicate pushdown re-inlines below
+    # the staging projections — the whole signature then recomputes
+    # several times per row at the scan (observed 7x slowdown)
+    return F.coalesce(folded, F.lit(0).cast("bigint"))
 
 
 def simhash_sql(token_hashes_expr: str) -> str:

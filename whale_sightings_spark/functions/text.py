@@ -46,10 +46,16 @@ def regex_token_count_sql(expr: str) -> str:
     return f"CAST(len(regexp_extract_all({expr}, '{TOKEN_RE}')) AS INT)"
 
 
-def word_shingles(col: Column, n: int) -> Column:
-    """array<string> of n-word shingles (space-joined); fewer than n
-    tokens -> empty array."""
-    toks = tokens(col)
+def shingles_from_tokens(toks: Column, n: int) -> Column:
+    """array<string> of n-word shingles from a **materialized** token
+    array column; fewer than n tokens -> empty array.
+
+    ``toks`` must be a plain column reference, not an expression: it is
+    referenced n times per output element inside the lambda, and Spark
+    re-evaluates expressions (no common-subexpression elimination inside
+    higher-order functions) — an inline ``split()`` there costs n
+    re-tokenizations per shingle.
+    """
     count = F.size(toks) - (n - 1)
     return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -59,6 +65,13 @@ def word_shingles(col: Column, n: int) -> Column:
             ),
         )
     )
+
+
+def word_shingles(col: Column, n: int) -> Column:
+    """array<string> of n-word shingles (space-joined); fewer than n
+    tokens -> empty array. Prefer staging ``tokens()`` into a column and
+    calling :func:`shingles_from_tokens` on the hot path."""
+    return shingles_from_tokens(tokens(col), n)
 
 
 def word_shingles_sql(expr: str, n: int) -> str:

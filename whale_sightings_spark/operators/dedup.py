@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from whale_sightings_spark.functions.hashing import (
     band_keys,
-    minhash_signature,
+    minhash_signature_from_hashes,
     simhash,
     simhash_band,
     hamming60,
@@ -35,8 +35,8 @@ from whale_sightings_spark.functions.hashing import (
 )
 from whale_sightings_spark.functions.text import (
     fingerprint_md5,
+    shingles_from_tokens,
     tokens,
-    word_shingles,
 )
 
 #: shingle width for MinHash / Jaccard
@@ -47,6 +47,50 @@ MAX_SHINGLE_DF = 100
 JACCARD_THRESHOLD = 0.4
 #: Hamming threshold for SimHash near-dup
 HAMMING_THRESHOLD = 20
+
+#: LSH band buckets larger than this are skipped during candidate
+#: generation (quadratic hot-bucket guard; mirrored in the oracles)
+MAX_BAND_BUCKET = 1000
+
+
+def _bucket_candidate_pairs(banded: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """Candidate pairs from a banded table ``(doc_id, band, *extra)``.
+
+    One groupBy on the band key + in-bucket pair expansion — the
+    signature computation runs ONCE and shuffles once; the textbook
+    banded self-join computes and shuffles the corpus twice. Buckets
+    with more than MAX_BAND_BUCKET docs are dropped (a hot band —
+    boilerplate-heavy corpora produce them — would otherwise expand
+    quadratically); the cap is applied identically in the DuckDB
+    oracles, so it is part of the operator's contract, not a silent
+    truncation. Output: (doc_a, doc_b, *extra_a, *extra_b) with
+    doc_a < doc_b, NOT deduped across bands (callers ``.distinct()``).
+    """
+    item = F.struct("doc_id", *extra)
+    buckets = (
+        banded.groupBy("band")
+        .agg(F.sort_array(F.collect_list(item)).alias("items"))
+        .filter((F.size("items") > 1) & (F.size("items") <= MAX_BAND_BUCKET))
+    )
+    pair_lists = F.transform(
+        F.col("items"),
+        lambda x, i: F.transform(
+            F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+            lambda y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    )
+    cols = [
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+    ]
+    for c in extra:
+        cols.append(F.col(f"p.a.{c}").alias(f"{c}_a"))
+        cols.append(F.col(f"p.b.{c}").alias(f"{c}_b"))
+    return (
+        buckets.select(F.explode_outer(F.flatten(pair_lists)).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select(*cols)
+    )
 
 
 def dedup_exact(docs: DataFrame) -> DataFrame:
@@ -59,12 +103,33 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
-def _shingle_docs(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) pairs, distinct, with hot shingles dropped."""
-    pairs = (
-        docs.select(
-            "doc_id", F.explode(word_shingles(F.col("text"), SHINGLE_N)).alias("shingle")
+def _shingled(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles) with tokenization staged into its own
+    projection. Each stage materializes exactly once: expressions
+    referenced repeatedly by the next stage must be column refs, or
+    Spark re-evaluates them per reference (no CSE inside higher-order
+    lambdas; CollapseProject keeps non-cheap multi-referenced
+    projections staged)."""
+    return (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id", shingles_from_tokens(F.col("toks"), SHINGLE_N).alias("shingles")
         )
+    )
+
+
+def _shingle_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) pairs, distinct, with hot shingles dropped.
+
+    ``explode_outer`` + post-filter, NOT plain ``explode``: for the
+    non-outer form Catalyst infers a ``size(e) > 0`` filter and pushes
+    it below the staging projections, re-inlining the whole shingle
+    expression (re-tokenizing per element) into the Filter — ~10x the
+    scan cost. The outer generate is exempt from that rule."""
+    pairs = (
+        _shingled(docs)
+        .select("doc_id", F.explode_outer("shingles").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
         .distinct()
     )
     df_counts = pairs.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -83,11 +148,13 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     pairs = _shingle_docs(docs)
     sizes = pairs.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
 
-    a = pairs.alias("a")
-    b = pairs.alias("b")
+    # the shingle inverted index is a banded table: group each shingle's
+    # (df-capped, <= MAX_SHINGLE_DF) posting list, expand in-bucket
+    # pairs, count per pair = |A ∩ B|. Two shuffles total; the naive
+    # index self-join shuffles the index twice and joins quadratically.
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        _bucket_candidate_pairs(pairs.select(F.col("shingle").alias("band"), "doc_id"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
@@ -115,20 +182,19 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     only the banding join runs over the corpus; verification touches
     candidate pairs only.
     """
+    # the "has >= SHINGLE_N tokens" predicate is applied to raw text
+    # BEFORE staging: filters on the staged array would be pushed below
+    # the projections with the full expression re-inlined (see
+    # _shingle_docs); this form costs one split per row at the scan
     sigs = (
-        docs.select(
-            "doc_id", word_shingles(F.col("text"), SHINGLE_N).alias("shingles")
-        )
-        .filter(F.size("shingles") > 0)
-        .select("doc_id", F.explode(band_keys(minhash_signature(F.col("shingles")))).alias("band"))
+        _shingled(docs.filter(F.size(tokens(F.col("text"))) >= SHINGLE_N))
+        # stage: one md5 per shingle, then 8 cheap arithmetic mins, then
+        # banding over the materialized signature
+        .select("doc_id", F.transform("shingles", hash60).alias("hashed"))
+        .select("doc_id", minhash_signature_from_hashes(F.col("hashed")).alias("sig"))
+        .select("doc_id", F.explode(band_keys(F.col("sig"))).alias("band"))
     )
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    cands = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cands = _bucket_candidate_pairs(sigs).distinct()
 
     pairs = _shingle_docs(docs)
     sizes = pairs.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
@@ -158,14 +224,14 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash) over whitespace tokens."""
+    """(doc_id, simhash) over whitespace tokens. The token-hash array is
+    staged so the 60 per-bit aggregates reference a materialized column
+    (inline, the md5 transform would re-run once per bit)."""
     return (
         docs.select("doc_id", tokens(F.col("text")).alias("toks"))
         .filter(F.size("toks") > 0)
-        .select(
-            "doc_id",
-            simhash(F.transform(F.col("toks"), hash60)).alias("sh"),
-        )
+        .select("doc_id", F.transform(F.col("toks"), hash60).alias("hashes"))
+        .select("doc_id", simhash(F.col("hashes")).alias("sh"))
     )
 
 
@@ -182,18 +248,7 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
             ])
         ).alias("band"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cands = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
-        .distinct()
-    )
+    cands = _bucket_candidate_pairs(banded, extra=("sh",)).distinct()
     return (
         cands.withColumn("hamming", hamming60(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)

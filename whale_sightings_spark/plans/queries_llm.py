@@ -106,9 +106,14 @@ _BAND_EXPRS = band_keys_sql([f"sig[{i + 1}]" for i in range(len(_SIG_EXPRS))])
     banded AS (
         SELECT doc_id, unnest([{", ".join(_BAND_EXPRS)}]) AS band FROM sig
     ),
+    kept_bands AS (
+        SELECT band FROM banded GROUP BY band
+        HAVING count(*) > 1 AND count(*) <= {DD.MAX_BAND_BUCKET}
+    ),
     cands AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+        JOIN kept_bands k ON k.band = a.band
     ),
     spairs AS (
         SELECT DISTINCT doc_id, shingle
@@ -160,10 +165,15 @@ _SIMHASH_BANDS_SQL = ", ".join(
     banded AS (
         SELECT doc_id, sh, unnest([{_SIMHASH_BANDS_SQL}]) AS band FROM sig
     ),
+    kept_bands AS (
+        SELECT band FROM banded GROUP BY band
+        HAVING count(*) > 1 AND count(*) <= {DD.MAX_BAND_BUCKET}
+    ),
     cands AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                         a.sh AS sh_a, b.sh AS sh_b
         FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+        JOIN kept_bands k ON k.band = a.band
     )
     SELECT doc_a, doc_b, {hamming60_sql('sh_a', 'sh_b')} AS hamming
     FROM cands
@@ -312,17 +322,24 @@ def q21_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q22_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whale_sightings_spark.functions.hashing import hash60
-    from whale_sightings_spark.functions.text import word_shingles
+    from whale_sightings_spark.functions.text import shingles_from_tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    shingles = word_shingles(F.col("text"), DD.SHINGLE_N)
-    return docs.select(
+    # stage tokens -> shingles -> hashes so each computes once (the
+    # min-shingle hash references the shingle array per element)
+    staged = (
+        docs.select("doc_id", "text", TX.tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            "text",
+            shingles_from_tokens(F.col("toks"), DD.SHINGLE_N).alias("shingles"),
+        )
+        .select("doc_id", "text", F.transform("shingles", hash60).alias("hashed"))
+    )
+    return staged.select(
         "doc_id",
         TX.fingerprint_md5(F.col("text")).alias("fp_md5"),
-        F.when(
-            F.size(shingles) > 0,
-            F.array_min(F.transform(shingles, hash60)),
-        )
+        F.when(F.size("hashed") > 0, F.array_min("hashed"))
         .otherwise(F.lit(-1).cast("bigint"))
         .alias("fp_min_shingle"),
     )
