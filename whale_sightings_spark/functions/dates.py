@@ -349,12 +349,129 @@ def split_dates(col: Column) -> Column:
 def with_date_parts(df, src: str = "eventDate"):
     """Attach the six date-part columns (reference cleaner.py:302,333).
 
-    The struct is materialized in its own projection step before field
-    extraction — extracting six fields straight off the cascade would
-    let CollapseProject duplicate the whole expression six times,
-    multiplying codegen compile time.
+    Same spec as :func:`split_dates`, but evaluated in staged
+    projections: every capture (space/dash/slash splits, month-name
+    lookups) is materialized ONCE per row as a column, then the dispatch
+    cascade is cheap when/struct logic over those attributes plus one
+    rlike per shape. The single-expression cascade re-runs each
+    regexp_extract per struct field per branch (conditional branches
+    defeat codegen subexpression elimination) — measured ~3x slower.
+    The struct is materialized before field extraction so CollapseProject
+    cannot duplicate the cascade six times.
     """
-    staged = df.withColumn("__parts", split_dates(F.col(src)))
+    ddd = r"^(\d+)-(\d+)-(\d+)$"
+    dd = r"^(\d+)-(\d+)$"
+    yy = r"^(\d+)/(\d+)$"
+
+    d1 = df.withColumn("__s", F.trim(F.regexp_replace(F.col(src), ",", "")))
+    d2 = d1.withColumns(
+        {
+            "__sp": F.split(F.col("__s"), " "),
+            "__dash": F.split(F.col("__s"), "-"),
+            "__slash": F.split(F.col("__s"), "/"),
+        }
+    )
+    d3 = d2.withColumns(
+        {
+            "__w1": F.try_element_at(F.col("__sp"), F.lit(1)),
+            "__w2": F.try_element_at(F.col("__sp"), F.lit(2)),
+            "__side0": F.regexp_replace(
+                F.try_element_at(F.col("__slash"), F.lit(1)), "T.*", ""
+            ),
+            "__side1": F.regexp_replace(
+                F.try_element_at(F.col("__slash"), F.lit(2)), "T.*", ""
+            ),
+        }
+    )
+    d4 = d3.withColumns(
+        {
+            "__m1": _month_num(F.col("__w1")),
+            "__m2": _month_num(F.col("__w2")),
+            "__s0p": F.split(F.col("__side0"), "-"),
+            "__s1p": F.split(F.col("__side1"), "-"),
+        }
+    )
+
+    def mk(sy, sm, sd, ey, em, ed) -> Column:
+        return F.struct(
+            sy.cast("int").alias("start_year"),
+            sm.cast("int").alias("start_month"),
+            sd.cast("int").alias("start_day"),
+            ey.cast("int").alias("end_year"),
+            em.cast("int").alias("end_month"),
+            ed.cast("int").alias("end_day"),
+        )
+
+    zeros = mk(*(F.lit(0),) * 6)
+    i = F.lit(1)
+    s = F.col("__s")
+
+    def iel(arr: str, idx: int) -> Column:
+        return F.try_element_at(F.col(arr), F.lit(idx)).try_cast("int")
+
+    def month_year(year: Column, m: Column) -> Column:
+        return F.when(
+            m.isNotNull() & year.isNotNull(),
+            mk(year, m, i, year, m, _days_in_month(year, m)),
+        ).otherwise(zeros)
+
+    def day_month(day: Column, m: Column) -> Column:
+        ok = m.isNotNull() & (day >= 1) & (day <= _days_in_month_1900(m))
+        y1900 = F.lit(1900)
+        return F.when(ok, mk(y1900, m, day, y1900, m, day)).otherwise(zeros)
+
+    full_range = F.when(
+        (F.size("__slash") == 2)
+        & F.col("__side0").rlike(ddd)
+        & F.col("__side1").rlike(ddd),
+        mk(
+            iel("__s0p", 1), iel("__s0p", 2), iel("__s0p", 3),
+            iel("__s1p", 1), iel("__s1p", 2), iel("__s1p", 3),
+        ),
+    ).otherwise(zeros)
+
+    year_range = F.when(
+        s.rlike(yy),
+        mk(iel("__slash", 1), i, i, iel("__slash", 2), F.lit(12), F.lit(31)),
+    ).otherwise(zeros)
+
+    y2, m2 = iel("__dash", 1), iel("__dash", 2)
+    year_month = F.when(
+        (m2 > 0) & (m2 <= 12), mk(y2, m2, i, y2, m2, _days_in_month(y2, m2))
+    ).otherwise(mk(y2, i, i, m2, F.lit(12), F.lit(31)))
+
+    full_date = mk(
+        iel("__dash", 1), iel("__dash", 2), iel("__dash", 3),
+        iel("__dash", 1), iel("__dash", 2), iel("__dash", 3),
+    )
+
+    y0 = s.try_cast("int")
+    parts = (
+        F.when(
+            s.rlike(r"^[A-Za-z]+ \d{4}$"),
+            month_year(F.col("__w2").try_cast("int"), F.col("__m1")),
+        )
+        .when(
+            s.rlike(r"^\d{4} [A-Za-z]+$"),
+            month_year(F.col("__w1").try_cast("int"), F.col("__m2")),
+        )
+        .when(
+            s.rlike(r"^\d{1,2} [A-Za-z]+$"),
+            day_month(F.col("__w1").try_cast("int"), F.col("__m2")),
+        )
+        .when(
+            s.rlike(r"^[A-Za-z]+ \d{1,2}$"),
+            day_month(F.col("__w2").try_cast("int"), F.col("__m1")),
+        )
+        .when(s.contains("/") & s.contains("-"), full_range)
+        .when(s.contains("/"), year_range)
+        .when(s.rlike(dd), year_month)
+        .when(s.rlike(ddd), full_date)
+        .when(s.contains("-"), zeros)
+        .when(s.rlike(r"^\d+$"), mk(y0, i, i, y0, F.lit(12), F.lit(31)))
+        .otherwise(zeros)
+    )
+    staged = d4.withColumn("__parts", parts)
     return staged.select(
         *df.columns, *[F.col(f"__parts.{f}").alias(f) for f in DATE_PARTS_FIELDS]
     )

@@ -170,7 +170,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
-        return spark.read.parquet(path)
+        return _fan_out(spark, spark.read.parquet(path), path)
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -180,6 +180,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "ts",
             F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
+    return _fan_out(spark, df, path)
+
+
+def _fan_out(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Repartition unsplittable scans up to the cluster's parallelism.
+
+    The driver's testdata files are single-row-group parquet, which
+    Spark cannot split below one task — every downstream per-row
+    expression would run on one core. When the file layout yields far
+    fewer scan splits than cores, fan out with a round-robin exchange
+    (a few MB locally). On a real multi-file / multi-row-group layout
+    (the 100 TB case) the scan parallelizes naturally and this is a
+    no-op, so no production plan pays the extra shuffle.
+    """
+    parallelism = spark.sparkContext.defaultParallelism
+    try:
+        size = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(path)
+            for f in fs
+        ) if os.path.isdir(path) else os.path.getsize(path)
+    except OSError:
+        return df
+    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b").rstrip("b"))
+    approx_splits = max(1, size // max_split)
+    if approx_splits < parallelism // 2:
+        return df.repartition(parallelism)
     return df
 
 
