@@ -343,3 +343,70 @@ def q22_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(-1).cast("bigint"))
         .alias("fp_min_shingle"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q28 — broadcast point-in-polygon spatial join (J1/S10; reference
+# cleaner.py:194-212 gpd.sjoin + waterBody overwrite). Points fabricated
+# from customer keys at half-degree offsets (never on a polygon edge);
+# rectangle fixtures make the oracle exact BETWEEN arithmetic while the
+# Spark side runs the real ray-casting pandas-UDF operator. The first
+# two rectangles overlap, exercising the first-polygon-wins policy.
+# ---------------------------------------------------------------------------
+
+_SPATIAL_RECTS: list[tuple[str, float, float, float, float]] = [
+    # (name, lon_min, lat_min, lon_max, lat_max) — first match wins
+    ("north_atlantic", -80.0, 0.0, 0.0, 60.0),
+    ("wide_band", -100.0, -20.0, 20.0, 40.0),
+    ("indian", 40.0, -40.0, 120.0, 20.0),
+    ("arctic", -180.0, 60.0, 180.0, 85.0),
+]
+
+_SPATIAL_CASE = "CASE " + " ".join(
+    f"WHEN lon BETWEEN {x1} AND {x2} AND lat BETWEEN {y1} AND {y2} THEN '{nm}'"
+    for nm, x1, y1, x2, y2 in _SPATIAL_RECTS
+) + " ELSE NULL END"
+
+
+@register(
+    "q28_spatial_join",
+    f"""
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+               CAST((c_custkey * 13) % 160 - 80 AS DOUBLE) + 0.5 AS lat
+        FROM customer
+    )
+    SELECT {_SPATIAL_CASE} AS waterBody,
+           count(*) AS n, min(id) AS min_id, max(id) AS max_id
+    FROM pts
+    GROUP BY 1
+    """,
+)
+def q28_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.operators.spatial import (
+        oceans_from_wkt,
+        spatial_join_water_body,
+    )
+
+    def rect_wkt(x1: float, y1: float, x2: float, y2: float) -> str:
+        return (
+            f"POLYGON (({x1} {y1}, {x2} {y1}, {x2} {y2}, {x1} {y2}, {x1} {y1}))"
+        )
+
+    oceans = oceans_from_wkt(
+        spark,
+        [(nm, rect_wkt(x1, y1, x2, y2)) for nm, x1, y1, x2, y2 in _SPATIAL_RECTS],
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    pts = customer.select(
+        F.col("c_custkey").alias("id"),
+        (((F.col("c_custkey") * 7) % 360 - 180).cast("double") + 0.5).alias("lon"),
+        (((F.col("c_custkey") * 13) % 160 - 80).cast("double") + 0.5).alias("lat"),
+    )
+    joined = spatial_join_water_body(pts, oceans, lon_col="lon", lat_col="lat")
+    return joined.groupBy("waterBody").agg(
+        F.count("*").alias("n"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
