@@ -254,3 +254,49 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+#: label-propagation rounds for dedup cluster assignment; a FIXED count
+#: (not run-to-convergence) so the operator is deterministic and
+#: SQL-expressible — the oracle runs the identical rounds
+COMPONENT_ITERATIONS = 3
+
+
+def dedup_components(pairs: DataFrame, iterations: int = COMPONENT_ITERATIONS) -> DataFrame:
+    """Near-dup cluster assignment: min-label propagation over the pair
+    graph (the completion step after any pair generator — pick one
+    survivor per cluster).
+
+    Each round every node takes the min of its own label and its
+    neighbors' labels; after k rounds, labels agree within any component
+    of diameter <= k. Per round: one join + one aggregation over the
+    EDGE set (candidate pairs only — corpus-scale independent). Exact
+    connected components would iterate to fixpoint; the fixed-k variant
+    ("k-hop min label") keeps the plan static and the oracle equivalent.
+    Returns (doc_id, label).
+    """
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(iterations):
+        nbr = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, labels.doc_id == nbr.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+    return labels

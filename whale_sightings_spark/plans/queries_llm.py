@@ -153,9 +153,7 @@ _SIMHASH_BANDS_SQL = ", ".join(
 )
 
 
-@register(
-    "q16_dedup_simhash",
-    f"""
+_SIMHASH_PAIRS_SQL = f"""
     WITH th AS (
         SELECT doc_id, {_TOKEN_HASHES} AS hashes FROM documents
     ),
@@ -178,8 +176,10 @@ _SIMHASH_BANDS_SQL = ", ".join(
     SELECT doc_a, doc_b, {hamming60_sql('sh_a', 'sh_b')} AS hamming
     FROM cands
     WHERE {hamming60_sql('sh_a', 'sh_b')} <= {DD.HAMMING_THRESHOLD}
-    """,
-)
+    """
+
+
+@register("q16_dedup_simhash", _SIMHASH_PAIRS_SQL)
 def q16_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_pairs(load_table(spark, sf_dir, "documents"))
 
@@ -409,4 +409,90 @@ def q28_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.min("id").alias("min_id"),
         F.max("id").alias("max_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q29 — dedup cluster assignment: fixed-k min-label propagation over the
+# SimHash near-dup pair graph (the completion step: pairs -> clusters ->
+# one survivor per cluster). k rounds of join+min over the EDGE set only;
+# the oracle runs the identical rounds as chained CTEs.
+# ---------------------------------------------------------------------------
+
+def _label_prop_sql(pairs_sql: str, iterations: int) -> str:
+    # strip the leading WITH so the pair query's CTEs merge into ours
+    body = pairs_sql.strip()
+    assert body.upper().startswith("WITH")
+    sql = body[4:].rsplit("SELECT", 1)
+    # re-wrap: pairs CTE = the final SELECT of the pair query
+    final_select = "SELECT" + sql[1]
+    out = f"WITH {sql[0]}, pairs AS ({final_select}),\n"
+    out += """
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges)
+    """
+    for k in range(1, iterations + 1):
+        out += f"""
+    , l{k} AS (
+        SELECT l.doc_id,
+               least(l.label, coalesce(min(n.label), l.label)) AS label
+        FROM l{k-1} l
+        LEFT JOIN edges e ON e.src = l.doc_id
+        LEFT JOIN l{k-1} n ON n.doc_id = e.dst
+        GROUP BY l.doc_id, l.label
+    )"""
+    out += f"""
+    SELECT label AS component, count(*) AS n_docs, min(doc_id) AS rep
+    FROM l{iterations}
+    GROUP BY 1
+    """
+    return out
+
+
+@register(
+    "q29_dedup_components",
+    _label_prop_sql(_SIMHASH_PAIRS_SQL, DD.COMPONENT_ITERATIONS),
+)
+def q29_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = DD.simhash_pairs(load_table(spark, sf_dir, "documents"))
+    labels = DD.dedup_components(pairs)
+    return labels.groupBy(F.col("label").alias("component")).agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("rep")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q30 — corpus vocabulary: global top-k tokens by frequency. Classic
+# wordcount (map-side partial agg) + distributed TakeOrdered top-k — no
+# single-partition window at any scale.
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP_K = 25
+
+
+@register(
+    "q30_vocab_topk",
+    f"""
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest({TX.tokens_sql('text')}) AS tok FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT {VOCAB_TOP_K}
+    """,
+)
+def q30_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(TX.tokens(F.col("text")).alias("toks"))
+        .select(F.explode_outer("toks").alias("tok"))
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(VOCAB_TOP_K)
     )
