@@ -95,3 +95,28 @@ def test_sqlite_upsert_roundtrip(spark):
     # 'a' conflict: v updated, fk NOT updated (subset semantics)
     assert rows["a"] == (10, 100)
     assert rows["b"] == (20, 200)
+
+
+def test_partitioned_curated_zone_prunes(spark, tmp_path):
+    """R1 at scale: year-partitioned curated layout + Catalyst partition
+    pruning replaces filename-range pruning."""
+    from pyspark.sql import functions as F
+
+    from whale_sightings_spark.sources.files import write_curated_parquet
+
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.lit(1990) + (F.col("id") % 4)).cast("int").alias("start_year"),
+    )
+    out = str(tmp_path / "curated")
+    write_curated_parquet(df, out, partition_by=("start_year",))
+
+    back = spark.read.parquet(out).filter(F.col("start_year") == 1991)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "1991" in plan
+    assert back.count() == 25
+    # only the matching partition directory is listed in the scan
+    import re as _re
+
+    files_read = back.select(F.input_file_name()).distinct().collect()
+    assert all("start_year=1991" in r[0] for r in files_read)

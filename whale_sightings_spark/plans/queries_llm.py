@@ -496,3 +496,26 @@ def q30_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "tok")
         .limit(VOCAB_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q31 — skew-safe exact distinct count: value-partitioned two-stage
+# aggregation (operators/skew). l_returnflag has 3 hot keys over the
+# whole table — the classic distinct-state skew shape. The oracle is the
+# plain COUNT(DISTINCT): the salted decomposition is exact by
+# construction (value buckets are disjoint).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q31_salted_distinct",
+    """
+    SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_distinct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q31_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.operators.skew import salted_count_distinct
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_count_distinct(li, ["l_returnflag"], "l_orderkey")

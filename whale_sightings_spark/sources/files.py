@@ -90,8 +90,18 @@ def write_curated_csv(df: DataFrame, out_dir: str) -> None:
     df.write.mode("overwrite").option("header", True).csv(out_dir)
 
 
-def write_curated_parquet(df: DataFrame, out_dir: str) -> None:
-    df.write.mode("overwrite").parquet(out_dir)
+def write_curated_parquet(
+    df: DataFrame, out_dir: str, partition_by: tuple[str, ...] = ()
+) -> None:
+    """Curated parquet zone. With ``partition_by`` (e.g.
+    ``("start_year",)``) the layout becomes ``start_year=<y>/...`` and
+    year predicates become Catalyst partition pruning — the at-scale
+    replacement for the reference's filename-range pruning (R1,
+    validate.py:85-143)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(out_dir)
 
 
 def read_curated_csv(spark: SparkSession, path: str, schema) -> DataFrame:
