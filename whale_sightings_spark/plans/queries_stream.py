@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from whale_sightings_spark.functions import text as TX
 from whale_sightings_spark.operators.multimodal import attach_fake_media, extract_features
 from whale_sightings_spark.plans.queries import register
 from whale_sightings_spark.schemas import load_table
@@ -144,4 +145,85 @@ def q27_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.sum(F.get_json_object("props", "$.k").cast("int")).alias("sum_k"),
         F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q32 — per-label embedding centroids: posexplode -> (label, dim) partial
+# aggregation. The classic distributed centroid shape — map-side partial
+# sums per (label, dim), one shuffle keyed (label, dim); no driver-side
+# vector math at any scale. Values cast to double before averaging so
+# both engines accumulate at the same precision.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q32_embedding_centroids",
+    """
+    SELECT label,
+           CAST(pos AS INT) AS dim,
+           round(avg(val), 6) AS centroid,
+           count(*) AS n
+    FROM (
+        SELECT label,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val,
+               unnest(range(0, len(embedding))) AS pos
+        FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+)
+def q32_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        .groupBy("label", F.col("pos").cast("int").alias("dim"))
+        .agg(F.round(F.avg("col"), 6).alias("centroid"), F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q33 — curation funnel: per language, how many documents survive each
+# quality gate (min tokens, quality score, both). One pass, one shuffle:
+# conditional sums over the staged per-doc features.
+# ---------------------------------------------------------------------------
+
+_MIN_TOKENS = 20
+_MIN_QUALITY = 0.5
+
+
+@register(
+    "q33_curation_funnel",
+    f"""
+    WITH scored AS (
+        SELECT lang,
+               {TX.token_count_sql('text')} AS n_tokens,
+               {TX.quality_score_sql('text')} AS quality
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(CASE WHEN n_tokens >= {_MIN_TOKENS} THEN 1 ELSE 0 END) AS pass_length,
+           sum(CASE WHEN quality >= {_MIN_QUALITY} THEN 1 ELSE 0 END) AS pass_quality,
+           sum(CASE WHEN n_tokens >= {_MIN_TOKENS} AND quality >= {_MIN_QUALITY}
+                    THEN 1 ELSE 0 END) AS pass_both
+    FROM scored
+    GROUP BY lang
+    """,
+)
+def q33_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+    ok_len = (F.col("n_tokens") >= _MIN_TOKENS).cast("long")
+    ok_q = (F.col("quality") >= _MIN_QUALITY).cast("long")
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ok_len).alias("pass_length"),
+        F.sum(ok_q).alias("pass_quality"),
+        F.sum(ok_len * ok_q).alias("pass_both"),
     )
