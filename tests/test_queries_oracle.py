@@ -43,9 +43,10 @@ def _norm_cell(v):
 
 def _norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        tuple(_norm_cell(r[i]) for i in order) for r in rows
-    ), [cols[i] for i in order]
+    normed = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    # null-safe total order: None sorts first within a column
+    key = lambda row: tuple((v is not None, str(type(v)), v) for v in row)  # noqa: E731
+    return sorted(normed, key=key), [cols[i] for i in order]
 
 
 def run_compare(spark, duck, name, sf_dir):

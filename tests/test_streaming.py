@@ -106,3 +106,62 @@ def test_session_window_end_is_last_plus_gap(spark, sf_dir):
         row["session_start"], fmt
     )
     assert delta.total_seconds() >= 30 * 60
+
+
+def test_streaming_interval_join_equals_batch(spark, sf_dir, events_dir):
+    from whale_sightings_spark.streaming.events import streaming_interval_join
+
+    stream = streaming_interval_join(spark, events_dir, within="1 hour")
+    q = run_stream_to_memory(stream, "ij_out", output_mode="append")
+    try:
+        got = {
+            (r["click_id"], r["purchase_id"])
+            for r in spark.sql("SELECT * FROM ij_out").collect()
+        }
+    finally:
+        q.stop()
+
+    events = load_table(spark, sf_dir, "events")
+    l = events.filter(F.col("event_type") == "click").alias("l")
+    r = events.filter(F.col("event_type") == "purchase").alias("r")
+    want = {
+        (row["click_id"], row["purchase_id"])
+        for row in l.join(
+            r,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            F.col("l.event_id").alias("click_id"),
+            F.col("r.event_id").alias("purchase_id"),
+        )
+        .collect()
+    }
+    # append-mode stream-stream join emits a match only once the
+    # watermark passes it — on a finite replay the last
+    # watermark+interval worth of matches stays buffered (correct
+    # unbounded-stream behavior). Every emitted pair must be correct,
+    # and every pair safely older than the final horizon must be out.
+    assert got <= want
+
+    import datetime as dt
+
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - dt.timedelta(hours=3)  # watermark 2h + interval 1h
+    settled = {
+        (row["click_id"], row["purchase_id"])
+        for row in l.join(
+            r,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .filter(F.col("r.ts") < F.lit(horizon))
+        .select(
+            F.col("l.event_id").alias("click_id"),
+            F.col("r.event_id").alias("purchase_id"),
+        )
+        .collect()
+    }
+    assert settled <= got

@@ -1,0 +1,73 @@
+"""As-of (nearest-prior) join — a join class the reference lacks
+(SURVEY §2.3 notes no range/as-of joins), first-class for event/
+time-series work at scale.
+
+Spark has no native as-of join; the naive formulation (inequality join
+then per-left-row max) shuffles the cross-ish pair space and re-groups.
+This implementation uses the union + running-last trick: tag and union
+both inputs, one window per partition key ordered by time carries the
+most recent right-side payload forward, then keep only left rows. ONE
+shuffle on the partition key, state bounded by a single carried row —
+the optimal distributed shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    right_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: each left row gains the ``right_cols`` of the
+    most recent right row with ``right.ts <= left.ts`` and equal ``on``
+    key (nulls when none precedes).
+
+    ``right`` must be unique per (on, ts) — pre-aggregate ties upstream
+    (the match would otherwise be ambiguous in any engine). At equal
+    timestamps the right row matches (inclusive bound): right rows sort
+    before left rows within a timestamp. The right payload is carried
+    as ONE struct so a null payload *value* can never splice fields
+    from different right rows.
+    """
+    lcols = left.columns
+
+    l = left.withColumn("__side", F.lit(1)).withColumn(
+        "__payload",
+        F.lit(None).cast(
+            "struct<" + ", ".join(
+                f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in right_cols
+            ) + ">"
+        ),
+    )
+    r = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("__payload"),
+    )
+    for c in lcols:
+        if c not in (on, ts_col):
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+
+    unioned = l.unionByName(r.select(*lcols, "__side", "__payload"))
+    w = (
+        W.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        "__side",
+        F.last("__payload", ignorenulls=True).over(w).alias("__payload"),
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *lcols,
+        *[F.col(f"__payload.{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )

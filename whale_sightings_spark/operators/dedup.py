@@ -279,6 +279,13 @@ def dedup_components(pairs: DataFrame, iterations: int = COMPONENT_ITERATIONS) -
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # iterative working set: without persist every round re-derives the
+    # whole pair-generation lineage (signatures, banding, verification)
+    # — standard practice for iterative graph algorithms on Spark. The
+    # edge set is candidate pairs only, far smaller than the corpus.
+    from pyspark import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()

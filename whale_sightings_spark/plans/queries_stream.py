@@ -227,3 +227,100 @@ def q33_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(ok_q).alias("pass_quality"),
         F.sum(ok_len * ok_q).alias("pass_both"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q34 — interval (range) join: purchases within 1 hour after a click by
+# the same user. Equi-key on user_id (one shuffle) + time-range
+# residual — the canonical event-correlation shape; the streaming twin
+# (streaming/events.streaming_interval_join) adds watermarks to bound
+# state.
+# ---------------------------------------------------------------------------
+
+_TS_FMT_US = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@register(
+    "q34_interval_join",
+    f"""
+    SELECT l.event_id AS click_id, r.event_id AS purchase_id, l.user_id,
+           strftime(l.ts, '{_TS_FMT_US}') AS click_ts,
+           strftime(r.ts, '{_TS_FMT_US}') AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+    """,
+)
+def q34_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    l = events.filter(F.col("event_type") == "click").alias("l")
+    r = events.filter(F.col("event_type") == "purchase").alias("r")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        l.join(
+            r,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            F.col("l.event_id").alias("click_id"),
+            F.col("r.event_id").alias("purchase_id"),
+            F.col("l.user_id").alias("user_id"),
+            F.date_format("l.ts", fmt).alias("click_ts"),
+            F.date_format("r.ts", fmt).alias("purchase_ts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q35 — as-of join (operators/asof): each purchase matched to the most
+# recent prior-or-same click of the same user. Union + running-last:
+# one shuffle on user_id; the oracle is DuckDB's native ASOF JOIN.
+# Clicks are pre-aggregated to one row per (user, ts) — ties would be
+# ambiguous in any engine.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q35_asof_join",
+    f"""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (
+        SELECT user_id, ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    )
+    SELECT p.event_id AS purchase_id, p.user_id,
+           strftime(p.ts, '{_TS_FMT_US}') AS purchase_ts,
+           coalesce(c.click_id, -1) AS click_id_asof,
+           coalesce(strftime(c.ts, '{_TS_FMT_US}'), '') AS click_ts_asof
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def q35_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("click_ts", F.date_format("ts", fmt))
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", ts_col="ts",
+        right_cols=["click_id", "click_ts"],
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("purchase_ts"),
+        F.coalesce(F.col("click_id_asof"), F.lit(-1)).alias("click_id_asof"),
+        F.coalesce(F.col("click_ts_asof"), F.lit("")).alias("click_ts_asof"),
+    )

@@ -42,18 +42,35 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 def stage_event_replay(
     spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
 ) -> str:
-    """Rewrite the events table into ``n_files`` parquet files with an
-    ltz timestamp — the streaming replay zone (n_files micro-batches
-    with maxFilesPerTrigger=1)."""
+    """Rewrite the events table into ``n_files`` **time-ordered**
+    parquet files — the streaming replay zone (one micro-batch per file
+    with maxFilesPerTrigger=1).
+
+    Files are written sequentially in event-time order (FileStreamSource
+    consumes by modification time), so the replay advances watermarks
+    monotonically like a live stream; a round-robin split would feed the
+    engine time-shuffled batches and watermarked operators would hold
+    (or drop) most of the data.
+    """
     from whale_sightings_spark.schemas import load_table
 
-    (
-        load_table(spark, sf_dir, "events")
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .repartition(n_files)
-        .write.mode("overwrite")
-        .parquet(out_dir)
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
     )
+    quantiles = [i / n_files for i in range(1, n_files)]
+    bounds = events.select(
+        F.percentile_approx(F.unix_micros("ts"), quantiles, 10000).alias("b")
+    ).collect()[0]["b"] or []
+    edges = [None, *bounds, None]
+    for i in range(n_files):
+        lo, hi = edges[i], edges[i + 1]
+        part = events
+        if lo is not None:
+            part = part.filter(F.unix_micros("ts") >= lo)
+        if hi is not None:
+            part = part.filter(F.unix_micros("ts") < hi)
+        mode = "overwrite" if i == 0 else "append"
+        part.coalesce(1).write.mode(mode).parquet(out_dir)
     return out_dir
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -188,4 +205,42 @@ def stateful_user_running_totals(
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_interval_join(
+    spark: SparkSession,
+    events_dir: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: ``right_type`` events within
+    ``within`` after a ``left_type`` event by the same user. Watermarks
+    on BOTH sides + the time-range join condition let Spark expire
+    buffered rows — bounded state on an unbounded stream (without them
+    stream-stream joins accumulate forever)."""
+    left = (
+        read_event_stream(spark, events_dir)
+        .filter(F.col("event_type") == left_type)
+        .withWatermark("ts", watermark)
+        .alias("l")
+    )
+    right = (
+        read_event_stream(spark, events_dir)
+        .filter(F.col("event_type") == right_type)
+        .withWatermark("ts", watermark)
+        .alias("r")
+    )
+    return left.join(
+        right,
+        F.expr(
+            f"l.user_id = r.user_id AND r.ts >= l.ts "
+            f"AND r.ts <= l.ts + INTERVAL {within}"
+        ),
+    ).select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("l.user_id").alias("user_id"),
     )
