@@ -120,3 +120,38 @@ def test_partitioned_curated_zone_prunes(spark, tmp_path):
 
     files_read = back.select(F.input_file_name()).distinct().collect()
     assert all("start_year=1991" in r[0] for r in files_read)
+
+
+def test_curated_csv_roundtrip(spark, tmp_path):
+    """S8/S9: curated CSV checkpoint survives a write/read cycle with
+    the declared schema."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from whale_sightings_spark.sources.files import (
+        read_curated_csv,
+        write_curated_csv,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType(), True),
+            T.StructField("eventDate", T.StringType(), True),
+            T.StructField("n", T.IntegerType(), True),
+        ]
+    )
+    df = spark.createDataFrame(
+        [("a", "1990-01-01", 1), ("b", "05/06/1990", 2), (None, None, None)],
+        schema,
+    )
+    out = str(tmp_path / "curated_csv")
+    write_curated_csv(df, out)
+    back = read_curated_csv(spark, out, schema)
+    assert back.schema == schema
+    got = sorted(
+        [tuple(r) for r in back.collect()], key=lambda t: (t[0] is None, str(t[0]))
+    )
+    want = sorted(
+        [tuple(r) for r in df.collect()], key=lambda t: (t[0] is None, str(t[0]))
+    )
+    assert got == want
