@@ -519,3 +519,69 @@ def q31_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return salted_count_distinct(li, ["l_returnflag"], "l_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# q36 — TF-IDF top terms per document. Corpus shape: one explode +
+# (doc, tok) count (map-side partial), token document frequencies from
+# the same index, idf = ln(N / df) with a broadcast-able token dim, then
+# a per-doc window top-k. Shuffles: token index, df counts, final
+# (doc)-keyed rank — all keyed, no global ordering anywhere.
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOP_K = 3
+
+_TOKENS_LOWER = f"list_transform({TX.tokens_sql('text')}, t -> lower(t))"
+
+
+@register(
+    "q36_tfidf_topk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKENS_LOWER}) AS tok FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf,
+           CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= {_TFIDF_TOP_K}
+    """,
+)
+def q36_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar dim; at scale a broadcast single-row agg
+    toks = (
+        docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode_outer("toks").alias("tok"))
+        .select("doc_id", F.lower("tok").alias("tok"))
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    scored = tf.join(df_counts, "tok").select(
+        "doc_id",
+        "tok",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TFIDF_TOP_K)
+    )
