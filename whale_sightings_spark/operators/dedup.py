@@ -275,35 +275,40 @@ def dedup_components(pairs: DataFrame, iterations: int = COMPONENT_ITERATIONS) -
     ("k-hop min label") keeps the plan static and the oracle equivalent.
     Returns (doc_id, label).
     """
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    directed = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    nodes = (
+        directed.select(F.col("src").alias("v"))
+        .unionByName(directed.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    # Self-loops fold the "least(own label, neighbor min)" step into the
+    # neighbor aggregation itself: min over N(v) ∪ {v} == least(own, nbr
+    # min). Each round is then ONE join + ONE partial-agg min — no
+    # left-join-back to recombine with the previous labels.
+    edges = (
+        directed.unionByName(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .unionByName(nodes.select(F.col("v").alias("src"), F.col("v").alias("dst")))
     )
     # iterative working set: without persist every round re-derives the
     # whole pair-generation lineage (signatures, banding, verification)
     # — standard practice for iterative graph algorithms on Spark. The
     # edge set is candidate pairs only, far smaller than the corpus.
+    # Hash-partitioning on dst BEFORE persist means the cached scan
+    # reports that outputPartitioning, so every round's join reshuffles
+    # only the (small) labels side, never the edges.
     from pyspark import StorageLevel
 
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+    edges = edges.repartition("dst").persist(StorageLevel.MEMORY_AND_DISK)
+    labels = nodes.select(
+        F.col("v").alias("doc_id"), F.col("v").alias("label")
     )
     for _ in range(iterations):
-        nbr = (
+        labels = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        labels = (
-            labels.join(nbr, labels.doc_id == nbr.src, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-                ).alias("label"),
-            )
+            .agg(F.min("label").alias("label"))
+            .select(F.col("src").alias("doc_id"), "label")
         )
     return labels
