@@ -526,5 +526,6 @@ def oracle_sql() -> dict[str, str]:
 def _load_extra_registries() -> None:
     """Import side-effect registries (kept separate to bound module
     size); import at call time to avoid a cycle."""
+    import whale_sightings_spark.plans.queries_analytics  # noqa: F401
     import whale_sightings_spark.plans.queries_llm  # noqa: F401
     import whale_sightings_spark.plans.queries_stream  # noqa: F401
