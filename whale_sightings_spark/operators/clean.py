@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from whale_sightings_spark.functions.dates import date_is_valid, with_date_parts
+from whale_sightings_spark.operators.ordinal import global_row_number
 from whale_sightings_spark.operators.validate import ORDINAL_COLS
 from whale_sightings_spark.schemas import DATE_PARTS_FIELDS
 
@@ -109,17 +110,18 @@ def fill_in(df: DataFrame, whale: str) -> DataFrame:
     -1,-2,... in encounter order; null vernacularName filled with the
     Title-Cased whale name.
 
-    The negative surrogate sequence is order-dependent: a global
-    row_number over the null subset only — null IDs are a small
-    fraction, so the single-partition window touches little data.
+    The negative surrogate sequence is order-dependent. A bare global
+    window would serialize the whole null subset onto one partition;
+    instead the numbering comes from the distributed
+    :func:`global_row_number` (range shuffle + parallel per-partition
+    enumeration), so the operator survives a null-heavy 100 TB input.
     """
     whale_title = whale.replace("_", " ").title()
 
     nulls = df.filter(F.col("occurrenceID").isNull())
-    keyed = nulls.withColumn(
-        "occurrenceID",
-        (-F.row_number().over(W.orderBy(*_merged_order()))).cast("string"),
-    )
+    keyed = global_row_number(
+        nulls, ["_channel", *ORDINAL_COLS], out="_grn"
+    ).withColumn("occurrenceID", (-F.col("_grn")).cast("string")).drop("_grn")
     filled = df.filter(F.col("occurrenceID").isNotNull()).unionByName(keyed)
     return filled.withColumn(
         "vernacularName", F.coalesce(F.col("vernacularName"), F.lit(whale_title))

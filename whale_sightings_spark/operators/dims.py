@@ -70,6 +70,10 @@ def encode_locations_dim(
         "left_anti",
     )
     mx = existing_dim.agg(F.coalesce(F.max("id"), F.lit(-1)).alias("_mx"))
+    # global window is intentional here: input is post-groupBy DISTINCT
+    # dim names (bounded dictionary cardinality, not fact-table rows),
+    # so the single-partition stage holds at any fact scale; a
+    # high-cardinality dim would switch to operators.ordinal
     assigned = (
         new_names.crossJoin(F.broadcast(mx))
         .select(

@@ -270,6 +270,10 @@ def q07_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new_names = incoming.join(dim.select("name"), "name", "left_anti")
     mx = dim.agg(F.coalesce(F.max("id"), F.lit(-1)).alias("mx"))
+    # global window over post-distinct dim names only (bounded
+    # dictionary cardinality) — never over fact rows; see operators/
+    # ordinal.py for the distributed numbering used when that bound
+    # doesn't hold
     assigned = (
         new_names.crossJoin(F.broadcast(mx))
         .select(
@@ -306,6 +310,8 @@ def q08_nullsafe_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts = orders.select(
         F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("name")
     )
+    # global window over the post-distinct name set (bounded dictionary
+    # cardinality), not over fact rows
     dim = facts.distinct().select(
         "name",
         F.row_number().over(W.orderBy(F.col("name").asc_nulls_first())).cast("int").alias("id"),
