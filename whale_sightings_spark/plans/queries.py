@@ -534,4 +534,5 @@ def _load_extra_registries() -> None:
     size); import at call time to avoid a cycle."""
     import whale_sightings_spark.plans.queries_analytics  # noqa: F401
     import whale_sightings_spark.plans.queries_llm  # noqa: F401
+    import whale_sightings_spark.plans.queries_olap2  # noqa: F401
     import whale_sightings_spark.plans.queries_stream  # noqa: F401

@@ -1,0 +1,263 @@
+"""Join- and set-operation breadth: gap sessionization (lag),
+CUBE over a dim join, INTERSECT/EXCEPT cohorts, semi/anti-join
+cohorts, and a full-outer dim reconciliation.
+
+The reference's join surface stops at inner/left equi-joins and one
+anti pattern (SURVEY §2.3: "Not present: ... semi-joins, cross joins,
+full-outer"); its only window-like ops are W1-W4. These queries close
+those gaps as first-class, oracle-checked operators. Conventions
+(identical aliases both sides, decimal sums, UTC timestamp strings)
+follow plans/queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from whale_sightings_spark.plans.queries import register
+from whale_sightings_spark.schemas import load_table
+
+# ---------------------------------------------------------------------------
+# q41 — gap-based sessionization via lag(): a session ends after a
+# 30-minute silence. ONE shuffle on user_id; the follow-up group-by on
+# (user_id, sess_id) reuses the same hash partitioning (user_id alone
+# clusters every (user_id, sess_id) group), so Spark plans no second
+# exchange. Ties broken by event_id so both engines see one order.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q41_sessionize_gaps",
+    """
+    WITH seq AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR datediff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WHERE user_id % 20 = 0
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), tagged AS (
+        SELECT user_id, ts, value,
+               sum(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM seq
+    )
+    SELECT user_id,
+           CAST(sess_id AS BIGINT) AS sess_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts
+    FROM tagged
+    GROUP BY 1, 2
+    """,
+)
+def q41_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(
+            F.lag(sec).over(w).isNull() | (sec - F.lag(sec).over(w) > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    tagged = seq.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum("new_sess")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("sess_id"),
+    )
+    return tagged.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q42 — CUBE (nation, order-year) revenue over a two-hop dim join.
+# orders⋈customer shuffles once on custkey; nation is broadcast (25
+# rows — the fact side never moves for it). The cube itself is one
+# expand + partial/final hash aggregate; decimal sums keep the answer
+# independent of shuffle order at any executor count.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q42_cube_nation_year",
+    """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(GROUPING(n_name) * 2
+                + GROUPING(year(o_orderdate)) AS BIGINT) AS gid,
+           count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY CUBE (n_name, year(o_orderdate))
+    """,
+)
+def q42_cube_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    return (
+        joined.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("yr"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .cube("nation", "yr")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum("price").alias("revenue"),
+        )
+        .select(
+            "nation",
+            "yr",
+            "gid",
+            "n_orders",
+            F.col("revenue").cast("decimal(18,2)").alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q43 — INTERSECT / EXCEPT cohorts: customers active in both 1994 and
+# 1995 vs 1994-only. Spark plans both set ops as aggregate-based
+# semi/anti forms over the two distinct sets — each side is pre-shrunk
+# by a year filter pushed to the parquet scan before any shuffle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q43_set_ops",
+    """
+    WITH y94 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                 WHERE year(o_orderdate) = 1994),
+         y95 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                 WHERE year(o_orderdate) = 1995)
+    SELECT custkey, 'both' AS cohort
+    FROM (SELECT custkey FROM y94 INTERSECT SELECT custkey FROM y95)
+    UNION ALL
+    SELECT custkey, 'only_1994' AS cohort
+    FROM (SELECT custkey FROM y94 EXCEPT SELECT custkey FROM y95)
+    """,
+)
+def q43_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def cohort(year: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .select(F.col("o_custkey").alias("custkey"))
+            .distinct()
+        )
+
+    y94, y95 = cohort(1994), cohort(1995)
+    both = y94.intersect(y95).withColumn("cohort", F.lit("both"))
+    only94 = y94.subtract(y95).withColumn("cohort", F.lit("only_1994"))
+    return both.unionByName(only94)
+
+
+# ---------------------------------------------------------------------------
+# q44 — semi/anti-join cohorts (EXISTS / NOT EXISTS): per-nation counts
+# of customers with vs without an urgent order. The urgent-custkey set
+# is derived once (filter pushed to the orders scan, then distinct);
+# left_semi/left_anti never widen customer rows — no payload shuffle,
+# and the two passes share the cached probe side.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q44_exists_cohorts",
+    """
+    WITH urgent AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_orderpriority = '1-URGENT')
+    SELECT c_nationkey AS nationkey, 'has_urgent' AS cohort,
+           count(*) AS n_customers
+    FROM customer WHERE c_custkey IN (SELECT o_custkey FROM urgent)
+    GROUP BY 1
+    UNION ALL
+    SELECT c_nationkey AS nationkey, 'no_urgent' AS cohort,
+           count(*) AS n_customers
+    FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM urgent)
+    GROUP BY 1
+    """,
+)
+def q44_exists_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    on = customer.c_custkey == urgent.o_custkey
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+            F.count("*").alias("n_customers")
+        ).select("nationkey", F.lit(tag).alias("cohort"), "n_customers")
+
+    has = agg(customer.join(urgent, on, "left_semi"), "has_urgent")
+    without = agg(customer.join(urgent, on, "left_anti"), "no_urgent")
+    return has.unionByName(without)
+
+
+# ---------------------------------------------------------------------------
+# q45 — full-outer reconciliation of two aggregates: per-nation
+# customer counts vs supplier counts. Each side pre-aggregates to at
+# most 25 rows BEFORE the join — the full-outer join runs on two
+# dim-sized inputs instead of two fact tables, the shape that survives
+# a 100× scale-up.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q45_full_outer_recon",
+    """
+    WITH c AS (SELECT c_nationkey AS k, count(*) AS n_cust
+               FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS k, count(*) AS n_supp
+               FROM supplier GROUP BY 1)
+    SELECT coalesce(c.k, s.k) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust,
+           coalesce(n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.k = s.k
+    """,
+)
+def q45_full_outer_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return cust.join(supp, cust.ck == supp.sk, "full_outer").select(
+        F.coalesce("ck", "sk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
