@@ -261,3 +261,98 @@ def q45_full_outer_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
         F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q46 — ranking-function suite: row_number / ntile / percent_rank /
+# cume_dist / lag delta in ONE window pass, partitioned by priority so
+# no single-partition sort. The ORDER BY key ends in the unique
+# o_orderkey — a total order, so every rank function is deterministic
+# on both engines regardless of shuffle placement.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q46_rank_suite",
+    """
+    SELECT o_orderkey AS order_id,
+           o_orderpriority AS priority,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(ntile(10) OVER w AS INT) AS decile,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           round(CAST(o_totalprice AS DECIMAL(18,2))
+                 - lag(CAST(o_totalprice AS DECIMAL(18,2))) OVER w, 2)
+               AS price_drop
+    FROM orders
+    WHERE year(o_orderdate) = 1994 AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q46_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.year("o_orderdate") == 1994)
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderpriority").alias("priority"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(price - F.lag(price).over(w), 2).alias("price_drop"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q47 — conditional aggregation: FILTER-counts and CASE-sums fold into
+# one partial/final hash aggregate — one scan, one shuffle of 4-row
+# partials, however many predicates. The common anti-pattern (N
+# filtered self-joins, one per condition) scans the fact N times.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q47_conditional_agg",
+    """
+    SELECT l_returnflag AS flag,
+           count(*) AS n_rows,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           count(DISTINCT l_suppkey)
+               FILTER (WHERE l_quantity >= 30) AS n_bulk_suppliers,
+           sum(CASE WHEN l_tax > 0.04
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS taxed_revenue,
+           round(avg(l_quantity) FILTER (WHERE l_linestatus = 'O'), 6)
+               AS avg_open_qty
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q47_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.count_distinct(
+            F.when(F.col("l_quantity") >= 30, F.col("l_suppkey"))
+        ).alias("n_bulk_suppliers"),
+        F.sum(
+            F.when(
+                F.col("l_tax") > 0.04,
+                F.col("l_extendedprice").cast("decimal(18,2)"),
+            ).otherwise(zero)
+        )
+        .cast("decimal(18,2)")
+        .alias("taxed_revenue"),
+        F.round(
+            F.avg(F.when(F.col("l_linestatus") == "O", F.col("l_quantity"))), 6
+        ).alias("avg_open_qty"),
+    )
