@@ -34,7 +34,12 @@ from whale_sightings_spark.schemas import load_table
            CAST(GROUPING(year(o_orderdate)) * 2
                 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
            count(*) AS n_orders,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+           -- VARCHAR render: both engines sum exactly in decimal, but the
+           -- driver renders DuckDB's DECIMAL(38,2) as a double (trailing
+           -- zero dropped) vs Spark's DECIMAL(18,2); a fixed-scale string
+           -- is identical on both sides.
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS VARCHAR) AS total_price
     FROM orders
     GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
     """,
@@ -58,7 +63,7 @@ def q37_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "priority",
             "gid",
             "n_orders",
-            F.col("total_price").cast("decimal(18,2)").alias("total_price"),
+            F.col("total_price").cast("decimal(18,2)").cast("string").alias("total_price"),
         )
     )
 

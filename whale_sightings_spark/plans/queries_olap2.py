@@ -104,7 +104,10 @@ def q41_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(GROUPING(n_name) * 2
                 + GROUPING(year(o_orderdate)) AS BIGINT) AS gid,
            count(*) AS n_orders,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+           -- VARCHAR render: fixed-scale string avoids the decimal-vs-double
+           -- rendering drift between the two drivers (see q37).
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS VARCHAR) AS revenue
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -135,7 +138,7 @@ def q42_cube_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yr",
             "gid",
             "n_orders",
-            F.col("revenue").cast("decimal(18,2)").alias("revenue"),
+            F.col("revenue").cast("decimal(18,2)").cast("string").alias("revenue"),
         )
     )
 
@@ -151,15 +154,15 @@ def q42_cube_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q43_set_ops",
     """
-    WITH y94 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
-                 WHERE year(o_orderdate) = 1994),
-         y95 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
-                 WHERE year(o_orderdate) = 1995)
+    WITH y95 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                 WHERE year(o_orderdate) = 1995),
+         y96 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                 WHERE year(o_orderdate) = 1996)
     SELECT custkey, 'both' AS cohort
-    FROM (SELECT custkey FROM y94 INTERSECT SELECT custkey FROM y95)
+    FROM (SELECT custkey FROM y95 INTERSECT SELECT custkey FROM y96)
     UNION ALL
-    SELECT custkey, 'only_1994' AS cohort
-    FROM (SELECT custkey FROM y94 EXCEPT SELECT custkey FROM y95)
+    SELECT custkey, 'only_1995' AS cohort
+    FROM (SELECT custkey FROM y95 EXCEPT SELECT custkey FROM y96)
     """,
 )
 def q43_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,10 +175,12 @@ def q43_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    y94, y95 = cohort(1994), cohort(1995)
-    both = y94.intersect(y95).withColumn("cohort", F.lit("both"))
-    only94 = y94.subtract(y95).withColumn("cohort", F.lit("only_1994"))
-    return both.unionByName(only94)
+    # 1995/1996: inside the testdata's 1995-2001 order-date range so both
+    # set operations verify against real rows (a 0=0 match checks nothing).
+    y95, y96 = cohort(1995), cohort(1996)
+    both = y95.intersect(y96).withColumn("cohort", F.lit("both"))
+    only95 = y95.subtract(y96).withColumn("cohort", F.lit("only_1995"))
+    return both.unionByName(only95)
 
 
 # ---------------------------------------------------------------------------
@@ -281,18 +286,21 @@ def q45_full_outer_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ntile(10) OVER w AS INT) AS decile,
            round(percent_rank() OVER w, 6) AS pr,
            round(cume_dist() OVER w, 6) AS cd,
-           round(CAST(o_totalprice AS DECIMAL(18,2))
-                 - lag(CAST(o_totalprice AS DECIMAL(18,2))) OVER w, 2)
-               AS price_drop
+           -- VARCHAR render of the exact decimal delta (see q37 note)
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                     - lag(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                AS DECIMAL(18,2)) AS VARCHAR) AS price_drop
     FROM orders
-    WHERE year(o_orderdate) = 1994 AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    WHERE year(o_orderdate) = 1995 AND o_orderpriority IN ('1-URGENT', '2-HIGH')
     WINDOW w AS (PARTITION BY o_orderpriority
                  ORDER BY o_totalprice DESC, o_orderkey)
     """,
 )
 def q46_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 1995: inside the testdata's 1995-2001 order-date range so every rank
+    # function is exercised against real rows.
     orders = load_table(spark, sf_dir, "orders").filter(
-        (F.year("o_orderdate") == 1994)
+        (F.year("o_orderdate") == 1995)
         & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     )
     w = W.partitionBy("o_orderpriority").orderBy(
@@ -306,7 +314,7 @@ def q46_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(10).over(w).alias("decile"),
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
-        F.round(price - F.lag(price).over(w), 2).alias("price_drop"),
+        (price - F.lag(price).over(w)).cast("decimal(18,2)").cast("string").alias("price_drop"),
     )
 
 

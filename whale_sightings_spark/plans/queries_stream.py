@@ -134,7 +134,9 @@ def q26_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q27_json_props",
     """
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           -- BIGINT cast: DuckDB's sum(INT) widens to HUGEINT, which its
+           -- driver renders as a float; Spark's sum(int) is BIGINT.
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
            count(*) AS n
     FROM events
     GROUP BY event_type
@@ -204,10 +206,14 @@ _MIN_QUALITY = 0.5
     )
     SELECT lang,
            count(*) AS n_docs,
-           sum(CASE WHEN n_tokens >= {_MIN_TOKENS} THEN 1 ELSE 0 END) AS pass_length,
-           sum(CASE WHEN quality >= {_MIN_QUALITY} THEN 1 ELSE 0 END) AS pass_quality,
-           sum(CASE WHEN n_tokens >= {_MIN_TOKENS} AND quality >= {_MIN_QUALITY}
-                    THEN 1 ELSE 0 END) AS pass_both
+           -- BIGINT casts: DuckDB widens sum(INT) to HUGEINT (rendered as
+           -- float); Spark's conditional sums are BIGINT.
+           CAST(sum(CASE WHEN n_tokens >= {_MIN_TOKENS} THEN 1 ELSE 0 END) AS BIGINT)
+               AS pass_length,
+           CAST(sum(CASE WHEN quality >= {_MIN_QUALITY} THEN 1 ELSE 0 END) AS BIGINT)
+               AS pass_quality,
+           CAST(sum(CASE WHEN n_tokens >= {_MIN_TOKENS} AND quality >= {_MIN_QUALITY}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS pass_both
     FROM scored
     GROUP BY lang
     """,
