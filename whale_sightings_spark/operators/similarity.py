@@ -11,8 +11,10 @@ Three tiers over ``embeddings(vec_id, embedding array<float>, label)``:
   shape — equi-join on cell, rank within — is identical). Corpus scan
   prunes to the probed cell before any distance math.
 - **hyperplane LSH near-dup**: 16 fixed random hyperplanes -> 16-bit
-  signature -> exact-match blocking -> cosine verify. The only
-  all-pairs risk is within a bucket (2^16 buckets).
+  signature -> 2x8-bit banded blocking (candidate iff ANY band
+  matches) -> cosine verify over candidates only. Banding trades the
+  single-bucket scheme's vanishing recall for bounded extra candidates;
+  the per-band hot-bucket cap kills the quadratic in-bucket risk.
 
 Cosine is computed with native zip_with/aggregate — JVM-side, no UDF.
 DuckDB twins use list_cosine_similarity / list_dot_product, with
@@ -28,8 +30,14 @@ from pyspark.sql import functions as F
 #: fixed seed for the LSH hyperplanes — regenerating them yields
 #: identical planes in the Spark op, the DuckDB oracle, and tests
 LSH_SEED = 1337
-LSH_PLANES = 8
+LSH_PLANES = 16
+#: the 16-bit signature splits into two 8-bit bands for blocking
+LSH_BAND_BITS = 8
 EMBEDDING_DIM = 64
+#: band buckets larger than this are skipped during near-dup candidate
+#: generation — same quadratic hot-bucket guard as the text dedup path
+#: (operators/dedup.MAX_BAND_BUCKET), mirrored in the oracle
+MAX_SIG_BUCKET = 1000
 #: cosine threshold for embedding near-dup (tuned to the synthetic
 #: embedding distribution: pairwise cos tops out ~0.5, so 0.2 marks the
 #: distinctly-similar tail; production corpora would use ~0.9)
@@ -140,20 +148,58 @@ def lsh_signature_sql(emb: str) -> str:
 
 
 def embedding_neardup_pairs(embeddings: DataFrame) -> DataFrame:
-    """Embedding-cosine near-dup: LSH-signature blocking + cosine
-    verify >= threshold. Only same-bucket pairs are scored."""
+    """Embedding-cosine near-dup: banded hyperplane-LSH blocking +
+    cosine verify >= threshold.
+
+    The 16-bit signature splits into two 8-bit bands; a pair becomes a
+    candidate iff it collides in ANY band (standard multi-band LSH —
+    single-bucket blocking on all 16 bits has vanishing recall). Band
+    buckets larger than MAX_SIG_BUCKET are dropped before pair
+    expansion — a degenerate signature (all-zero embeddings,
+    boilerplate clusters) would otherwise expand quadratically. Both
+    the banding and the cap are applied in the DuckDB oracle, so they
+    are part of the operator contract. Verification (the only stage
+    touching the vectors) runs over distinct candidate pairs only:
+    bands shuffle narrow (vec_id, band) rows, then two equi-joins pull
+    the embeddings back for the cosine check."""
+    mask = (1 << LSH_BAND_BITS) - 1
     sigs = embeddings.select(
-        F.col("vec_id"), F.col("embedding"), lsh_signature(F.col("embedding")).alias("sig")
+        F.col("vec_id"), lsh_signature(F.col("embedding")).alias("sig")
     )
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    return (
-        a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .withColumn("cos", F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6))
-        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("cos"),
+    banded = sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("bi"), F.col("sig").bitwiseAND(F.lit(mask)).alias("bk")),
+                F.struct(F.lit(1).alias("bi"), F.shiftright("sig", LSH_BAND_BITS).alias("bk")),
+            )
+        ).alias("b"),
+    ).select("vec_id", F.col("b.bi").alias("bi"), F.col("b.bk").alias("bk"))
+    kept = (
+        banded.groupBy("bi", "bk")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter((F.col("bucket_n") > 1) & (F.col("bucket_n") <= MAX_SIG_BUCKET))
+        .select("bi", "bk")
+    )
+    blocked = banded.join(kept, ["bi", "bk"])
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        cands.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos", F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6))
+        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", "cos")
     )

@@ -30,9 +30,11 @@ from pyspark.sql import types as T
 from whale_sightings_spark.schemas import OCEAN_POLYGON_SCHEMA
 
 try:  # optional accelerator; container may not ship it
-    from shapely.geometry import Point, Polygon  # type: ignore
+    import shapely  # type: ignore
 
-    _HAVE_SHAPELY = True
+    # only the shapely>=2 vectorized predicate is worth taking: the 1.x
+    # API forces a per-point Python loop, slower than the numpy ray-cast
+    _HAVE_SHAPELY = hasattr(shapely, "intersects_xy")
 except Exception:  # pragma: no cover
     _HAVE_SHAPELY = False
 
@@ -109,16 +111,12 @@ def spatial_join_water_body(
             if not unassigned.any():
                 break
             if use_shapely:
-                from shapely.geometry import Point, Polygon  # type: ignore
+                import shapely  # type: ignore
 
-                poly = Polygon(ring)
-                hit = np.array(
-                    [
-                        bool(unassigned[i])
-                        and poly.intersects(Point(lon_v[i], lat_v[i]))
-                        for i in range(len(lon_v))
-                    ]
-                )
+                # vectorized boundary-inclusive predicate over the whole
+                # Arrow batch — one C call per polygon, no Python loop
+                poly = shapely.Polygon(ring)
+                hit = unassigned & shapely.intersects_xy(poly, lon_v, lat_v)
             else:
                 hit = unassigned & ray_cast(lon_v, lat_v, ring)
             out[hit] = name

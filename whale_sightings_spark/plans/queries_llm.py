@@ -245,13 +245,31 @@ def q18_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q19_embedding_neardup",
     f"""
     WITH sigs AS (
-        SELECT vec_id, embedding, {SIM.lsh_signature_sql('embedding')} AS sig
+        SELECT vec_id, {SIM.lsh_signature_sql('embedding')} AS sig
         FROM embeddings
+    ),
+    -- 2x8-bit banding + hot-bucket guard mirrored from the Spark op
+    banded AS (
+        SELECT vec_id, 0 AS bi, sig % {1 << SIM.LSH_BAND_BITS} AS bk FROM sigs
+        UNION ALL
+        SELECT vec_id, 1 AS bi, sig // {1 << SIM.LSH_BAND_BITS} AS bk FROM sigs
+    ),
+    kept AS (
+        SELECT bi, bk FROM banded GROUP BY bi, bk
+        HAVING count(*) > 1 AND count(*) <= {SIM.MAX_SIG_BUCKET}
+    ),
+    blocked AS (SELECT s.* FROM banded s JOIN kept USING (bi, bk)),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM blocked a JOIN blocked b
+          ON a.bi = b.bi AND a.bk = b.bk AND a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round({SIM.cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos
-    FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
-    WHERE round({SIM.cosine_sql('a.embedding', 'b.embedding')}, 6) >= {SIM.COSINE_DUP_THRESHOLD}
+    SELECT c.vec_a, c.vec_b,
+           round({SIM.cosine_sql('ea.embedding', 'eb.embedding')}, 6) AS cos
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_b
+    WHERE round({SIM.cosine_sql('ea.embedding', 'eb.embedding')}, 6) >= {SIM.COSINE_DUP_THRESHOLD}
     """,
 )
 def q19_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
