@@ -185,6 +185,55 @@ def test_star_schema(result):
     }
 
 
+def test_cli_process_exports_unrepaired_errors(spark, raw_dir, tmp_path):
+    """The CLI must not drop error records (reference cleaner.py:248-288):
+    `process` writes the unrepaired rows as JSON whose nested details
+    round-trip."""
+    from whale_sightings_spark.cli import main
+    from whale_sightings_spark.sources.files import read_error_json
+
+    out = str(tmp_path / "curated")
+    assert main(["process", "beluga_whale", "--data-dir", raw_dir, "--out", out]) == 0
+    exported = read_error_json(spark, f"{raw_dir}/beluga_whale/errors").collect()
+    assert len(exported) == 1
+    doc = exported[0].asDict(recursive=True)
+    assert doc["data"]["occurrenceID"] == "e4"
+    assert {d["loc"] for d in doc["details"]} == {"eventDate", "decimalLatitude"}
+    assert all({"type", "loc", "msg"} <= set(d) for d in doc["details"])
+
+
+def test_cli_db_loads_star_schema_into_sqlite(spark, raw_dir, tmp_path):
+    """End-to-end serving contract: `db --db-url sqlite:///...` emits
+    the reference DDL (db.sql:5-44) and loads all three tables."""
+    import sqlite3
+
+    from whale_sightings_spark.cli import main
+
+    db_path = str(tmp_path / "whales.db")
+    rc = main(["db", "beluga_whale", "--data-dir", raw_dir,
+               "--db-url", f"sqlite:///{db_path}"])
+    assert rc == 0
+
+    con = sqlite3.connect(db_path)
+    n_occ = con.execute("SELECT count(*) FROM occurrences").fetchone()[0]
+    assert n_occ == 10  # 8 valid + 3 repaired - 1 dup
+    species = con.execute("SELECT speciesName, vernacularName FROM species").fetchall()
+    assert species == [("Delphinapterus leucas", "Beluga Whale")]
+    loc_ids = [r[0] for r in con.execute("SELECT id FROM locations ORDER BY id")]
+    assert loc_ids == list(range(len(loc_ids)))  # 0.. surrogate sequence
+    # FK integrity: every fact row resolves its location id
+    dangling = con.execute(
+        "SELECT count(*) FROM occurrences o LEFT JOIN locations l"
+        " ON o.waterBodyId = l.id WHERE l.id IS NULL"
+    ).fetchone()[0]
+    assert dangling == 0
+    # idempotent: a second load upserts, never duplicates
+    main(["db", "beluga_whale", "--data-dir", raw_dir,
+          "--db-url", f"sqlite:///{db_path}"])
+    assert con.execute("SELECT count(*) FROM occurrences").fetchone()[0] == n_occ
+    con.close()
+
+
 def test_dedup_is_deterministic_across_runs(result):
     c1 = sorted(r["occurrenceID"] for r in result.cleaned.collect())
     c2 = sorted(r["occurrenceID"] for r in dedup_keep_first(result.cleaned).collect())

@@ -109,7 +109,12 @@ def build_occurrences_fact(cleaned_with_fk: DataFrame) -> DataFrame:
         F.col("decimalLatitude").cast("decimal(9,7)").alias("latitude"),
         F.col("decimalLongitude").cast("decimal(10,7)").alias("longitude"),
         F.col("speciesid").cast("int").alias("speciesId"),
-        F.col("individualCount").cast("int"),
+        # validate.py:32 default=1 — repaired error rows re-enter the
+        # pipeline without passing the valid-channel coalesce, but the
+        # serving table declares individualCount NOT NULL
+        F.coalesce(F.col("individualCount").cast("int"), F.lit(1)).alias(
+            "individualCount"
+        ),
         *[F.col(c).cast("int") for c in (
             "start_year", "start_month", "start_day",
             "end_year", "end_month", "end_day",

@@ -107,3 +107,28 @@ def write_curated_parquet(
 def read_curated_csv(spark: SparkSession, path: str, schema) -> DataFrame:
     """S9 (storage.py:126-131): curated CSV re-entry point."""
     return spark.read.option("header", True).schema(schema).csv(path)
+
+
+def write_error_json(unrepaired: DataFrame, out_dir: str) -> None:
+    """Unrepaired-error JSON export (cleaner.py:248-288): every error
+    row that survived neither validation nor the second-chance repair is
+    saved as ``{"data": {...original fields...}, "details": [{type,
+    loc, msg}, ...]}`` — the reference's per-error object shape.
+
+    The reference assembles one indented ``error_data.json`` on the
+    driver; here the export is a distributed JSONL write (one object
+    per line, part files under ``out_dir``) so an error-heavy 100 TB
+    ingest can't OOM the driver. Readers get the same objects either
+    way."""
+    data_cols = [c for c in unrepaired.columns if c != "details"]
+    doc = unrepaired.select(
+        F.struct(*[F.col(c) for c in data_cols]).alias("data"),
+        F.col("details"),
+    )
+    doc.write.mode("overwrite").json(out_dir)
+
+
+def read_error_json(spark: SparkSession, path: str) -> DataFrame:
+    """Re-entry point for the error export — schema inferred from the
+    nested data/details objects."""
+    return spark.read.json(path)
