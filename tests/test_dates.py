@@ -119,6 +119,56 @@ def test_split_dates_py_total(raw):
     assert all(isinstance(v, int) for v in out)
 
 
+def _textual_day_month_inputs():
+    """Every day x month-name x order for the textual day-month branch:
+    locks the strptime-default-1900 calendar semantics (Feb 29 invalid,
+    day-31 only in 31-day months) exhaustively."""
+    import calendar
+
+    names = [calendar.month_abbr[i] for i in range(1, 13)] + [
+        calendar.month_name[i] for i in range(1, 13)
+    ]
+    out = []
+    for d in range(1, 32):
+        for nm in names:
+            out.append(f"{d} {nm}")
+            out.append(f"{nm} {d}")
+    return out
+
+
+def test_split_dates_textual_day_month_1900_calendar(spark):
+    """Exhaustive day-month sweep (1488 inputs): Spark cascade == spec.
+    Feb 29 and day-31-in-30-day-months must yield zeros (1900 calendar);
+    valid days pin both bounds to 1900."""
+    inputs = _textual_day_month_inputs()
+    got = _spark_split(spark, inputs)
+    n_zero = n_valid = 0
+    for raw in inputs:
+        expect = split_dates_py(raw)
+        assert got[raw] == expect, f"split_dates({raw!r})"
+        if expect == (0, 0, 0, 0, 0, 0):
+            n_zero += 1
+        else:
+            assert expect[0] == expect[3] == 1900
+            n_valid += 1
+    # 1900 calendar: 31*12 - (3+1+1+1+1) day-overflow combos = 365 valid
+    # day/month pairs, x2 orders x2 name forms
+    assert n_valid == 365 * 4
+    assert n_zero == len(inputs) - 365 * 4
+
+
+def test_split_dates_textual_day_month_duckdb_twin():
+    """Same exhaustive sweep through the DuckDB oracle twin."""
+    inputs = _textual_day_month_inputs()
+    con = duckdb.connect()
+    exprs = split_dates_duckdb_sql("raw")
+    select = ", ".join(f"{sql} AS {name}" for name, sql in exprs.items())
+    con.execute("CREATE TABLE t (raw VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in inputs])
+    for raw, *parts in con.execute(f"SELECT raw, {select} FROM t").fetchall():
+        assert tuple(parts) == split_dates_py(raw), f"duckdb split_dates({raw!r})"
+
+
 def test_bad_format_regexes(spark):
     cases = {
         "1990-03": True,

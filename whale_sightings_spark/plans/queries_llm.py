@@ -582,7 +582,10 @@ def q36_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar dim; at scale a broadcast single-row agg
+    # scalar corpus size as a broadcast single-row aggregate — keeps the
+    # whole query ONE job (a driver-side .count() here would scan the
+    # corpus in a separate job before the real plan even starts)
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
     toks = (
         docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
         .select("doc_id", F.explode_outer("toks").alias("tok"))
@@ -591,12 +594,16 @@ def q36_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df_counts = tf.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
-    scored = tf.join(df_counts, "tok").select(
-        "doc_id",
-        "tok",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
-            "tfidf"
-        ),
+    scored = (
+        tf.join(df_counts, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
     return (
