@@ -234,6 +234,29 @@ def test_cli_db_loads_star_schema_into_sqlite(spark, raw_dir, tmp_path):
     con.close()
 
 
+def test_notebook_parity_queries(result):
+    """Notebook cells 9-14 queries over the star schema: species join,
+    location merge, valid-date sightings-per-year."""
+    from whale_sightings_spark.plans.notebook import (
+        sightings_per_year,
+        species_sightings,
+    )
+
+    star = build_star_schema(result.cleaned)
+    joined = species_sightings(
+        star["occurrences"], star["species"], star["locations"], 137115
+    )
+    rows = joined.collect()
+    assert len(rows) == 10  # every fact row is this species
+    assert all(r["speciesName"] == "Delphinapterus leucas" for r in rows)
+    assert {"eventId", "date", "waterBody", "latitude", "longitude"} <= set(joined.columns)
+
+    per_year = {r["date"]: r["num_sightings"] for r in sightings_per_year(joined).collect()}
+    # valid ISO dates only: a1(1913), a2(1849), a3(1849), a4(1971),
+    # a5(1930), -1(1910), -2(1920); repaired e1-e3 have non-ISO dates
+    assert per_year == {1849: 2, 1913: 1, 1971: 1, 1930: 1, 1910: 1, 1920: 1}
+
+
 def test_dedup_is_deterministic_across_runs(result):
     c1 = sorted(r["occurrenceID"] for r in result.cleaned.collect())
     c2 = sorted(r["occurrenceID"] for r in dedup_keep_first(result.cleaned).collect())
