@@ -74,15 +74,21 @@ def word_shingles(col: Column, n: int) -> Column:
     return shingles_from_tokens(tokens(col), n)
 
 
-def word_shingles_sql(expr: str, n: int) -> str:
-    """DuckDB list-comprehension twin of :func:`word_shingles`. ``expr``
-    should be a plain column reference (it is inlined n+1 times)."""
-    toks = tokens_sql(expr)
+def shingles_from_tokens_sql(toks: str, n: int) -> str:
+    """DuckDB twin of :func:`shingles_from_tokens` — ``toks`` is an
+    already-tokenized VARCHAR[] expression (inlined n+1 times, so pass
+    a plain column reference)."""
     joined = " || ' ' || ".join(f"{toks}[i + {k}]" for k in range(n))
     return (
         f"(CASE WHEN len({toks}) - {n - 1} <= 0 THEN CAST([] AS VARCHAR[]) "
         f"ELSE [{joined} FOR i IN range(1, len({toks}) - {n - 1} + 1)] END)"
     )
+
+
+def word_shingles_sql(expr: str, n: int) -> str:
+    """DuckDB list-comprehension twin of :func:`word_shingles`. ``expr``
+    should be a plain column reference (it is inlined n+1 times)."""
+    return shingles_from_tokens_sql(tokens_sql(expr), n)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,307 @@
+"""Registered queries: corpus-curation breadth (operators/curation) and
+the remaining OLAP set-operation / grouping-set completions.
+
+q48-q51 exercise the curation operators a training-data pipeline runs
+between dedup and export: PII scrubbing, deterministic stratified
+sampling, row-local repetition signals, and benchmark-contamination
+screening. q52/q53 close the GROUPING SETS and INTERSECT ALL / EXCEPT
+ALL gaps left by the rollup/cube/INTERSECT queries. Conventions follow
+plans/queries.py (identical aliases, fixed-scale strings for decimals,
+deterministic orders).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whale_sightings_spark.functions import text as TX
+from whale_sightings_spark.operators import curation as CU
+from whale_sightings_spark.operators.dedup import SHINGLE_N
+from whale_sightings_spark.plans.queries import register
+from whale_sightings_spark.schemas import load_table
+
+# ---------------------------------------------------------------------------
+# q48 — PII redaction. The synthetic corpus is PII-free, so the query
+# plants deterministic synthetic PII derived from doc_id (identically
+# in the oracle) and then scrubs it: the operator under test is the
+# regex pipeline, which runs per-row inside codegen — zero shuffles.
+# ---------------------------------------------------------------------------
+
+_PII_SUFFIX = (
+    "CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' see https://example.org/d/'"
+    " || CAST(doc_id AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' call +01-555-010'"
+    " || CAST(doc_id % 10 AS VARCHAR) ELSE '' END"
+)
+
+
+def _with_synthetic_pii(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    email = F.when(
+        did % 5 == 0,
+        F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    url = F.when(
+        did % 7 == 0,
+        F.concat(F.lit(" see https://example.org/d/"), did.cast("string")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 11 == 0,
+        F.concat(F.lit(" call +01-555-010"), (did % 10).cast("string")),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id", F.concat(F.col("text"), email, url, phone).alias("text")
+    )
+
+
+@register(
+    "q48_pii_redaction",
+    f"""
+    WITH seeded AS (
+        SELECT doc_id, text || {_PII_SUFFIX} AS text FROM documents
+    )
+    SELECT doc_id,
+           {CU.pii_counts_sql('text')['email']} AS n_emails,
+           {CU.pii_counts_sql('text')['url']} AS n_urls,
+           {CU.pii_counts_sql('text')['phone']} AS n_phones,
+           md5({CU.redact_pii_sql('text')}) AS redacted_md5
+    FROM seeded
+    WHERE doc_id % 5 = 0 OR doc_id % 7 = 0 OR doc_id % 11 = 0
+    """,
+)
+def q48_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_synthetic_pii(load_table(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    counts = CU.pii_counts(F.col("text"))
+    return docs.filter((did % 5 == 0) | (did % 7 == 0) | (did % 11 == 0)).select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["url"].alias("n_urls"),
+        counts["phone"].alias("n_phones"),
+        F.md5(CU.redact_pii(F.col("text"))).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q49 — deterministic stratified sampling: per-language rates, decided
+# by a pure hash of the key. Rerun-stable and engine-portable — both
+# sides select the identical rows (df.sample/TABLESAMPLE cannot be
+# oracle-checked at all). Aggregated per language to keep the result
+# compact while still pinning the exact survivor set via sum/min/max.
+# ---------------------------------------------------------------------------
+
+#: parts-per-million kept per language: downsample the dominant
+#: language, keep the rest (the classic domain-mixing move)
+SAMPLE_RATES_PPM = {"en": 250_000, "de": 750_000, "fr": 750_000, "es": 750_000}
+_DEFAULT_PPM = 500_000
+
+
+@register(
+    "q49_hash_sample",
+    f"""
+    WITH kept AS (
+        SELECT lang, doc_id FROM documents
+        WHERE {CU.stratified_sample_keep_sql('doc_id', 'lang', SAMPLE_RATES_PPM, _DEFAULT_PPM)}
+    )
+    SELECT lang, count(*) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM kept GROUP BY lang
+    """,
+)
+def q49_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(
+        CU.stratified_sample_keep(
+            F.col("doc_id"), F.col("lang"), SAMPLE_RATES_PPM, _DEFAULT_PPM
+        )
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q50 — row-local repetition signals (Gopher/C4-family quality
+# filters): duplicate-shingle fraction + top-token share. No explode,
+# no shuffle — each document's statistic is computed inside its own
+# row, so the operator is a pure map at any corpus size.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q50_repetition_signals",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {TX.tokens_sql('text')} AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, t, {TX.shingles_from_tokens_sql('t', SHINGLE_N)} AS s FROM toks
+    )
+    SELECT doc_id,
+           {CU.dup_shingle_ratio_sql('s')} AS dup_shingle_ratio,
+           {CU.top_token_ratio_sql('t')} AS top_token_ratio
+    FROM sh
+    """,
+)
+def q50_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", TX.tokens(F.col("text")).alias("t")).select(
+        "doc_id", "t", TX.shingles_from_tokens(F.col("t"), SHINGLE_N).alias("s")
+    )
+    return staged.select(
+        "doc_id",
+        CU.dup_shingle_ratio(F.col("s")).alias("dup_shingle_ratio"),
+        CU.top_token_ratio(F.col("t")).alias("top_token_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q51 — benchmark-contamination screen: the fraction of each candidate
+# document's distinct shingles that appear anywhere in the "benchmark"
+# set (here: doc_id < 25 plays the eval set). Inverted-index shape:
+# distinct (doc, shingle) pairs, one semi-join against the benchmark
+# shingle dictionary, one per-doc count — the same two-shuffle plan the
+# Jaccard dedup uses, corpus-scale-safe.
+# ---------------------------------------------------------------------------
+
+_BENCH_MAX_ID = 25
+
+
+@register(
+    "q51_contamination",
+    f"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct({TX.shingles_from_tokens_sql('t', SHINGLE_N)})) AS shingle
+        FROM (SELECT doc_id, {TX.tokens_sql('text')} AS t FROM documents)
+    ),
+    bench AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id < {_BENCH_MAX_ID}
+    ),
+    cand AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= {_BENCH_MAX_ID}),
+    hits AS (
+        SELECT c.doc_id, count(*) AS n_hit
+        FROM cand c JOIN bench b ON c.shingle = b.shingle
+        GROUP BY c.doc_id
+    ),
+    totals AS (
+        SELECT doc_id, count(*) AS n_shingles FROM cand GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_shingles,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+           round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_shingles, 6)
+               AS contamination
+    FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+)
+def q51_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.array_distinct(TX.shingles_from_tokens(F.col("t"), SHINGLE_N))
+            ).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+    )
+    bench = (
+        sh.filter(F.col("doc_id") < _BENCH_MAX_ID).select("shingle").distinct()
+    )
+    cand = sh.filter(F.col("doc_id") >= _BENCH_MAX_ID)
+    totals = cand.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        cand.join(bench, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_contaminated"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_shingles"), 6
+        ).alias("contamination"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q52 — GROUPING SETS: the explicit-set sibling of rollup (q37) / cube
+# (q42) — only the named sets are expanded, so the aggregate costs
+# exactly the levels asked for. Spark's DataFrame API exposes
+# rollup/cube only; the SQL surface IS the first-class Spark API here,
+# same expand + partial/final hash aggregate underneath.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q52_grouping_sets",
+    """
+    SELECT l_returnflag AS flag,
+           l_linestatus AS status,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+               AS gid,
+           count(*) AS n_rows,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                AS DECIMAL(18,2)) AS VARCHAR) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q52_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag AS flag,
+               l_linestatus AS status,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+                   AS gid,
+               count(*) AS n_rows,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS STRING) AS revenue
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q53 — INTERSECT ALL / EXCEPT ALL: multiset semantics (q43 covers the
+# DISTINCT forms). Spark plans both as aggregate+generate over
+# per-side multiplicities — still hash-partitioned by the row value,
+# never a sort. Sides are (custkey, order-month) visit multisets.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q53_setops_all",
+    """
+    WITH a AS (SELECT o_custkey AS custkey, CAST(month(o_orderdate) AS INT) AS mo
+               FROM orders WHERE year(o_orderdate) = 1995),
+         b AS (SELECT o_custkey AS custkey, CAST(month(o_orderdate) AS INT) AS mo
+               FROM orders WHERE year(o_orderdate) = 1996)
+    SELECT custkey, mo, 'common' AS tag FROM (
+        SELECT custkey, mo FROM a INTERSECT ALL SELECT custkey, mo FROM b)
+    UNION ALL
+    SELECT custkey, mo, 'a_extra' AS tag FROM (
+        SELECT custkey, mo FROM a EXCEPT ALL SELECT custkey, mo FROM b)
+    """,
+)
+def q53_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def side(year: int) -> DataFrame:
+        return orders.filter(F.year("o_orderdate") == year).select(
+            F.col("o_custkey").alias("custkey"),
+            F.month("o_orderdate").alias("mo"),
+        )
+
+    a, b = side(1995), side(1996)
+    common = a.intersectAll(b).withColumn("tag", F.lit("common"))
+    extra = a.exceptAll(b).withColumn("tag", F.lit("a_extra"))
+    return common.unionByName(extra)
