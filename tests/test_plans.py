@@ -1,0 +1,160 @@
+"""Physical-plan assertions: the scale properties every query must keep.
+
+Correctness is the oracle suite's job; this file pins the *plan shapes*
+that make the same queries viable at 100 TB — filters and projections
+reaching the parquet scan, dim joins broadcast instead of shuffled,
+aggregates map-side-partial, and two global invariants swept across the
+entire registered surface: no CartesianProduct and no row-at-a-time
+Python evaluation (BatchEvalPython) anywhere. A regression that flips
+any of these would still pass the value oracles at sf0.01 while dying
+at cluster scale — these tests are the guard.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from __spark_entry__ import queries
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    """The string `df.explain(mode)` prints, returned instead of printed."""
+    qe = df._jdf.queryExecution()
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(qe, mode)
+
+
+# ---------------------------------------------------------------------------
+# Scan pushdown: filter + projection must reach the parquet reader.
+# ---------------------------------------------------------------------------
+
+
+def test_q01_filter_and_projection_pushdown(spark, sf_dir):
+    plan = explain_str(queries()["q01_filter_project"](spark, sf_dir))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, f"no PushedFilters in scan:\n{plan}"
+    pushed = m.group(1)
+    assert "l_returnflag" in pushed and "l_quantity" in pushed, pushed
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "l_shipdate",
+        "l_returnflag",
+        "l_quantity",
+    }, f"scan reads more than the query needs: {sorted(read_cols)}"
+
+
+def test_q03_year_filter_pushes_to_scan(spark, sf_dir):
+    # year(o_orderdate) BETWEEN ... can't push as-is, but the planner
+    # must still prune the read to the single column used.
+    plan = explain_str(queries()["q03_orders_per_year"](spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1).split(":")[0] == "o_orderdate", plan
+
+
+# ---------------------------------------------------------------------------
+# Join strategy: dim joins broadcast; the fact side never shuffles for
+# a dimension lookup.
+# ---------------------------------------------------------------------------
+
+
+def test_q02_dim_joins_are_broadcast(spark, sf_dir):
+    plan = explain_str(queries()["q02_join_filter"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, f"dim join degraded to shuffle:\n{plan}"
+    assert "Exchange hashpartitioning" not in plan.split("BroadcastHashJoin")[0], (
+        "fact side shuffled before a broadcast join"
+    )
+
+
+def test_q28_spatial_predicate_is_arrow_batched(spark, sf_dir):
+    # The polygon dim ships to executors inside the UDF closure (it is
+    # bounded, SURVEY §1.4) — so there must be no join node at all, and
+    # the predicate must evaluate via Arrow batches, never pickled rows.
+    plan = explain_str(queries()["q28_spatial_join"](spark, sf_dir), "simple")
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_count" in plan, plan  # agg still map-side partial
+
+
+# ---------------------------------------------------------------------------
+# Aggregation: group-bys must be partial (map-side combine) + final,
+# never a single global pass over raw rows.
+# ---------------------------------------------------------------------------
+
+
+def test_q03_aggregate_is_partial_then_final(spark, sf_dir):
+    plan = explain_str(queries()["q03_orders_per_year"](spark, sf_dir), "simple")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "partial_count" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Global invariants, swept across the whole registered surface.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def all_plans(spark, sf_dir):
+    out = {}
+    for name, fn in queries().items():
+        out[name] = explain_str(fn(spark, sf_dir), "simple")
+    return out
+
+
+def test_no_cartesian_product_anywhere(all_plans):
+    offenders = [n for n, p in all_plans.items() if "CartesianProduct" in p]
+    assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_no_row_at_a_time_python_anywhere(all_plans):
+    # Arrow-batched Python (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
+    # is the sanctioned slow path; BatchEvalPython (pickled row loop) is not.
+    offenders = [n for n, p in all_plans.items() if "BatchEvalPython" in p]
+    assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
+
+
+def _has_global_window(plan: str) -> bool:
+    """True if a Window node's input chain is a single-partition exchange.
+
+    Tree-structural, not substring: a scalar aggregate's SinglePartition
+    exchange elsewhere in the same plan (e.g. q36's corpus count) must
+    not flag the properly hash-partitioned top-k window beside it. A
+    global window prints as Window -> [Sort ->] Exchange SinglePartition
+    within its own child chain (strictly deeper indentation).
+    """
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        m = re.search(r"[+:]- (Window|WindowGroupLimit) ", line)
+        if not m:
+            continue
+        depth = m.start()
+        for nxt in lines[i + 1 :]:
+            node = re.search(r"[+:]- ", nxt)
+            if not node or node.start() <= depth:
+                break  # left the Window's subtree
+            if "Exchange SinglePartition" in nxt:
+                return True
+            if not re.search(r"[+:]- (Sort|WindowGroupLimit|Window) ", nxt):
+                break  # chain reached a differently-partitioned input
+    return False
+
+
+def test_no_single_partition_global_window_anywhere(all_plans):
+    # A window over an empty partitionBy() plans as a single-partition
+    # exchange — fatal at scale. The sanctioned dim-encoder uses run
+    # over post-distinct bounded dictionaries (SURVEY §1.4); anything
+    # else must justify itself here.
+    offenders = [
+        n
+        for n, p in all_plans.items()
+        if _has_global_window(p)
+        and n not in {"q07_surrogate_keys", "q08_nullsafe_lookup"}
+    ]
+    assert not offenders, f"global single-partition windows in: {offenders}"
