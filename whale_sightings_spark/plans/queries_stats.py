@@ -1,0 +1,330 @@
+"""Registered queries: statistical profiling and embedding-clustering
+breadth (q54-q59).
+
+The engine's remaining analytics surface a corpus owner runs before and
+after curation: second-moment statistics for drift detection, token
+histograms, cardinality estimation with an accuracy contract, sentence
+segmentation, a k-means assignment step over embeddings, and
+temperature-based domain mixing (the rebalancing move every LLM
+training-data pipeline performs between dedup and export).
+
+Scale notes (the shapes, not the sizes, are what matter at 100 TB):
+- q54/q55 are single partial+final aggregates — one shuffle each.
+- q56 pins approx_count_distinct to its 5%% contract against the exact
+  count, so the cheap HLL path is usable with a verified error bound.
+- q57 is a pure per-row explode — no shuffle at all.
+- q58 joins the corpus against a broadcast centroid set (K rows) and
+  reduces per-vector with one hash shuffle; the classic assignment step
+  of distributed Lloyd iteration.
+- q59 is the two-pass "aggregate stats -> broadcast rates -> filter"
+  pattern: the fact table is scanned twice but never shuffled; the rate
+  table is dimension-sized by construction (one row per source).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from whale_sightings_spark.functions import text as TX
+from whale_sightings_spark.operators import curation as CU
+from whale_sightings_spark.operators.similarity import cosine, cosine_sql
+from whale_sightings_spark.plans.queries import register
+from whale_sightings_spark.schemas import load_table
+
+# ---------------------------------------------------------------------------
+# q54 — grouped second-moment statistics: corr / covar / stddev / var.
+# One partial+final aggregate; Spark's co-moment merge is
+# order-insensitive to the rounding precision used here.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q54_grouped_stats",
+    """
+    SELECT l_returnflag AS flag,
+           count(*) AS n_rows,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           round(stddev_samp(l_discount), 6) AS sd_discount,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(avg(l_extendedprice), 4) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q54_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q55 — token-count histogram: fixed-width buckets over per-document
+# token counts. The bucket id is computed row-local, so the whole
+# histogram is one aggregate shuffle regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+_BUCKET_W = 32
+
+
+@register(
+    "q55_token_histogram",
+    f"""
+    WITH t AS (
+        SELECT CAST(len({TX.tokens_sql('text')}) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT CAST(floor(n_tokens / {_BUCKET_W}.0) AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           min(n_tokens) AS min_tokens,
+           max(n_tokens) AS max_tokens
+    FROM t GROUP BY 1
+    """,
+)
+def q55_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.size(TX.tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    return (
+        t.withColumn("bucket", F.floor(F.col("n_tokens") / _BUCKET_W))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q56 — cardinality estimation with a verified contract: HLL
+# approx_count_distinct beside the exact distinct, asserting a 5%
+# relative-error bound *inside the result*. rsd=0.02 keeps the sketch's
+# standard error 2.5x inside that contract (HLL's rsd is a standard
+# error, not a hard bound — at rsd=0.05 small groups do exceed 5%).
+# The oracle emits literal TRUE — if the sketch ever drifts past the
+# contract, the hash gate catches it. At 100 TB the approx path is the
+# affordable one; this query is the proof it can be trusted.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q56_approx_distinct",
+    """
+    SELECT lang,
+           count(DISTINCT doc_id) AS n_exact,
+           TRUE AS approx_ok
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q56_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_exact"),
+        F.approx_count_distinct("doc_id", rsd=0.02).alias("_approx"),
+    ).select(
+        "lang",
+        "n_exact",
+        (
+            F.abs(F.col("_approx") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("approx_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q57 — sentence segmentation: split each document into sentence-like
+# chunks (terminator-bounded), keep the ordinal, emit a fingerprint and
+# token count per sentence. Pattern stays in the RE2 ∩ Java dialect so
+# both engines run the identical automaton; pure per-row explode.
+# ---------------------------------------------------------------------------
+
+_SENT_RE = r"[^.!?]+[.!?]?"
+
+
+@register(
+    "q57_sentences",
+    f"""
+    WITH s AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(text, '{_SENT_RE}')) AS raw,
+               generate_subscripts(regexp_extract_all(text, '{_SENT_RE}'), 1)
+                   AS sent_idx
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(sent_idx AS INT) AS sent_idx,
+           md5(trim(raw)) AS sent_md5,
+           CAST(len({TX.tokens_sql('trim(raw)')}) AS INT) AS n_tokens
+    FROM s
+    WHERE trim(raw) <> ''
+    """,
+)
+def q57_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"regexp_extract_all(text, '{_SENT_RE}', 0)")
+        ).alias("pos", "raw"),
+    )
+    return (
+        exploded.select(
+            "doc_id",
+            (F.col("pos") + 1).cast("int").alias("sent_idx"),
+            F.trim(F.col("raw")).alias("sent"),
+        )
+        .filter(F.col("sent") != "")
+        .select(
+            "doc_id",
+            "sent_idx",
+            F.md5(F.col("sent")).alias("sent_md5"),
+            F.size(TX.tokens(F.col("sent"))).cast("int").alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q58 — k-means assignment step: every embedding to its nearest of K
+# deterministic centroids (the first K vectors), by cosine. This is the
+# distributed half of Lloyd iteration: corpus ⋈ broadcast(K centroids),
+# per-vector argmax, then the per-cluster reduction that would feed the
+# centroid update (q32's (label, dim) partial agg). K× row expansion,
+# one hash shuffle — never an all-pairs join.
+# ---------------------------------------------------------------------------
+
+_KMEANS_K = 8
+
+
+@register(
+    "q58_kmeans_assign",
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS cvec
+        FROM embeddings WHERE vec_id < {_KMEANS_K}
+    ),
+    scored AS (
+        SELECT e.vec_id, c.centroid_id,
+               round({cosine_sql('e.embedding', 'c.cvec')}, 6) AS cos,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round({cosine_sql('e.embedding', 'c.cvec')}, 6) DESC,
+                            c.centroid_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+    )
+    SELECT centroid_id,
+           count(*) AS n_members,
+           min(vec_id) AS min_member,
+           max(vec_id) AS max_member,
+           round(avg(cos), 4) AS avg_cos
+    FROM scored WHERE rn = 1
+    GROUP BY centroid_id
+    """,
+)
+def q58_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(cosine(F.col("embedding"), F.col("cvec")), 6).alias("cos"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.groupBy("centroid_id").agg(
+        F.count("*").alias("n_members"),
+        F.min("vec_id").alias("min_member"),
+        F.max("vec_id").alias("max_member"),
+        F.round(F.avg("cos"), 4).alias("avg_cos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q59 — temperature-based domain mixing (alpha = 0.5): per-source
+# sampling rates ∝ n^(alpha-1), normalized so the smallest source keeps
+# everything, applied with the deterministic hash sampler (so both
+# engines and any rerun select identical rows). Two fact scans, zero
+# fact shuffles: the stats pass reduces to one row per source, the rate
+# table broadcasts back. sqrt/division are IEEE-exact, so the computed
+# ppm rates agree bit-for-bit across engines.
+# ---------------------------------------------------------------------------
+
+_MIX_SALT = "#mix"
+
+
+@register(
+    "q59_domain_mixing",
+    f"""
+    WITH counts AS (
+        SELECT source, count(*) AS n_total FROM documents GROUP BY source
+    ),
+    rates AS (
+        SELECT source, n_total,
+               LEAST(
+                   {CU.SAMPLE_DENOM},
+                   CAST(floor({CU.SAMPLE_DENOM} / sqrt(
+                       CAST(n_total AS DOUBLE)
+                       / (SELECT min(n_total) FROM counts)
+                   )) AS BIGINT)
+               ) AS rate_ppm
+        FROM counts
+    ),
+    kept AS (
+        SELECT d.source, d.doc_id
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE {CU.sample_keep_sql("CAST(d.doc_id AS VARCHAR) || '" + _MIX_SALT + "'", 'r.rate_ppm')}
+    ),
+    kept_agg AS (
+        SELECT source, count(*) AS n_kept,
+               CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids
+        FROM kept GROUP BY source
+    )
+    SELECT r.source, r.n_total, r.rate_ppm,
+           coalesce(k.n_kept, 0) AS n_kept,
+           coalesce(k.sum_kept_ids, 0) AS sum_kept_ids
+    FROM rates r LEFT JOIN kept_agg k ON r.source = k.source
+    """,
+)
+def q59_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_total"))
+    min_n = counts.agg(F.min("n_total").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "source",
+        "n_total",
+        F.least(
+            F.lit(CU.SAMPLE_DENOM),
+            F.floor(
+                CU.SAMPLE_DENOM
+                / F.sqrt(F.col("n_total").cast("double") / F.col("min_n"))
+            ).cast("bigint"),
+        ).alias("rate_ppm"),
+    )
+    kept = docs.join(F.broadcast(rates), "source").filter(
+        CU.sample_keep(
+            F.concat(F.col("doc_id").cast("string"), F.lit(_MIX_SALT)),
+            F.col("rate_ppm"),
+        )
+    )
+    kept_agg = kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"), F.sum("doc_id").alias("sum_kept_ids")
+    )
+    return rates.join(kept_agg, "source", "left").select(
+        "source",
+        "n_total",
+        "rate_ppm",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.coalesce(F.col("sum_kept_ids"), F.lit(0)).alias("sum_kept_ids"),
+    )
