@@ -1,0 +1,185 @@
+"""Cluster-scale execution patterns exercised end-to-end on local[*]:
+bucketed co-located joins (the zero-shuffle fact⋈fact strategy),
+streaming foreachBatch into the idempotent upsert sink (exactly-once
+delivery under batch replay), and a Python UDTF checked against the
+native q57 plan (the extension surface for table-generating logic).
+"""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from whale_sightings_spark.plans.queries import queries
+from whale_sightings_spark.schemas import load_table
+from whale_sightings_spark.sources.jdbc import upsert_via_foreach_partition
+from whale_sightings_spark.streaming.events import stage_event_replay
+
+from tests.test_plans import explain_str
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join: both sides pre-bucketed on the join key ->
+# the SortMergeJoin consumes bucketed scans directly, with NO exchange
+# on either side. At 100 TB this is the difference between a join that
+# reshuffles both fact tables every run and one that never does.
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path_factory):
+    base = tmp_path_factory.mktemp("bucketed")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    for name, df, key in (
+        ("orders_bkt", orders, "o_custkey"),
+        ("customer_bkt", customer, "c_custkey"),
+    ):
+        (
+            df.write.mode("overwrite")
+            .option("path", str(base / name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("orders_bkt")
+            .join(
+                spark.table("customer_bkt"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .select("o_orderkey", "c_name", "o_totalprice")
+        )
+        plan = explain_str(joined, "simple")
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # and it still computes the same answer as the plain join
+        expected = orders.join(
+            customer, F.col("o_custkey") == F.col("c_custkey")
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS customer_bkt")
+
+
+# ---------------------------------------------------------------------------
+# Streaming -> idempotent upsert sink. foreachBatch re-delivers whole
+# micro-batches on failure/restart; a keyed upsert makes redelivery a
+# no-op, which is the exactly-once recipe for non-transactional stores.
+# Replaying the entire stream into the same database must leave it
+# byte-identical.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("fb_events"))
+    return stage_event_replay(spark, sf_dir, out, n_files=3)
+
+
+def _run_stream_into_sqlite(spark, replay_dir, db_path, checkpoint) -> None:
+    schema = spark.read.parquet(replay_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+        .select("event_id", "user_id", "event_type")
+    )
+
+    def sink(batch_df, batch_id) -> None:
+        upsert_via_foreach_partition(
+            batch_df,
+            "INSERT INTO sink_events (event_id, user_id, event_type) "
+            "VALUES (?, ?, ?) ON CONFLICT(event_id) DO UPDATE SET "
+            "user_id = excluded.user_id, event_type = excluded.event_type",
+            lambda: sqlite3.connect(db_path, timeout=60),
+            batch_size=500,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_foreach_batch_upsert_is_replay_idempotent(
+    spark, replay_dir, tmp_path_factory
+):
+    base = tmp_path_factory.mktemp("fb_sink")
+    db_path = str(base / "sink.db")
+    with sqlite3.connect(db_path) as conn:
+        conn.execute(
+            "CREATE TABLE sink_events ("
+            "event_id INTEGER PRIMARY KEY, user_id INTEGER, event_type TEXT)"
+        )
+
+    _run_stream_into_sqlite(spark, replay_dir, db_path, str(base / "cp1"))
+    with sqlite3.connect(db_path) as conn:
+        first = sorted(conn.execute("SELECT * FROM sink_events").fetchall())
+    n_src = spark.read.parquet(replay_dir).select("event_id").distinct().count()
+    assert len(first) == n_src
+
+    # full replay with a fresh checkpoint = every batch redelivered
+    _run_stream_into_sqlite(spark, replay_dir, db_path, str(base / "cp2"))
+    with sqlite3.connect(db_path) as conn:
+        second = sorted(conn.execute("SELECT * FROM sink_events").fetchall())
+    assert second == first
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (Spark 4 extension surface for table-generating logic),
+# pinned against the native q57 sentence plan: same rows, so the
+# imperative escape hatch and the codegen path agree. The native
+# explode remains the production path (the sweep in test_plans bans
+# BatchEvalPython from registered queries); the UDTF is the documented
+# pattern for logic that genuinely can't be expressed natively.
+# ---------------------------------------------------------------------------
+
+
+def test_udtf_sentences_match_native_plan(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    from whale_sightings_spark.plans.queries_stats import _SENT_RE  # noqa: PLC2701
+
+    import re as _re
+
+    @udtf(
+        returnType=StructType(
+            [
+                StructField("sent_idx", IntegerType()),
+                StructField("sent", StringType()),
+            ]
+        )
+    )
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, raw in enumerate(_re.findall(_SENT_RE, text), start=1):
+                if raw.strip():
+                    yield i, raw.strip()
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    got = spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, md5(s.sent) AS sent_md5
+        FROM docs_udtf d, LATERAL sentence_split(d.text) s
+        """
+    ).collect()
+    expected = {
+        (r["doc_id"], r["sent_idx"], r["sent_md5"])
+        for r in queries()["q57_sentences"](spark, sf_dir).collect()
+    }
+    assert {(r["doc_id"], r["sent_idx"], r["sent_md5"]) for r in got} == expected
+    assert len(got) == len(expected)

@@ -328,3 +328,54 @@ def q59_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
         F.coalesce(F.col("sum_kept_ids"), F.lit(0)).alias("sum_kept_ids"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q60 — VARIANT-path JSON analytics (Spark 4 semi-structured type).
+# q27 extracts via string JSON-path functions, which re-parse the JSON
+# text per extraction; VARIANT parses once into Spark's binary
+# semi-structured encoding and every variant_get after that is a cheap
+# typed probe — the shape you want when a 100 TB event table carries a
+# props blob probed by many expressions. Aggregation mirrors q27's
+# conventions; missing-key probes go through try_variant_get (ANSI
+# mode stays satisfied on dirty input).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q60_variant_extract",
+    """
+    WITH p AS (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k,
+               json_extract_string(props, '$.missing') AS missing
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           min(k) AS min_k,
+           max(k) AS max_k,
+           CAST(sum(CASE WHEN missing IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing
+    FROM p
+    GROUP BY event_type
+    """,
+)
+def q60_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.variant_get(F.col("v"), "$.k", "int").alias("k"),
+        F.try_variant_get(F.col("v"), "$.missing", "string").alias("missing"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum(F.when(F.col("missing").isNull(), 1).otherwise(0)).alias(
+            "n_missing"
+        ),
+    )
