@@ -88,17 +88,36 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
 
     out_schema = "media_id long, kind string, feature string"
 
+    def _hist_rows(mat: np.ndarray) -> list[str]:
+        # batched nibble histogram: one bincount over (row*16 + nibble)
+        # composite keys instead of a Python loop per payload
+        n = mat.shape[0]
+        nibbles = np.concatenate([mat >> 4, mat & 0xF], axis=1)
+        keys = (np.arange(n, dtype=np.int64)[:, None] * 16 + nibbles).ravel()
+        hists = np.bincount(keys, minlength=n * 16).reshape(n, 16)
+        return [",".join(map(str, row)) for row in hists.tolist()]
+
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for payload in pdf["payload"]:
-                if payload is None:
-                    feats.append(None)
-                    continue
-                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
-                nibbles = np.concatenate([arr >> 4, arr & 0xF])
-                hist = np.bincount(nibbles, minlength=16)[:16]
-                feats.append(",".join(str(int(v)) for v in hist))
+            payloads = pdf["payload"]
+            mask = payloads.notna().to_numpy()
+            feats: list[str | None] = [None] * len(payloads)
+            present = payloads[mask]
+            if len(present):
+                sizes = present.map(len).to_numpy()
+                if (sizes == sizes[0]).all():
+                    # fixed-width payloads: zero-copy concat + reshape
+                    mat = np.frombuffer(
+                        b"".join(present), dtype=np.uint8
+                    ).reshape(len(present), sizes[0])
+                    rows = _hist_rows(mat)
+                else:  # ragged payloads: per-row histograms, still batched
+                    rows = []
+                    for payload in present:
+                        arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                        rows.append(_hist_rows(arr[None, :])[0])
+                for i, feat in zip(np.flatnonzero(mask), rows):
+                    feats[i] = feat
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "kind": pdf["kind"], "feature": feats}
             )
