@@ -165,3 +165,60 @@ def test_streaming_interval_join_equals_batch(spark, sf_dir, events_dir):
         .collect()
     }
     assert settled <= got
+
+
+def test_transform_with_state_matches_legacy_stateful(spark, sf_dir, events_dir):
+    # Spark 4 transformWithStateInPandas twin of the applyInPandasWithState
+    # operator: identical final per-user totals. Needs the RocksDB state
+    # store provider (also the at-scale choice) and protobuf (the state
+    # server protocol) — gated, not vendored, per the environment brief.
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf for its state "
+        "server protocol; not shipped in this container",
+    )
+    from whale_sightings_spark.streaming.events import (
+        stateful_user_running_totals_tws,
+    )
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stateful_user_running_totals_tws(spark, events_dir)
+        q = run_stream_to_memory(stream, "tws_out", output_mode="update")
+        try:
+            rows = spark.sql(
+                """
+                SELECT user_id, n_events, total_value FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY user_id ORDER BY n_events DESC) AS rn
+                    FROM tws_out) WHERE rn = 1
+                """
+            ).collect()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set(conf_key, prev)
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 4)) for r in rows}
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 4).alias("t"),
+        )
+        .collect()
+    )
+    expected = {r["user_id"]: (r["n"], r["t"]) for r in batch}
+    assert set(got) == set(expected)
+    bad = {
+        u: (got[u], expected[u])
+        for u in expected
+        if got[u][0] != expected[u][0] or abs(got[u][1] - expected[u][1]) > 1e-6
+    }
+    assert not bad, list(bad.items())[:5]

@@ -208,6 +208,60 @@ def stateful_user_running_totals(
     )
 
 
+def stateful_user_running_totals_tws(
+    spark: SparkSession, events_dir: str
+) -> DataFrame:
+    """The same running-totals operator on ``transformWithStateInPandas``
+    (Spark 4's successor stateful API: composable named state, timers,
+    TTL). Requires the RocksDB state store — the caller sets
+    ``spark.sql.streaming.stateStore.providerClass``; RocksDB is also
+    the provider you want at scale (incremental checkpointing, state
+    larger than executor heap). Runtime additionally needs protobuf
+    (the TWS state-server protocol), absent from this container — the
+    parity test skips when the import fails; on a real cluster install
+    ``protobuf`` alongside pyspark."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = "user_id long, n_events long, total_value double"
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._totals.update((n, round(total, 6)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    events = read_event_stream(spark, events_dir)
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def streaming_interval_join(
     spark: SparkSession,
     events_dir: str,
