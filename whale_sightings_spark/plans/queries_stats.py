@@ -379,3 +379,83 @@ def q60_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_missing"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q61 — approximate percentiles with a verified rank contract (the
+# quantile sibling of q56): approx_percentile's GK sketch guarantees
+# rank error <= n/accuracy; with accuracy=10000 the estimate must land
+# between the exact 49th and 51st percentiles for any n. The query
+# asserts exactly that, per event_type, beside the exact median the
+# oracle recomputes. At 100 TB the sketch is a single-pass mergeable
+# aggregate; exact percentile_cont needs the whole group sorted.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q61_approx_percentile",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6)
+               AS exact_p50,
+           TRUE AS approx_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q61_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("exact_p50"),
+        F.percentile("value", F.lit(0.49)).alias("_p49"),
+        F.percentile("value", F.lit(0.51)).alias("_p51"),
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("_approx"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "exact_p50",
+        (
+            (F.col("_approx") >= F.col("_p49"))
+            & (F.col("_approx") <= F.col("_p51"))
+        ).alias("approx_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q62 — salted skew join (operators/skew.salted_join): the explicit
+# mitigation for heavy-tailed join keys. The salt spreads each fact
+# key across buckets; the dim replicates buckets×; the result is
+# row-identical to the plain join the oracle runs — which is the whole
+# point, verified here by aggregating the joined frame per nation.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q62_salted_join",
+    """
+    SELECT c.c_nationkey AS nation_id,
+           count(*) AS n_orders,
+           CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(18,2)) AS VARCHAR) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def q62_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    joined = salted_join(
+        orders, customer, "o_custkey", "c_custkey", "o_orderkey", buckets=8
+    )
+    return joined.groupBy(F.col("c_nationkey").alias("nation_id")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("string")
+        .alias("revenue"),
+    )
