@@ -459,3 +459,127 @@ def q62_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q63 — document chunking: fixed-size token windows with overlap (the
+# context-length prep step before packing/training). starts are
+# generated row-local (sequence + slice — no UDF), so the whole
+# operator is a per-row explode: zero shuffles at any corpus size.
+# Window 64, stride 48 -> 16-token overlap between adjacent chunks.
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 64
+_CHUNK_STRIDE = 48
+
+
+@register(
+    "q63_chunk_documents",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {TX.tokens_sql('text')} AS toks FROM documents
+    ),
+    c AS (
+        SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks), 1) + 1, {_CHUNK_STRIDE}))
+                   AS start
+        FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(len(list_slice(toks, start, start + {_CHUNK_W} - 1)) AS INT)
+               AS n_chunk_tokens,
+           md5(array_to_string(list_slice(toks, start, start + {_CHUNK_W} - 1),
+               ' ')) AS chunk_md5
+    FROM c
+    WHERE len(list_slice(toks, start, start + {_CHUNK_W} - 1)) > 0
+    """,
+)
+def q63_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    c = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("toks"), F.lit(1)),
+                F.lit(_CHUNK_STRIDE),
+            )
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), _CHUNK_W)
+    return (
+        c.select(
+            "doc_id",
+            ((F.col("start") - 1) / _CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+            F.size(chunk).cast("int").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+        )
+        .filter(F.col("n_chunk_tokens") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q64 — deterministic sequence packing: assign documents to fixed-size
+# context bins (4096 tokens) by sequential fill within hash buckets.
+# The bucket count is the parallelism knob: each bucket's fill order
+# is a running token sum over (bucket, doc_id) — ONE window shuffle —
+# so packing 100 TB is B independent sequential fills, not one global
+# scan. offset/bin are pure functions of the running sum, identical in
+# both engines.
+# ---------------------------------------------------------------------------
+
+_PACK_BIN = 4096
+_PACK_BUCKETS = 16
+
+from whale_sightings_spark.functions.hashing import hash60, hash60_sql  # noqa: E402
+
+_PACK_BUCKET_SQL = f"({hash60_sql('CAST(doc_id AS VARCHAR)')}) % {_PACK_BUCKETS}"
+
+
+@register(
+    "q64_sequence_packing",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len({TX.tokens_sql('text')}) AS BIGINT) AS n_tokens,
+               CAST({_PACK_BUCKET_SQL} AS BIGINT) AS bucket
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n_tokens, bucket,
+               sum(n_tokens) OVER (
+                   PARTITION BY bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM t
+    )
+    SELECT doc_id, bucket, n_tokens,
+           CAST(floor((cum - n_tokens) / {_PACK_BIN}.0) AS BIGINT) AS bin_id,
+           CAST((cum - n_tokens) % {_PACK_BIN} AS BIGINT) AS offset_tokens
+    FROM s
+    """,
+)
+def q64_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(TX.tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        (hash60(F.col("doc_id").cast("string")) % _PACK_BUCKETS).alias("bucket"),
+    )
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    s = t.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return s.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        F.floor(start / _PACK_BIN).alias("bin_id"),
+        (start % _PACK_BIN).alias("offset_tokens"),
+    )
