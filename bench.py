@@ -30,6 +30,12 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query numbers measure the
     # plans, not first-touch JIT
     QUERIES["q01_filter_project"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warm the Python worker pool too (one trivial Arrow round trip per
+    # core) so the first mapInPandas query isn't billed ~10 s of
+    # interpreter startup that on a real cluster is paid once per executor
+    spark.range(int(cpus)).repartition(int(cpus)).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
