@@ -539,3 +539,4 @@ def _load_extra_registries() -> None:
     import whale_sightings_spark.plans.queries_relational  # noqa: F401
     import whale_sightings_spark.plans.queries_stats  # noqa: F401
     import whale_sightings_spark.plans.queries_stream  # noqa: F401
+    import whale_sightings_spark.plans.queries_textops  # noqa: F401
