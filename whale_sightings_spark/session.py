@@ -45,7 +45,10 @@ def get_spark(
         # absorbs eventDate/species predicates into request params)
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # single-JVM local mode: driver heap IS the executor heap; 32
+        # concurrent tasks shuffling sf0.1 in 16g spends visible time in
+        # GC (observed as multi-second per-query jitter), 48g doesn't
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     if master:
         builder = builder.master(master)
