@@ -533,6 +533,7 @@ def _load_extra_registries() -> None:
     """Import side-effect registries (kept separate to bound module
     size); import at call time to avoid a cycle."""
     import whale_sightings_spark.plans.queries_analytics  # noqa: F401
+    import whale_sightings_spark.plans.queries_behavior  # noqa: F401
     import whale_sightings_spark.plans.queries_curation  # noqa: F401
     import whale_sightings_spark.plans.queries_llm  # noqa: F401
     import whale_sightings_spark.plans.queries_olap2  # noqa: F401

@@ -1,0 +1,346 @@
+"""Behavioral analytics + data-quality family (net-new: the event-log
+workloads a warehouse serves alongside the reference's occurrence
+pipeline, plus the audit queries its validation stage
+(`whalefinder/validate.py:62-124` parity ops) implies at fleet scale):
+
+- q75 data-quality audit (null/dup/orphan/range checks in one pass)
+- q76 CDC apply (last-writer-wins compaction of an op log)
+- q77 ordered conversion funnel (view -> click -> purchase)
+- q78 cohort retention matrix
+- q79 count-min sketch heavy hitters (manual CMS, cross-engine
+  deterministic, estimate >= exact provable contract)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from whale_sightings_spark.functions import text as TX
+from whale_sightings_spark.functions.hashing import hash60, hash60_sql
+from whale_sightings_spark.plans.queries import register
+from whale_sightings_spark.schemas import load_table
+
+
+# ---------------------------------------------------------------------------
+# q75 — data-quality audit: the constraint checks (required fields, key
+# uniqueness, referential integrity, value ranges) the reference runs
+# per-row in Pydantic, re-expressed as one set-oriented pass. Null /
+# range / duplicate metrics come from a single aggregate over the fact;
+# the orphan count is one anti-join against the dimension. Two shuffles
+# total, output is one audit row.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q75_dq_audit",
+    """
+    WITH m AS (
+        SELECT count(*) AS n_rows,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null_custkey,
+               count(*) - count(DISTINCT o_orderkey) AS n_dup_orderkey,
+               CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nonpos_price
+        FROM orders
+    ),
+    orph AS (
+        SELECT count(*) AS n_orphans
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL
+    )
+    SELECT m.n_rows, m.n_null_custkey, m.n_dup_orderkey, m.n_nonpos_price,
+           orph.n_orphans
+    FROM m CROSS JOIN orph
+    """,
+)
+def q75_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    metrics = orders.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("n_null_custkey"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("n_dup_orderkey"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("n_nonpos_price"),
+    )
+    orphans = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n_orphans"))
+    )
+    return metrics.crossJoin(F.broadcast(orphans))
+
+
+# ---------------------------------------------------------------------------
+# q76 — CDC apply: compact an insert/update/delete op log to final
+# state with last-writer-wins semantics. Op order is (ts, event_id) —
+# the tie-break makes compaction deterministic under replay, the same
+# idempotence contract as the streaming foreachBatch sink. One window
+# shuffle partitioned by the key; at 100 TB this is the standard
+# "latest snapshot from a change stream" materialization.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q76_cdc_apply",
+    """
+    WITH oplog AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               event_type, value, ts, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           event_type AS last_type,
+           round(value, 2) AS last_value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM oplog
+    WHERE rn = 1 AND op = 'U'
+    """,
+)
+def q76_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.round("value", 2).alias("last_value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q77 — ordered conversion funnel: users who viewed, then clicked
+# AFTER the first view, then purchased AFTER that click. Step times are
+# chained per-user window minima — all three windows share the user_id
+# partitioning, so the whole funnel is ONE shuffle and three window
+# passes over co-partitioned data (not three self-joins).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q77_funnel",
+    """
+    WITH w1 AS (
+        SELECT user_id, event_type, ts,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+        FROM events
+    ),
+    w2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t2
+        FROM w1
+    ),
+    w3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t3
+        FROM w2
+    ),
+    u AS (
+        SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+        FROM w3 GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(t1) AS n_view,
+           count(t2) AS n_view_click,
+           count(t3) AS n_full_funnel
+    FROM u
+    """,
+)
+def q77_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = W.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    users = s3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return users.agg(
+        F.count("*").alias("n_users"),
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_full_funnel"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q78 — cohort retention: users bucketed by first-activity day, counted
+# at each day offset they return. distinct (user, day) activity -> per-
+# user cohort min -> join back (co-partitioned on user_id) -> cohort x
+# offset counts. Two key shuffles; the retention matrix is bounded by
+# days², not rows.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q78_retention",
+    """
+    WITH activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    cohort AS (
+        SELECT user_id, min(day) AS c0 FROM activity GROUP BY user_id
+    )
+    SELECT strftime(c.c0, '%Y-%m-%d') AS cohort_day,
+           CAST(a.day - c.c0 AS INT) AS offset_days,
+           count(*) AS n_users
+    FROM activity a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q78_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("day").alias("c0"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("c0", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "c0").cast("int").alias("offset_days"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q79 — count-min sketch heavy hitters, built by hand so the sketch is
+# bit-identical in both engines (Spark's count_min_sketch returns an
+# opaque binary the oracle can't read; xxhash64/hash() differ between
+# engines — the shared hash60 md5 primitive is the portable base).
+# Sketch: depth 4 x width 1024; cell (r, c) sums occurrences of tokens
+# with hash60(r || tok) % 1024 = c. Estimate for a token = min over its
+# 4 cells — by construction >= the exact count (collisions only
+# inflate). Output: top-20 exact heavy hitters with their CMS
+# estimates, so the overestimate contract is oracle-verified. The
+# sketch is 4096 mergeable cells regardless of corpus size — the
+# 100 TB answer to "top-k without a full-vocabulary shuffle".
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+_CMS_TOPK = 20
+
+
+def _cms_cell(tok, r: int):
+    return hash60(F.concat(F.lit(f"{r}:"), tok)) % _CMS_WIDTH
+
+
+def _cms_cell_sql(tok_expr: str, r: int) -> str:
+    inner = hash60_sql(f"'{r}:' || {tok_expr}")
+    return f"({inner} % {_CMS_WIDTH})"
+
+
+def _union_rows(template: str) -> str:
+    """Expand one SELECT per sketch row r, UNION ALL'd."""
+    parts = [template.format(r=r, cell=_cms_cell_sql("tok", r)) for r in range(_CMS_DEPTH)]
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "q79_cms_topk",
+    f"""
+    WITH toks AS (
+        SELECT unnest({TX.tokens_sql("text")}) AS tok
+        FROM documents WHERE trim(text) <> ''
+    ),
+    tf AS (
+        SELECT tok, count(*) AS n_tok FROM toks GROUP BY tok
+    ),
+    cells AS (
+        SELECT r, c, CAST(sum(n_tok) AS BIGINT) AS cell_n FROM (
+            {_union_rows("SELECT {r} AS r, {cell} AS c, n_tok FROM tf")}
+        ) GROUP BY r, c
+    ),
+    exact AS (
+        SELECT tok, n_tok AS n FROM tf ORDER BY n_tok DESC, tok LIMIT {_CMS_TOPK}
+    ),
+    probes AS (
+        {_union_rows("SELECT tok, n, {r} AS r, {cell} AS c FROM exact")}
+    )
+    SELECT p.tok, p.n AS exact_n,
+           min(cl.cell_n) AS cms_n,
+           min(cl.cell_n) >= p.n AS contract_holds
+    FROM probes p JOIN cells cl ON cl.r = p.r AND cl.c = p.c
+    GROUP BY p.tok, p.n
+    """,
+)
+def q79_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.trim("text") != "")
+        .select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    )
+    # term frequencies once; both the sketch and the exact top-k reuse it
+    tf = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    # sketch cells: depth x width, built from the tf table (not raw
+    # occurrences) so the explode factor applies to distinct tokens
+    cells = (
+        tf.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            _cms_cell(F.col("tok"), r).alias("c"),
+                            F.col("n_tok").alias("n_tok"),
+                        )
+                        for r in range(_CMS_DEPTH)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .select("cell.r", "cell.c", "cell.n_tok")
+        .groupBy("r", "c")
+        .agg(F.sum("n_tok").alias("cell_n"))
+    )
+    exact = tf.orderBy(F.col("n_tok").desc(), "tok").limit(_CMS_TOPK).select(
+        "tok", F.col("n_tok").alias("n")
+    )
+    # long-form probes (topk x depth rows) -> broadcast equi-join on (r, c)
+    probes = exact.select(
+        "tok",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), _cms_cell(F.col("tok"), r).alias("c")
+                    )
+                    for r in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    ).select("tok", "n", "p.r", "p.c")
+    probe_cells = F.broadcast(probes).join(cells, ["r", "c"])
+    return (
+        probe_cells.groupBy(F.col("tok"), F.col("n").alias("exact_n"))
+        .agg(F.min("cell_n").alias("cms_n"))
+        .select(
+            "tok",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") >= F.col("exact_n")).alias("contract_holds"),
+        )
+    )
