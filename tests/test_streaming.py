@@ -222,3 +222,74 @@ def test_transform_with_state_matches_legacy_stateful(spark, sf_dir, events_dir)
         if got[u][0] != expected[u][0] or abs(got[u][1] - expected[u][1]) > 1e-6
     }
     assert not bad, list(bad.items())[:5]
+
+
+def test_streaming_enrich_with_dim_equals_batch(spark, sf_dir, events_dir):
+    from whale_sightings_spark.streaming.events import streaming_enrich_with_dim
+
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("purchase", 5.0), ("view", 0.1),
+         ("signup", 10.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    stream = streaming_enrich_with_dim(spark, events_dir, dim)
+    q = run_stream_to_memory(stream, "enrich_out", output_mode="append")
+    try:
+        got = {
+            (r["event_id"], r["weight"])
+            for r in spark.sql("SELECT event_id, weight FROM enrich_out").collect()
+        }
+    finally:
+        q.stop()
+    events = spark.read.parquet(events_dir)
+    want = {
+        (r["event_id"], r["weight"])
+        for r in events.join(F.broadcast(dim), "event_type", "left")
+        .select("event_id", "weight")
+        .collect()
+    }
+    assert got == want
+    assert len(got) >= 1000
+
+
+def test_streaming_left_outer_interval_join(spark, sf_dir, events_dir):
+    from whale_sightings_spark.streaming.events import (
+        streaming_left_outer_interval_join,
+    )
+
+    stream = streaming_left_outer_interval_join(spark, events_dir, within="1 hour")
+    q = run_stream_to_memory(stream, "loj_out", output_mode="append")
+    try:
+        rows = spark.sql("SELECT * FROM loj_out").collect()
+    finally:
+        q.stop()
+    got_matched = {
+        (r["click_id"], r["purchase_id"]) for r in rows if r["purchase_id"] is not None
+    }
+    got_unmatched = {r["click_id"] for r in rows if r["purchase_id"] is None}
+
+    events = load_table(spark, sf_dir, "events")
+    l = events.filter(F.col("event_type") == "click").alias("l")
+    r = events.filter(F.col("event_type") == "purchase").alias("r")
+    inner = (
+        l.join(
+            r,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            F.col("l.event_id").alias("click_id"),
+            F.col("r.event_id").alias("purchase_id"),
+        )
+        .collect()
+    )
+    want_matched = {(row["click_id"], row["purchase_id"]) for row in inner}
+    matched_clicks = {c for c, _ in want_matched}
+
+    # emitted matches must be a subset of the batch answer; emitted
+    # NULL rows must be clicks with truly no in-window purchase (the
+    # watermark proved it)
+    assert got_matched <= want_matched
+    assert got_unmatched, "outer side should emit for settled unmatched clicks"
+    assert not (got_unmatched & matched_clicks)

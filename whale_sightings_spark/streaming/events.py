@@ -298,3 +298,60 @@ def streaming_interval_join(
         F.col("r.event_id").alias("purchase_id"),
         F.col("l.user_id").alias("user_id"),
     )
+
+def streaming_enrich_with_dim(
+    spark: SparkSession,
+    events_dir: str,
+    dim: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the event
+    stream joins a bounded dimension (broadcast — the static side is
+    planned per micro-batch, never buffered as state). The canonical
+    "decorate the fact stream with dim attributes" shape; at 100 TB
+    the dim stays broadcastable and the stream side never shuffles.
+    """
+    events = read_event_stream(spark, events_dir).withWatermark("ts", watermark)
+    return events.join(F.broadcast(dim), "event_type", "left").select(
+        "event_id", "user_id", "event_type", "ts", "value", *dim.columns[1:]
+    )
+
+
+def streaming_left_outer_interval_join(
+    spark: SparkSession,
+    events_dir: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: clicks with their
+    follow-up purchase, or NULL once the watermark proves no purchase
+    can still arrive. The outer side emits only after (event-time -
+    watermark) passes the join window — correctness depends on both
+    watermarks plus the time-range condition, which also bound state.
+    """
+    left = (
+        read_event_stream(spark, events_dir)
+        .filter(F.col("event_type") == left_type)
+        .withWatermark("ts", watermark)
+        .alias("l")
+    )
+    right = (
+        read_event_stream(spark, events_dir)
+        .filter(F.col("event_type") == right_type)
+        .withWatermark("ts", watermark)
+        .alias("r")
+    )
+    return left.join(
+        right,
+        F.expr(
+            f"l.user_id = r.user_id AND r.ts >= l.ts "
+            f"AND r.ts <= l.ts + INTERVAL {within}"
+        ),
+        "left_outer",
+    ).select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("l.user_id").alias("user_id"),
+    )
