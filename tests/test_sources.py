@@ -155,3 +155,48 @@ def test_curated_csv_roundtrip(spark, tmp_path):
         [tuple(r) for r in df.collect()], key=lambda t: (t[0] is None, str(t[0]))
     )
     assert got == want
+
+
+def test_compact_parquet_clusters_and_shrinks(spark, sf_dir, tmp_path):
+    """Compaction merges a fragmented zone into few files whose
+    cluster-key envelopes are disjoint — the precondition for
+    footer-stats data skipping."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from whale_sightings_spark.sources.files import compact_parquet
+
+    from whale_sightings_spark.schemas import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    frag = str(tmp_path / "fragmented")
+    # simulate many tiny incremental writes, unclustered
+    events.repartition(64).write.mode("overwrite").parquet(frag)
+    n_in = len([f for f in Path(frag).rglob("*.parquet")])
+    assert n_in >= 64
+
+    out = str(tmp_path / "compacted")
+    n_out = compact_parquet(spark, frag, out, ["ts"], target_file_mb=1)
+    assert n_out < n_in
+
+    # per-file ts envelopes from the parquet footers: sorted by min,
+    # each file's max must not overlap the next file's min
+    envelopes = []
+    for f in sorted(Path(out).rglob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == "ts" and col.statistics is not None:
+                    mins.append(col.statistics.min)
+                    maxs.append(col.statistics.max)
+        if mins:
+            envelopes.append((min(mins), max(maxs)))
+    assert len(envelopes) == n_out
+    envelopes.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(envelopes, envelopes[1:]):
+        assert hi1 <= lo2, "file envelopes overlap - clustering broken"
+
+    # row fidelity
+    assert spark.read.parquet(out).count() == events.count()

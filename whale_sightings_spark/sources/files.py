@@ -13,6 +13,7 @@ pruning does it for free.
 from __future__ import annotations
 
 import re
+from collections.abc import Sequence
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -132,3 +133,43 @@ def read_error_json(spark: SparkSession, path: str) -> DataFrame:
     """Re-entry point for the error export — schema inferred from the
     nested data/details objects."""
     return spark.read.json(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_dir: str,
+    cluster_by: Sequence[str],
+    target_file_mb: int = 128,
+) -> int:
+    """Small-file compaction with range clustering — the maintenance
+    pass a curated zone needs after many incremental writes.
+
+    Rewrites ``in_path`` as ``ceil(input_bytes / target_file_mb)``
+    parquet files, range-partitioned AND sorted within partitions on
+    ``cluster_by``. The sort gives every output file a tight, nearly
+    disjoint min/max envelope on the cluster keys, so parquet
+    footer stats let later scans skip whole files/row groups for
+    selective predicates on those keys (the poor man's Z-order; for a
+    single clustering dimension it IS optimal clustering). Returns the
+    output file count.
+
+    Scale shape: one range shuffle (sampled boundaries, so skew in the
+    cluster key spreads evenly); no driver-side data movement. At
+    100 TB run it per partition-directory (e.g. per day), not globally.
+    """
+    df = spark.read.parquet(in_path)
+    input_bytes = sum(
+        f.stat().st_size
+        for f in Path(in_path).rglob("*.parquet")
+        if f.is_file()
+    ) or 1
+    n_files = max(1, -(-input_bytes // (target_file_mb * 1024 * 1024)))
+    cols = [F.col(c) for c in cluster_by]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return len([f for f in Path(out_dir).rglob("*.parquet") if f.is_file()])
