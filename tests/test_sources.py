@@ -200,3 +200,63 @@ def test_compact_parquet_clusters_and_shrinks(spark, sf_dir, tmp_path):
 
     # row fidelity
     assert spark.read.parquet(out).count() == events.count()
+
+
+def test_zorder_compaction_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order layout: after compacting on the Morton key of
+    (user_id, ts), per-file envelopes are narrow on BOTH dimensions,
+    whereas 1-D ts clustering leaves user_id envelopes at full width."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from whale_sightings_spark.operators.zorder import with_zorder_key
+    from whale_sightings_spark.schemas import load_table
+    from whale_sightings_spark.sources.files import compact_parquet
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    zkeyed = with_zorder_key(events, ["user_id", "ts_s"])
+    frag = str(tmp_path / "zfrag")
+    zkeyed.repartition(16).write.mode("overwrite").parquet(frag)
+    out = str(tmp_path / "zorder")
+    n_out = compact_parquet(spark, frag, out, ["z_key"], n_files=8)
+    assert n_out >= 4, "need several files for envelope statistics"
+
+    def envelopes(path, col):
+        envs = []
+        for f in sorted(Path(path).rglob("*.parquet")):
+            md = pq.ParquetFile(str(f)).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    cc = md.row_group(rg).column(ci)
+                    if cc.path_in_schema == col and cc.statistics is not None:
+                        mins.append(cc.statistics.min)
+                        maxs.append(cc.statistics.max)
+            if mins:
+                envs.append((min(mins), max(maxs)))
+        return envs
+
+    stats = events.agg(
+        F.min("user_id"), F.max("user_id"), F.min("ts_s"), F.max("ts_s")
+    ).collect()[0]
+    u_range = stats[1] - stats[0]
+    t_range = stats[3] - stats[2]
+
+    def mean_width(envs, full):
+        return sum(hi - lo for lo, hi in envs) / len(envs) / full
+
+    u_frac = mean_width(envelopes(out, "user_id"), u_range)
+    t_frac = mean_width(envelopes(out, "ts_s"), t_range)
+    # both dimensions must be materially narrower than the full range;
+    # perfect 1-D sorting would give ~1/n_files on one dim and ~1.0 on
+    # the other — z-order trades a bit of each for locality on both
+    assert u_frac < 0.7, f"user_id envelopes too wide: {u_frac:.2f}"
+    assert t_frac < 0.7, f"ts envelopes too wide: {t_frac:.2f}"
+
+    # row fidelity
+    assert spark.read.parquet(out).count() == events.count()

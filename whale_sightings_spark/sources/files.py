@@ -141,6 +141,7 @@ def compact_parquet(
     out_dir: str,
     cluster_by: Sequence[str],
     target_file_mb: int = 128,
+    n_files: int | None = None,
 ) -> int:
     """Small-file compaction with range clustering — the maintenance
     pass a curated zone needs after many incremental writes.
@@ -159,12 +160,13 @@ def compact_parquet(
     100 TB run it per partition-directory (e.g. per day), not globally.
     """
     df = spark.read.parquet(in_path)
-    input_bytes = sum(
-        f.stat().st_size
-        for f in Path(in_path).rglob("*.parquet")
-        if f.is_file()
-    ) or 1
-    n_files = max(1, -(-input_bytes // (target_file_mb * 1024 * 1024)))
+    if n_files is None:
+        input_bytes = sum(
+            f.stat().st_size
+            for f in Path(in_path).rglob("*.parquet")
+            if f.is_file()
+        ) or 1
+        n_files = max(1, -(-input_bytes // (target_file_mb * 1024 * 1024)))
     cols = [F.col(c) for c in cluster_by]
     (
         df.repartitionByRange(n_files, *cols)
