@@ -184,28 +184,31 @@ def q67_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = cust.join(updates, "c_custkey", "left")
     changed = F.col("new_bal").isNotNull()
-    closed = joined.filter(changed).select(
-        F.col("c_custkey").alias("custkey"),
-        F.round("c_acctbal", 2).alias("balance"),
-        F.lit(_SCD_EPOCH).alias("valid_from"),
-        F.lit(_SCD_NOW).alias("valid_to"),
-        F.lit(False).alias("is_current"),
+
+    def version(balance, valid_from, valid_to, is_current):
+        return F.struct(
+            balance.alias("balance"),
+            valid_from.alias("valid_from"),
+            valid_to.alias("valid_to"),
+            is_current.alias("is_current"),
+        )
+
+    null_s = F.lit(None).cast("string")
+    # one pass: each joined row expands row-locally to its version rows
+    # (changed -> closed old + open new; unchanged -> passthrough),
+    # instead of scanning the join three times for a 3-way union
+    versions = F.when(
+        changed,
+        F.array(
+            version(F.round("c_acctbal", 2), F.lit(_SCD_EPOCH), F.lit(_SCD_NOW), F.lit(False)),
+            version(F.col("new_bal"), F.lit(_SCD_NOW), null_s, F.lit(True)),
+        ),
+    ).otherwise(
+        F.array(version(F.round("c_acctbal", 2), F.lit(_SCD_EPOCH), null_s, F.lit(True)))
     )
-    fresh = joined.filter(changed).select(
-        F.col("c_custkey").alias("custkey"),
-        F.col("new_bal").alias("balance"),
-        F.lit(_SCD_NOW).alias("valid_from"),
-        F.lit(None).cast("string").alias("valid_to"),
-        F.lit(True).alias("is_current"),
-    )
-    unchanged = joined.filter(~changed).select(
-        F.col("c_custkey").alias("custkey"),
-        F.round("c_acctbal", 2).alias("balance"),
-        F.lit(_SCD_EPOCH).alias("valid_from"),
-        F.lit(None).cast("string").alias("valid_to"),
-        F.lit(True).alias("is_current"),
-    )
-    return closed.unionByName(fresh).unionByName(unchanged)
+    return joined.select(
+        F.col("c_custkey").alias("custkey"), F.explode(versions).alias("v")
+    ).select("custkey", "v.balance", "v.valid_from", "v.valid_to", "v.is_current")
 
 
 # ---------------------------------------------------------------------------
