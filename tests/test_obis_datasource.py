@@ -107,3 +107,37 @@ def test_push_filters_absorbs_bounds():
     assert reader.startdate == "1995-01-01"
     # unsupported predicates returned to Spark
     assert len(leftover) == 2
+
+
+def test_streaming_source_replays_planned_batches(spark, tmp_path):
+    """spark.readStream.format('obis'): each planned year batch is one
+    micro-batch; the streamed union equals the batch read."""
+    _write_fixture(tmp_path)
+    spark.dataSource.register(ObisDataSource)
+    opts = {"fixture_dir": str(tmp_path), "size": "6"}
+
+    stream = (
+        spark.readStream.format("obis").options(**opts).load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("obis_stream_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    try:
+        got = {
+            r["occurrenceID"]
+            for r in spark.sql("SELECT occurrenceID FROM obis_stream_out").collect()
+        }
+        n_batches = spark.sql(
+            "SELECT count(DISTINCT occurrenceID) FROM obis_stream_out"
+        ).collect()[0][0]
+    finally:
+        q.stop()
+
+    batch = spark.read.format("obis").options(**opts).load()
+    want = {r["occurrenceID"] for r in batch.select("occurrenceID").collect()}
+    assert got == want
+    assert n_batches == 18

@@ -31,6 +31,7 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     InputPartition,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -188,3 +189,71 @@ class ObisDataSource(DataSource):
 
     def reader(self, schema: StructType) -> ObisReader:
         return ObisReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> "ObisStreamReader":
+        return ObisStreamReader(schema, self.options)
+
+
+class ObisStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the OBIS source: continuous ingestion of
+    occurrence records where each greedily-planned year-range batch
+    becomes one micro-batch (``spark.readStream.format("obis")``).
+
+    Offsets are the index into the planned batch list, so a restart
+    from a checkpoint replays exactly the uncommitted batches —
+    the planner is deterministic for a given statistics response,
+    which is what makes the offset meaningful. When the plan is
+    exhausted the reader reports no new data (same offset back);
+    against the live API a fresh statistics scan could extend the
+    plan as new years accrue — the offset contract is unchanged.
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.options = dict(options)
+        self.scientificname = self.options.get("scientificname", "")
+        self.startdate = self.options.get("startdate") or None
+        self.enddate = self.options.get("enddate") or None
+        self.size = int(self.options.get("size", DEFAULT_PAGE_SIZE))
+        client = _make_client(self.options)
+        stats = client.get(
+            "/statistics/years",
+            {
+                "scientificname": self.scientificname,
+                "startdate": self.startdate,
+                "enddate": self.enddate,
+            },
+        )
+        batches, _, _ = plan_batches(stats, self.startdate, self.enddate, self.size)
+        self.batches = [(b.start, b.end) for b in batches]
+
+    def initialOffset(self) -> dict:
+        return {"batch": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        idx = int(start.get("batch", 0))
+        if idx >= len(self.batches):
+            return iter(()), dict(start)
+        b_start, b_end = self.batches[idx]
+        client = _make_client(self.options)
+        lo, hi = pad_date_format(b_start, b_end)
+        payload = client.get(
+            "/occurrence",
+            {
+                "scientificname": self.scientificname,
+                "startdate": lo,
+                "enddate": hi,
+                "size": self.size,
+            },
+        )
+        rows = [
+            tuple(
+                None if rec.get(name) is None else str(rec.get(name))
+                for name in _FIELDS
+            )
+            for rec in payload.get("results", [])
+        ]
+        return iter(rows), {"batch": idx + 1}
+
+    def commit(self, end: dict) -> None:
+        # nothing external to acknowledge: batches are immutable ranges
+        pass
