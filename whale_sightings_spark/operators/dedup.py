@@ -275,7 +275,20 @@ def dedup_components(pairs: DataFrame, iterations: int = COMPONENT_ITERATIONS) -
     ("k-hop min label") keeps the plan static and the oracle equivalent.
     Returns (doc_id, label).
     """
-    directed = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    from pyspark import StorageLevel
+
+    # the pair generator upstream (LSH banding + verification) is the
+    # expensive lineage here, and `directed` fans out into FIVE scans
+    # below (both edge directions, twice inside the node-distinct, the
+    # self-loop branch). Without this persist the union's branches each
+    # re-run the whole generator inside the one materialization job —
+    # observed as a ~5x cold-start multiplier. The pair set itself is
+    # corpus-scale-independent (candidates only), so caching it is cheap
+    # at any SF.
+    directed = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = (
         directed.select(F.col("src").alias("v"))
         .unionByName(directed.select(F.col("dst").alias("v")))
@@ -292,14 +305,11 @@ def dedup_components(pairs: DataFrame, iterations: int = COMPONENT_ITERATIONS) -
         .unionByName(nodes.select(F.col("v").alias("src"), F.col("v").alias("dst")))
     )
     # iterative working set: without persist every round re-derives the
-    # whole pair-generation lineage (signatures, banding, verification)
-    # — standard practice for iterative graph algorithms on Spark. The
-    # edge set is candidate pairs only, far smaller than the corpus.
-    # Hash-partitioning on dst BEFORE persist means the cached scan
-    # reports that outputPartitioning, so every round's join reshuffles
-    # only the (small) labels side, never the edges.
-    from pyspark import StorageLevel
-
+    # edge union — standard practice for iterative graph algorithms on
+    # Spark. The edge set is candidate pairs only, far smaller than the
+    # corpus. Hash-partitioning on dst BEFORE persist means the cached
+    # scan reports that outputPartitioning, so every round's join
+    # reshuffles only the (small) labels side, never the edges.
     edges = edges.repartition("dst").persist(StorageLevel.MEMORY_AND_DISK)
     labels = nodes.select(
         F.col("v").alias("doc_id"), F.col("v").alias("label")

@@ -82,22 +82,32 @@ def _ray_cast(lon: np.ndarray, lat: np.ndarray, ring: np.ndarray) -> np.ndarray:
 
 def spatial_join_water_body(
     df: DataFrame,
-    oceans: DataFrame,
+    oceans: DataFrame | list[tuple[str, np.ndarray]],
     lon_col: str = "decimalLongitude",
     lat_col: str = "decimalLatitude",
 ) -> DataFrame:
     """Left point-in-polygon join; **overwrites** ``waterBody`` with the
     matched ocean name (NULL when no polygon matches) — even when the
-    source supplied one (§1.4 parity trap, cleaner.py:209-211)."""
+    source supplied one (§1.4 parity trap, cleaner.py:209-211).
+
+    ``oceans`` is either the S10 polygon dim DataFrame or a driver-side
+    ``[(name, ring ndarray)]`` list. The polygon table is tiny (GOaS has
+    9 rings, a few KB), so it rides to executors inside the serialized
+    task closure — no ``sc.broadcast`` file round trip per Python
+    worker, and callers holding literal polygons skip the
+    createDataFrame→collect bounce entirely. A dim too big for a
+    closure is past the broadcast-join threshold anyway and belongs in
+    a real join, not this operator."""
     from whale_sightings_spark.deploy import ship_package
 
     ship_package(df.sparkSession)
-    polys = [
-        (r["name"], np.array([(p["lon"], p["lat"]) for p in r["ring"]], dtype="float64"))
-        for r in oceans.collect()
-    ]
-    sc = df.sparkSession.sparkContext
-    bc = sc.broadcast(polys)
+    if isinstance(oceans, DataFrame):
+        polys = [
+            (r["name"], np.array([(p["lon"], p["lat"]) for p in r["ring"]], dtype="float64"))
+            for r in oceans.collect()
+        ]
+    else:
+        polys = [(name, np.asarray(ring, dtype="float64")) for name, ring in oceans]
     use_shapely = _HAVE_SHAPELY
     ray_cast = _ray_cast  # bind by value into the closure
 
@@ -107,7 +117,7 @@ def spatial_join_water_body(
         lat_v = lat.to_numpy(dtype="float64", na_value=np.nan)
         out = np.full(len(lon_v), None, dtype=object)
         unassigned = ~(np.isnan(lon_v) | np.isnan(lat_v))
-        for name, ring in bc.value:
+        for name, ring in polys:
             if not unassigned.any():
                 break
             if use_shapely:

@@ -403,7 +403,7 @@ _SPATIAL_CASE = "CASE " + " ".join(
 )
 def q28_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whale_sightings_spark.operators.spatial import (
-        oceans_from_wkt,
+        parse_wkt_polygon,
         spatial_join_water_body,
     )
 
@@ -412,10 +412,13 @@ def q28_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"POLYGON (({x1} {y1}, {x2} {y1}, {x2} {y2}, {x1} {y2}, {x1} {y1}))"
         )
 
-    oceans = oceans_from_wkt(
-        spark,
-        [(nm, rect_wkt(x1, y1, x2, y2)) for nm, x1, y1, x2, y2 in _SPATIAL_RECTS],
-    )
+    # literal rectangles: hand the driver-side rings straight to the
+    # operator (the S10 DataFrame form is exercised by the pipeline
+    # tests) — skips a createDataFrame -> collect bounce per call
+    oceans = [
+        (nm, parse_wkt_polygon(rect_wkt(x1, y1, x2, y2)))
+        for nm, x1, y1, x2, y2 in _SPATIAL_RECTS
+    ]
     customer = load_table(spark, sf_dir, "customer")
     pts = customer.select(
         F.col("c_custkey").alias("id"),
