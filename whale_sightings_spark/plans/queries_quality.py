@@ -1,0 +1,181 @@
+"""Registered queries: corpus-quality statistics and dataset splitting
+(q88-q90).
+
+Three operations a training-data pipeline runs between curation and
+export:
+
+- **token entropy** (q88): Shannon entropy of each document's token
+  distribution — the standard lexical-diversity / degenerate-text
+  signal (low entropy = repetitive or boilerplate text). Computed as
+  the distributed two-stage shape: explode -> per-(doc, token) count ->
+  per-doc fold. Both shuffles key on doc_id, so the operator is one
+  hash family end-to-end and AQE coalesces the tiny tail.
+- **winsorized statistics** (q89): robust per-group moments after
+  clipping to the group's [p05, p95]. The exact-percentile boundary
+  table is group-cardinality-sized, so it broadcasts back onto the
+  fact side; the fact table is scanned twice but never shuffled beyond
+  the two keyed aggregations. (percentile() with linear interpolation
+  == DuckDB quantile_cont, the q39 parity contract.)
+- **train/val/test split assignment** (q90): the deterministic
+  80/10/10 bucket split every dataset export needs. The decision is a
+  pure function of the key (hash60 % 100), so retries, reruns, and
+  both oracle engines assign identical rows — the same property the
+  q49 sampler relies on. Pure map + one aggregation; no state, no
+  sampling seed to lose.
+
+No reference counterpart (the reference stops at per-row validation);
+net-new scale surface like operators/curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whale_sightings_spark.functions import text as TX
+from whale_sightings_spark.functions.hashing import hash60, hash60_sql
+from whale_sightings_spark.plans.queries import register
+from whale_sightings_spark.schemas import load_table
+
+# ---------------------------------------------------------------------------
+# q88 — per-document token entropy + type-token ratio.
+# entropy = ln(N) - sum(c * ln(c)) / N over per-token counts c.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q88_token_entropy",
+    f"""
+    WITH tf AS (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (
+            SELECT doc_id, unnest({TX.tokens_sql('text')}) AS tok
+            FROM documents
+        )
+        WHERE tok <> ''
+        GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
+           round(count(*) * 1.0 / sum(c), 6) AS ttr
+    FROM tf
+    GROUP BY doc_id
+    """,
+)
+def q88_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c")
+    return tf.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.round(F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6).alias("entropy"),
+        F.round(F.count("*") / n, 6).alias("ttr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q89 — winsorized per-group statistics over orders: exact [p05, p95]
+# boundaries, broadcast back, clip, re-aggregate.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q89_winsorized_stats",
+    """
+    WITH o AS (
+        SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders
+    ),
+    b AS (
+        SELECT o_orderpriority,
+               quantile_cont(price, 0.05) AS lo,
+               quantile_cont(price, 0.95) AS hi
+        FROM o
+        GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(least(greatest(price, lo), hi)), 2) AS wins_mean,
+           round(stddev_samp(least(greatest(price, lo), hi)), 2) AS wins_sd,
+           round(avg(price), 2) AS raw_mean,
+           round(min(lo), 2) AS p05,
+           round(min(hi), 2) AS p95
+    FROM o JOIN b USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q89_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("price")
+    )
+    bounds = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(price, 0.05D)").alias("lo"),
+        F.expr("percentile(price, 0.95D)").alias("hi"),
+    )
+    joined = o.join(F.broadcast(bounds), "o_orderpriority")
+    clipped = F.least(F.greatest(F.col("price"), F.col("lo")), F.col("hi"))
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(clipped), 2).alias("wins_mean"),
+        F.round(F.stddev_samp(clipped), 2).alias("wins_sd"),
+        F.round(F.avg("price"), 2).alias("raw_mean"),
+        F.round(F.min("lo"), 2).alias("p05"),
+        F.round(F.min("hi"), 2).alias("p95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q90 — deterministic train/val/test split: hash60(key) % 100 into
+# 80/10/10, audited per (lang, split).
+# ---------------------------------------------------------------------------
+
+#: bucket boundaries: [0, TRAIN) train, [TRAIN, VAL) val, rest test
+SPLIT_TRAIN_UPTO = 80
+SPLIT_VAL_UPTO = 90
+
+_SPLIT_KEY_SQL = hash60_sql("CAST(doc_id AS VARCHAR) || ':split'")
+
+
+@register(
+    "q90_split_assign",
+    f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               CASE WHEN ({_SPLIT_KEY_SQL}) % 100 < {SPLIT_TRAIN_UPTO} THEN 'train'
+                    WHEN ({_SPLIT_KEY_SQL}) % 100 < {SPLIT_VAL_UPTO} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT lang, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id
+    FROM s
+    GROUP BY lang, split
+    """,
+)
+def q90_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":split"))
+    ) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_UPTO, "train")
+        .when(bucket < SPLIT_VAL_UPTO, "val")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", "lang", split.alias("split")).groupBy(
+        "lang", "split"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
