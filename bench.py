@@ -9,6 +9,7 @@ planning.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -59,6 +60,12 @@ def main() -> None:
         # memory doesn't accumulate across 70+ queries and bleed GC time
         # into unrelated timings
         spark.catalog.clearCache()
+        # py4j proxies pin the JVM-side plan trees of every DataFrame
+        # built so far; without an explicit collect the ~180 dead plans
+        # of a full run age into the JVM old gen and later queries pay
+        # the GC bill (observed as minutes-late queries running 3-5x
+        # their isolated time)
+        gc.collect()
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     payload = {

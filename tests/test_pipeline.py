@@ -261,3 +261,37 @@ def test_dedup_is_deterministic_across_runs(result):
     c1 = sorted(r["occurrenceID"] for r in result.cleaned.collect())
     c2 = sorted(r["occurrenceID"] for r in dedup_keep_first(result.cleaned).collect())
     assert c1 == c2
+
+
+def test_spatial_join_accepts_driver_side_polygons(spark):
+    """The list form (name, ring) must assign identically to the S10
+    DataFrame form — q28 hands literal rings straight to the operator."""
+    import numpy as np
+
+    from whale_sightings_spark.operators.spatial import (
+        parse_wkt_polygon,
+        spatial_join_water_body,
+    )
+
+    wkt = [
+        ("West Box", "POLYGON ((-10 -10, 0 -10, 0 10, -10 10, -10 -10))"),
+        ("East Box", "POLYGON ((0 -10, 10 -10, 10 10, 0 10, 0 -10))"),
+    ]
+    pts = spark.createDataFrame(
+        [(1, -5.0, 0.0), (2, 5.0, 0.0), (3, 55.0, 55.0), (4, None, 3.0)],
+        "id int, lon double, lat double",
+    )
+    from_df = spatial_join_water_body(
+        pts, oceans_from_wkt(spark, wkt), lon_col="lon", lat_col="lat"
+    )
+    from_list = spatial_join_water_body(
+        pts,
+        [(name, np.array(parse_wkt_polygon(w))) for name, w in wkt],
+        lon_col="lon",
+        lat_col="lat",
+    )
+    expect = {1: "West Box", 2: "East Box", 3: None, 4: None}
+    got_df = {r["id"]: r["waterBody"] for r in from_df.collect()}
+    got_list = {r["id"]: r["waterBody"] for r in from_list.collect()}
+    assert got_df == expect
+    assert got_list == expect

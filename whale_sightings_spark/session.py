@@ -49,6 +49,10 @@ def get_spark(
         # concurrent tasks shuffling sf0.1 in 16g spends visible time in
         # GC (observed as multi-second per-query jitter), 48g doesn't
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # long sessions run hundreds of plans: reclaim shuffle files,
+        # broadcasts, and accumulators continuously instead of at the
+        # 30-min default, so late queries aren't billed for early ones
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     if master:
         builder = builder.master(master)
