@@ -536,6 +536,7 @@ def _load_extra_registries() -> None:
     import whale_sightings_spark.plans.queries_behavior  # noqa: F401
     import whale_sightings_spark.plans.queries_curation  # noqa: F401
     import whale_sightings_spark.plans.queries_datetime  # noqa: F401
+    import whale_sightings_spark.plans.queries_geo  # noqa: F401
     import whale_sightings_spark.plans.queries_llm  # noqa: F401
     import whale_sightings_spark.plans.queries_olap2  # noqa: F401
     import whale_sightings_spark.plans.queries_quality  # noqa: F401
