@@ -1,7 +1,7 @@
 """Registered queries: corpus-quality statistics and dataset splitting
-(q88-q90).
+(q88-q90, q93).
 
-Three operations a training-data pipeline runs between curation and
+Operations a training-data pipeline runs between curation and
 export:
 
 - **token entropy** (q88): Shannon entropy of each document's token
@@ -178,4 +178,67 @@ def q90_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("sum_ids"),
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q93 — MAD-based outlier screen: per-group median and median absolute
+# deviation (both exact percentile_cont parity), flag |x - med| >
+# 3 * MAD. The robust complement to q89's winsorization: two
+# group-cardinality-sized aggregate tables broadcast back onto the fact
+# side, which is scanned three times but never shuffled beyond the
+# keyed aggregations. MAD==0 groups (constant-valued) flag nothing —
+# the `> 0` guard is part of the contract in both engines.
+# ---------------------------------------------------------------------------
+
+MAD_K = 3.0
+
+
+@register(
+    "q93_mad_outliers",
+    f"""
+    WITH o AS (
+        SELECT o_orderpriority AS grp, CAST(o_totalprice AS DOUBLE) AS x
+        FROM orders
+    ),
+    med AS (
+        SELECT grp, quantile_cont(x, 0.5) AS med FROM o GROUP BY grp
+    ),
+    mad AS (
+        SELECT o.grp, quantile_cont(abs(x - med), 0.5) AS mad
+        FROM o JOIN med USING (grp)
+        GROUP BY o.grp
+    )
+    SELECT o.grp AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(med), 2) AS med,
+           round(min(mad), 2) AS mad,
+           CAST(sum(CASE WHEN mad > 0 AND abs(x - med) > {MAD_K} * mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           coalesce(min(CASE WHEN mad > 0 AND abs(x - med) > {MAD_K} * mad
+                             THEN x END), 0.0) AS min_outlier
+    FROM o JOIN med USING (grp) JOIN mad USING (grp)
+    GROUP BY o.grp
+    """,
+)
+def q93_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").cast("double").alias("x"),
+    )
+    med = o.groupBy("grp").agg(F.expr("percentile(x, 0.5D)").alias("med"))
+    with_med = o.join(F.broadcast(med), "grp")
+    mad = with_med.groupBy("grp").agg(
+        F.expr("percentile(abs(x - med), 0.5D)").alias("mad")
+    )
+    joined = with_med.join(F.broadcast(mad), "grp")
+    is_out = (F.col("mad") > 0) & (
+        F.abs(F.col("x") - F.col("med")) > MAD_K * F.col("mad")
+    )
+    return joined.groupBy(F.col("grp").alias("priority")).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("med"), 2).alias("med"),
+        F.round(F.min("mad"), 2).alias("mad"),
+        F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+        F.coalesce(F.min(F.when(is_out, F.col("x"))), F.lit(0.0)).alias("min_outlier"),
     )
