@@ -72,14 +72,19 @@ def main() -> None:
         "metric": "total_query_wall_seconds",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "steady_value": round(sum(steady.values()), 4),
-        "steady_queries": steady,
     }
     if errors:
         payload["errors"] = errors
-    print(json.dumps(payload))
+    # per-query steady timings are useful locally but would push the
+    # stdout JSON line past tail-capture limits at ~100 queries; keep
+    # the printed line compact and park the full detail in a side file
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_detail.json"), "w") as f:
+        json.dump({**payload, "steady_queries": steady, "queries": timings}, f, indent=1)
+    print(json.dumps(payload, separators=(",", ":")))
     spark.stop()
 
 
