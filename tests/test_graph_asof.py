@@ -1,0 +1,84 @@
+"""Unit tests for the convergence-mode connected components and the
+as-of join tolerance — the two semantics the oracle queries exercise
+only at their registered configurations."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from whale_sightings_spark.operators.asof import asof_join
+from whale_sightings_spark.operators.dedup import (
+    dedup_components,
+    dedup_components_converged,
+)
+
+
+def test_converged_components_unify_long_chains(spark):
+    """A 9-node path graph has diameter 8: fixed k=3 propagation MUST
+    leave it split (documented q29 contract), convergence mode MUST
+    collapse it to a single component labeled by the min node."""
+    edges = [(i, i + 1) for i in range(8)]  # path 0-1-2-...-8
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+    fixed = dedup_components(pairs, iterations=3)
+    assert fixed.select("label").distinct().count() > 1
+
+    conv = dedup_components_converged(pairs)
+    rows = {r["doc_id"]: r["label"] for r in conv.collect()}
+    assert set(rows) == set(range(9))
+    assert set(rows.values()) == {0}
+
+
+def test_converged_components_multiple_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    conv = dedup_components_converged(pairs)
+    rows = {r["doc_id"]: r["label"] for r in conv.collect()}
+    assert {rows[v] for v in (1, 2, 3)} == {1}
+    assert {rows[v] for v in (10, 11)} == {10}
+    assert {rows[v] for v in (20, 21, 22, 23)} == {20}
+
+
+def _ts(minute: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, 12, minute)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts(10)), (1, 101, _ts(50))], "k int, lid int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, 900, _ts(5))], "k int, rid int, ts timestamp"
+    )
+    # no tolerance: both left rows match the minute-5 right row
+    out = {
+        r["lid"]: r["rid_asof"]
+        for r in asof_join(
+            left, right, on="k", ts_col="ts", right_cols=["rid"]
+        ).collect()
+    }
+    assert out == {100: 900, 101: 900}
+    # 30-minute tolerance: the minute-50 row's only candidate is 45
+    # minutes stale -> NULL; the minute-10 row's match (5 min) survives
+    out_tol = {
+        r["lid"]: r["rid_asof"]
+        for r in asof_join(
+            left, right, on="k", ts_col="ts", right_cols=["rid"],
+            tolerance="30 minutes",
+        ).collect()
+    }
+    assert out_tol == {100: 900, 101: None}
+
+
+def test_asof_tolerance_boundary_is_inclusive(spark):
+    left = spark.createDataFrame([(1, 1, _ts(30))], "k int, lid int, ts timestamp")
+    right = spark.createDataFrame([(1, 7, _ts(0))], "k int, rid int, ts timestamp")
+    out = asof_join(
+        left, right, on="k", ts_col="ts", right_cols=["rid"],
+        tolerance="30 minutes",
+    ).collect()
+    assert out[0]["rid_asof"] == 7

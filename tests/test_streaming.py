@@ -293,3 +293,42 @@ def test_streaming_left_outer_interval_join(spark, sf_dir, events_dir):
     assert got_matched <= want_matched
     assert got_unmatched, "outer side should emit for settled unmatched clicks"
     assert not (got_unmatched & matched_clicks)
+
+
+def test_streaming_incremental_dedup_state_and_replay(spark, sf_dir, tmp_path_factory):
+    """The foreachBatch incremental-dedup sink: (a) final state holds
+    every distinct fingerprint exactly once with a doc that actually
+    carries it; (b) a full replay from a fresh checkpoint leaves the
+    state unchanged (at-least-once delivery converges)."""
+    from whale_sightings_spark.streaming.events import streaming_incremental_dedup
+
+    base = tmp_path_factory.mktemp("inc_dedup")
+    docs_dir = str(base / "docs")
+    docs = load_table(spark, sf_dir, "documents")
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(
+        docs_dir, mode="append"
+    )
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.parquet(
+        docs_dir, mode="append"
+    )
+    state_dir = str(base / "state")
+    streaming_incremental_dedup(spark, docs_dir, state_dir, str(base / "ckpt1"))
+
+    state = spark.read.parquet(state_dir)
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.encode(F.lower(F.col("text")), "UTF-8")).alias("fingerprint"),
+    )
+    n_distinct = fp.select("fingerprint").distinct().count()
+    assert state.count() == n_distinct
+    assert state.select("fingerprint").distinct().count() == n_distinct
+    # every surviving (doc_id, fingerprint) is a real pairing
+    assert state.join(fp, ["doc_id", "fingerprint"]).count() == n_distinct
+
+    # replay the whole backlog with a FRESH checkpoint: every batch is
+    # re-delivered; the anti-join must keep the state fixed
+    before = sorted(tuple(r) for r in state.collect())
+    streaming_incremental_dedup(spark, docs_dir, state_dir, str(base / "ckpt2"))
+    after = sorted(tuple(r) for r in spark.read.parquet(state_dir).collect())
+    assert before == after

@@ -24,6 +24,7 @@ def asof_join(
     ts_col: str,
     right_cols: list[str],
     suffix: str = "_asof",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Left as-of join: each left row gains the ``right_cols`` of the
     most recent right row with ``right.ts <= left.ts`` and equal ``on``
@@ -35,22 +36,30 @@ def asof_join(
     before left rows within a timestamp. The right payload is carried
     as ONE struct so a null payload *value* can never splice fields
     from different right rows.
+
+    ``tolerance`` (an SQL interval string, e.g. ``"30 minutes"``)
+    bounds how stale a match may be: a carried right row older than
+    ``left.ts - tolerance`` is discarded (payload columns become NULL),
+    the pandas ``merge_asof(tolerance=...)`` / kdb ``wj`` semantics.
+    Implemented as a row-local predicate on the carried match's
+    timestamp — the plan keeps its ONE shuffle.
     """
     lcols = left.columns
+    payload_fields = [
+        f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in right_cols
+    ] + [f"`__rts`:{right.schema[ts_col].dataType.simpleString()}"]
 
     l = left.withColumn("__side", F.lit(1)).withColumn(
         "__payload",
-        F.lit(None).cast(
-            "struct<" + ", ".join(
-                f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in right_cols
-            ) + ">"
-        ),
+        F.lit(None).cast("struct<" + ", ".join(payload_fields) + ">"),
     )
     r = right.select(
         F.col(on),
         F.col(ts_col),
         F.lit(0).alias("__side"),
-        F.struct(*[F.col(c) for c in right_cols]).alias("__payload"),
+        F.struct(
+            *[F.col(c) for c in right_cols], F.col(ts_col).alias("__rts")
+        ).alias("__payload"),
     )
     for c in lcols:
         if c not in (on, ts_col):
@@ -67,6 +76,15 @@ def asof_join(
         "__side",
         F.last("__payload", ignorenulls=True).over(w).alias("__payload"),
     )
+    if tolerance is not None:
+        carried = carried.withColumn(
+            "__payload",
+            F.when(
+                F.col(f"__payload.__rts")
+                >= F.col(ts_col) - F.expr(f"INTERVAL {tolerance}"),
+                F.col("__payload"),
+            ),
+        )
     return carried.filter(F.col("__side") == 1).select(
         *lcols,
         *[F.col(f"__payload.{c}").alias(f"{c}{suffix}") for c in right_cols],

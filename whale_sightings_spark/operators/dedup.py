@@ -322,3 +322,63 @@ def dedup_components(pairs: DataFrame, iterations: int = COMPONENT_ITERATIONS) -
             .select(F.col("src").alias("doc_id"), "label")
         )
     return labels
+
+
+def dedup_components_converged(
+    pairs: DataFrame, max_rounds: int = 50
+) -> DataFrame:
+    """Min-label propagation run to FIXPOINT — true connected
+    components, the convergence-mode sibling of :func:`dedup_components`
+    (whose fixed k is a deliberate contract: components of diameter > k
+    stay split).
+
+    Same per-round shape (one join + one min-agg over the persisted,
+    dst-partitioned edge set); the loop adds a driver-side convergence
+    check — after each round ONE scalar aggregate counts changed labels
+    and the loop exits at zero. That count is a bounded driver scalar
+    (same class as the clean.py bounds probes), not a row collect.
+    ``localCheckpoint`` truncates lineage each round so round N's plan
+    never embeds rounds 1..N-1 — the standard Spark iterative-graph
+    pattern (GraphFrames' connected components does the same
+    checkpoint-per-round). Rounds needed = graph diameter, each costing
+    one edge-set join; ``max_rounds`` is the runaway backstop.
+    Returns (doc_id, label) with label = min doc_id of the component.
+    """
+    from pyspark import StorageLevel
+
+    directed = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        directed.select(F.col("src").alias("v"))
+        .unionByName(directed.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    edges = (
+        directed.unionByName(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .unionByName(nodes.select(F.col("v").alias("src"), F.col("v").alias("dst")))
+    )
+    edges = edges.repartition("dst").persist(StorageLevel.MEMORY_AND_DISK)
+    labels = nodes.select(
+        F.col("v").alias("doc_id"), F.col("v").alias("label")
+    ).localCheckpoint()
+    for _ in range(max_rounds):
+        new_labels = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("src").alias("doc_id"), "label")
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

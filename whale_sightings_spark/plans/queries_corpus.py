@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from whale_sightings_spark.functions.hashing import hash60, hash60_sql
 from whale_sightings_spark.functions import text as TX
+from whale_sightings_spark.operators import dedup as DD
 from whale_sightings_spark.operators.similarity import cosine, cosine_sql
 from whale_sightings_spark.plans.queries import register
 from whale_sightings_spark.schemas import load_table
@@ -368,4 +369,169 @@ def q99_stratified_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= _STRATA_K)
         .select("lang", "rank", "doc_id", "hkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q100 — connected components run to CONVERGENCE: the fixpoint sibling
+# of q29's fixed-k contract (k-hop leaves diameter > k components
+# split). Driver-side loop with an early stop: each round is the same
+# one-join+one-min-agg over the persisted edge set, plus a scalar
+# changed-label count; localCheckpoint truncates lineage per round
+# (operators/dedup.dedup_components_converged). The oracle is DuckDB's
+# WITH RECURSIVE transitive closure — true components, no round count
+# in the contract at all.
+# ---------------------------------------------------------------------------
+
+def _components_converged_sql(pairs_sql: str) -> str:
+    body = pairs_sql.strip()
+    assert body.upper().startswith("WITH")
+    head, final = body[4:].rsplit("SELECT", 1)
+    return f"""
+    WITH RECURSIVE {head}, pairs AS (SELECT {final}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(v, l) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, r.l FROM edges e JOIN reach r ON r.v = e.dst
+    ),
+    labels AS (SELECT v AS doc_id, min(l) AS label FROM reach GROUP BY v)
+    SELECT label AS component, count(*) AS n_docs, min(doc_id) AS rep
+    FROM labels
+    GROUP BY 1
+    """
+
+
+def _simhash_pairs_sql() -> str:
+    from whale_sightings_spark.plans.queries_llm import _SIMHASH_PAIRS_SQL
+
+    return _SIMHASH_PAIRS_SQL
+
+
+@register(
+    "q100_components_converged",
+    _components_converged_sql(_simhash_pairs_sql()),
+)
+def q100_components_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = DD.simhash_pairs(load_table(spark, sf_dir, "documents"))
+    labels = DD.dedup_components_converged(pairs)
+    return labels.groupBy(F.col("label").alias("component")).agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("rep")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q101 — as-of join with a staleness tolerance: q35's match, but a
+# click older than 30 minutes before the purchase no longer counts
+# (pandas merge_asof(tolerance=...) semantics). The tolerance is a
+# row-local predicate on the carried match's timestamp — the plan keeps
+# the as-of union's single shuffle. Oracle: DuckDB ASOF LEFT JOIN with
+# the same staleness CASE applied after the match.
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL = "30 minutes"
+_TOL_FMT_US = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@register(
+    "q101_asof_tolerance",
+    f"""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (
+        SELECT user_id, ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ),
+    m AS (
+        SELECT p.event_id AS purchase_id, p.user_id, p.ts AS pts,
+               c.ts AS cts, c.click_id
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND c.ts <= p.ts
+    )
+    SELECT purchase_id, user_id,
+           strftime(pts, '{_TOL_FMT_US}') AS purchase_ts,
+           coalesce(CASE WHEN cts >= pts - INTERVAL '{_ASOF_TOL}'
+                         THEN click_id END, -1) AS click_id_asof,
+           coalesce(CASE WHEN cts >= pts - INTERVAL '{_ASOF_TOL}'
+                         THEN strftime(cts, '{_TOL_FMT_US}') END, '') AS click_ts_asof
+    FROM m
+    """,
+)
+def q101_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("click_ts", F.date_format("ts", fmt))
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", ts_col="ts",
+        right_cols=["click_id", "click_ts"],
+        tolerance=_ASOF_TOL,
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("purchase_ts"),
+        F.coalesce(F.col("click_id_asof"), F.lit(-1)).alias("click_id_asof"),
+        F.coalesce(F.col("click_ts_asof"), F.lit("")).alias("click_ts_asof"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q102 — deterministic WEIGHTED sampling (Efraimidis-Spirakis
+# exponential keys): each doc gets key = -ln(u)/w with u a pure hash of
+# doc_id and w = n_chars; the k smallest keys are a weighted sample
+# without replacement. No RNG state — reruns, retries, and both engines
+# draw the same sample (the q49/q99 determinism property, but
+# size-biased). Keys are rounded to 10dp before ordering so a 1-ulp
+# ln() difference between engines can't flip the order; ties break by
+# doc_id. Top-k via TakeOrdered — row-local key, no window at all.
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_K = 20
+_TWO60 = 1 << 60
+
+
+@register(
+    "q102_weighted_sample",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               round(-ln(({hash60_sql("'wsample:' || CAST(doc_id AS VARCHAR)")} + 1)
+                         / {_TWO60}.0) / n_chars, 10) AS skey
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars, round(skey, 6) AS skey
+    FROM keyed
+    ORDER BY skey, doc_id
+    LIMIT {_WSAMPLE_K}
+    """,
+)
+def q102_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        hash60(F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))) + 1
+    ) / F.lit(float(_TWO60))
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(-F.log(u) / F.col("n_chars"), 10).alias("skey"),
+    )
+    return (
+        keyed.orderBy("skey", "doc_id")
+        .limit(_WSAMPLE_K)
+        .select("doc_id", "lang", "n_chars", F.round("skey", 6).alias("skey"))
     )
