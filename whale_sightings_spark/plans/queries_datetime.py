@@ -83,3 +83,78 @@ def q87_running_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(run_max, 2).alias("run_max"),
         F.round(run_max - F.col("value"), 2).alias("drawdown"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q104 — trailing EWMA (exponentially-weighted moving average) per user:
+# the time-series smoother behind anomaly baselines and rate limiting.
+# True EWMA is a recursion windows can't express natively; the standard
+# distributed form is the TRAILING-WINDOW approximation — weights decay
+# (1-a)^k over the last 10 observations, renormalized by the closed-form
+# weight sum (1-(1-a)^L)/a, so short heads are unbiased. collect_list
+# over an ORDERED frame is deterministic (total order ts, event_id);
+# the weighted fold is a native zip_with/aggregate — no UDF. One
+# shuffle: the user_id window partition.
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+_EWMA_WINDOW = 10
+_EWMA_FMT_US = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@register(
+    "q104_ewma",
+    f"""
+    WITH e AS (
+        SELECT user_id, event_id, ts, value FROM events WHERE user_id < 50
+    ),
+    arr AS (
+        SELECT user_id, event_id, ts,
+               list(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {_EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW
+               ) AS a
+        FROM e
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '{_EWMA_FMT_US}') AS ts,
+           round(
+               list_sum(list_transform(
+                   list_zip(a, generate_series(1, len(a))),
+                   p -> p[1] * pow({1 - _EWMA_ALPHA}, len(a) - p[2])
+               )) * {_EWMA_ALPHA} / (1 - pow({1 - _EWMA_ALPHA}, len(a))),
+           6) AS ewma
+    FROM arr
+    """,
+)
+def q104_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select("user_id", "event_id", "ts", "value")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_WINDOW - 1), W.currentRow)
+    )
+    decay = F.lit(1 - _EWMA_ALPHA)
+    arr = ev.withColumn("a", F.collect_list("value").over(w))
+    num = F.aggregate(
+        F.zip_with(
+            F.col("a"),
+            F.sequence(F.lit(1), F.size("a")),
+            lambda x, i: x
+            * F.pow(decay, (F.size(F.col("a")) - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return arr.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.round(
+            num * _EWMA_ALPHA / (1 - F.pow(decay, F.size("a").cast("double"))), 6
+        ).alias("ewma"),
+    )

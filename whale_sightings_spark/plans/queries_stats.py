@@ -583,3 +583,52 @@ def q64_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / _PACK_BIN).alias("bin_id"),
         (start % _PACK_BIN).alias("offset_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q105 — Spearman rank correlation per group: the robust (monotonic,
+# outlier-insensitive) sibling of q54's Pearson corr. Ranks use the
+# standard average-rank treatment of ties, computed WITHOUT a per-value
+# subquery: fractional rank = min-rank + (tie_count - 1)/2, both from
+# windows over the same group partition (one hash family, one
+# shuffle); the final corr over the rank columns is one partial+final
+# agg. Ranks are exact halves, so both engines feed corr identical
+# inputs and 6dp rounding is stable (q54 contract).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q105_spearman",
+    """
+    WITH ranked AS (
+        SELECT l_returnflag AS flag,
+               rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+                 + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1)
+                   / 2.0 AS rq,
+               rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+                 + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1)
+                   / 2.0 AS rp
+        FROM lineitem
+    )
+    SELECT flag, count(*) AS n, round(corr(rq, rp), 6) AS spearman
+    FROM ranked
+    GROUP BY flag
+    """,
+)
+def q105_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rq = F.rank().over(
+        W.partitionBy("l_returnflag").orderBy("l_quantity")
+    ) + (
+        F.count("*").over(W.partitionBy("l_returnflag", "l_quantity")) - 1
+    ) / 2.0
+    rp = F.rank().over(
+        W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ) + (
+        F.count("*").over(W.partitionBy("l_returnflag", "l_extendedprice")) - 1
+    ) / 2.0
+    ranked = li.select(
+        F.col("l_returnflag").alias("flag"), rq.alias("rq"), rp.alias("rp")
+    )
+    return ranked.groupBy("flag").agg(
+        F.count("*").alias("n"), F.round(F.corr("rq", "rp"), 6).alias("spearman")
+    )

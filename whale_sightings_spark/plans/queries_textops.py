@@ -229,3 +229,105 @@ def q74_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_ab").desc(), "t1", "t2")
         .limit(_TOP_PAIRS)
     )
+
+
+# ---------------------------------------------------------------------------
+# q103 — BM25 full-text ranking: top-k documents for a bounded query
+# term set. The retrieval scorer behind every lexical search / RAG
+# recall stage. Plan shape: explode -> filter to the (tiny, broadcast-
+# literal) query terms BEFORE any aggregation, so the tf table is
+# bounded by |docs matching| x |terms|, never the token stream; df and
+# the N/avgdl scalars are broadcast single-digit-row aggregates; the
+# per-doc score sum is one keyed shuffle; top-k via TakeOrdered.
+# k1=1.2, b=0.75 (the standard Robertson parameters); idf is the
+# Lucene-style ln(1 + (N - df + 0.5)/(df + 0.5)) which is always
+# positive.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "vector", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOP = 15
+
+
+@register(
+    "q103_bm25_search",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({TX.tokens_sql('text')}) AS tok FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs, avg(len) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM toks
+        WHERE tok IN ('join', 'vector', 'stream')
+        GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT tok, count(*) AS df FROM tf GROUP BY tok
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(
+                   ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * ({_BM25_K1} + 1)
+                   / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                        + {_BM25_B} * dl.len / stats.avgdl))
+               ) AS score
+        FROM tf
+        JOIN df ON df.tok = tf.tok
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS score
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT {_BM25_TOP}
+    """,
+)
+def q103_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("len"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("len").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "term_score",
+            F.log(
+                1
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * F.col("tf")
+            * (_BM25_K1 + 1)
+            / (
+                F.col("tf")
+                + _BM25_K1
+                * (1 - _BM25_B + _BM25_B * F.col("len") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_BM25_TOP)
+    )
