@@ -334,14 +334,16 @@ def dedup_components_converged(
 
     Same per-round shape (one join + one min-agg over the persisted,
     dst-partitioned edge set); the loop adds a driver-side convergence
-    check — after each round ONE scalar aggregate counts changed labels
-    and the loop exits at zero. That count is a bounded driver scalar
-    (same class as the clean.py bounds probes), not a row collect.
-    ``localCheckpoint`` truncates lineage each round so round N's plan
-    never embeds rounds 1..N-1 — the standard Spark iterative-graph
-    pattern (GraphFrames' connected components does the same
-    checkpoint-per-round). Rounds needed = graph diameter, each costing
-    one edge-set join; ``max_rounds`` is the runaway backstop.
+    check exploiting monotonicity — labels only ever DECREASE under
+    min-propagation, so sum(label) is strictly decreasing until the
+    fixpoint and one scalar aggregate per round detects it (no
+    join-and-compare against the previous round). The scalar is a
+    bounded driver value (same class as the clean.py bounds probes),
+    not a row collect. ``localCheckpoint`` truncates lineage each round
+    so round N's plan never embeds rounds 1..N-1 — the standard Spark
+    iterative-graph pattern (GraphFrames' connected components does the
+    same checkpoint-per-round). Rounds needed = graph diameter, each
+    costing one edge-set join; ``max_rounds`` is the runaway backstop.
     Returns (doc_id, label) with label = min doc_id of the component.
     """
     from pyspark import StorageLevel
@@ -365,20 +367,16 @@ def dedup_components_converged(
     labels = nodes.select(
         F.col("v").alias("doc_id"), F.col("v").alias("label")
     ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_rounds):
-        new_labels = (
+        labels = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("label").alias("label"))
             .select(F.col("src").alias("doc_id"), "label")
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
