@@ -1,5 +1,5 @@
 """Registered queries: incremental / re-aggregatable corpus operations
-(q94-q99).
+and graph analytics over the near-dup pair graph (q94-q102, q106-q107).
 
 The round-3 family: operations a continuously-ingesting training-data
 pipeline runs *between* full rebuilds — merging new data against
@@ -32,6 +32,8 @@ across retries and engines.
 - **q99 stratified top-k sample**: k deterministic docs per language
   ordered by the cross-engine hash60 — reproducible eval-set carving
   (same rows on rerun, retry, or engine swap; the q49/q90 property).
+- **q100-q102, q106-q107** (below): convergence-mode components,
+  as-of tolerance, weighted sampling, PageRank, triangle census.
 
 No reference counterpart (the reference rebuilds from scratch per
 run, `whalefinder/cleaner.py` operates on full snapshots); net-new
@@ -535,3 +537,148 @@ def q102_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WSAMPLE_K)
         .select("doc_id", "lang", "n_chars", F.round("skey", 6).alias("skey"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q106 — PageRank, 3 unrolled iterations (damping 0.85) over the
+# undirected near-dup pair graph: centrality = which documents sit in
+# the middle of a duplication cluster (useful for picking cluster
+# representatives by connectivity rather than min-id). Fixed iteration
+# count keeps the plan static and the oracle expressible as chained
+# CTEs (the convergence-mode pattern would follow q100's driver loop).
+# Per iteration: one join edges⋈ranks (hash on src) + one dst-keyed
+# agg — the edge set never grows, ranks are node-sized. The undirected
+# graph has no dangling nodes, so no redistribution term is needed.
+# ---------------------------------------------------------------------------
+
+_PR_DAMP = 0.85
+_PR_ITERS = 3
+
+
+def _pagerank_sql(pairs_sql: str, iters: int) -> str:
+    body = pairs_sql.strip()
+    assert body.upper().startswith("WITH")
+    head, final = body[4:].rsplit("SELECT", 1)
+    out = f"""
+    WITH {head}, pairs AS (SELECT {final}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS v FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src AS v, count(*) AS d FROM edges GROUP BY src),
+    pr0 AS (SELECT v, 1.0 / nn.n AS pr FROM nodes, nn)
+    """
+    for k in range(1, iters + 1):
+        out += f"""
+    , pr{k} AS (
+        SELECT e.dst AS v,
+               {1 - _PR_DAMP} / any_value(nn.n) + {_PR_DAMP} * sum(p.pr / deg.d) AS pr
+        FROM edges e
+        JOIN pr{k-1} p ON p.v = e.src
+        JOIN deg ON deg.v = e.src
+        CROSS JOIN nn
+        GROUP BY e.dst
+    )"""
+    out += f"""
+    SELECT v AS doc_id, round(pr, 6) AS pagerank FROM pr{iters}
+    """
+    return out
+
+
+@register(
+    "q106_pagerank",
+    _pagerank_sql(_simhash_pairs_sql(), _PR_ITERS),
+)
+def q106_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    pairs = DD.simhash_pairs(load_table(spark, sf_dir, "documents"))
+    directed = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = directed.unionByName(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = edges.select(F.col("src").alias("v")).distinct()
+    nn = nodes.agg(F.count("*").alias("n"))
+    deg = edges.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "v", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        pr = (
+            edges.join(pr, edges.src == pr.v)
+            .join(deg.withColumnRenamed("v", "dv"), F.col("src") == F.col("dv"))
+            .crossJoin(F.broadcast(nn))
+            .groupBy("dst")
+            .agg(
+                (
+                    (1 - _PR_DAMP) / F.any_value("n")
+                    + _PR_DAMP * F.sum(F.col("pr") / F.col("d"))
+                ).alias("pr")
+            )
+            .select(F.col("dst").alias("v"), "pr")
+        )
+    return pr.select(F.col("v").alias("doc_id"), F.round("pr", 6).alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# q107 — triangle census of the near-dup graph: triangles measure how
+# clique-like duplication clusters are (chains vs boilerplate blobs).
+# The pair generator emits edges already oriented (doc_a < doc_b), so
+# the classic two-join edge-iterator needs no dedup: wedge (a<b<c from
+# e1=a-b, e2=b-c) closed by e3=a-c. At 100 TB the orientation would be
+# by degree (low->high) to bound the join fan-out on hub nodes — the
+# ordering here is the id-orientation special case of that shape.
+# ---------------------------------------------------------------------------
+
+def _triangles_sql(pairs_sql: str) -> str:
+    body = pairs_sql.strip()
+    head, final = body[4:].rsplit("SELECT", 1)
+    return f"""
+    WITH {head}, pairs AS (SELECT {final}),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT count(DISTINCT a) FROM (
+                SELECT a FROM e UNION ALL SELECT b FROM e)) AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           (SELECT count(*) FROM tri) AS n_triangles
+    """
+
+
+@register(
+    "q107_triangles",
+    _triangles_sql(_simhash_pairs_sql()),
+)
+def q107_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    pairs = DD.simhash_pairs(load_table(spark, sf_dir, "documents"))
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    wedges = e.alias("e1").join(
+        e.alias("e2"), F.col("e1.b") == F.col("e2.a")
+    ).select(
+        F.col("e1.a").alias("wa"), F.col("e1.b").alias("wb"), F.col("e2.b").alias("wc")
+    )
+    tri = wedges.join(
+        e.alias("e3"),
+        (F.col("wa") == F.col("e3.a")) & (F.col("wc") == F.col("e3.b")),
+    )
+    n_nodes = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .agg(F.count_distinct("v").alias("n_nodes"))
+    )
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    n_tri = tri.agg(F.count("*").alias("n_triangles"))
+    return n_nodes.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(n_tri))
