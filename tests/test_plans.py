@@ -158,3 +158,34 @@ def test_no_single_partition_global_window_anywhere(all_plans):
         and n not in {"q07_surrogate_keys", "q08_nullsafe_lookup"}
     ]
     assert not offenders, f"global single-partition windows in: {offenders}"
+
+
+# ---------------------------------------------------------------------------
+# Round-3 operator plan shapes: the claims SCALE.md makes for the
+# incremental/graph/search family, asserted structurally.
+# ---------------------------------------------------------------------------
+
+
+def test_q95_incremental_dedup_probes_history_with_anti_join(spark, sf_dir):
+    plan = explain_str(queries()["q95_incremental_dedup"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+
+
+def test_q99_stratified_sample_uses_window_group_limit(spark, sf_dir):
+    # only k rows per stratum may cross the final exchange
+    plan = explain_str(queries()["q99_stratified_topk_sample"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_q103_bm25_broadcasts_df_and_stats(spark, sf_dir):
+    # df and N/avgdl are dimension-sized: the tf side must never
+    # shuffle for them
+    plan = explain_str(queries()["q103_bm25_search"](spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q102_weighted_sample_is_take_ordered(spark, sf_dir):
+    # global top-k must be TakeOrdered, not sort-all + limit
+    plan = explain_str(queries()["q102_weighted_sample"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan

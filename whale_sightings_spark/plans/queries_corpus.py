@@ -682,3 +682,122 @@ def q107_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = e.agg(F.count("*").alias("n_edges"))
     n_tri = tri.agg(F.count("*").alias("n_triangles"))
     return n_nodes.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(n_tri))
+
+
+# ---------------------------------------------------------------------------
+# q108 — the curation pipeline CAPSTONE: quality filter + exact dedup +
+# near-dup representative selection composed into ONE oracle-checked
+# plan, reporting the per-language survivor funnel. The three screens
+# are evaluated independently over the corpus (a deliberate contract —
+# it keeps every stage deterministic and engine-portable; a sequenced
+# variant only changes which doc represents a cluster, not the set
+# structure):
+#   quality   — non-empty text and >= 5 tokens
+#   exact     — doc is the min-id holder of its md5 fingerprint
+#   near-dup  — doc is outside the SimHash pair graph, or is the min-id
+#               representative of its propagated label (q29's fixed-k
+#               rounds, identical in the oracle)
+# Everything reuses the registered building blocks: one corpus scan
+# feeds row-local screens, the dedup joins are the q13/q29 shapes, and
+# the output is language-cardinality-sized.
+# ---------------------------------------------------------------------------
+
+def _curation_pipeline_sql() -> str:
+    from whale_sightings_spark.plans.queries_llm import _SIMHASH_PAIRS_SQL
+
+    body = _SIMHASH_PAIRS_SQL.strip()
+    head, final = body[4:].rsplit("SELECT", 1)
+    out = f"""
+    WITH {head}, pairs AS (SELECT {final}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges)
+    """
+    for k in range(1, 4):
+        out += f"""
+    , l{k} AS (
+        SELECT l.doc_id,
+               least(l.label, coalesce(min(n.label), l.label)) AS label
+        FROM l{k-1} l
+        LEFT JOIN edges e ON e.src = l.doc_id
+        LEFT JOIN l{k-1} n ON n.doc_id = e.dst
+        GROUP BY l.doc_id, l.label
+    )"""
+    out += """
+    , reps AS (
+        SELECT label, min(doc_id) AS rep FROM l3 GROUP BY label
+    ),
+    near_keep AS (
+        SELECT l3.doc_id FROM l3 JOIN reps ON reps.label = l3.label
+        WHERE l3.doc_id = reps.rep
+    ),
+    screened AS (
+        SELECT d.doc_id, d.lang,
+               (trim(d.text) <> ''
+                AND len(regexp_split_to_array(trim(d.text), ' +')) >= 5)
+                   AS q_ok,
+               d.doc_id = min(d.doc_id) OVER (
+                   PARTITION BY md5(lower(d.text))) AS e_ok,
+               (l3.doc_id IS NULL OR nk.doc_id IS NOT NULL) AS n_ok
+        FROM documents d
+        LEFT JOIN l3 ON l3.doc_id = d.doc_id
+        LEFT JOIN near_keep nk ON nk.doc_id = d.doc_id
+    )
+    SELECT lang,
+           count(*) AS n_in,
+           CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(sum(CASE WHEN q_ok AND e_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact,
+           CAST(sum(CASE WHEN q_ok AND e_ok AND n_ok THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_survivors
+    FROM screened
+    GROUP BY lang
+    """
+    return out
+
+
+@register("q108_curation_pipeline", _curation_pipeline_sql())
+def q108_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.simhash_pairs(docs)
+    labels = DD.dedup_components(pairs)  # fixed-k, oracle-identical
+    reps = labels.groupBy("label").agg(F.min("doc_id").alias("rep"))
+    near_keep = (
+        labels.join(reps, "label")
+        .filter(F.col("doc_id") == F.col("rep"))
+        .select("doc_id")
+        .withColumn("nk", F.lit(True))
+    )
+    in_graph = labels.select("doc_id").withColumn("ig", F.lit(True))
+    screened = (
+        docs.select(
+            "doc_id",
+            "lang",
+            (
+                (F.trim("text") != "")
+                & (F.size(TX.tokens(F.col("text"))) >= 5)
+            ).alias("q_ok"),
+            (
+                F.col("doc_id")
+                == F.min("doc_id").over(
+                    W.partitionBy(F.md5(F.encode(F.lower(F.col("text")), "UTF-8")))
+                )
+            ).alias("e_ok"),
+        )
+        .join(in_graph, "doc_id", "left")
+        .join(near_keep, "doc_id", "left")
+        .withColumn("n_ok", F.col("ig").isNull() | F.col("nk").isNotNull())
+    )
+    return screened.groupBy("lang").agg(
+        F.count("*").alias("n_in"),
+        F.sum(F.when(F.col("q_ok"), 1).otherwise(0)).alias("n_quality"),
+        F.sum(F.when(F.col("q_ok") & F.col("e_ok"), 1).otherwise(0)).alias(
+            "n_exact"
+        ),
+        F.sum(
+            F.when(F.col("q_ok") & F.col("e_ok") & F.col("n_ok"), 1).otherwise(0)
+        ).alias("n_survivors"),
+    )
