@@ -68,6 +68,11 @@ def main() -> None:
         gc.collect()
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+
+    def _qnum(name: str) -> int:
+        digits = name[1:].split("_", 1)[0]
+        return int(digits) if digits.isdigit() else 0
+
     payload = {
         "metric": "total_query_wall_seconds",
         "value": round(sum(timings.values()), 4),
@@ -75,6 +80,13 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "steady_value": round(sum(steady.values()), 4),
+        # like-for-like vs earlier rounds: the total over the original
+        # q01-q47 surface, so a growing query count doesn't read as a
+        # per-query slowdown
+        "n_queries": len(timings),
+        "subset47_value": round(
+            sum(v for k, v in timings.items() if 1 <= _qnum(k) <= 47), 4
+        ),
     }
     if errors:
         payload["errors"] = errors

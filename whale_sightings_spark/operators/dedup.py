@@ -332,18 +332,20 @@ def dedup_components_converged(
     (whose fixed k is a deliberate contract: components of diameter > k
     stay split).
 
-    Same per-round shape (one join + one min-agg over the persisted,
-    dst-partitioned edge set); the loop adds a driver-side convergence
-    check exploiting monotonicity — labels only ever DECREASE under
-    min-propagation, so sum(label) is strictly decreasing until the
-    fixpoint and one scalar aggregate per round detects it (no
-    join-and-compare against the previous round). The scalar is a
-    bounded driver value (same class as the clean.py bounds probes),
-    not a row collect. ``localCheckpoint`` truncates lineage each round
-    so round N's plan never embeds rounds 1..N-1 — the standard Spark
-    iterative-graph pattern (GraphFrames' connected components does the
-    same checkpoint-per-round). Rounds needed = graph diameter, each
-    costing one edge-set join; ``max_rounds`` is the runaway backstop.
+    Each round combines the q29 neighbor-min step (one join + one
+    min-agg over the persisted, dst-partitioned edge set) with a
+    POINTER-JUMPING step (label <- label's label, one node-table
+    self-join) — the classic MapReduce connected-components
+    acceleration: neighbor-min alone needs diameter rounds, adding the
+    jump converges in O(log diameter). The driver-side convergence
+    check exploits monotonicity — labels only ever DECREASE, so
+    sum(label) is strictly decreasing until the fixpoint and one scalar
+    aggregate per round detects it (a bounded driver value, same class
+    as the clean.py bounds probes — not a row collect).
+    ``localCheckpoint`` truncates lineage each round so round N's plan
+    never embeds rounds 1..N-1 (the standard Spark iterative-graph
+    pattern; GraphFrames checkpoints the same way). ``max_rounds`` is
+    the runaway backstop.
     Returns (doc_id, label) with label = min doc_id of the component.
     """
     from pyspark import StorageLevel
@@ -369,11 +371,22 @@ def dedup_components_converged(
     ).localCheckpoint()
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_rounds):
-        labels = (
+        stepped = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("label").alias("label"))
             .select(F.col("src").alias("doc_id"), "label")
+        )
+        # pointer jump: a node's label is itself a node id, so its
+        # current label can be looked up and is always <= the node's
+        # own (min-propagation keeps labels <= id); one self-join
+        # doubles the effective propagation distance per round
+        jump = stepped.select(
+            F.col("doc_id").alias("jv"), F.col("label").alias("jl")
+        )
+        labels = (
+            stepped.join(jump, stepped.label == jump.jv)
+            .select("doc_id", F.col("jl").alias("label"))
         ).localCheckpoint()
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
