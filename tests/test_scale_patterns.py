@@ -183,3 +183,44 @@ def test_udtf_sentences_match_native_plan(spark, sf_dir):
     }
     assert {(r["doc_id"], r["sent_idx"], r["sent_md5"]) for r in got} == expected
     assert len(got) == len(expected)
+
+
+# ---------------------------------------------------------------------------
+# Runtime bloom-filter join injection: the optimizer's automatic
+# counterpart of q71's manual bitmap prefilter. When a selective
+# filter sits on one side of a shuffle join, Spark injects a bloom
+# filter built from that side and pushes a might-contain probe onto
+# the other side's scan — at 100 TB this prunes the fact shuffle
+# before it happens. Pin the capability so a config regression (the
+# feature silently off) is caught.
+# ---------------------------------------------------------------------------
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    confs = {
+        # force a shuffle join (broadcast would bypass the bloom path)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        plan = explain_str(joined)
+        assert "bloom_filter" in plan or "BloomFilter" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
