@@ -82,3 +82,63 @@ def test_asof_tolerance_boundary_is_inclusive(spark):
         tolerance="30 minutes",
     ).collect()
     assert out[0]["rid_asof"] == 7
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Seeded random differential against pandas.merge_asof — an
+    independent implementation of the same semantics (backward search,
+    inclusive bound, optional tolerance)."""
+    import numpy as np
+    import pandas as pd
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n_l, n_r = 120, 80
+        base = datetime.datetime(2024, 3, 1)
+        lpd = pd.DataFrame(
+            {
+                "k": rng.integers(0, 5, n_l),
+                "lid": np.arange(n_l),
+                "ts": [
+                    base + datetime.timedelta(seconds=int(s))
+                    for s in rng.integers(0, 3600, n_l)
+                ],
+            }
+        )
+        # unique (k, ts) on the right: the operator's documented
+        # precondition (ties would be ambiguous in any engine)
+        rpd = pd.DataFrame(
+            {
+                "k": rng.integers(0, 5, n_r),
+                "rid": np.arange(n_r),
+                "ts": [
+                    base + datetime.timedelta(seconds=int(s))
+                    for s in rng.integers(0, 3600, n_r)
+                ],
+            }
+        ).drop_duplicates(subset=["k", "ts"])
+
+        left = spark.createDataFrame(lpd)
+        right = spark.createDataFrame(rpd)
+
+        for tol_str, tol_pd in ((None, None), ("10 minutes", pd.Timedelta(minutes=10))):
+            got = {
+                r["lid"]: r["rid_asof"]
+                for r in asof_join(
+                    left, right, on="k", ts_col="ts", right_cols=["rid"],
+                    tolerance=tol_str,
+                ).collect()
+            }
+            exp_df = pd.merge_asof(
+                lpd.sort_values("ts", kind="stable"),
+                rpd.sort_values("ts", kind="stable"),
+                on="ts",
+                by="k",
+                direction="backward",
+                tolerance=tol_pd,
+            )
+            exp = {
+                int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+                for r in exp_df.itertuples()
+            }
+            assert got == exp, f"seed={seed} tol={tol_str}"
