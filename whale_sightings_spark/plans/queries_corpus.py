@@ -801,3 +801,99 @@ def q108_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("q_ok") & F.col("e_ok") & F.col("n_ok"), 1).otherwise(0)
         ).alias("n_survivors"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q109 — exact token-budget allocation across sources: distribute a
+# fixed training-token budget proportionally to temperature-flattened
+# source sizes (w = tokens^0.7, the q59 mixing family) using the
+# LARGEST-REMAINDER method so the integer allocations sum to the
+# budget EXACTLY — the deterministic arithmetic every "fill a 1B-token
+# mixture" export needs (plain rounding over- or under-shoots).
+# Everything after the per-source token aggregate runs on a
+# source-cardinality-sized table: one fact shuffle total. Fractional
+# parts are rounded to 9dp before ranking and the shares to 6dp before
+# floor so a 1-ulp pow/sum difference between engines cannot flip an
+# allocation.
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 100_000
+_BUDGET_TEMP = 0.7
+
+
+@register(
+    "q109_budget_allocation",
+    f"""
+    WITH tc AS (
+        SELECT source, sum({TX.token_count_sql('text')}) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_tokens,
+               pow(n_tokens, {_BUDGET_TEMP}) AS wt,
+               sum(pow(n_tokens, {_BUDGET_TEMP})) OVER () AS wsum
+        FROM tc
+    ),
+    shares AS (
+        SELECT source, n_tokens,
+               round({_BUDGET_TOKENS} * wt / wsum, 6) AS share
+        FROM w
+    ),
+    parts AS (
+        SELECT source, n_tokens,
+               CAST(floor(share) AS BIGINT) AS base,
+               round(share - floor(share), 9) AS frac
+        FROM shares
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY frac DESC, source) AS rk,
+               {_BUDGET_TOKENS} - sum(base) OVER () AS leftover
+        FROM parts
+    )
+    SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc_tokens
+    FROM ranked
+    """,
+)
+def q109_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tc = docs.groupBy("source").agg(
+        F.sum(TX.token_count(F.col("text"))).alias("n_tokens")
+    )
+    # everything below operates on the source-cardinality table; the
+    # two global sums are broadcast single-row aggregates (the q36
+    # pattern) and the one global ranking window is bounded by
+    # |sources| — the q07 post-distinct dictionary class, allow-listed
+    # in the plan sweep
+    wcol = F.pow(F.col("n_tokens").cast("double"), _BUDGET_TEMP)
+    w = tc.select("source", "n_tokens", wcol.alias("wt"))
+    wsum = w.agg(F.sum("wt").alias("wsum"))
+    parts = (
+        w.crossJoin(F.broadcast(wsum))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(_BUDGET_TOKENS * F.col("wt") / F.col("wsum"), 6).alias("share"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            F.floor("share").cast("bigint").alias("base"),
+            F.round(F.col("share") - F.floor("share"), 9).alias("frac"),
+        )
+    )
+    leftover = parts.agg(
+        (F.lit(_BUDGET_TOKENS) - F.sum("base")).alias("leftover")
+    )
+    ranked = parts.withColumn(
+        "rk", F.row_number().over(W.partitionBy().orderBy(F.desc("frac"), "source"))
+    ).crossJoin(F.broadcast(leftover))
+    return ranked.select(
+        "source",
+        "n_tokens",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("alloc_tokens"),
+    )
