@@ -224,3 +224,47 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# AQE skew-join splitting: the runtime answer to hot keys (SCALE.md's
+# "skewed keys -> salting or AQE skew-join"). One reducer owning a
+# 2000x-hot key must be split into advisory-sized reads at runtime —
+# the final adaptive plan marks the join skew=true. Salting
+# (operators/skew.py) remains the deterministic-contract path; this
+# pins the zero-code-change one.
+# ---------------------------------------------------------------------------
+
+
+def test_aqe_splits_skewed_join(spark):
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(200000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        ).union(
+            spark.range(100).select(
+                (F.col("id") % 99 + 1).alias("k"), F.col("id").alias("v")
+            )
+        )
+        right = spark.range(100).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+        j = left.join(right, "k")
+        assert len(j.collect()) == 200100
+        # same QueryExecution the collect ran: now the FINAL adaptive plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
