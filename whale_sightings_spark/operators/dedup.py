@@ -392,4 +392,9 @@ def dedup_components_converged(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    # labels is localCheckpoint-materialized: the persisted working
+    # sets are dead weight now — free them so repeated invocations in
+    # one session don't stack edge copies in the block manager
+    edges.unpersist()
+    directed.unpersist()
     return labels
