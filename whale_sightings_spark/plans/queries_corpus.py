@@ -897,3 +897,106 @@ def q109_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
         ).alias("alloc_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q110 — embedding cluster-cohesion audit: each vector's cosine to its
+# own cell centroid, aggregated per cell — the quality metric that
+# decides whether an IVF quantizer (q18/q96's cell structure) is worth
+# probing or needs retraining. Centroids are the q32 (label, dim)
+# partial-agg shape, folded back to arrays via an ordered collect;
+# the centroid table is cell-cardinality-sized and broadcasts onto the
+# corpus scan — one fact shuffle (the centroid agg), then row-local
+# cosine, then a cell-sized agg.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q110_cluster_cohesion",
+    f"""
+    WITH c AS (
+        SELECT label, list(avgv ORDER BY dim) AS centroid
+        FROM (
+            SELECT label, d.i AS dim,
+                   avg(CAST(embedding[d.i] AS DOUBLE)) AS avgv
+            FROM embeddings,
+                 LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) d
+            GROUP BY label, d.i
+        )
+        GROUP BY label
+    ),
+    s AS (
+        SELECT e.label,
+               round({cosine_sql('e.embedding', 'c.centroid')}, 6) AS cos
+        FROM embeddings e JOIN c ON c.label = e.label
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           round(avg(cos), 4) AS avg_cohesion,
+           round(min(cos), 6) AS min_cohesion
+    FROM s
+    GROUP BY label
+    """,
+)
+def q110_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    )
+    cent = ex.groupBy("label", "dim").agg(
+        F.avg(F.col("val").cast("double")).alias("avgv")
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "avgv"))),
+            lambda s: s.avgv,
+        ).alias("centroid")
+    )
+    s = emb.join(F.broadcast(carr), "label").withColumn(
+        "cos", F.round(cosine(F.col("embedding"), F.col("centroid")), 6)
+    )
+    return s.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("cos"), 4).alias("avg_cohesion"),
+        F.round(F.min("cos"), 6).alias("min_cohesion"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q111 — per-group statistical mode with a deterministic tie-break
+# (most frequent value, smallest value wins ties). Built from counts +
+# one group-keyed window rather than the engines' mode() aggregates,
+# whose tie behavior is implementation-defined — determinism is the
+# contract here (both engines MUST return the same row). Two shuffles:
+# the (group, value) count and the group-keyed top-1 window
+# (WindowGroupLimit passes one row per group).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q111_group_mode",
+    """
+    WITH counts AS (
+        SELECT l_returnflag AS flag, l_quantity AS qty, count(*) AS n
+        FROM lineitem
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY flag ORDER BY n DESC, qty ASC
+        ) AS rk
+        FROM counts
+    )
+    SELECT flag, qty AS mode_qty, n AS mode_n
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q111_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        F.col("l_returnflag").alias("flag"), F.col("l_quantity").alias("qty")
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("flag").orderBy(F.desc("n"), F.asc("qty"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("flag", F.col("qty").alias("mode_qty"), F.col("n").alias("mode_n"))
+    )
