@@ -1,5 +1,5 @@
 """Registered queries: incremental / re-aggregatable corpus operations
-and graph analytics over the near-dup pair graph (q94-q102, q106-q107).
+and graph analytics over the near-dup pair graph (q94-q111).
 
 The round-3 family: operations a continuously-ingesting training-data
 pipeline runs *between* full rebuilds — merging new data against
@@ -32,8 +32,9 @@ across retries and engines.
 - **q99 stratified top-k sample**: k deterministic docs per language
   ordered by the cross-engine hash60 — reproducible eval-set carving
   (same rows on rerun, retry, or engine swap; the q49/q90 property).
-- **q100-q102, q106-q107** (below): convergence-mode components,
-  as-of tolerance, weighted sampling, PageRank, triangle census.
+- **q100-q111** (below): convergence-mode components, as-of
+  tolerance, weighted sampling, PageRank, triangle census, curation
+  capstone, budget allocation, cluster cohesion, group mode.
 
 No reference counterpart (the reference rebuilds from scratch per
 run, `whalefinder/cleaner.py` operates on full snapshots); net-new
