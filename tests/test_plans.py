@@ -163,6 +163,67 @@ def test_no_single_partition_global_window_anywhere(all_plans):
     assert not offenders, f"global single-partition windows in: {offenders}"
 
 
+#: Categorical columns whose cardinality does NOT grow with the data:
+#: a Window partitioned only by these over row-scale input funnels the
+#: whole fact through |values| sort tasks — invisible to the
+#: SinglePartition sweep above (3 partitions != 1) but the same disease
+#: at 100 TB (the round-3 q105 lesson).
+_BOUNDED_KEYS = {
+    "l_returnflag",
+    "l_linestatus",
+    "o_orderstatus",
+    "o_orderpriority",
+    "flag",
+    "status",
+    "lang",
+    "label",
+}
+
+
+def _bounded_key_raw_windows(plan: str) -> bool:
+    """True if a Window node partitions ONLY by bounded-cardinality keys
+    and its input chain reaches a scan without an intervening
+    aggregation or group-limit.
+
+    Windows over *aggregated* tables (HashAggregate below them) are the
+    sanctioned q111 group-mode shape: their input is distinct-value- or
+    group-cardinality-sized. WindowGroupLimit chains are also safe —
+    the partial limit caps rows per key before the exchange. Only a
+    bounded-key Window fed directly by row-scale data is flagged.
+    """
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        m = re.search(r"[+:]- Window (\[.*)", line)
+        if not m:
+            continue
+        # partition spec = 2nd bracketed list on the Window line
+        parts = re.findall(r"\[([^\[\]]*)\]", m.group(1))
+        if len(parts) < 2 or not parts[1].strip():
+            continue
+        keys = {re.sub(r"#\d+L?$", "", c.strip()) for c in parts[1].split(",")}
+        if not keys <= _BOUNDED_KEYS:
+            continue
+        depth = re.search(r"[+:]- ", line).start()
+        for nxt in lines[i + 1 :]:
+            node = re.search(r"[+:]- ", nxt)
+            if not node or node.start() <= depth:
+                break  # left the Window's subtree
+            if re.search(r"[+:]- (HashAggregate|SortAggregate|ObjectHashAggregate|WindowGroupLimit)", nxt):
+                break  # bounded input: aggregated or group-limited below
+            if re.search(r"[+:]- .*(FileScan|Scan parquet|Relation)", nxt):
+                return True
+    return False
+
+
+def test_no_bounded_key_window_over_raw_fact_anywhere(all_plans):
+    # q105's round-3 regression class: rank windows partitioned by the
+    # 3-value returnflag over raw lineitem. Any window keyed only by a
+    # bounded categorical must run over an aggregated (q111-shape) or
+    # group-limited input.
+    offenders = [n for n, p in all_plans.items() if _bounded_key_raw_windows(p)]
+    assert not offenders, f"bounded-key windows over raw facts in: {offenders}"
+
+
 # ---------------------------------------------------------------------------
 # Round-3 operator plan shapes: the claims SCALE.md makes for the
 # incremental/graph/search family, asserted structurally.

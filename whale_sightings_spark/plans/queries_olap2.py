@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from whale_sightings_spark.operators import ranks as RK
 from whale_sightings_spark.plans.queries import register
 from whale_sightings_spark.schemas import load_table
 
@@ -270,10 +271,18 @@ def q45_full_outer_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q46 — ranking-function suite: row_number / ntile / percent_rank /
-# cume_dist / lag delta in ONE window pass, partitioned by priority so
-# no single-partition sort. The ORDER BY key ends in the unique
-# o_orderkey — a total order, so every rank function is deterministic
-# on both engines regardless of shuffle placement.
+# cume_dist / lag delta under ONE total order (o_totalprice DESC,
+# o_orderkey — unique, so every function is deterministic on both
+# engines). The priority partition key is a bounded categorical (5
+# values), so a direct rank window would funnel the fact through a
+# handful of sort tasks; instead the global row number comes from
+# operators.ranks.segmented_total_order (range-bucketed parallel
+# ranking, one composite-key window) and every other rank function is
+# algebra over (rn, n_part): rank == rn (no peers under a total
+# order), percent_rank = (rn-1)/(n-1), cume_dist = rn/n, ntile via the
+# integer tile formula, lag via the segment-carried prev_val. The
+# oracle keeps the plain window form — same values, different physical
+# strategy.
 # ---------------------------------------------------------------------------
 
 
@@ -303,18 +312,25 @@ def q46_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.year("o_orderdate") == 1995)
         & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     )
-    w = W.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    s = RK.segmented_total_order(
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderkey",
+        bucket_width=10000.0,
+        descending=True,
     )
+    rn, n = F.col("rn"), F.col("n_part")
     price = F.col("o_totalprice").cast("decimal(18,2)")
-    return orders.select(
+    prev_price = F.col("prev_val").cast("decimal(18,2)")
+    return s.select(
         F.col("o_orderkey").alias("order_id"),
         F.col("o_orderpriority").alias("priority"),
-        F.row_number().over(w).cast("long").alias("rn"),
-        F.ntile(10).over(w).alias("decile"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
-        (price - F.lag(price).over(w)).cast("decimal(18,2)").cast("string").alias("price_drop"),
+        rn.cast("long").alias("rn"),
+        RK.ntile_from_rn(rn, n, 10).cast("int").alias("decile"),
+        F.round(F.when(n == 1, 0.0).otherwise((rn - 1) / (n - 1)), 6).alias("pr"),
+        F.round(rn / n, 6).alias("cd"),
+        (price - prev_price).cast("decimal(18,2)").cast("string").alias("price_drop"),
     )
 
 

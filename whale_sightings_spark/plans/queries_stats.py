@@ -588,13 +588,38 @@ def q64_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q105 — Spearman rank correlation per group: the robust (monotonic,
 # outlier-insensitive) sibling of q54's Pearson corr. Ranks use the
-# standard average-rank treatment of ties, computed WITHOUT a per-value
-# subquery: fractional rank = min-rank + (tie_count - 1)/2, both from
-# windows over the same group partition (one hash family, one
-# shuffle); the final corr over the rank columns is one partial+final
-# agg. Ranks are exact halves, so both engines feed corr identical
-# inputs and 6dp rounding is stable (q54 contract).
+# standard average-rank treatment of ties:
+#     avg_rank(v) = (#rows < v) + (tie_count(v) + 1) / 2
+# and are NEVER computed by a window partitioned by the 3-value flag
+# over the raw fact — that funnels the entire table through 3 sort
+# tasks (the round-3 scale-killer). Two scale-correct rank strategies,
+# picked per column by value cardinality:
+#   - bounded values (l_quantity, ~50 distinct): ranks come from the
+#     tiny (flag, value) frequency table (q111's group-mode shape) and
+#     BROADCAST-join back to the fact — zero row-scale shuffles.
+#   - near-unique values (l_extendedprice): classic distributed
+#     ranking — range-bucket the value, compute per-(flag, bucket)
+#     totals (a bounded table) whose exclusive prefix sums are the
+#     bucket offsets (broadcast), then ONE window partitioned by the
+#     composite (flag, bucket) key sorts each segment in parallel;
+#     global avg rank = offset + (min_rank + max_rank)/2 where
+#     max_rank is a RANGE-framed count (peers included). Exactly the
+#     repartitionByRange+sortWithinPartitions pattern; `bucket_width`
+#     is the knob that scales segment count with the cluster.
+# One row-scale exchange total; the final corr over the per-row rank
+# pairs is one partial+final agg. Ranks are exact halves (integer
+# prefix + int/2), so both engines feed corr bit-identical inputs and
+# 6dp rounding is stable (q54 contract). The oracle keeps the plain
+# window form — ranks are mathematically identical, only the physical
+# strategy differs.
 # ---------------------------------------------------------------------------
+
+
+from whale_sightings_spark.operators.ranks import (  # noqa: E402
+    freq_avg_ranks as _freq_avg_ranks,
+    segmented_avg_rank as _segmented_avg_rank,
+)
+
 
 @register(
     "q105_spearman",
@@ -615,20 +640,17 @@ def q64_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q105_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    rq = F.rank().over(
-        W.partitionBy("l_returnflag").orderBy("l_quantity")
-    ) + (
-        F.count("*").over(W.partitionBy("l_returnflag", "l_quantity")) - 1
-    ) / 2.0
-    rp = F.rank().over(
-        W.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    ) + (
-        F.count("*").over(W.partitionBy("l_returnflag", "l_extendedprice")) - 1
-    ) / 2.0
-    ranked = li.select(
-        F.col("l_returnflag").alias("flag"), rq.alias("rq"), rp.alias("rp")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"), "l_quantity", "l_extendedprice"
     )
+    # qty: ~50 distinct values per flag -> rank table is bounded, broadcast.
+    rq = _freq_avg_ranks(
+        li.select("flag", "l_quantity"), "flag", "l_quantity"
+    ).withColumnRenamed("avg_rank", "rq")
+    # price: near-unique -> per-row segmented rank, one parallel window
+    # (operators.ranks module header for the strategy).
+    ranked = _segmented_avg_rank(li, "flag", "l_extendedprice", 4096.0, "rp")
+    ranked = ranked.join(F.broadcast(rq), ["flag", "l_quantity"])
     return ranked.groupBy("flag").agg(
         F.count("*").alias("n"), F.round(F.corr("rq", "rp"), 6).alias("spearman")
     )
