@@ -73,11 +73,15 @@ def main() -> None:
         digits = name[1:].split("_", 1)[0]
         return int(digits) if digits.isdigit() else 0
 
+    # stdout payload stays COMPACT (well under the driver's ~4 KB tail
+    # capture — the 111-query per-query map blew past it in rounds 2-3
+    # and left the artifact unparseable); per-query cold+steady maps
+    # live in bench_detail.json. `value` is authoritative and computed
+    # from unrounded timings.
     payload = {
         "metric": "total_query_wall_seconds",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "steady_value": round(sum(steady.values()), 4),
         # like-for-like vs earlier rounds: the total over the original
@@ -89,13 +93,20 @@ def main() -> None:
         ),
     }
     if errors:
-        payload["errors"] = errors
-    # per-query steady timings are useful locally but would push the
-    # stdout JSON line past tail-capture limits at ~100 queries; keep
-    # the printed line compact and park the full detail in a side file
+        payload["n_errors"] = len(errors)
+        payload["errors"] = dict(sorted(errors.items())[:3])
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_detail.json"), "w") as f:
-        json.dump({**payload, "steady_queries": steady, "queries": timings}, f, indent=1)
+        json.dump(
+            {
+                **payload,
+                "queries": timings,
+                "steady_queries": steady,
+                "errors": errors,
+            },
+            f,
+            indent=1,
+        )
     print(json.dumps(payload, separators=(",", ":")))
     spark.stop()
 

@@ -249,6 +249,17 @@ def test_q103_bm25_broadcasts_df_and_stats(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_q96_cell_join_has_hot_cell_guard(spark, sf_dir):
+    # the kNN self-join's per-cell pair expansion is quadratic in cell
+    # size; the _KNN_MAX_CELL guard must gate the join via a broadcast
+    # cell filter so a degenerate quantizer cell cannot explode a stage
+    from whale_sightings_spark.plans.queries_corpus import _KNN_MAX_CELL
+
+    plan = explain_str(queries()["q96_knn_self_join"](spark, sf_dir), "simple")
+    assert re.search(rf"Filter \(+\w+#\d+L? > 1\) AND \(\w+#\d+L? <= {_KNN_MAX_CELL}\)", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_q102_weighted_sample_is_take_ordered(spark, sf_dir):
     # global top-k must be TakeOrdered, not sort-all + limit
     plan = explain_str(queries()["q102_weighted_sample"](spark, sf_dir))

@@ -1,0 +1,216 @@
+"""Graph analytics over candidate-pair edge sets (PageRank, triangle
+census, degree orientation).
+
+The near-dup pair generators (operators.dedup, operators.similarity)
+emit an undirected pair set ``(doc_a, doc_b)`` with ``doc_a < doc_b``.
+These operators turn that into centrality and structure metrics used
+for cluster-representative selection and duplication-shape audits.
+
+Scale shapes (the edge set is candidate pairs only — corpus-scale
+independent; these shapes keep it that way):
+
+- every operator materializes the pair generator EXACTLY ONCE with an
+  eager ``localCheckpoint`` before fanning out into nodes / degrees /
+  iterations. Branching a merely-persisted frame re-runs the generator
+  per branch inside the first job — observed as a 5x cold-start
+  multiplier on q106 in round 3 (same lesson as
+  ``dedup.dedup_components``, operators/dedup.py:283-291);
+- PageRank iterates one hash join (edges x ranks on src) + one
+  dst-keyed aggregation per round; degrees are node-sized and
+  persisted; the node count is a bounded driver scalar (the q100
+  probe class), so no per-round distinct re-aggregation;
+- convergence mode tracks the L1 delta between successive rank
+  vectors — one scalar aggregate per round — and truncates lineage
+  per round with ``localCheckpoint`` (the standard Spark
+  iterative-graph pattern);
+- the triangle census orients edges LOW-degree -> HIGH-degree (ties
+  by id) before the two-join wedge closure. Orientation bounds every
+  node's out-degree by O(sqrt(m)), so the wedge join fan-out on hub
+  nodes is bounded — the 100 TB-safe form of the edge-iterator
+  (id-orientation, round 3's shape, lets a low-id hub fan out by its
+  full degree).
+
+No reference counterpart (reference ``whalefinder/cleaner.py`` has no
+graph stage); net-new scale surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: damping for the fixed-round registered query (q106) — the classic
+#: PageRank value.
+DAMPING = 0.85
+#: damping for the convergence-mode query (q112): smaller d converges
+#: geometrically faster (delta ~ d^k), keeping the round count — and
+#: the unrolled oracle — bounded. The operator accepts any d.
+DAMPING_FAST = 0.5
+#: L1 convergence tolerance for :func:`pagerank_converged`.
+PR_TOL = 1e-10
+#: unrolled oracle round count for q112: 0.5^40 ~ 9e-13 < PR_TOL, so
+#: the fixed-round SQL and the converged Spark ranks agree far below
+#: the output rounding (see q112's header for the error budget).
+PR_ORACLE_ROUNDS = 40
+PR_MAX_ROUNDS = 60
+
+
+def symmetric_edges(pairs: DataFrame) -> DataFrame:
+    """Both directions of the undirected pair set as ``(src, dst)``,
+    src-partitioned and eagerly materialized (localCheckpoint) so the
+    pair generator's lineage runs once, before any branching."""
+    directed = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = directed.unionByName(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return edges.repartition("src").localCheckpoint()
+
+
+def _pagerank_setup(pairs: DataFrame):
+    """Shared PageRank scaffolding: checkpointed edges, persisted
+    node-sized degree table, node count scalar, uniform initial ranks.
+    Every node of the symmetric edge set has degree >= 1 by
+    construction (both endpoints of every pair appear as src), so no
+    dangling-mass redistribution term is needed — asserted in
+    tests/test_graphs.py."""
+    from pyspark import StorageLevel
+
+    edges = symmetric_edges(pairs)
+    deg = (
+        edges.groupBy(F.col("src").alias("dv"))
+        .agg(F.count("*").alias("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = deg.count()  # bounded driver scalar (node count); materializes deg
+    pr = deg.select(F.col("dv").alias("v"), F.lit(1.0 / n).alias("pr"))
+    return edges, deg, n, pr
+
+
+def _pagerank_round(edges, deg, n: int, pr, damp: float):
+    return (
+        edges.join(pr, edges.src == pr.v)
+        .join(deg, F.col("src") == F.col("dv"))
+        .groupBy("dst")
+        .agg(
+            (
+                F.lit((1 - damp) / n) + damp * F.sum(F.col("pr") / F.col("d"))
+            ).alias("pr")
+        )
+        .select(F.col("dst").alias("v"), "pr")
+    )
+
+
+def pagerank_fixed(
+    pairs: DataFrame, iters: int, damp: float = DAMPING
+) -> DataFrame:
+    """Fixed-round PageRank over the undirected pair graph. Returns
+    (v, pr). The static round count keeps the plan oracle-expressible
+    as chained SQL CTEs (q106)."""
+    edges, deg, n, pr = _pagerank_setup(pairs)
+    for _ in range(iters):
+        pr = _pagerank_round(edges, deg, n, pr, damp)
+    return pr
+
+
+def pagerank_converged(
+    pairs: DataFrame,
+    damp: float = DAMPING_FAST,
+    tol: float = PR_TOL,
+    max_rounds: int = PR_MAX_ROUNDS,
+    check_every: int = 4,
+) -> DataFrame:
+    """PageRank run to an L1 fixpoint: iterate until
+    ``sum(|pr_k - pr_{k-1}|) < tol`` (one scalar aggregate — the q100
+    driver-probe class, never a row collect). Power iteration contracts
+    the L1 error by `damp` per round, so the loop runs
+    ~log(tol)/log(damp) rounds; ``max_rounds`` is the runaway backstop.
+
+    Rounds execute in blocks of ``check_every``: one job runs the block
+    of joins+aggs, then ONE ``localCheckpoint`` truncates lineage and
+    ONE scalar delta probe tests convergence. Per-round driver actions
+    are what dominate an iterative loop on small per-round state
+    (scheduler latency, not compute), so block-checking cuts wall time
+    ~check_every-fold; the only cost is up to check_every-1 extra
+    rounds past convergence — which only push the ranks CLOSER to the
+    fixpoint (and to the unrolled oracle). Returns (v, pr)."""
+    edges, deg, n, pr = _pagerank_setup(pairs)
+    pr = pr.localCheckpoint()
+    rounds = 0
+    while rounds < max_rounds:
+        new = pr
+        for _ in range(min(check_every, max_rounds - rounds)):
+            new = _pagerank_round(edges, deg, n, new, damp)
+            rounds += 1
+        new = new.localCheckpoint()
+        delta = (
+            new.join(pr.withColumnRenamed("pr", "po"), "v")
+            .agg(F.sum(F.abs(F.col("pr") - F.col("po"))))
+            .collect()[0][0]
+        )
+        pr = new
+        if delta is not None and delta < tol:
+            break
+    deg.unpersist()
+    return pr
+
+
+def orient_by_degree(pairs: DataFrame) -> DataFrame:
+    """Orient each undirected pair LOW-degree -> HIGH-degree endpoint
+    (ties by id): returns (a, b) with deg(a) <= deg(b). The resulting
+    DAG bounds every node's out-degree by O(sqrt(m)) — the orientation
+    that makes wedge-join triangle counting robust to hub nodes."""
+    deg = (
+        pairs.select(F.col("doc_a").alias("v"))
+        .unionByName(pairs.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    j = (
+        pairs.join(
+            deg.select(F.col("v").alias("doc_a"), F.col("d").alias("da")),
+            "doc_a",
+        ).join(
+            deg.select(F.col("v").alias("doc_b"), F.col("d").alias("db")),
+            "doc_b",
+        )
+    )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    return j.select(
+        F.when(fwd, F.col("doc_a")).otherwise(F.col("doc_b")).alias("a"),
+        F.when(fwd, F.col("doc_b")).otherwise(F.col("doc_a")).alias("b"),
+    )
+
+
+def triangle_census(pairs: DataFrame) -> DataFrame:
+    """One-row (n_nodes, n_edges, n_triangles) census of the undirected
+    pair graph via the degree-oriented two-join edge iterator: any
+    acyclic orientation gives each triangle exactly one directed path
+    a->b->c closed by a->c, so the wedge join + closure join count each
+    triangle once. The count is orientation-invariant — the oracle can
+    (and does) use id-orientation."""
+    e = orient_by_degree(pairs).localCheckpoint()
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("wa"),
+            F.col("e1.b").alias("wb"),
+            F.col("e2.b").alias("wc"),
+        )
+    )
+    tri = wedges.join(
+        e.alias("e3"),
+        (F.col("wa") == F.col("e3.a")) & (F.col("wc") == F.col("e3.b")),
+    )
+    n_nodes = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .agg(F.count_distinct("v").alias("n_nodes"))
+    )
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    n_tri = tri.agg(F.count("*").alias("n_triangles"))
+    return n_nodes.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(n_tri))

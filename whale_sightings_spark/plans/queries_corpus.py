@@ -1,5 +1,5 @@
 """Registered queries: incremental / re-aggregatable corpus operations
-and graph analytics over the near-dup pair graph (q94-q111).
+and graph analytics over the near-dup pair graph (q94-q112).
 
 The round-3 family: operations a continuously-ingesting training-data
 pipeline runs *between* full rebuilds — merging new data against
@@ -32,8 +32,9 @@ across retries and engines.
 - **q99 stratified top-k sample**: k deterministic docs per language
   ordered by the cross-engine hash60 — reproducible eval-set carving
   (same rows on rerun, retry, or engine swap; the q49/q90 property).
-- **q100-q111** (below): convergence-mode components, as-of
-  tolerance, weighted sampling, PageRank, triangle census, curation
+- **q100-q112** (below): convergence-mode components, as-of
+  tolerance, weighted sampling, PageRank (fixed-round q106 and
+  convergence-mode q112), degree-oriented triangle census, curation
   capstone, budget allocation, cluster cohesion, group mode.
 
 No reference counterpart (the reference rebuilds from scratch per
@@ -49,6 +50,7 @@ from pyspark.sql import functions as F
 from whale_sightings_spark.functions.hashing import hash60, hash60_sql
 from whale_sightings_spark.functions import text as TX
 from whale_sightings_spark.operators import dedup as DD
+from whale_sightings_spark.operators import graphs as GR
 from whale_sightings_spark.operators.similarity import cosine, cosine_sql
 from whale_sightings_spark.plans.queries import register
 from whale_sightings_spark.schemas import load_table
@@ -153,20 +155,37 @@ def q95_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # its IVF cell (label = coarse quantizer, as in q18). The all-corpus
 # sibling of q18's bounded query set: pair space is sum over cells of
 # |cell|^2 — linear in corpus size when cells are balanced (a trained
-# quantizer's job). Shuffle 1 hashes the cell key for the equi-join;
-# shuffle 2 hashes vec_id for the per-vector top-1 window (only
-# candidate pairs cross the wire, never raw vectors twice).
+# quantizer's job). Cells larger than _KNN_MAX_CELL are dropped before
+# pair expansion — the same quadratic hot-bucket guard as the LSH
+# paths (operators/similarity.MAX_SIG_BUCKET, dedup.MAX_BAND_BUCKET),
+# mirrored in the oracle so the cap is part of the operator contract
+# (a degenerate quantizer cell would otherwise expand quadratically;
+# the production response is re-training / sub-splitting the cell, and
+# the cap makes the failure explicit instead of a hung stage). Shuffle
+# 1 hashes the cell key for the equi-join (the cell-size guard
+# broadcasts); shuffle 2 hashes vec_id for the per-vector top-1 window
+# (only candidate pairs cross the wire, never raw vectors twice).
 # ---------------------------------------------------------------------------
+
+#: cells larger than this are excluded from the q96 self-join pair
+#: expansion (quadratic guard; mirrored in the DuckDB oracle)
+_KNN_MAX_CELL = 1000
 
 @register(
     "q96_knn_self_join",
     f"""
-    WITH pairs AS (
+    WITH ok AS (
+        SELECT label AS cell FROM embeddings
+        GROUP BY label
+        HAVING count(*) > 1 AND count(*) <= {_KNN_MAX_CELL}
+    ),
+    pairs AS (
         SELECT a.vec_id AS vec_id,
                a.label AS cell,
                b.vec_id AS neighbor_id,
                round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos
         FROM embeddings a
+        JOIN ok ON ok.cell = a.label
         JOIN embeddings b
           ON a.label = b.label AND a.vec_id <> b.vec_id
     ),
@@ -181,6 +200,12 @@ def q95_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q96_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    ok = (
+        emb.groupBy(F.col("label").alias("cell"))
+        .agg(F.count("*").alias("cn"))
+        .filter((F.col("cn") > 1) & (F.col("cn") <= _KNN_MAX_CELL))
+        .select("cell")
+    )
     a = emb.select(
         F.col("vec_id"), F.col("label").alias("cell"), F.col("embedding").alias("va")
     )
@@ -190,7 +215,8 @@ def q96_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("vb"),
     )
     pairs = (
-        a.join(b, "cell")
+        a.join(F.broadcast(ok), "cell")
+        .join(b, "cell")
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
     )
@@ -546,17 +572,20 @@ def q102_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the middle of a duplication cluster (useful for picking cluster
 # representatives by connectivity rather than min-id). Fixed iteration
 # count keeps the plan static and the oracle expressible as chained
-# CTEs (the convergence-mode pattern would follow q100's driver loop).
-# Per iteration: one join edges⋈ranks (hash on src) + one dst-keyed
-# agg — the edge set never grows, ranks are node-sized. The undirected
-# graph has no dangling nodes, so no redistribution term is needed.
+# CTEs (q112 below is the convergence-mode sibling). Per iteration:
+# one join edges⋈ranks (hash on src) + one dst-keyed agg — the edge
+# set never grows, ranks are node-sized. The undirected graph has no
+# dangling nodes, so no redistribution term is needed. The pair
+# generator materializes ONCE (eager localCheckpoint in
+# operators.graphs.symmetric_edges) before edges branch into degrees
+# and the iteration — round 3's 5x cold-start multiplier came from
+# branching a lazily-persisted edge set.
 # ---------------------------------------------------------------------------
 
-_PR_DAMP = 0.85
 _PR_ITERS = 3
 
 
-def _pagerank_sql(pairs_sql: str, iters: int) -> str:
+def _pagerank_sql(pairs_sql: str, iters: int, damp: float) -> str:
     body = pairs_sql.strip()
     assert body.upper().startswith("WITH")
     head, final = body[4:].rsplit("SELECT", 1)
@@ -576,7 +605,7 @@ def _pagerank_sql(pairs_sql: str, iters: int) -> str:
         out += f"""
     , pr{k} AS (
         SELECT e.dst AS v,
-               {1 - _PR_DAMP} / any_value(nn.n) + {_PR_DAMP} * sum(p.pr / deg.d) AS pr
+               {1 - damp} / any_value(nn.n) + {damp} * sum(p.pr / deg.d) AS pr
         FROM edges e
         JOIN pr{k-1} p ON p.v = e.src
         JOIN deg ON deg.v = e.src
@@ -591,49 +620,64 @@ def _pagerank_sql(pairs_sql: str, iters: int) -> str:
 
 @register(
     "q106_pagerank",
-    _pagerank_sql(_simhash_pairs_sql(), _PR_ITERS),
+    _pagerank_sql(_simhash_pairs_sql(), _PR_ITERS, GR.DAMPING),
 )
 def q106_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
     pairs = DD.simhash_pairs(load_table(spark, sf_dir, "documents"))
-    directed = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    edges = directed.unionByName(
-        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    nodes = edges.select(F.col("src").alias("v")).distinct()
-    nn = nodes.agg(F.count("*").alias("n"))
-    deg = edges.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
-    pr = nodes.crossJoin(F.broadcast(nn)).select(
-        "v", (F.lit(1.0) / F.col("n")).alias("pr")
-    )
-    for _ in range(_PR_ITERS):
-        pr = (
-            edges.join(pr, edges.src == pr.v)
-            .join(deg.withColumnRenamed("v", "dv"), F.col("src") == F.col("dv"))
-            .crossJoin(F.broadcast(nn))
-            .groupBy("dst")
-            .agg(
-                (
-                    (1 - _PR_DAMP) / F.any_value("n")
-                    + _PR_DAMP * F.sum(F.col("pr") / F.col("d"))
-                ).alias("pr")
-            )
-            .select(F.col("dst").alias("v"), "pr")
-        )
+    pr = GR.pagerank_fixed(pairs, _PR_ITERS, GR.DAMPING)
     return pr.select(F.col("v").alias("doc_id"), F.round("pr", 6).alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# q112 — convergence-mode PageRank: run to an L1 fixpoint instead of a
+# fixed round count (the q100 pattern applied to q106 — scalar delta
+# probe per round, localCheckpoint lineage truncation). Damping 0.5
+# (operators.graphs.DAMPING_FAST) bounds the round count: the L1 error
+# contracts by d per round, so tol=1e-10 converges in ~34 rounds and
+# the oracle unrolls to a FIXED 40 rounds. Error budget for the hash
+# gate: |converged - round40| <= tol/(1-d) + d^40/(1-d) ~ 2.2e-10,
+# four orders below the 5dp output rounding, so both engines round
+# identically except with negligible boundary probability.
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_converged_sql(pairs_sql: str) -> str:
+    import re
+
+    base = _pagerank_sql(pairs_sql, GR.PR_ORACLE_ROUNDS, GR.DAMPING_FAST)
+    base = base.replace(
+        f"SELECT v AS doc_id, round(pr, 6) AS pagerank FROM pr{GR.PR_ORACLE_ROUNDS}",
+        f"SELECT v AS doc_id, round(pr, 5) AS pagerank FROM pr{GR.PR_ORACLE_ROUNDS}",
+    )
+    # DuckDB's default CTE inlining replays the whole upstream chain
+    # per reference — super-linear past ~10 unrolled rounds (188 s at
+    # 15 rounds vs 0.3 s materialized at 40). Forcing materialization
+    # makes each round one aggregation over the cached edge set, which
+    # is also exactly what the Spark side does.
+    return re.sub(r"AS \(", "AS MATERIALIZED (", base)
+
+
+@register(
+    "q112_pagerank_converged",
+    _pagerank_converged_sql(_simhash_pairs_sql()),
+)
+def q112_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = DD.simhash_pairs(load_table(spark, sf_dir, "documents"))
+    pr = GR.pagerank_converged(pairs)
+    return pr.select(F.col("v").alias("doc_id"), F.round("pr", 5).alias("pagerank"))
 
 
 # ---------------------------------------------------------------------------
 # q107 — triangle census of the near-dup graph: triangles measure how
 # clique-like duplication clusters are (chains vs boilerplate blobs).
-# The pair generator emits edges already oriented (doc_a < doc_b), so
-# the classic two-join edge-iterator needs no dedup: wedge (a<b<c from
-# e1=a-b, e2=b-c) closed by e3=a-c. At 100 TB the orientation would be
-# by degree (low->high) to bound the join fan-out on hub nodes — the
-# ordering here is the id-orientation special case of that shape.
+# Edges are oriented LOW-degree -> HIGH-degree (ties by id,
+# operators.graphs.orient_by_degree) before the two-join edge-iterator:
+# wedge a->b->c closed by a->c. Any acyclic orientation counts each
+# triangle exactly once, so the census is orientation-invariant — the
+# oracle keeps the simpler id-orientation (doc_a < doc_b as generated)
+# — but degree orientation bounds every node's wedge fan-out by
+# O(sqrt(m)), where id-orientation lets a low-id hub fan out by its
+# full degree (the 100 TB failure mode).
 # ---------------------------------------------------------------------------
 
 def _triangles_sql(pairs_sql: str) -> str:
@@ -660,29 +704,8 @@ def _triangles_sql(pairs_sql: str) -> str:
     _triangles_sql(_simhash_pairs_sql()),
 )
 def q107_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
     pairs = DD.simhash_pairs(load_table(spark, sf_dir, "documents"))
-    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    wedges = e.alias("e1").join(
-        e.alias("e2"), F.col("e1.b") == F.col("e2.a")
-    ).select(
-        F.col("e1.a").alias("wa"), F.col("e1.b").alias("wb"), F.col("e2.b").alias("wc")
-    )
-    tri = wedges.join(
-        e.alias("e3"),
-        (F.col("wa") == F.col("e3.a")) & (F.col("wc") == F.col("e3.b")),
-    )
-    n_nodes = (
-        e.select(F.col("a").alias("v"))
-        .unionByName(e.select(F.col("b").alias("v")))
-        .agg(F.count_distinct("v").alias("n_nodes"))
-    )
-    n_edges = e.agg(F.count("*").alias("n_edges"))
-    n_tri = tri.agg(F.count("*").alias("n_triangles"))
-    return n_nodes.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(n_tri))
+    return GR.triangle_census(pairs)
 
 
 # ---------------------------------------------------------------------------
