@@ -234,6 +234,43 @@ def test_cli_db_loads_star_schema_into_sqlite(spark, raw_dir, tmp_path):
     con.close()
 
 
+def test_cli_db_loads_star_schema_into_mysql(spark, raw_dir):
+    """The MySQL twin of the SQLite serving-contract test, gated on a
+    live server: set SPARK_GRAFT_MYSQL_URL (e.g.
+    ``mysql://root:pw@localhost/whales``) to run it; skipped where no
+    MySQL service exists (this container). The dialect SQL itself is
+    unit-tested unconditionally (test_sources.py)."""
+    import os
+
+    import pytest
+
+    db_url = os.environ.get("SPARK_GRAFT_MYSQL_URL")
+    if not db_url:
+        pytest.skip("no MySQL service: set SPARK_GRAFT_MYSQL_URL to run")
+    from whale_sightings_spark.cli import main
+    from whale_sightings_spark.sources.ddl import connection_factory_for_url
+
+    factory, dialect = connection_factory_for_url(db_url)
+    assert dialect == "mysql"
+    try:
+        con = factory()
+    except Exception as exc:  # driver missing or server unreachable
+        pytest.skip(f"MySQL unreachable: {exc}")
+    try:
+        rc = main(["db", "beluga_whale", "--data-dir", raw_dir, "--db-url", db_url])
+        assert rc == 0
+        cur = con.cursor()
+        cur.execute("SELECT count(*) FROM occurrences")
+        n_occ = cur.fetchone()[0]
+        assert n_occ == 10  # 8 valid + 3 repaired - 1 dup
+        # idempotent: a second load upserts, never duplicates
+        main(["db", "beluga_whale", "--data-dir", raw_dir, "--db-url", db_url])
+        cur.execute("SELECT count(*) FROM occurrences")
+        assert cur.fetchone()[0] == n_occ
+    finally:
+        con.close()
+
+
 def test_notebook_parity_queries(result):
     """Notebook cells 9-14 queries over the star schema: species join,
     location merge, valid-date sightings-per-year."""

@@ -241,6 +241,13 @@ def test_q99_stratified_sample_uses_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
 
 
+def test_q113_stratified_weighted_sample_uses_window_group_limit(spark, sf_dir):
+    # the per-group Efraimidis-Spirakis draw must keep q99's shape:
+    # k rows per language ahead of the final exchange
+    plan = explain_str(queries()["q113_stratified_weighted_sample"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+
+
 def test_q103_bm25_broadcasts_df_and_stats(spark, sf_dir):
     # df and N/avgdl are dimension-sized: the tf side must never
     # shuffle for them

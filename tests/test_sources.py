@@ -260,3 +260,39 @@ def test_zorder_compaction_clusters_both_dimensions(spark, sf_dir, tmp_path):
 
     # row fidelity
     assert spark.read.parquet(out).count() == events.count()
+
+
+def test_schema_evolution_merge_and_declared_projection(spark, tmp_path):
+    # the curated-zone contract for rolling re-ingestion: files written
+    # before a column existed coexist with files written after. Merge
+    # reads union the schemas (old rows null-fill), declared-schema
+    # reads stay pinned to their version.
+    from pyspark.sql import types as T
+
+    from whale_sightings_spark.sources.files import read_curated_parquet
+
+    out = str(tmp_path / "zone")
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, species string"
+    )
+    v1.write.mode("overwrite").parquet(out)
+    v2 = spark.createDataFrame(
+        [(3, "c", 0.5)], "id long, species string, confidence double"
+    )
+    v2.write.mode("append").parquet(out)
+
+    merged = read_curated_parquet(spark, out)
+    assert set(merged.columns) == {"id", "species", "confidence"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].confidence is None and rows[2].confidence is None
+    assert rows[3].confidence == 0.5
+
+    pinned_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("species", T.StringType()),
+        ]
+    )
+    pinned = read_curated_parquet(spark, out, schema=pinned_schema)
+    assert pinned.columns == ["id", "species"]
+    assert pinned.count() == 3

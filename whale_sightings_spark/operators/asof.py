@@ -44,6 +44,12 @@ def asof_join(
     Implemented as a row-local predicate on the carried match's
     timestamp — the plan keeps its ONE shuffle.
     """
+    # "__rts" is the reserved struct field carrying the matched right
+    # row's timestamp; a caller column of that name would duplicate the
+    # field and make the tolerance predicate ambiguous
+    assert "__rts" not in right_cols and "__rts" not in left.columns, (
+        "'__rts' is reserved by asof_join"
+    )
     lcols = left.columns
     payload_fields = [
         f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in right_cols

@@ -366,10 +366,14 @@ def dedup_components_converged(
         .unionByName(nodes.select(F.col("v").alias("src"), F.col("v").alias("dst")))
     )
     edges = edges.repartition("dst").persist(StorageLevel.MEMORY_AND_DISK)
+    # the probe sums into decimal(38,0): Spark's non-ANSI long sum wraps
+    # silently, and at extreme id scales a wrapped sum could in theory
+    # alias across rounds and terminate the loop early
+    _label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
     labels = nodes.select(
         F.col("v").alias("doc_id"), F.col("v").alias("label")
     ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    prev_sum = labels.agg(_label_sum).collect()[0][0]
     for _ in range(max_rounds):
         stepped = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -388,7 +392,7 @@ def dedup_components_converged(
             stepped.join(jump, stepped.label == jump.jv)
             .select("doc_id", F.col("jl").alias("label"))
         ).localCheckpoint()
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        cur_sum = labels.agg(_label_sum).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

@@ -5,13 +5,17 @@ with a typed metadata struct; decode / feature-extract / resize /
 frame-sample are Arrow-batched ``mapInPandas`` operators so payload
 bytes never round-trip through Python row objects.
 
-The container ships no image/audio codecs, so the *decode* step is
-stubbed per the build contract: ``decoder="real"`` raises
+The container ships no image/audio codecs, so the *image/audio decode*
+step is stubbed per the build contract: ``decoder="real"`` raises
 ``NotImplementedError`` with the integration point documented, while
 ``decoder="fake"`` is a deterministic byte-level featurizer
 (nibble histogram) that exercises the full Spark plumbing — schema,
 partitioning, UDF signature, Arrow batch shape — and is oracle-checkable
 (the histogram of md5-bytes is computable in SQL from the hex string).
+``decoder="utf8"`` is a REAL end-to-end decode path with zero external
+dependencies: payload bytes -> Python str -> text features + a
+round-trip digest, over the same mapInPandas contract a codec decoder
+plugs into.
 """
 
 from __future__ import annotations
@@ -69,13 +73,36 @@ def attach_fake_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def attach_text_media(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are the documents' own UTF-8 bytes —
+    the input for the real ``decoder="utf8"`` path (and the reason it
+    is oracle-checkable: every decoded feature is recomputable in SQL
+    from the source text)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("text/plain;charset=utf-8").alias("format"),
+        ).alias("meta"),
+    )
+
+
 def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """Per-payload feature extraction via mapInPandas.
 
     ``fake``: 16-bin nibble histogram of the payload bytes (real Arrow
-    binary plumbing, deterministic, SQL-checkable). ``real``: the
-    integration point for an actual codec (PIL/librosa/ffmpeg) — not
-    available in this environment.
+    binary plumbing, deterministic, SQL-checkable). ``utf8``: REAL
+    decode — payload bytes to str (UTF-8, latin-1 fallback for
+    undecodable payloads), emitting byte/char counts, an is_ascii
+    flag, and the md5 of the re-encoded text (proves bytes -> str ->
+    bytes round-trip fidelity, not just a length count). ``real``: the
+    integration point for an actual image/audio codec
+    (PIL/librosa/ffmpeg) — not available in this environment.
     """
     if decoder == "real":
         raise NotImplementedError(
@@ -83,6 +110,8 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
             "ffmpeg) not present in this environment; plug the codec into "
             "_featurize_batch and keep the mapInPandas contract"
         )
+    if decoder == "utf8":
+        return _extract_utf8_features(media)
     if decoder != "fake":
         raise ValueError(f"unknown decoder {decoder!r}")
 
@@ -123,6 +152,58 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
             )
 
     return media.mapInPandas(featurize, schema=out_schema)
+
+
+def _extract_utf8_features(media: DataFrame) -> DataFrame:
+    """The ``decoder="utf8"`` path: a genuine decode per payload.
+    Decode is inherently per-payload work, so the inner loop is per
+    row — but rows arrive and leave as Arrow batches (mapInPandas),
+    never as pickled Row objects, which is the contract every real
+    codec decoder inherits."""
+    import hashlib
+
+    out_schema = (
+        "media_id long, kind string, n_bytes int, n_chars int, "
+        "is_ascii boolean, text_md5 string"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if payload is None:
+                    rows.append((mid, kind, None, None, None, None))
+                    continue
+                b = bytes(payload)
+                try:
+                    s = b.decode("utf-8")
+                except UnicodeDecodeError:
+                    s = b.decode("latin-1")
+                rows.append(
+                    (
+                        mid,
+                        kind,
+                        len(b),
+                        len(s),
+                        len(b) == 0 or max(b) < 128,
+                        hashlib.md5(s.encode("utf-8")).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "kind",
+                    "n_bytes",
+                    "n_chars",
+                    "is_ascii",
+                    "text_md5",
+                ],
+            )
+
+    return media.mapInPandas(decode, schema=out_schema)
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:

@@ -405,8 +405,10 @@ def q99_stratified_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q100 — connected components run to CONVERGENCE: the fixpoint sibling
 # of q29's fixed-k contract (k-hop leaves diameter > k components
 # split). Driver-side loop with an early stop: each round is the same
-# one-join+one-min-agg over the persisted edge set, plus a scalar
-# changed-label count; localCheckpoint truncates lineage per round
+# one-join+one-min-agg over the persisted edge set, plus one scalar
+# probe — labels only ever decrease, so an unchanged sum(label)
+# (decimal-summed, overflow-proof) IS the fixpoint;
+# localCheckpoint truncates lineage per round
 # (operators/dedup.dedup_components_converged). The oracle is DuckDB's
 # WITH RECURSIVE transitive closure — true components, no round count
 # in the contract at all.
@@ -1023,4 +1025,58 @@ def q111_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select("flag", F.col("qty").alias("mode_qty"), F.col("n").alias("mode_n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q113 — per-group weighted sampling: q102's Efraimidis-Spirakis
+# exponential keys (key = -ln(u)/w, u a pure hash of doc_id, w =
+# n_chars) drawn PER LANGUAGE — the k smallest keys within each stratum
+# are a size-biased sample without replacement per group, the carve a
+# mixture-balancing pipeline actually wants (q102 samples globally, so
+# a dominant language swallows the budget). Same determinism contract
+# (pure-hash u, 10dp key rounding, doc_id tie-break) composed with
+# q99's scale shape: the window partitions by lang — a real key — and
+# WindowGroupLimit caps each stratum to k rows ahead of the final
+# exchange, so only |langs| x k rows cross the wire.
+# ---------------------------------------------------------------------------
+
+_WSTRATA_K = 4
+
+
+@register(
+    "q113_stratified_weighted_sample",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               round(-ln(({hash60_sql("'wsample:' || CAST(doc_id AS VARCHAR)")} + 1)
+                         / {_TWO60}.0) / n_chars, 10) AS skey
+        FROM documents
+    ),
+    r AS (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY lang ORDER BY skey, doc_id
+        ) AS INT) AS rank
+        FROM keyed
+    )
+    SELECT lang, rank, doc_id, n_chars, round(skey, 6) AS skey
+    FROM r WHERE rank <= {_WSTRATA_K}
+    """,
+)
+def q113_stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        hash60(F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))) + 1
+    ) / F.lit(float(_TWO60))
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(-F.log(u) / F.col("n_chars"), 10).alias("skey"),
+    )
+    w = W.partitionBy("lang").orderBy("skey", "doc_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _WSTRATA_K)
+        .select("lang", "rank", "doc_id", "n_chars", F.round("skey", 6).alias("skey"))
     )

@@ -10,7 +10,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from whale_sightings_spark.functions import text as TX
-from whale_sightings_spark.operators.multimodal import attach_fake_media, extract_features
+from whale_sightings_spark.operators.multimodal import (
+    attach_fake_media,
+    attach_text_media,
+    extract_features,
+)
 from whale_sightings_spark.plans.queries import register
 from whale_sightings_spark.schemas import load_table
 from whale_sightings_spark.streaming.events import (
@@ -43,6 +47,33 @@ _NIBBLE_HIST_SQL = (
 def q23_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_fake_media(load_table(spark, sf_dir, "documents"))
     return extract_features(media, decoder="fake")
+
+
+# ---------------------------------------------------------------------------
+# q114 — multimodal REAL decode path: payloads are the documents' own
+# UTF-8 bytes and decoder="utf8" genuinely decodes them (bytes -> str
+# in the Arrow-batched mapInPandas contract every codec decoder
+# inherits). The oracle recomputes every feature from the source text —
+# including the md5 of the re-encoded string, which pins the
+# bytes -> str -> bytes round trip, not just a length count.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q114_media_utf8_decode",
+    """
+    SELECT doc_id AS media_id,
+           'text' AS kind,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CAST(length(text) AS INT) AS n_chars,
+           octet_length(encode(text)) = length(text) AS is_ascii,
+           md5(text) AS text_md5
+    FROM documents
+    """,
+)
+def q114_media_utf8_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_text_media(load_table(spark, sf_dir, "documents"))
+    return extract_features(media, decoder="utf8")
 
 
 # ---------------------------------------------------------------------------

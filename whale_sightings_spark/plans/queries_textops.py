@@ -264,7 +264,7 @@ _BM25_TOP = 15
     ),
     tf AS (
         SELECT doc_id, tok, count(*) AS tf FROM toks
-        WHERE tok IN ('join', 'vector', 'stream')
+        WHERE tok IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
         GROUP BY doc_id, tok
     ),
     df AS (

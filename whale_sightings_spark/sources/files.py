@@ -110,6 +110,26 @@ def read_curated_csv(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.read.option("header", True).schema(schema).csv(path)
 
 
+def read_curated_parquet(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Curated parquet re-entry with SCHEMA EVOLUTION: a rolling 100 TB
+    zone is re-ingested incrementally, so files written before a column
+    was added coexist with files written after.
+
+    - ``schema=None``: ``mergeSchema=true`` unions the column sets of
+      all footer schemas; rows from older files null-fill columns they
+      predate (additive evolution — the only kind the zone contract
+      allows; renames/retypes are a rewrite, not an evolution).
+    - declared ``schema``: project to the stated contract regardless of
+      what newer files carry — readers pinned to a schema version keep
+      working as the zone evolves ahead of them (per-file pruning of
+      unrequested columns still happens in the parquet reader).
+    """
+    reader = spark.read.option("mergeSchema", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
 def write_error_json(unrepaired: DataFrame, out_dir: str) -> None:
     """Unrepaired-error JSON export (cleaner.py:248-288): every error
     row that survived neither validation nor the second-chance repair is

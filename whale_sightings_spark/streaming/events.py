@@ -373,10 +373,12 @@ def streaming_incremental_dedup(
     Re-delivered batches are self-healing: fingerprints already in the
     state anti-join away, so at-least-once delivery converges to the
     same state (asserted by the replay test). The state dir here is
-    plain parquet append; production swaps in a transactional table
-    format so a mid-append crash can't leave partial files — the plan
-    shape is identical. Runs with availableNow and blocks until the
-    backlog drains.
+    plain parquet append on a DRIVER-LOCAL filesystem (the presence
+    probe is an ``os.listdir``, and non-transactional appends mean a
+    mid-append crash can leave partial part-files that poison the next
+    read); production swaps in a transactional table format on shared
+    storage — the plan shape is identical. Runs with availableNow and
+    blocks until the backlog drains.
     """
     schema = spark.read.parquet(docs_dir).schema
 
