@@ -280,15 +280,17 @@ def dedup_components(pairs: DataFrame, iterations: int = COMPONENT_ITERATIONS) -
     # the pair generator upstream (LSH banding + verification) is the
     # expensive lineage here, and `directed` fans out into FIVE scans
     # below (both edge directions, twice inside the node-distinct, the
-    # self-loop branch). Without this persist the union's branches each
-    # re-run the whole generator inside the one materialization job —
-    # observed as a ~5x cold-start multiplier. The pair set itself is
-    # corpus-scale-independent (candidates only), so caching it is cheap
-    # at any SF.
-    directed = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # self-loop branch). A lazy persist is NOT enough: the whole
+    # fixed-k composition materializes in ONE job, whose branch stages
+    # race to fill the cache and each re-run the generator (round 3
+    # measured q29 at 4.3x cold vs steady). The eager localCheckpoint
+    # runs the generator exactly once, before any branching — the
+    # operators.graphs.symmetric_edges pattern. The pair set itself is
+    # corpus-scale-independent (candidates only), so materializing it
+    # is cheap at any SF.
+    directed = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).localCheckpoint()
     nodes = (
         directed.select(F.col("src").alias("v"))
         .unionByName(directed.select(F.col("dst").alias("v")))
@@ -304,13 +306,16 @@ def dedup_components(pairs: DataFrame, iterations: int = COMPONENT_ITERATIONS) -
         )
         .unionByName(nodes.select(F.col("v").alias("src"), F.col("v").alias("dst")))
     )
-    # iterative working set: without persist every round re-derives the
-    # edge union — standard practice for iterative graph algorithms on
-    # Spark. The edge set is candidate pairs only, far smaller than the
-    # corpus. Hash-partitioning on dst BEFORE persist means the cached
-    # scan reports that outputPartitioning, so every round's join
-    # reshuffles only the (small) labels side, never the edges.
-    edges = edges.repartition("dst").persist(StorageLevel.MEMORY_AND_DISK)
+    # iterative working set: without materialization every round
+    # re-derives the edge union — standard practice for iterative graph
+    # algorithms on Spark. The edge set is candidate pairs only, far
+    # smaller than the corpus. Hash-partitioning on dst BEFORE the
+    # checkpoint means the materialized scan reports that
+    # outputPartitioning, so every round's join reshuffles only the
+    # (small) labels side, never the edges. Eager (localCheckpoint,
+    # not persist) because the k lazily-composed rounds materialize in
+    # one job whose round stages would otherwise race to fill a cache.
+    edges = edges.repartition("dst").localCheckpoint()
     labels = nodes.select(
         F.col("v").alias("doc_id"), F.col("v").alias("label")
     )
@@ -350,10 +355,12 @@ def dedup_components_converged(
     """
     from pyspark import StorageLevel
 
-    directed = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # eager checkpoint before branching (see dedup_components): the
+    # first action otherwise races the generator across the node /
+    # edge-direction branches
+    directed = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).localCheckpoint()
     nodes = (
         directed.select(F.col("src").alias("v"))
         .unionByName(directed.select(F.col("dst").alias("v")))
