@@ -214,3 +214,32 @@ def fingerprint_md5(col: Column) -> Column:
 
 def fingerprint_md5_sql(expr: str) -> str:
     return f"md5({normalize_text_sql(expr)})"
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (emails / phone numbers)
+# ---------------------------------------------------------------------------
+
+#: regex dialect restricted to the Java-regex / RE2 common subset so the
+#: Spark expression and the DuckDB oracle match byte-for-byte
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{4}\b"
+EMAIL_TOKEN = "<EMAIL>"
+PHONE_TOKEN = "<PHONE>"
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every email address and phone-shaped number with typed
+    placeholder tokens (emails first, so a digits-only phone pattern
+    can never bite into an address). Native regexp_replace — JVM-side,
+    replaces all occurrences."""
+    return F.regexp_replace(
+        F.regexp_replace(col, EMAIL_RE, EMAIL_TOKEN), PHONE_RE, PHONE_TOKEN
+    )
+
+
+def redact_pii_sql(expr: str) -> str:
+    return (
+        f"regexp_replace(regexp_replace({expr}, '{EMAIL_RE}', "
+        f"'{EMAIL_TOKEN}', 'g'), '{PHONE_RE}', '{PHONE_TOKEN}', 'g')"
+    )

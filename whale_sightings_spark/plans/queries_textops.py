@@ -331,3 +331,243 @@ def q103_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(_BM25_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q115 — PII redaction: emails and phone-shaped numbers replaced with
+# typed placeholder tokens (functions.text.redact_pii — native chained
+# regexp_replace, JVM-side, patterns restricted to the Java-regex/RE2
+# common subset so both engines substitute identically). The corpus
+# text carries no PII, so a deterministic contact line is appended per
+# doc before scrubbing — the redaction itself is the operator under
+# test, pinned by match counts, a no-residue check on BOTH patterns,
+# and the md5 of the redacted text. Row-local; no shuffle at all.
+# ---------------------------------------------------------------------------
+
+from whale_sightings_spark.functions.text import (  # noqa: E402
+    EMAIL_RE,
+    PHONE_RE,
+    redact_pii,
+    redact_pii_sql,
+)
+
+_RAW_PII_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com"
+    " or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@register(
+    "q115_pii_redaction",
+    f"""
+    WITH raw AS (
+        SELECT doc_id, {_RAW_PII_SQL} AS raw FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{PHONE_RE}')) AS INT) AS n_phones,
+           len(regexp_extract_all({redact_pii_sql('raw')}, '{EMAIL_RE}')) = 0
+             AND len(regexp_extract_all({redact_pii_sql('raw')}, '{PHONE_RE}')) = 0
+             AS clean,
+           md5({redact_pii_sql('raw')}) AS redacted_md5
+    FROM raw
+    """,
+)
+def q115_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("raw"),
+    )
+    red = raw.withColumn("redacted", redact_pii(F.col("raw")))
+    return red.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count("raw", F.lit(PHONE_RE)).cast("int").alias("n_phones"),
+        (
+            (F.regexp_count("redacted", F.lit(EMAIL_RE)) == 0)
+            & (F.regexp_count("redacted", F.lit(PHONE_RE)) == 0)
+        ).alias("clean"),
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q117 — context-window chunking with overlap: each document splits
+# into token windows of _CHUNK_WIDTH with stride _CHUNK_STRIDE (10-token
+# overlap) — the pre-tokenization step that turns documents into
+# training sequences while keeping boundary context. Entirely row-local
+# (sequence -> posexplode -> slice): zero shuffles, and the chunk md5
+# pins the exact token content of every window in both engines.
+# ---------------------------------------------------------------------------
+
+_CHUNK_WIDTH = 50
+_CHUNK_STRIDE = 40
+
+
+@register(
+    "q117_chunk_with_overlap",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {TX.tokens_sql('text')} AS t FROM documents
+    ),
+    s AS (
+        SELECT doc_id, t,
+               unnest(range(0, len(t), {_CHUNK_STRIDE})) AS start_tok
+        FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(start_tok // {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(len(t[start_tok + 1 : start_tok + {_CHUNK_WIDTH}]) AS INT)
+               AS chunk_len,
+           md5(array_to_string(t[start_tok + 1 : start_tok + {_CHUNK_WIDTH}], ' '))
+               AS chunk_md5
+    FROM s
+    """,
+)
+def q117_chunk_with_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("t")).filter(
+        F.size("t") > 0
+    )
+    s = toks.select(
+        "doc_id",
+        "t",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("t") - 1, F.lit(_CHUNK_STRIDE))
+        ).alias("chunk_idx", "start_tok"),
+    )
+    chunk = F.slice(F.col("t"), F.col("start_tok") + 1, F.lit(_CHUNK_WIDTH))
+    return s.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(chunk).cast("int").alias("chunk_len"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q118 — repetition quality flags (the Gopher-style within-document
+# screens): fraction of tokens covered by the single most frequent
+# 2-gram, and fraction of 2-gram occurrences that are repeats. High
+# values mark boilerplate/looping text that survives exact and near-dup
+# screens (repetition lives INSIDE one doc). Shapes: row-local shingle
+# explode -> (doc, gram) count -> per-doc agg — two keyed shuffles on
+# high-cardinality keys, output is doc-sized. Docs with < 2 tokens
+# have no 2-grams and drop out (mirrored in both engines).
+# ---------------------------------------------------------------------------
+
+_REP_TOP_T = 0.10
+_REP_DUP_T = 0.10
+
+
+@register(
+    "q118_repetition_flags",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {TX.tokens_sql('text')} AS t FROM documents
+    ),
+    g AS (
+        SELECT doc_id, len(t) AS n_tokens, unnest({TX.shingles_from_tokens_sql('t', 2)}) AS gram
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id, n_tokens, gram, count(*) AS c FROM g GROUP BY 1, 2, 3
+    ),
+    p AS (
+        SELECT doc_id, n_tokens,
+               max(c) AS max_c,
+               sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_g,
+               sum(c) AS tot_g
+        FROM c GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           round(2 * max_c / n_tokens, 6) AS top2_frac,
+           round(dup_g / tot_g, 6) AS dup2_frac,
+           2 * max_c / n_tokens > {_REP_TOP_T}
+             OR dup_g / tot_g > {_REP_DUP_T} AS flag_repetitive
+    FROM p
+    """,
+)
+def q118_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+    g = t.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.explode(TX.shingles_from_tokens(F.col("t"), 2)).alias("gram"),
+    )
+    c = g.groupBy("doc_id", "n_tokens", "gram").agg(F.count("*").alias("c"))
+    p = c.groupBy("doc_id", "n_tokens").agg(
+        F.max("c").alias("max_c"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("dup_g"),
+        F.sum("c").alias("tot_g"),
+    )
+    top = 2 * F.col("max_c") / F.col("n_tokens")
+    dup = F.col("dup_g") / F.col("tot_g")
+    return p.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.round(top, 6).alias("top2_frac"),
+        F.round(dup, 6).alias("dup2_frac"),
+        ((top > _REP_TOP_T) | (dup > _REP_DUP_T)).alias("flag_repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q119 — benchmark contamination screen: training documents sharing
+# word 3-grams with a held-out eval set (here: docs 0-4 stand in for
+# the benchmark; training = doc_id >= 10). The eval n-gram set is
+# BOUNDED (benchmarks are small) and broadcasts onto the training
+# shingle stream — the fact side never shuffles for the probe; the
+# per-doc overlap count is one keyed agg. Per-doc grams are deduped
+# before the join so n_shared counts DISTINCT shared grams.
+# ---------------------------------------------------------------------------
+
+_CONTAM_T = 2
+
+
+@register(
+    "q119_contamination_screen",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {TX.tokens_sql('text')} AS t FROM documents
+    ),
+    g AS (
+        SELECT doc_id, unnest({TX.shingles_from_tokens_sql('t', 3)}) AS gram
+        FROM t
+    ),
+    e AS (SELECT DISTINCT gram FROM g WHERE doc_id < 5),
+    tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id >= 10)
+    SELECT tr.doc_id,
+           count(*) AS n_shared_3grams,
+           count(*) >= {_CONTAM_T} AS contaminated
+    FROM tr JOIN e USING (gram)
+    GROUP BY tr.doc_id
+    """,
+)
+def q119_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+    g = t.select(
+        "doc_id", F.explode(TX.shingles_from_tokens(F.col("t"), 3)).alias("gram")
+    )
+    ev = g.filter(F.col("doc_id") < 5).select("gram").distinct()
+    tr = g.filter(F.col("doc_id") >= 10).distinct()
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shared_3grams"),
+            (F.count("*") >= _CONTAM_T).alias("contaminated"),
+        )
+    )
