@@ -1080,3 +1080,147 @@ def q113_stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("rank") <= _WSTRATA_K)
         .select("lang", "rank", "doc_id", "n_chars", F.round("skey", 6).alias("skey"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q120 — perplexity-based quality filtering: the actual CONSUMER of the
+# q97 bigram LM. Each document is scored by the corpus-trained model —
+# ppl(d) = exp(-mean ln P(w2|w1)) over the doc's bigrams — and docs in
+# the high-perplexity tail are flagged (the filter every LLM corpus
+# runs to drop text the in-domain LM finds surprising). Shapes: the LM
+# is the q97 pair-count table + w1-partitioned window over the
+# AGGREGATED pairs (vocab-sized, never the token stream); the doc
+# bigram stream joins the LM on the (w1, w2) key — row-scale,
+# high-cardinality, shuffle-parallel — and folds per doc in one keyed
+# agg. Every bigram is in-vocabulary by construction (the LM is trained
+# on the same corpus), so no smoothing term is needed for the join to
+# be total — the inner join is exactly row-preserving.
+# ---------------------------------------------------------------------------
+
+_PPL_FLAG_T = 31.0
+
+
+@register(
+    "q120_perplexity_filter",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {TX.tokens_sql('text')} AS w FROM documents
+    ),
+    e AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) r
+    ),
+    b AS (
+        SELECT doc_id, w1, w2 FROM e WHERE w1 <> '' AND w2 <> ''
+    ),
+    pc AS (
+        SELECT w1, w2, count(*) AS pair_n FROM b GROUP BY w1, w2
+    ),
+    lm AS (
+        SELECT w1, w2, pair_n,
+               sum(pair_n) OVER (PARTITION BY w1) AS first_n
+        FROM pc
+    ),
+    s AS (
+        SELECT b.doc_id,
+               count(*) AS n_bigrams,
+               sum(ln(lm.pair_n * 1.0 / lm.first_n)) AS lp
+        FROM b JOIN lm USING (w1, w2)
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_bigrams AS INT) AS n_bigrams,
+           round(exp(-lp / n_bigrams), 4) AS ppl,
+           exp(-lp / n_bigrams) > {_PPL_FLAG_T} AS flag_high_ppl
+    FROM s
+    """,
+)
+def q120_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("w"))
+    b = (
+        toks.select("doc_id", "w", F.posexplode("w").alias("i", "w1"))
+        .select("doc_id", "w1", F.try_element_at("w", F.col("i") + 2).alias("w2"))
+        .filter((F.col("w1") != "") & F.col("w2").isNotNull() & (F.col("w2") != ""))
+    )
+    pc = b.groupBy("w1", "w2").agg(F.count("*").alias("pair_n"))
+    lm = pc.withColumn("first_n", F.sum("pair_n").over(W.partitionBy("w1")))
+    s = (
+        b.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.log(F.col("pair_n") * 1.0 / F.col("first_n"))).alias("lp"),
+        )
+    )
+    ppl = F.exp(-F.col("lp") / F.col("n_bigrams"))
+    return s.select(
+        "doc_id",
+        F.col("n_bigrams").cast("int").alias("n_bigrams"),
+        F.round(ppl, 4).alias("ppl"),
+        (ppl > _PPL_FLAG_T).alias("flag_high_ppl"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q121 — tokenizer vocabulary coverage / OOV rate: per-document
+# fraction of tokens outside the top-K corpus vocabulary — the
+# pre-tokenizer audit that decides whether a corpus matches a
+# tokenizer's training distribution (high OOV = byte-fallback blowup in
+# sequence length). The vocabulary is a deterministic top-K by corpus
+# frequency (ties by token) — a BOUNDED dictionary by construction —
+# and broadcasts onto the token stream; the per-doc fold is one keyed
+# agg. Docs whose every token is in-vocab report 0.0, empty docs have
+# no tokens and drop out (identical in both engines).
+# ---------------------------------------------------------------------------
+
+_OOV_VOCAB_K = 20
+_OOV_FLAG_T = 0.4
+
+
+@register(
+    "q121_oov_rate",
+    f"""
+    WITH t AS (
+        SELECT doc_id, unnest({TX.tokens_sql('text')}) AS tok FROM documents
+        WHERE trim(text) <> ''
+    ),
+    f AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+    v AS (SELECT tok FROM f ORDER BY n DESC, tok LIMIT {_OOV_VOCAB_K}),
+    s AS (
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               sum(CASE WHEN tok IN (SELECT tok FROM v) THEN 0 ELSE 1 END)
+                   AS n_oov
+        FROM t GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CAST(n_oov AS INT) AS n_oov,
+           round(n_oov * 1.0 / n_tokens, 6) AS oov_frac,
+           n_oov * 1.0 / n_tokens > {_OOV_FLAG_T} AS flag_oov
+    FROM s
+    """,
+)
+def q121_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.filter(F.trim("text") != "").select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    f = t.groupBy("tok").agg(F.count("*").alias("n"))
+    v = f.orderBy(F.desc("n"), "tok").limit(_OOV_VOCAB_K).select("tok")
+    marked = t.join(
+        F.broadcast(v.withColumn("in_vocab", F.lit(1))), "tok", "left"
+    )
+    s = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )
+    frac = F.col("n_oov") * 1.0 / F.col("n_tokens")
+    return s.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_oov").cast("int").alias("n_oov"),
+        F.round(frac, 6).alias("oov_frac"),
+        (frac > _OOV_FLAG_T).alias("flag_oov"),
+    )
