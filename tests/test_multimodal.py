@@ -63,3 +63,83 @@ def test_frame_sampling_grid(media):
     assert [f["frame_index"] for f in sorted(frames, key=lambda r: r["offset_ms"])] == list(
         range(expected)
     )
+
+
+def test_utf8_decode_features_match_source_text(spark, sf_dir):
+    # the real decode path: features recomputed from the source text
+    # must match what the mapInPandas decoder produced from the bytes
+    import hashlib
+
+    from whale_sightings_spark.operators.multimodal import (
+        attach_text_media,
+        extract_features,
+    )
+    from whale_sightings_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    got = {
+        r.media_id: r
+        for r in extract_features(attach_text_media(docs), decoder="utf8").collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        g = got[row.doc_id]
+        raw = row.text.encode("utf-8")
+        assert g.n_bytes == len(raw)
+        assert g.n_chars == len(row.text)
+        assert g.is_ascii == all(b < 128 for b in raw)
+        assert g.text_md5 == hashlib.md5(raw).hexdigest()
+
+
+def test_utf8_decode_handles_non_utf8_and_null_payloads(spark):
+    # latin-1 fallback for undecodable bytes; null payload -> null row
+    from whale_sightings_spark.operators.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [
+            (1, "text", bytearray(b"\xff\xfe caf\xe9"), None),
+            (2, "text", None, None),
+        ],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    rows = {r.media_id: r for r in extract_features(media, decoder="utf8").collect()}
+    assert rows[1].n_bytes == 7
+    assert rows[1].n_chars == 7  # latin-1: one char per byte
+    assert rows[1].is_ascii is False
+    assert rows[2].n_bytes is None and rows[2].text_md5 is None
+
+
+def test_utf8_decode_stream_equals_batch(spark, sf_dir, tmp_path):
+    # the decode operator is a plain mapInPandas transformation, so the
+    # identical function must run under Structured Streaming and emit
+    # the same rows the batch run does
+    from whale_sightings_spark.operators.multimodal import (
+        attach_text_media,
+        extract_features,
+    )
+    from whale_sightings_spark.schemas import load_table
+    from whale_sightings_spark.streaming.events import run_stream_to_memory
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    media_dir = str(tmp_path / "media")
+    attach_text_media(docs).write.parquet(media_dir)
+
+    batch_media = spark.read.parquet(media_dir)
+    want = {
+        r.media_id: r
+        for r in extract_features(batch_media, decoder="utf8").collect()
+    }
+    stream_media = spark.readStream.schema(batch_media.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(media_dir)
+    q = run_stream_to_memory(
+        extract_features(stream_media, decoder="utf8"),
+        "utf8_out",
+        output_mode="append",
+    )
+    try:
+        got = {
+            r.media_id: r for r in spark.sql("SELECT * FROM utf8_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == want
