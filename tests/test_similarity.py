@@ -1,0 +1,49 @@
+"""Semantic tests for the ANN index-quality audit (operators/similarity).
+
+The oracle-differential suite checks q116 against DuckDB on the real
+testdata; this file pins the *semantics* on a hand-built corpus where
+the true recall is known by construction: one query whose cell holds
+both of its true neighbors (recall 1.0) and one whose nearest neighbor
+sits in the wrong cell (recall 0.5).
+"""
+
+from __future__ import annotations
+
+from whale_sightings_spark.operators.similarity import ann_recall
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], c) for i, v, c in rows],
+        "vec_id long, embedding array<float>, label string",
+    )
+
+
+def test_ann_recall_perfect_and_split_cells(spark):
+    rows = [
+        (0, [1.0, 0.0], "A"),   # query 0, cell A
+        (1, [0.0, 1.0], "B"),   # query 1, cell B
+        (10, [1.0, 0.1], "A"),  # q0's best neighbor, right cell
+        (11, [1.0, 0.2], "A"),  # q0's 2nd neighbor, right cell
+        (12, [0.1, 1.0], "A"),  # q1's best neighbor, WRONG cell
+        (13, [0.2, 1.0], "B"),  # q1's 2nd neighbor, right cell
+        (14, [-1.0, 0.0], "B"), # filler so cell B has >= k non-self rows
+    ]
+    out = {
+        r["query_id"]: r
+        for r in ann_recall(_emb(spark, rows), n_queries=2, k=2).collect()
+    }
+    assert out[0]["n_exact"] == 2 and out[0]["n_hit"] == 2
+    assert out[0]["recall"] == 1.0
+    # q1's true top-2 is {12, 13} but the probe only sees cell B -> one hit
+    assert out[1]["n_exact"] == 2 and out[1]["n_hit"] == 1
+    assert out[1]["recall"] == 0.5
+
+
+def test_ann_recall_bounds_on_testdata(spark, sf_dir):
+    from whale_sightings_spark.schemas import load_table
+
+    rows = ann_recall(load_table(spark, sf_dir, "embeddings")).collect()
+    assert len(rows) == 5
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+    assert all(r["n_exact"] == 5 for r in rows)

@@ -126,6 +126,37 @@ def ann_ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5) -> DataF
     )
 
 
+def ann_recall(embeddings: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
+    """Index-quality audit: recall@k of the IVF probe vs exact top-k.
+
+    Joins the IVF result (one-cell probe) against the brute-force
+    ground truth on (query, neighbor) and reports per-query hit count
+    and recall = |IVF intersect exact| / k. At 100 TB this is the
+    operator you run on a sampled query set after (re)training the
+    coarse quantizer, before trusting the index for retrieval: the
+    exact side is bounded by the sampled |Q| x N scan, the IVF side by
+    the probed cells, and the comparison itself is query-set-sized.
+    Both sides inherit the deterministic (cos DESC, neighbor_id)
+    tie-break so recall is reproducible across engines.
+    """
+    exact = ann_bruteforce_topk(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ann_ivf_topk(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .withColumn("recall", F.round(F.col("n_hit") / F.lit(float(k)), 6))
+        .select("query_id", "n_exact", "n_hit", "recall")
+    )
+
+
 def lsh_signature(emb) -> F.Column:
     """16-bit hyperplane signature as an int (bit i = sign of dot with
     plane i)."""

@@ -238,6 +238,60 @@ def q18_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q116 — ANN index-quality audit: recall@k of the IVF probe vs exact top-k
+# ---------------------------------------------------------------------------
+# (numbered to fill the q115-q117 gap in the curation block; lives here
+# with the other similarity queries it composes)
+
+@register(
+    "q116_ann_recall",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec, label AS qcell
+        FROM embeddings WHERE vec_id < 5
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({SIM.cosine_sql('q.qvec', 'c.embedding')}, 6) DESC,
+                                c.vec_id
+                   ) AS rank
+            FROM embeddings c CROSS JOIN q
+            WHERE c.vec_id <> q.query_id
+        ) WHERE rank <= 5
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({SIM.cosine_sql('q.qvec', 'c.embedding')}, 6) DESC,
+                                c.vec_id
+                   ) AS rank
+            FROM embeddings c JOIN q ON c.label = q.qcell
+            WHERE c.vec_id <> q.query_id
+        ) WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           count(*) AS n_exact,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           round(CAST(count(a.neighbor_id) AS DOUBLE) / 5, 6) AS recall
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def q116_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the one-cell IVF probe against brute-force ground
+    truth — the quantizer-quality gate a production index build runs on
+    a sampled query set (operators/similarity.ann_recall)."""
+    return SIM.ann_recall(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
 # q19 — embedding near-dup via hyperplane LSH blocking + cosine verify
 # ---------------------------------------------------------------------------
 
