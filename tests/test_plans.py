@@ -271,3 +271,19 @@ def test_q102_weighted_sample_is_take_ordered(spark, sf_dir):
     # global top-k must be TakeOrdered, not sort-all + limit
     plan = explain_str(queries()["q102_weighted_sample"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q122_multiprobe_keeps_topk_mapside(spark, sf_dir):
+    # both the probe-selection window and the final per-query top-k
+    # must pass WindowGroupLimit so only k rows per query cross any
+    # exchange; the probe table reaches the corpus scan as a broadcast
+    plan = explain_str(queries()["q122_ann_multiprobe"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q123_hybrid_rrf_final_topk_is_take_ordered(spark, sf_dir):
+    # fusion of two k-sized lists: the final cut must be TakeOrdered,
+    # and no stage may fall back to a row-at-a-time python eval
+    plan = explain_str(queries()["q123_hybrid_rrf"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan

@@ -126,6 +126,69 @@ def ann_ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5) -> DataF
     )
 
 
+def cell_centroids(embeddings: DataFrame) -> DataFrame:
+    """(cell, centroid) — per-label mean vector via the (label, dim)
+    partial-agg shape (one fact shuffle, map-side combine; the result
+    is cell-cardinality-sized). Components are rounded to 6dp so the
+    distributed sum order (Spark partials vs any other engine's
+    accumulation) cannot leak into downstream rank comparisons."""
+    ex = embeddings.select("label", F.posexplode("embedding").alias("dim", "val"))
+    cent = ex.groupBy("label", "dim").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("avgv")
+    )
+    return cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "avgv"))),
+            lambda s: s.avgv,
+        ).alias("centroid")
+    ).select(F.col("label").alias("cell"), "centroid")
+
+
+def ann_multiprobe_topk(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 5, n_probe: int = 2
+) -> DataFrame:
+    """Multi-probe IVF: probe the ``n_probe`` cells whose centroids are
+    nearest each query, not just the query's own cell — the standard
+    recall knob of a production IVF index (probe more cells => recall
+    approaches brute force, cost grows linearly in probed rows).
+
+    Plan shape: centroids are one fact shuffle folded to a
+    cell-cardinality table; probe selection is query-set x cells
+    (both broadcast-sized); the corpus scan joins the broadcast probe
+    table on cell, so only probed-cell rows reach the distance math,
+    and WindowGroupLimit keeps top-k per query ahead of the final
+    exchange. No stage touches more than |probed cells| worth of
+    corpus."""
+    cents = cell_centroids(embeddings)
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cw = W.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", F.round(cosine(F.col("qvec"), F.col("centroid")), 6))
+        .withColumn("probe_rank", F.row_number().over(cw))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("query_id", "qvec", "cell")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        F.col("label").alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(probes), ["cell"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cell", "neighbor_id", "cos", "rank")
+    )
+
+
 def ann_recall(embeddings: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
     """Index-quality audit: recall@k of the IVF probe vs exact top-k.
 

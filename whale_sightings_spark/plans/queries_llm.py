@@ -292,6 +292,64 @@ def q116_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q122 — multi-probe IVF ANN: probe the 2 nearest cells by centroid
+# distance (the production recall knob q116 measures the need for)
+# ---------------------------------------------------------------------------
+
+_CENTROIDS_SQL = """
+    cents AS (
+        SELECT label AS cell, list(avgv ORDER BY dim) AS centroid
+        FROM (
+            SELECT label, d.i AS dim,
+                   round(avg(CAST(embedding[d.i] AS DOUBLE)), 6) AS avgv
+            FROM embeddings,
+                 LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) d
+            GROUP BY label, d.i
+        )
+        GROUP BY label
+    )
+"""
+
+
+@register(
+    "q122_ann_multiprobe",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id < 5
+    ),
+    {_CENTROIDS_SQL},
+    probes AS (
+        SELECT query_id, qvec, cell FROM (
+            SELECT q.query_id, q.qvec, c.cell,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({SIM.cosine_sql('q.qvec', 'c.centroid')}, 6) DESC,
+                                c.cell
+                   ) AS probe_rank
+            FROM q CROSS JOIN cents c
+        ) WHERE probe_rank <= 2
+    ),
+    scored AS (
+        SELECT p.query_id, p.cell, c.vec_id AS neighbor_id,
+               round({SIM.cosine_sql('p.qvec', 'c.embedding')}, 6) AS cos
+        FROM embeddings c JOIN probes p ON c.label = p.cell
+        WHERE c.vec_id <> p.query_id
+    )
+    SELECT query_id, cell, neighbor_id, cos,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def q122_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe the 2 nearest cells per query instead of only the query's
+    own cell (operators/similarity.ann_multiprobe_topk) — same output
+    shape as q18, strictly higher recall."""
+    return SIM.ann_multiprobe_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
 # q19 — embedding near-dup via hyperplane LSH blocking + cosine verify
 # ---------------------------------------------------------------------------
 

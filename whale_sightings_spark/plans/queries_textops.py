@@ -250,9 +250,9 @@ _BM25_B = 0.75
 _BM25_TOP = 15
 
 
-@register(
-    "q103_bm25_search",
-    f"""
+#: q103's full oracle SQL, shared with the q123 hybrid-search oracle
+#: (one spec, two consumers — the CTE names stay local to each use)
+_BM25_SQL = f"""
     WITH toks AS (
         SELECT doc_id, unnest({TX.tokens_sql('text')}) AS tok FROM documents
     ),
@@ -288,8 +288,10 @@ _BM25_TOP = 15
     FROM scored
     ORDER BY score DESC, doc_id
     LIMIT {_BM25_TOP}
-    """,
-)
+    """
+
+
+@register("q103_bm25_search", _BM25_SQL)
 def q103_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -330,6 +332,101 @@ def q103_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("doc_id", F.round("score", 6).alias("score"))
         .orderBy(F.desc("score"), "doc_id")
         .limit(_BM25_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q123 — hybrid search via reciprocal rank fusion: the BM25 lexical
+# top-15 (q103) fused with the embedding cosine top-15 for query
+# vector 0 by RRF(d) = sum_lists 1/(K + rank_d). Both inputs are
+# k-sized result lists, so every fusion stage is bounded: lexical
+# ranks come from one scalar collect over the 15-row list (array_sort
+# + posexplode — no global window, no re-execution of the BM25
+# pipeline per rank), the semantic list reuses the brute-force ANN
+# operator (WindowGroupLimit top-k per query), and the fuse is a
+# k x k full outer join. At 100 TB only the two retrieval stages see
+# the corpus; fusion cost is O(k).
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOP = 10
+_SEM_QUERY_VEC = 0
+
+_SEM_TOP15_SQL = f"""
+        SELECT neighbor_id AS doc_id, CAST(rank AS INT) AS sem_rank FROM (
+            SELECT c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       ORDER BY round({{cos}}, 6) DESC, c.vec_id
+                   ) AS rank
+            FROM embeddings c
+            CROSS JOIN (SELECT embedding AS qvec FROM embeddings
+                        WHERE vec_id = {_SEM_QUERY_VEC}) q
+            WHERE c.vec_id <> {_SEM_QUERY_VEC}
+        ) WHERE rank <= 15
+"""
+
+
+def _q123_oracle() -> str:
+    from whale_sightings_spark.operators.similarity import cosine_sql
+
+    sem = _SEM_TOP15_SQL.format(cos=cosine_sql("q.qvec", "c.embedding"))
+    return f"""
+    WITH lex AS ({_BM25_SQL}),
+    lexr AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+                 AS lex_rank
+        FROM lex
+    ),
+    sem AS ({sem})
+    SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+           l.lex_rank, s.sem_rank,
+           round(coalesce(CAST(1 AS DOUBLE) / ({_RRF_K} + l.lex_rank), 0)
+                 + coalesce(CAST(1 AS DOUBLE) / ({_RRF_K} + s.sem_rank), 0),
+                 6) AS rrf
+    FROM lexr l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT {_RRF_TOP}
+    """
+
+
+@register("q123_hybrid_rrf", _q123_oracle())
+def q123_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.operators.similarity import ann_bruteforce_topk
+
+    lex = q103_bm25_search(spark, sf_dir)
+    # ranks of a 15-row list: one scalar collect, sorted (score desc,
+    # doc_id asc) by negating the score inside the sort struct
+    lexr = (
+        lex.agg(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("score")).alias("ns"), "doc_id"))
+            ).alias("arr")
+        )
+        .select(F.posexplode("arr").alias("pos", "s"))
+        .select(
+            F.col("s.doc_id").alias("doc_id"),
+            (F.col("pos") + 1).cast("int").alias("lex_rank"),
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = ann_bruteforce_topk(emb, n_queries=_SEM_QUERY_VEC + 1, k=15).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank")
+    )
+    one = F.lit(1).cast("double")
+    return (
+        lexr.join(sem, ["doc_id"], "full")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(one / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(one / (F.lit(_RRF_K) + F.col("sem_rank")), F.lit(0.0)),
+                6,
+            ),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(_RRF_TOP)
+        .select("doc_id", "lex_rank", "sem_rank", "rrf")
     )
 
 
@@ -570,4 +667,93 @@ def q119_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_shared_3grams"),
             (F.count("*") >= _CONTAM_T).alias("contaminated"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q124 — duplicated-span screen: the fraction of each document made of
+# exact spans that also appear in OTHER documents (the RefinedWeb /
+# Dolma "duplicated n-gram fraction" quality signal — finer than
+# doc-level exact dedup, coarser than suffix arrays). Non-overlapping
+# 32-token spans are hashed row-local (explode + slice + md5, zero
+# shuffle); span hashes seen in >= 2 distinct docs come from one keyed
+# agg; flagging is a hash-partitioned equi-join of the span table with
+# that (smaller) dup-hash set; the per-doc rollup is the second keyed
+# shuffle. No stage is ever quadratic and nothing corpus-scale is
+# broadcast, so the shape holds at 100 TB unchanged.
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 32
+
+
+@register(
+    "q124_duplicated_spans",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {TX.tokens_sql('text')} AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_slice(toks, start, start + {_SPAN_W} - 1), ' ')) AS h
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(range(1, greatest(len(toks), 1) + 1, {_SPAN_W}))
+                       AS start
+            FROM t
+        )
+        WHERE len(list_slice(toks, start, start + {_SPAN_W} - 1)) > 0
+    ),
+    dup AS (
+        SELECT h FROM s GROUP BY h HAVING count(DISTINCT doc_id) > 1
+    ),
+    flagged AS (
+        SELECT s.doc_id, CASE WHEN d.h IS NULL THEN 0 ELSE 1 END AS is_dup
+        FROM s LEFT JOIN dup d ON d.h = s.h
+    )
+    SELECT doc_id,
+           count(*) AS n_spans,
+           sum(is_dup) AS n_dup_spans,
+           round(CAST(sum(is_dup) AS DOUBLE) / count(*), 4) AS dup_ratio
+    FROM flagged
+    GROUP BY doc_id
+    HAVING sum(is_dup) > 0
+    """,
+)
+def q124_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    span = F.slice(F.col("toks"), F.col("start"), _SPAN_W)
+    s = (
+        t.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("toks"), F.lit(1)),
+                    F.lit(_SPAN_W),
+                )
+            ).alias("start"),
+        )
+        .filter(F.size(span) > 0)
+        .select("doc_id", F.md5(F.concat_ws(" ", span)).alias("h"))
+    )
+    dup = (
+        s.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h", F.lit(1).alias("dup_hit"))
+    )
+    flagged = s.join(dup, "h", "left").select(
+        "doc_id", F.coalesce(F.col("dup_hit"), F.lit(0)).alias("is_dup")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum("is_dup").alias("n_dup_spans"),
+            F.round(F.sum("is_dup") / F.count("*"), 4).alias("dup_ratio"),
+        )
+        .filter(F.col("n_dup_spans") > 0)
     )
