@@ -47,3 +47,36 @@ def test_ann_recall_bounds_on_testdata(spark, sf_dir):
     assert len(rows) == 5
     assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
     assert all(r["n_exact"] == 5 for r in rows)
+
+
+def test_q126_no_cluster_spans_splits(spark, sf_dir):
+    # the leakage guard: every near-dup cluster maps to exactly one split
+    from pyspark.sql import functions as F
+
+    from whale_sightings_spark.functions.hashing import hash60
+    from whale_sightings_spark.operators import dedup as DD
+    from whale_sightings_spark.plans.queries_quality import (
+        SPLIT_TRAIN_UPTO,
+        SPLIT_VAL_UPTO,
+    )
+    from whale_sightings_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = DD.dedup_components(DD.simhash_pairs(docs))
+    clusters = docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("cluster")
+    )
+    bucket = hash60(F.concat(F.col("cluster").cast("string"), F.lit(":csplit"))) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_UPTO, "train")
+        .when(bucket < SPLIT_VAL_UPTO, "val")
+        .otherwise("test")
+    )
+    spans = (
+        clusters.withColumn("split", split)
+        .groupBy("cluster")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert spans == 0

@@ -552,7 +552,9 @@ def q28_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the oracle runs the identical rounds as chained CTEs.
 # ---------------------------------------------------------------------------
 
-def _label_prop_sql(pairs_sql: str, iterations: int) -> str:
+def _label_prop_ctes(pairs_sql: str, iterations: int) -> str:
+    """The WITH-chain up to ``l{iterations}`` (doc_id, label) — shared
+    by the q29 component rollup and the q126 leakage-safe split."""
     # strip the leading WITH so the pair query's CTEs merge into ours
     body = pairs_sql.strip()
     assert body.upper().startswith("WITH")
@@ -578,12 +580,18 @@ def _label_prop_sql(pairs_sql: str, iterations: int) -> str:
         LEFT JOIN l{k-1} n ON n.doc_id = e.dst
         GROUP BY l.doc_id, l.label
     )"""
-    out += f"""
+    return out
+
+
+def _label_prop_sql(pairs_sql: str, iterations: int) -> str:
+    return (
+        _label_prop_ctes(pairs_sql, iterations)
+        + f"""
     SELECT label AS component, count(*) AS n_docs, min(doc_id) AS rep
     FROM l{iterations}
     GROUP BY 1
     """
-    return out
+    )
 
 
 @register(
@@ -595,6 +603,85 @@ def q29_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = DD.dedup_components(pairs)
     return labels.groupBy(F.col("label").alias("component")).agg(
         F.count("*").alias("n_docs"), F.min("doc_id").alias("rep")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q126 — leakage-safe train/val/test split: q90's deterministic hash
+# split keyed by the near-dup CLUSTER instead of the document, so every
+# member of a near-dup cluster lands in the same split — the guard that
+# keeps eval sets from leaking into training via near-duplicates that
+# doc-keyed splitting cannot provide. Cluster labels come from the q29
+# fixed-k propagation over the SimHash pair graph; docs in no pair are
+# their own singleton cluster (coalesce(label, doc_id)). The label
+# table is edge-set-sized and joins onto the corpus by doc_id (one
+# keyed shuffle); the split decision is then row-local. Invariant
+# (asserted in tests/test_similarity.py): no cluster spans splits —
+# true by construction since split = f(cluster).
+# ---------------------------------------------------------------------------
+
+def _q126_oracle() -> str:
+    from whale_sightings_spark.plans.queries_quality import (
+        SPLIT_TRAIN_UPTO,
+        SPLIT_VAL_UPTO,
+    )
+
+    key = hash60_sql("CAST(cluster AS VARCHAR) || ':csplit'")
+    k = DD.COMPONENT_ITERATIONS
+    return (
+        _label_prop_ctes(_SIMHASH_PAIRS_SQL, k)
+        + f"""
+    , clusters AS (
+        SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN l{k} l ON l.doc_id = d.doc_id
+    ),
+    s AS (
+        SELECT doc_id, cluster,
+               CASE WHEN ({key}) % 100 < {SPLIT_TRAIN_UPTO} THEN 'train'
+                    WHEN ({key}) % 100 < {SPLIT_VAL_UPTO} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM clusters
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM s
+    GROUP BY split
+    """
+    )
+
+
+@register("q126_leakage_safe_split", _q126_oracle())
+def q126_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.functions.hashing import hash60
+    from whale_sightings_spark.plans.queries_quality import (
+        SPLIT_TRAIN_UPTO,
+        SPLIT_VAL_UPTO,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.simhash_pairs(docs)
+    labels = DD.dedup_components(pairs)
+    clusters = (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster")
+        )
+    )
+    bucket = hash60(
+        F.concat(F.col("cluster").cast("string"), F.lit(":csplit"))
+    ) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_UPTO, "train")
+        .when(bucket < SPLIT_VAL_UPTO, "val")
+        .otherwise("test")
+    )
+    return clusters.withColumn("split", split).groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("cluster").alias("n_clusters"),
+        F.sum("doc_id").alias("sum_ids"),
     )
 
 

@@ -242,3 +242,101 @@ def q93_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
         F.coalesce(F.min(F.when(is_out, F.col("x"))), F.lit(0.0)).alias("min_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q125 — quality-signal ensemble: several row-local signals combined on
+# a COMMON scale by decile-rank normalization. Naive rank-normalization
+# is a global window (percent_rank over the whole corpus) — the q105
+# disease; here each signal's decile boundaries come from one exact
+# percentile_cont scalar aggregate (single-row, broadcast), and every
+# row is scored with a row-local array probe (1 + #bounds below) / 10 —
+# the q72 equi-depth shape applied per signal. Signals: token count,
+# unique-token ratio, chars-per-token. Ensemble = mean decile score;
+# final cut is TakeOrdered top-20. Corpus is scanned twice (boundary
+# pass + scoring pass), shuffled never.
+# ---------------------------------------------------------------------------
+
+_ENS_DECILES = [i / 10 for i in range(1, 10)]
+_ENS_TOP = 20
+
+_ENS_SIGNALS_SQL = f"""
+        SELECT doc_id,
+               CAST(len(toks) AS DOUBLE) AS s_ntok,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS s_uniq,
+               CAST(n_chars AS DOUBLE) / len(toks) AS s_cpt
+        FROM (SELECT doc_id, n_chars, {TX.tokens_sql('text')} AS toks
+              FROM documents)
+        WHERE len(toks) > 0
+"""
+
+
+def _ens_decile_sql(col: str) -> str:
+    return (
+        f"round(CAST(1 + len(list_filter(b.b_{col}, x -> s.{col} > x)) AS DOUBLE)"
+        " / 10, 1)"
+    )
+
+
+@register(
+    "q125_quality_ensemble",
+    f"""
+    WITH s AS ({_ENS_SIGNALS_SQL}),
+    b AS (
+        SELECT quantile_cont(s_ntok, {_ENS_DECILES}) AS b_s_ntok,
+               quantile_cont(s_uniq, {_ENS_DECILES}) AS b_s_uniq,
+               quantile_cont(s_cpt, {_ENS_DECILES}) AS b_s_cpt
+        FROM s
+    ),
+    scored AS (
+        SELECT s.doc_id,
+               {_ens_decile_sql('s_ntok')} AS d_ntok,
+               {_ens_decile_sql('s_uniq')} AS d_uniq,
+               {_ens_decile_sql('s_cpt')} AS d_cpt
+        FROM s CROSS JOIN b
+    )
+    SELECT doc_id, d_ntok, d_uniq, d_cpt,
+           round((d_ntok + d_uniq + d_cpt) / 3, 4) AS ensemble
+    FROM scored
+    ORDER BY ensemble DESC, doc_id
+    LIMIT {_ENS_TOP}
+    """,
+)
+def q125_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        docs.select("doc_id", "n_chars", TX.tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.size("toks").cast("double").alias("s_ntok"),
+            (F.size(F.array_distinct("toks")).cast("double") / F.size("toks"))
+            .alias("s_uniq"),
+            (F.col("n_chars").cast("double") / F.size("toks")).alias("s_cpt"),
+        )
+    )
+    b = s.agg(
+        *[
+            F.percentile(c, F.lit(_ENS_DECILES)).alias(f"b_{c}")
+            for c in ("s_ntok", "s_uniq", "s_cpt")
+        ]
+    )
+
+    def decile(c: str) -> F.Column:
+        probe = F.filter(f"b_{c}", lambda x: F.col(c) > x)
+        return F.round((1 + F.size(probe)).cast("double") / 10, 1)
+
+    scored = s.crossJoin(F.broadcast(b)).select(
+        "doc_id",
+        decile("s_ntok").alias("d_ntok"),
+        decile("s_uniq").alias("d_uniq"),
+        decile("s_cpt").alias("d_cpt"),
+    )
+    return (
+        scored.withColumn(
+            "ensemble",
+            F.round((F.col("d_ntok") + F.col("d_uniq") + F.col("d_cpt")) / 3, 4),
+        )
+        .orderBy(F.desc("ensemble"), "doc_id")
+        .limit(_ENS_TOP)
+    )
