@@ -220,6 +220,67 @@ def ann_recall(embeddings: DataFrame, n_queries: int = 5, k: int = 5) -> DataFra
     )
 
 
+#: product-quantization geometry: EMBEDDING_DIM is split into PQ_M
+#: subspaces of PQ_DSUB dims, each encoded against PQ_K sub-centroids
+PQ_M = 8
+PQ_DSUB = EMBEDDING_DIM // PQ_M
+PQ_K = 4
+
+
+def pq_encode(embeddings: DataFrame) -> DataFrame:
+    """Product-quantization encoding: each vector compressed to PQ_M
+    small codes (the memory layout ANN indexes use to hold billions of
+    vectors in RAM — 64 floats -> 8 codes here). The codebook is
+    deterministic "training": the first PQ_K vectors' sub-vectors per
+    subspace (production swaps in per-subspace k-means; the operator
+    shape — broadcast codebook, per-subspace argmin, regroup — is
+    identical).
+
+    Scale shape: sub-vectors are generated row-local (explode +
+    slice); the codebook is PQ_M x PQ_K rows and broadcasts; argmin
+    per (vec, subspace) is one keyed agg of a min-struct (map-side
+    partial, deterministic d2-then-cid tie-break); codes fold back to
+    an ordered array in a second keyed agg. Nothing corpus-scale is
+    ever broadcast or windowed.
+
+    Returns (vec_id, codes array, recon = sqrt of total squared
+    quantization error, rounded 6dp).
+    """
+    sub = embeddings.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s"),
+        "embedding",
+    ).select(
+        "vec_id",
+        "s",
+        F.transform(
+            F.slice(F.col("embedding"), F.col("s") * PQ_DSUB + 1, PQ_DSUB),
+            lambda x: x.cast("double"),
+        ).alias("subvec"),
+    )
+    cb = sub.filter(F.col("vec_id") < PQ_K).select(
+        "s", F.col("vec_id").alias("cid"), F.col("subvec").alias("cvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("subvec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    best = (
+        sub.join(F.broadcast(cb), "s")
+        .select("vec_id", "s", F.struct(d2.alias("d2"), F.col("cid")).alias("m"))
+        .groupBy("vec_id", "s")
+        .agg(F.min("m").alias("m"))
+        .select("vec_id", "s", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"))
+    )
+    return best.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "cid"))), lambda x: x.cid
+        ).alias("codes"),
+        F.round(F.sqrt(F.sum("d2")), 6).alias("recon"),
+    )
+
+
 def lsh_signature(emb) -> F.Column:
     """16-bit hyperplane signature as an int (bit i = sign of dot with
     plane i)."""

@@ -350,6 +350,50 @@ def q122_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q127 — product-quantization encoding (the RAM-resident code layout of
+# billion-vector ANN indexes; operators/similarity.pq_encode)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q127_pq_encode",
+    f"""
+    WITH sub AS (
+        SELECT vec_id, s.i AS s,
+               list_transform(range(1, {SIM.PQ_DSUB} + 1),
+                   j -> CAST(embedding[(s.i) * {SIM.PQ_DSUB} + j] AS DOUBLE))
+                   AS subvec
+        FROM embeddings,
+             LATERAL (SELECT unnest(range(0, {SIM.PQ_M})) AS i) s
+    ),
+    cb AS (
+        SELECT s, vec_id AS cid, subvec AS cvec FROM sub
+        WHERE vec_id < {SIM.PQ_K}
+    ),
+    d AS (
+        SELECT a.vec_id, a.s, c.cid,
+               list_sum(list_transform(list_zip(a.subvec, c.cvec),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+        FROM sub a JOIN cb c ON c.s = a.s
+    ),
+    best AS (
+        SELECT vec_id, s, cid, d2 FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+            FROM d
+        ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           list(cid ORDER BY s) AS codes,
+           round(sqrt(sum(d2)), 6) AS recon
+    FROM best
+    GROUP BY vec_id
+    """,
+)
+def q127_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.pq_encode(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
 # q19 — embedding near-dup via hyperplane LSH blocking + cosine verify
 # ---------------------------------------------------------------------------
 

@@ -130,6 +130,29 @@ def read_curated_parquet(spark: SparkSession, path: str, schema=None) -> DataFra
     return reader.parquet(path)
 
 
+def write_curated_orc(
+    df: DataFrame, out_dir: str, partition_by: tuple[str, ...] = ()
+) -> None:
+    """ORC twin of the parquet curated zone (native Spark writer, zlib
+    default). Same partition-pruning layout contract; kept so the
+    engine can serve warehouses standardized on ORC without a
+    conversion hop."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(out_dir)
+
+
+def read_curated_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC re-entry point; same declared-schema projection contract as
+    the parquet reader (predicate pushdown and column pruning are
+    native for ORC too — asserted in tests/test_sources.py)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def write_error_json(unrepaired: DataFrame, out_dir: str) -> None:
     """Unrepaired-error JSON export (cleaner.py:248-288): every error
     row that survived neither validation nor the second-chance repair is
