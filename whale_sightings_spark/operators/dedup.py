@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from whale_sightings_spark.functions.hashing import (
+    MINHASH_BANDS,
+    MINHASH_ROWS_PER_BAND,
     band_keys,
     minhash_signature_from_hashes,
     simhash,
@@ -220,6 +222,75 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_estimate_audit(docs: DataFrame) -> DataFrame:
+    """Sketch-quality audit for the MinHash path: for every LSH
+    candidate pair, the signature-estimated Jaccard (matching
+    components / signature length) against the exact shingle-set
+    Jaccard, with the absolute error — the measurement that decides
+    whether the signature length / banding scheme is adequate before
+    trusting q15's candidates at corpus scale (the q116 role, for the
+    text-dedup index).
+
+    Same stage shapes as ``minhash_lsh_pairs``: banding join over the
+    corpus, exact verification over candidate pairs only. Pairs whose
+    banding collision is a false positive (zero shared shingles) stay
+    in the output with exact = 0 — those are precisely the audit's
+    most interesting rows, so candidates LEFT-join the intersection
+    counts.
+    """
+    staged = (
+        _shingled(docs.filter(F.size(tokens(F.col("text"))) >= SHINGLE_N))
+        .select("doc_id", F.transform("shingles", hash60).alias("hashed"))
+        .select("doc_id", minhash_signature_from_hashes(F.col("hashed")).alias("sig"))
+    )
+    banded = staged.select("doc_id", F.explode(band_keys(F.col("sig"))).alias("band"))
+    cands = _bucket_candidate_pairs(banded).distinct()
+
+    siglen = MINHASH_BANDS * MINHASH_ROWS_PER_BAND
+    sa = staged.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = staged.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
+                lambda m: m,
+            )
+        )
+        / F.lit(float(siglen))
+    )
+
+    pairs = _shingle_docs(docs)
+    sizes = pairs.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    pa = pairs.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
+    pb = pairs.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
+    inter = (
+        cands.join(pa, "doc_a")
+        .join(pb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    exact = (
+        F.coalesce(F.col("n_common"), F.lit(0))
+        / (F.col("size_a") + F.col("size_b") - F.coalesce(F.col("n_common"), F.lit(0)))
+    )
+    return (
+        cands.join(inter, ["doc_a", "doc_b"], "left")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
     )
 
 

@@ -144,6 +144,77 @@ def q15_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q129 — MinHash sketch-quality audit: estimated vs exact Jaccard over
+# every LSH candidate pair (operators/dedup.minhash_estimate_audit).
+# False-positive band collisions (zero shared shingles) stay in the
+# output with exact = 0 — candidates LEFT-join the intersection.
+# ---------------------------------------------------------------------------
+
+_MINHASH_SIGLEN = len(_SIG_EXPRS)
+
+
+@register(
+    "q129_minhash_estimate_audit",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, [{", ".join(_SIG_EXPRS)}] AS sig
+        FROM sh WHERE len(shingles) > 0
+    ),
+    banded AS (
+        SELECT doc_id, unnest([{", ".join(_BAND_EXPRS)}]) AS band FROM sig
+    ),
+    kept_bands AS (
+        SELECT band FROM banded GROUP BY band
+        HAVING count(*) > 1 AND count(*) <= {DD.MAX_BAND_BUCKET}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+        JOIN kept_bands k ON k.band = a.band
+    ),
+    spairs AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents)
+    ),
+    keep AS (
+        SELECT shingle FROM spairs GROUP BY shingle HAVING count(*) <= {DD.MAX_SHINGLE_DF}
+    ),
+    fpairs AS (SELECT p.doc_id, p.shingle FROM spairs p JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM fpairs GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cands c
+        JOIN fpairs a ON a.doc_id = c.doc_a
+        JOIN fpairs b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(len(list_filter(range(1, {_MINHASH_SIGLEN} + 1),
+                     i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+                 / {_MINHASH_SIGLEN}, 6) AS est_jaccard,
+           round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+                 / (za.n + zb.n - coalesce(i.n_common, 0)), 6) AS exact_jaccard,
+           round(abs(CAST(len(list_filter(range(1, {_MINHASH_SIGLEN} + 1),
+                         i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+                     / {_MINHASH_SIGLEN}
+                     - CAST(coalesce(i.n_common, 0) AS DOUBLE)
+                       / (za.n + zb.n - coalesce(i.n_common, 0))), 6) AS abs_err
+    FROM cands c
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes za ON za.doc_id = c.doc_a
+    JOIN sizes zb ON zb.doc_id = c.doc_b
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    """,
+)
+def q129_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_estimate_audit(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # q16 — SimHash near-dup (60-bit signature, banded blocking, Hamming verify)
 # ---------------------------------------------------------------------------
 
@@ -759,6 +830,73 @@ def q30_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "tok")
         .limit(VOCAB_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q128 — vocabulary coverage curve: cumulative share of all token
+# occurrences covered by the top-K vocabulary, per rank — the
+# tokenizer-sizing audit that pairs with q121's OOV rate (how much of
+# the corpus does a K-entry vocab actually buy?). Shapes: one token
+# agg (the q30 shuffle), top-K via TakeOrdered; the cumulative sum
+# runs inside ONE scalar collect of the K-row list (array_sort +
+# posexplode + row-local prefix fold) — a running total WITHOUT a
+# single-partition window; the corpus-wide denominator is a broadcast
+# scalar agg.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q128_vocab_coverage",
+    f"""
+    WITH t AS (
+        SELECT unnest({TX.tokens_sql('text')}) AS tok FROM documents
+    ),
+    f AS (
+        SELECT tok, count(*) AS n FROM t WHERE tok <> '' GROUP BY tok
+    ),
+    v AS (
+        SELECT tok, n FROM f ORDER BY n DESC, tok LIMIT {VOCAB_TOP_K}
+    ),
+    tot AS (SELECT sum(n) AS n_total FROM f)
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, tok) AS INT) AS rank,
+           tok, n,
+           round(CAST(sum(n) OVER (ORDER BY n DESC, tok
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / tot.n_total, 6) AS cum_share
+    FROM v CROSS JOIN tot
+    """,
+)
+def q128_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode_outer(TX.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    )
+    f = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    top = f.orderBy(F.desc("n"), "tok").limit(VOCAB_TOP_K)
+    tot = f.agg(F.sum("n").alias("n_total"))
+    # running total over the K-row list: one scalar collect, sorted by
+    # (n desc, tok) via the negated count in the sort struct, prefix
+    # sums computed row-local from array slices (K^2 adds, K = 25)
+    arr = top.agg(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("n")).alias("nn"), "tok", "n"))
+        ).alias("arr")
+    )
+    exploded = arr.select("arr", F.posexplode("arr").alias("pos", "s"))
+    cum = F.aggregate(
+        F.slice("arr", 1, F.col("pos") + 1),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x.n,
+    )
+    return (
+        exploded.crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            F.col("s.tok").alias("tok"),
+            F.col("s.n").alias("n"),
+            F.round(cum.cast("double") / F.col("n_total"), 6).alias("cum_share"),
+        )
     )
 
 
