@@ -143,3 +143,40 @@ def test_utf8_decode_stream_equals_batch(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert got == want
+
+
+def test_slice_frames_reconstructs_payload_bytes(spark, sf_dir):
+    # frames are REAL byte slices: with every_k=1 the concatenation of
+    # a payload's frames in index order must equal the original bytes
+    from whale_sightings_spark.operators.multimodal import (
+        attach_text_media,
+        slice_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    tm = attach_text_media(docs)
+    src = {r["media_id"]: bytes(r["payload"]) for r in tm.collect()}
+    frames = slice_frames(tm, frame_bytes=64, every_k=1).collect()
+    rebuilt: dict[int, list] = {}
+    for r in frames:
+        rebuilt.setdefault(r["media_id"], []).append((r["frame_idx"], bytes(r["frame"])))
+        assert r["frame_md5"] == hashlib.md5(
+            bytes(r["frame"]).hex().upper().encode()
+        ).hexdigest()
+        assert r["n_frame_bytes"] == len(bytes(r["frame"])) <= 64
+    for mid, parts in rebuilt.items():
+        assert b"".join(p for _, p in sorted(parts)) == src[mid]
+    # empty payloads emit no frames
+    assert set(rebuilt) == {m for m, b in src.items() if len(b) > 0}
+
+
+def test_slice_frames_sampling_stride(spark, sf_dir):
+    from whale_sightings_spark.operators.multimodal import (
+        attach_text_media,
+        slice_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    out = slice_frames(attach_text_media(docs), frame_bytes=64, every_k=2)
+    idx = [r["frame_idx"] for r in out.collect()]
+    assert idx and all(i % 2 == 0 for i in idx)

@@ -225,6 +225,50 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
+def slice_frames(
+    media: DataFrame, frame_bytes: int = 64, every_k: int = 2
+) -> DataFrame:
+    """REAL byte-level frame extraction for raw fixed-stride payloads:
+    the payload is treated as concatenated ``frame_bytes``-sized frames
+    and every ``every_k``-th frame is emitted as its own binary column
+    — entirely native (sequence + explode + binary substring), no UDF,
+    whole-stage codegen end to end. This is the demux half of video
+    handling (real at the byte level today); codec decode of each
+    emitted frame remains the ``extract_features(decoder="real")``
+    integration point. Row-local at any corpus size: output rows ∝
+    payload bytes / (frame_bytes * every_k), zero shuffles.
+
+    Returns (media_id, frame_idx, n_frame_bytes, frame binary,
+    frame_md5 = md5 of the frame's hex rendering — hex, not raw, so
+    the DuckDB oracle can recompute it without blob substring
+    support)."""
+    n_frames = F.ceil(F.length("payload") / F.lit(frame_bytes))
+    frames = (
+        media.filter(F.length("payload") > 0)
+        .select(
+            "media_id",
+            "payload",
+            F.explode(
+                F.sequence(F.lit(0), (n_frames - 1).cast("int"), F.lit(every_k))
+            ).alias("frame_idx"),
+        )
+        .select(
+            "media_id",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            F.expr(
+                f"substring(payload, frame_idx * {frame_bytes} + 1, {frame_bytes})"
+            ).alias("frame"),
+        )
+    )
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.length("frame").cast("int").alias("n_frame_bytes"),
+        "frame",
+        F.md5(F.hex("frame")).alias("frame_md5"),
+    )
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling: one output row per sampled frame offset
     (posexplode over the duration grid). Frame decode itself is the

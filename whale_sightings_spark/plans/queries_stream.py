@@ -77,6 +77,51 @@ def q114_media_utf8_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q130 — REAL byte-level frame extraction (operators/multimodal.
+# slice_frames): payloads demuxed into fixed-stride 64-byte frames,
+# every 2nd frame emitted via native binary substring — no UDF, zero
+# shuffles. Frame identity is pinned by md5 over the frame's hex
+# rendering (DuckDB lacks blob substring, so the oracle slices the hex
+# string — 2 hex chars per byte — and hashes the identical rendering).
+# ---------------------------------------------------------------------------
+
+_FRAME_B = 64
+_FRAME_EVERY = 2
+
+
+@register(
+    "q130_frame_slices",
+    f"""
+    WITH m AS (
+        SELECT doc_id AS media_id, hex(encode(text)) AS ph
+        FROM documents WHERE octet_length(encode(text)) > 0
+    ),
+    f AS (
+        SELECT media_id, ph,
+               unnest(range(0,
+                   CAST(ceil(len(ph) / 2.0 / {_FRAME_B}) AS BIGINT),
+                   {_FRAME_EVERY})) AS fi
+        FROM m
+    )
+    SELECT media_id,
+           CAST(fi AS INT) AS frame_idx,
+           CAST(len(substr(ph, CAST(fi * {2 * _FRAME_B} + 1 AS BIGINT),
+                           {2 * _FRAME_B})) / 2 AS INT) AS n_frame_bytes,
+           md5(substr(ph, CAST(fi * {2 * _FRAME_B} + 1 AS BIGINT),
+                      {2 * _FRAME_B})) AS frame_md5
+    FROM f
+    """,
+)
+def q130_frame_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.operators.multimodal import slice_frames
+
+    media = attach_text_media(load_table(spark, sf_dir, "documents"))
+    return slice_frames(media, frame_bytes=_FRAME_B, every_k=_FRAME_EVERY).select(
+        "media_id", "frame_idx", "n_frame_bytes", "frame_md5"
+    )
+
+
+# ---------------------------------------------------------------------------
 # q24 — tumbling window aggregation (streaming-equivalent batch check)
 # ---------------------------------------------------------------------------
 
