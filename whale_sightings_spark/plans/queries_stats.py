@@ -539,9 +539,8 @@ from whale_sightings_spark.functions.hashing import hash60, hash60_sql  # noqa: 
 _PACK_BUCKET_SQL = f"({hash60_sql('CAST(doc_id AS VARCHAR)')}) % {_PACK_BUCKETS}"
 
 
-@register(
-    "q64_sequence_packing",
-    f"""
+#: q64's full oracle SQL, shared with the q131 packed-manifest oracle
+_PACK_SQL = f"""
     WITH t AS (
         SELECT doc_id,
                CAST(len({TX.tokens_sql('text')}) AS BIGINT) AS n_tokens,
@@ -560,8 +559,10 @@ _PACK_BUCKET_SQL = f"({hash60_sql('CAST(doc_id AS VARCHAR)')}) % {_PACK_BUCKETS}
            CAST(floor((cum - n_tokens) / {_PACK_BIN}.0) AS BIGINT) AS bin_id,
            CAST((cum - n_tokens) % {_PACK_BIN} AS BIGINT) AS offset_tokens
     FROM s
-    """,
-)
+    """
+
+
+@register("q64_sequence_packing", _PACK_SQL)
 def q64_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
@@ -582,6 +583,47 @@ def q64_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor(start / _PACK_BIN).alias("bin_id"),
         (start % _PACK_BIN).alias("offset_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q131 — packed-example manifests: q64's per-doc assignment rolled up
+# to one row per (bucket, bin) — the artifact a trainer actually
+# consumes (which docs make up each fixed-context example, in offset
+# order, plus fill/spill accounting for boundary handling). One extra
+# keyed agg over q64's single window shuffle; the per-bin collect is
+# bounded by construction (a 4096-token bin holds at most 4096
+# nonempty docs), so the manifest row can never blow up an executor.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q131_packed_manifest",
+    f"""
+    WITH packed AS ({_PACK_SQL})
+    SELECT bucket, bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           CAST(greatest(max(offset_tokens + n_tokens) - {_PACK_BIN}, 0)
+                AS BIGINT) AS spill_tokens,
+           list(doc_id ORDER BY offset_tokens, doc_id) AS doc_ids
+    FROM packed
+    GROUP BY bucket, bin_id
+    """,
+)
+def q131_packed_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = q64_sequence_packing(spark, sf_dir)
+    return packed.groupBy("bucket", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.greatest(
+            F.max(F.col("offset_tokens") + F.col("n_tokens")) - F.lit(_PACK_BIN),
+            F.lit(0).cast("bigint"),
+        ).alias("spill_tokens"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("offset_tokens", "doc_id"))),
+            lambda x: x.doc_id,
+        ).alias("doc_ids"),
     )
 
 
