@@ -11,6 +11,8 @@ import json
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import duckdb
 
 from whale_sightings_spark.plans.queries import oracle_sql, queries

@@ -468,9 +468,8 @@ def q127_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q19 — embedding near-dup via hyperplane LSH blocking + cosine verify
 # ---------------------------------------------------------------------------
 
-@register(
-    "q19_embedding_neardup",
-    f"""
+#: q19's full oracle SQL, shared with the q132 semantic-dedup oracle
+_EMB_NEARDUP_SQL = f"""
     WITH sigs AS (
         SELECT vec_id, {SIM.lsh_signature_sql('embedding')} AS sig
         FROM embeddings
@@ -497,8 +496,10 @@ def q127_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN embeddings ea ON ea.vec_id = c.vec_a
     JOIN embeddings eb ON eb.vec_id = c.vec_b
     WHERE round({SIM.cosine_sql('ea.embedding', 'eb.embedding')}, 6) >= {SIM.COSINE_DUP_THRESHOLD}
-    """,
-)
+    """
+
+
+@register("q19_embedding_neardup", _EMB_NEARDUP_SQL)
 def q19_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
 
@@ -718,6 +719,72 @@ def q29_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = DD.dedup_components(pairs)
     return labels.groupBy(F.col("label").alias("component")).agg(
         F.count("*").alias("n_docs"), F.min("doc_id").alias("rep")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q132 — semantic dedup (SemDeDup shape): embedding near-dup pairs
+# (q19) -> connected components (q29's fixed-k propagation) -> one
+# survivor per cluster (min vec_id) -> per-cell dedup-pressure audit
+# (how much of each IVF cell the semantic screen removes). Same stage
+# shapes as its parts: LSH banding join over the corpus, edge-set-sized
+# propagation, survivors/drops are component-table-sized and join back
+# to the corpus by vec_id — one keyed join, then a cell-sized agg.
+# ---------------------------------------------------------------------------
+
+def _q132_oracle() -> str:
+    k = DD.COMPONENT_ITERATIONS
+    pairs_sql = (
+        f"WITH P AS ({_EMB_NEARDUP_SQL})\n"
+        "    SELECT vec_a AS doc_a, vec_b AS doc_b FROM P"
+    )
+    return (
+        _label_prop_ctes(pairs_sql, k)
+        + f"""
+    , surv AS (
+        SELECT label, min(doc_id) AS survivor FROM l{k} GROUP BY label
+    ),
+    dropped AS (
+        SELECT l.doc_id FROM l{k} l
+        JOIN surv s ON s.label = l.label
+        WHERE l.doc_id <> s.survivor
+    )
+    SELECT e.label AS cell,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(d.doc_id) AS BIGINT) AS n_dropped,
+           CAST(count(*) - count(d.doc_id) AS BIGINT) AS n_kept,
+           round(CAST(count(d.doc_id) AS DOUBLE) / count(*), 6) AS drop_share
+    FROM embeddings e
+    LEFT JOIN dropped d ON d.doc_id = e.vec_id
+    GROUP BY e.label
+    """
+    )
+
+
+@register("q132_semantic_dedup", _q132_oracle())
+def q132_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.embedding_neardup_pairs(emb).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels = DD.dedup_components(pairs)
+    surv = labels.groupBy("label").agg(F.min("doc_id").alias("survivor"))
+    dropped = (
+        labels.join(surv, "label")
+        .filter(F.col("doc_id") != F.col("survivor"))
+        .select(F.col("doc_id").alias("vec_id"), F.lit(1).alias("is_dropped"))
+    )
+    return (
+        emb.join(dropped, "vec_id", "left")
+        .groupBy(F.col("label").alias("cell"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.coalesce("is_dropped", F.lit(0))).alias("n_dropped"),
+            (F.count("*") - F.sum(F.coalesce("is_dropped", F.lit(0)))).alias("n_kept"),
+            F.round(
+                F.sum(F.coalesce("is_dropped", F.lit(0))) / F.count("*"), 6
+            ).alias("drop_share"),
+        )
     )
 
 
