@@ -180,3 +180,37 @@ def test_slice_frames_sampling_stride(spark, sf_dir):
     out = slice_frames(attach_text_media(docs), frame_bytes=64, every_k=2)
     idx = [r["frame_idx"] for r in out.collect()]
     assert idx and all(i % 2 == 0 for i in idx)
+
+
+def test_slice_frames_stream_equals_batch(spark, sf_dir, tmp_path):
+    # frame demux is stateless native ops, so the identical plan must
+    # run under Structured Streaming and emit the same frames
+    from whale_sightings_spark.operators.multimodal import (
+        attach_text_media,
+        slice_frames,
+    )
+    from whale_sightings_spark.streaming.events import run_stream_to_memory
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    media_dir = str(tmp_path / "media")
+    attach_text_media(docs).write.parquet(media_dir)
+    batch_media = spark.read.parquet(media_dir)
+
+    def project(df):
+        return slice_frames(df, frame_bytes=64, every_k=2).select(
+            "media_id", "frame_idx", "frame_md5"
+        )
+
+    want = {(r.media_id, r.frame_idx): r.frame_md5
+            for r in project(batch_media).collect()}
+    stream_media = spark.readStream.schema(batch_media.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(media_dir)
+    q = run_stream_to_memory(project(stream_media), "frames_out",
+                             output_mode="append")
+    try:
+        got = {(r.media_id, r.frame_idx): r.frame_md5
+               for r in spark.sql("SELECT * FROM frames_out").collect()}
+    finally:
+        q.stop()
+    assert got == want and len(want) > 0

@@ -757,3 +757,106 @@ def q124_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_dup_spans") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# q133 — URL canonicalization + variant dedup: the web-corpus
+# normalization every crawl pipeline runs before URL-level dedup
+# (lowercase scheme/host, drop default port and fragment, strip
+# tracking params, sort the surviving query params, trim the trailing
+# slash). Four deterministic messy variants of each page URL are
+# derived from doc_id; the operator must collapse them to one
+# canonical form. Canonicalization is entirely row-local native string
+# work (parse_url + split/filter/array_sort/concat — no UDF); the
+# variant rollup is one keyed agg on the canonical URL. At 100 TB:
+# zero shuffles before the final URL-keyed agg.
+# ---------------------------------------------------------------------------
+
+_URL_VARIANT_SQL = """
+        CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN 'https://www.example.com/a/' || CAST(doc_id // 4 AS VARCHAR)
+                      || '?utm_source=x&ref=abc'
+          WHEN 1 THEN 'HTTPS://www.example.com:443/a/' || CAST(doc_id // 4 AS VARCHAR)
+                      || '?ref=abc'
+          WHEN 2 THEN 'https://WWW.EXAMPLE.COM/a/' || CAST(doc_id // 4 AS VARCHAR)
+                      || '?ref=abc&utm_campaign=y#sec'
+          ELSE 'https://www.example.com/a/' || CAST(doc_id // 4 AS VARCHAR)
+                      || '/?ref=abc'
+        END
+"""
+
+
+@register(
+    "q133_url_canonicalize",
+    f"""
+    WITH u AS (
+        SELECT doc_id, {_URL_VARIANT_SQL} AS url FROM documents
+    ),
+    parts AS (
+        SELECT doc_id,
+               lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)) AS host,
+               regexp_replace(
+                   regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1),
+                   '/$', '') AS path,
+               regexp_extract(url, '\\?([^#]*)', 1) AS query
+        FROM u
+    ),
+    canon AS (
+        SELECT doc_id,
+               'https://' || host || path ||
+               CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+        FROM (
+            SELECT doc_id, host, path,
+                   array_to_string(list_sort(list_filter(
+                       string_split(query, '&'),
+                       x -> x <> '' AND NOT x LIKE 'utm_%')), '&') AS q
+            FROM parts
+        )
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM canon
+    GROUP BY canonical_url
+    """,
+)
+def q133_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    page = (F.col("doc_id") / 4).cast("bigint").cast("string")
+    v = (F.col("doc_id") % 4).cast("int")
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://www.example.com/a/"), page,
+                                F.lit("?utm_source=x&ref=abc")))
+        .when(v == 1, F.concat(F.lit("HTTPS://www.example.com:443/a/"), page,
+                               F.lit("?ref=abc")))
+        .when(v == 2, F.concat(F.lit("https://WWW.EXAMPLE.COM/a/"), page,
+                               F.lit("?ref=abc&utm_campaign=y#sec")))
+        .otherwise(F.concat(F.lit("https://www.example.com/a/"), page,
+                            F.lit("/?ref=abc")))
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    q = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.coalesce(F.parse_url("url", F.lit("QUERY")), F.lit("")), "&"),
+                lambda x: (x != "") & ~x.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    canonical = F.concat(
+        F.lit("https://"),
+        F.lower(F.parse_url("url", F.lit("HOST"))),
+        F.regexp_replace(F.parse_url("url", F.lit("PATH")), "/$", ""),
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+    return (
+        u.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
