@@ -1061,3 +1061,66 @@ def q36_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= _TFIDF_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q134 — near-dup detector precision/recall: the SimHash family (q16)
+# scored against exact n-gram Jaccard ground truth (q14) — the third
+# index-quality audit (q116 covers IVF, q129 the MinHash sketch; this
+# one closes the loop on the Hamming-banded detector). Both sides are
+# pair-table-sized after their own corpus-scale stages; the scoring
+# join and the final scalar agg never touch the corpus. One summary
+# row: |truth|, |pred|, |hit|, precision, recall (0-denominator maps
+# to NULL via the guard, identical in both engines).
+# ---------------------------------------------------------------------------
+
+def _q134_oracle() -> str:
+    from whale_sightings_spark.plans.queries import ORACLE_SQL
+
+    return f"""
+    WITH truth AS (
+        SELECT doc_a, doc_b FROM ({ORACLE_SQL["q14_dedup_ngram_jaccard"]})
+    ),
+    pred AS (
+        SELECT doc_a, doc_b FROM ({ORACLE_SQL["q16_dedup_simhash"]})
+    ),
+    j AS (
+        SELECT coalesce(t.doc_a, p.doc_a) AS doc_a,
+               t.doc_a IS NOT NULL AS in_truth,
+               p.doc_a IS NOT NULL AS in_pred
+        FROM truth t
+        FULL OUTER JOIN pred p ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+    )
+    SELECT CAST(sum(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+           CAST(sum(CASE WHEN in_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+           CAST(sum(CASE WHEN in_truth AND in_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           round(CAST(sum(CASE WHEN in_truth AND in_pred THEN 1 ELSE 0 END) AS DOUBLE)
+                 / nullif(sum(CASE WHEN in_pred THEN 1 ELSE 0 END), 0), 6) AS precision,
+           round(CAST(sum(CASE WHEN in_truth AND in_pred THEN 1 ELSE 0 END) AS DOUBLE)
+                 / nullif(sum(CASE WHEN in_truth THEN 1 ELSE 0 END), 0), 6) AS recall
+    FROM j
+    """
+
+
+@register("q134_neardup_precision_recall", _q134_oracle())
+def q134_neardup_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    truth = DD.ngram_jaccard_pairs(docs).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_truth")
+    )
+    pred = DD.simhash_pairs(docs).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_pred")
+    )
+    j = truth.join(pred, ["doc_a", "doc_b"], "full")
+    hit = F.sum(
+        F.when((F.col("in_truth") == 1) & (F.col("in_pred") == 1), 1).otherwise(0)
+    )
+    n_truth = F.sum(F.when(F.col("in_truth") == 1, 1).otherwise(0))
+    n_pred = F.sum(F.when(F.col("in_pred") == 1, 1).otherwise(0))
+    return j.agg(
+        n_truth.cast("bigint").alias("n_truth"),
+        n_pred.cast("bigint").alias("n_pred"),
+        hit.cast("bigint").alias("n_hit"),
+        F.round(hit.cast("double") / F.nullif(n_pred, F.lit(0)), 6).alias("precision"),
+        F.round(hit.cast("double") / F.nullif(n_truth, F.lit(0)), 6).alias("recall"),
+    )
