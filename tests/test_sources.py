@@ -336,3 +336,37 @@ def test_orc_round_trip_partition_pruning_and_pushdown(spark, sf_dir, tmp_path):
     )
     got = filtered.agg(F.count("*"), F.sum("o_orderkey")).collect()[0]
     assert tuple(got) == tuple(exp)
+
+
+def test_corrupt_raw_file_survives_and_is_audited(spark, tmp_path):
+    # a malformed raw-zone file must not kill ingestion (PERMISSIVE
+    # read contributes zero rows) AND must be surfaced by the audit so
+    # the ingest job can alert instead of silently under-counting
+    import json
+
+    from whale_sightings_spark.sources.files import (
+        audit_raw_zone,
+        read_raw_occurrences,
+    )
+
+    good = tmp_path / "2000-01-01--2000-12-31.json"
+    good.write_text(json.dumps({"results": [
+        {"occurrenceID": "a1", "eventDate": "2000-05-01",
+         "decimalLatitude": 1.0, "decimalLongitude": 2.0,
+         "species": "Delphinapterus leucas", "speciesid": 137115},
+    ]}, indent=4))
+    bad = tmp_path / "2001-01-01--2001-12-31.json"
+    bad.write_text('{"results": [ TRUNCATED GARBAGE')
+    noresults = tmp_path / "2002-01-01--2002-12-31.json"
+    noresults.write_text(json.dumps({"other": 1}))
+
+    paths = [str(good), str(bad), str(noresults)]
+    rows = read_raw_occurrences(spark, paths).collect()
+    assert [r["occurrenceID"] for r in rows] == ["a1"]
+
+    audit = {r["file"].split("/")[-1]: r["reason"]
+             for r in audit_raw_zone(spark, paths).collect()}
+    assert audit == {
+        bad.name: "malformed_json",
+        noresults.name: "missing_results",
+    }

@@ -85,6 +85,48 @@ def read_raw_occurrences(spark: SparkSession, paths: list[str]) -> DataFrame:
     return rows
 
 
+def audit_raw_zone(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Raw-zone parse audit: files whose JSON failed to parse or that
+    parse but carry no ``results`` array. ``read_raw_occurrences``
+    reads PERMISSIVE (a malformed file must never kill a 100 TB
+    ingestion run), which means bad files silently contribute zero
+    rows — this companion surfaces them so the ingest job can alert
+    and retry instead of under-counting quietly. Returns
+    (file, reason, sample) — one row per bad file, row-local work
+    only."""
+    import pyspark.sql.types as T
+
+    if not paths:
+        return spark.createDataFrame(
+            [], "file string, reason string, sample string"
+        )
+    audit_schema = T.StructType(
+        [
+            T.StructField("results", T.ArrayType(OCCURRENCE_RAW_SCHEMA), True),
+            T.StructField("_corrupt_record", T.StringType(), True),
+        ]
+    )
+    docs = (
+        spark.read.schema(audit_schema)
+        .option("multiLine", "true")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(paths)
+    )
+    return (
+        docs.withColumn("file", F.input_file_name())
+        .filter(F.col("_corrupt_record").isNotNull() | F.col("results").isNull())
+        .select(
+            "file",
+            F.when(F.col("_corrupt_record").isNotNull(), "malformed_json")
+            .otherwise("missing_results")
+            .alias("reason"),
+            F.substring(F.coalesce("_corrupt_record", F.lit("")), 1, 80).alias(
+                "sample"
+            ),
+        )
+    )
+
+
 def write_curated_csv(df: DataFrame, out_dir: str) -> None:
     """S8 (cleaner.py:382-398): curated CSV checkpoint. Parquet is the
     real curated format at scale; CSV kept for reference parity."""
