@@ -344,3 +344,89 @@ def q79_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_n") >= F.col("exact_n")).alias("contract_holds"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q135 — distribution-drift monitor (PSI): population stability index
+# of the event value distribution, current half vs reference half —
+# the standing check an ML-ops pipeline runs before trusting new data
+# against a trained model. Bin boundaries are exact deciles of the
+# REFERENCE half (one single-row percentile agg, broadcast — the q72
+# shape); both halves bin row-local in one scan and meet in a single
+# 10-group aggregation; proportions carry Laplace smoothing (+0.5 per
+# bin) so a bin empty on one side cannot produce ln(0) — the smoothing
+# is part of the operator contract, identical in both engines. Total
+# PSI = sum(psi_term); > 0.2 is the conventional retrain alarm.
+# ---------------------------------------------------------------------------
+
+_PSI_SPLIT = "2024-01-16 00:00:00"
+_PSI_DECILES = [i / 10 for i in range(1, 10)]
+_PSI_BINS = len(_PSI_DECILES) + 1
+
+
+@register(
+    "q135_psi_drift",
+    f"""
+    WITH e AS (
+        SELECT CAST(value AS DOUBLE) AS x,
+               ts >= TIMESTAMP '{_PSI_SPLIT}' AS is_cur
+        FROM events
+    ),
+    b AS (
+        SELECT quantile_cont(x, {_PSI_DECILES}) AS bounds
+        FROM e WHERE NOT is_cur
+    ),
+    bn AS (
+        SELECT CAST(1 + len(list_filter(b.bounds, v -> e.x > v)) AS INT) AS bin,
+               is_cur
+        FROM e CROSS JOIN b
+    ),
+    a AS (
+        SELECT bin,
+               sum(CASE WHEN is_cur THEN 0 ELSE 1 END) AS n_ref,
+               sum(CASE WHEN is_cur THEN 1 ELSE 0 END) AS n_cur
+        FROM bn GROUP BY bin
+    ),
+    t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM a)
+    SELECT bin,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           round((n_ref + 0.5) / (tr + {_PSI_BINS} * 0.5), 6) AS p_ref,
+           round((n_cur + 0.5) / (tc + {_PSI_BINS} * 0.5), 6) AS p_cur,
+           round(((n_ref + 0.5) / (tr + {_PSI_BINS} * 0.5)
+                  - (n_cur + 0.5) / (tc + {_PSI_BINS} * 0.5))
+                 * ln(((n_ref + 0.5) / (tr + {_PSI_BINS} * 0.5))
+                      / ((n_cur + 0.5) / (tc + {_PSI_BINS} * 0.5))), 6)
+               AS psi_term
+    FROM a CROSS JOIN t
+    """,
+)
+def q135_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("value").cast("double").alias("x"),
+        (F.col("ts") >= F.lit(_PSI_SPLIT)).alias("is_cur"),
+    )
+    bounds = ev.filter(~F.col("is_cur")).agg(
+        F.percentile("x", F.lit(_PSI_DECILES)).alias("bounds")
+    )
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        (1 + F.size(F.filter("bounds", lambda v: F.col("x") > v)))
+        .cast("int")
+        .alias("bin"),
+        "is_cur",
+    )
+    a = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_cur"), 0).otherwise(1)).alias("n_ref"),
+        F.sum(F.when(F.col("is_cur"), 1).otherwise(0)).alias("n_cur"),
+    )
+    t = a.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    pr = (F.col("n_ref") + 0.5) / (F.col("tr") + _PSI_BINS * 0.5)
+    pc = (F.col("n_cur") + 0.5) / (F.col("tc") + _PSI_BINS * 0.5)
+    return a.crossJoin(F.broadcast(t)).select(
+        "bin",
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.round(pr, 6).alias("p_ref"),
+        F.round(pc, 6).alias("p_cur"),
+        F.round((pr - pc) * F.log(pr / pc), 6).alias("psi_term"),
+    )
