@@ -119,7 +119,7 @@ def pagerank_converged(
     damp: float = DAMPING_FAST,
     tol: float = PR_TOL,
     max_rounds: int = PR_MAX_ROUNDS,
-    check_every: int = 4,
+    check_every: int = 8,
 ) -> DataFrame:
     """PageRank run to an L1 fixpoint: iterate until
     ``sum(|pr_k - pr_{k-1}|) < tol`` (one scalar aggregate — the q100
