@@ -1224,3 +1224,101 @@ def q121_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frac, 6).alias("oov_frac"),
         (frac > _OOV_FLAG_T).alias("flag_oov"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q136 — interpolated-backoff perplexity: q120's bigram LM smoothed
+# with the unigram distribution, P(w2|w1) = λ·P_bi + (1−λ)·P_uni —
+# the smoothing that lets a perplexity filter score text containing
+# bigrams the LM never saw (on an external corpus the raw ML estimate
+# is zero and q120's score would be undefined). Shapes are q120's plus
+# one vocab-sized unigram table: the (w1,w2)-keyed scoring join and
+# the w2-keyed unigram join both ride the token stream's hash family;
+# the unigram total is a broadcast single-row agg.
+# ---------------------------------------------------------------------------
+
+_INTERP_LAMBDA = 0.7
+
+
+@register(
+    "q136_ppl_interpolated",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {TX.tokens_sql('text')} AS w FROM documents
+    ),
+    e AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) r
+    ),
+    b AS (
+        SELECT doc_id, w1, w2 FROM e WHERE w1 <> '' AND w2 <> ''
+    ),
+    pc AS (
+        SELECT w1, w2, count(*) AS pair_n FROM b GROUP BY w1, w2
+    ),
+    lm AS (
+        SELECT w1, w2, pair_n,
+               sum(pair_n) OVER (PARTITION BY w1) AS first_n
+        FROM pc
+    ),
+    un AS (
+        SELECT tok, count(*) AS u_n
+        FROM (SELECT unnest({TX.tokens_sql('text')}) AS tok FROM documents)
+        WHERE tok <> '' GROUP BY tok
+    ),
+    ut AS (SELECT sum(u_n) AS tot FROM un),
+    s AS (
+        SELECT b.doc_id,
+               count(*) AS n_bigrams,
+               sum(ln(CAST({_INTERP_LAMBDA} AS DOUBLE)
+                        * (lm.pair_n * 1.0 / lm.first_n)
+                      + CAST({1 - _INTERP_LAMBDA} AS DOUBLE)
+                        * (un.u_n * 1.0 / ut.tot))) AS lp
+        FROM b
+        JOIN lm USING (w1, w2)
+        JOIN un ON un.tok = b.w2
+        CROSS JOIN ut
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_bigrams AS INT) AS n_bigrams,
+           round(exp(-lp / n_bigrams), 4) AS ppl_interp
+    FROM s
+    """,
+)
+def q136_ppl_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("w"))
+    b = (
+        toks.select("doc_id", "w", F.posexplode("w").alias("i", "w1"))
+        .select("doc_id", "w1", F.try_element_at("w", F.col("i") + 2).alias("w2"))
+        .filter((F.col("w1") != "") & F.col("w2").isNotNull() & (F.col("w2") != ""))
+    )
+    pc = b.groupBy("w1", "w2").agg(F.count("*").alias("pair_n"))
+    lm = pc.withColumn("first_n", F.sum("pair_n").over(W.partitionBy("w1")))
+    un = (
+        toks.select(F.explode("w").alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("u_n"))
+    )
+    ut = un.agg(F.sum("u_n").alias("tot"))
+    lam = F.lit(_INTERP_LAMBDA).cast("double")
+    p = lam * (F.col("pair_n") * F.lit(1.0) / F.col("first_n")) + (
+        F.lit(1 - _INTERP_LAMBDA).cast("double")
+    ) * (F.col("u_n") * F.lit(1.0) / F.col("tot"))
+    s = (
+        b.join(lm, ["w1", "w2"])
+        .join(un, b["w2"] == un["tok"])
+        .crossJoin(F.broadcast(ut))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.log(p)).alias("lp"),
+        )
+    )
+    return s.select(
+        "doc_id",
+        F.col("n_bigrams").cast("int").alias("n_bigrams"),
+        F.round(F.exp(-F.col("lp") / F.col("n_bigrams")), 4).alias("ppl_interp"),
+    )
