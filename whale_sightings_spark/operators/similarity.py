@@ -227,6 +227,54 @@ PQ_DSUB = EMBEDDING_DIM // PQ_M
 PQ_K = 4
 
 
+def _pq_subvectors(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, s, subvec double[]) — row-local explode + slice."""
+    return embeddings.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s"),
+        "embedding",
+    ).select(
+        "vec_id",
+        "s",
+        F.transform(
+            F.slice(F.col("embedding"), F.col("s") * PQ_DSUB + 1, PQ_DSUB),
+            lambda x: x.cast("double"),
+        ).alias("subvec"),
+    )
+
+
+def _pq_codebook(sub: DataFrame) -> DataFrame:
+    """(s, cid, cvec) — PQ_M x PQ_K rows (deterministic "training":
+    the first PQ_K vectors' sub-vectors)."""
+    return sub.filter(F.col("vec_id") < PQ_K).select(
+        "s", F.col("vec_id").alias("cid"), F.col("subvec").alias("cvec")
+    )
+
+
+def _l2sq(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_assign(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, s, cid, d2): per-(vector, subspace) nearest codebook
+    entry via a min-struct keyed agg (map-side partial, d2-then-cid
+    tie-break)."""
+    sub = _pq_subvectors(embeddings)
+    cb = _pq_codebook(sub)
+    d2 = _l2sq(F.col("subvec"), F.col("cvec"))
+    return (
+        sub.join(F.broadcast(cb), "s")
+        .select("vec_id", "s", F.struct(d2.alias("d2"), F.col("cid")).alias("m"))
+        .groupBy("vec_id", "s")
+        .agg(F.min("m").alias("m"))
+        .select("vec_id", "s", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"))
+    )
+
+
 def pq_encode(embeddings: DataFrame) -> DataFrame:
     """Product-quantization encoding: each vector compressed to PQ_M
     small codes (the memory layout ANN indexes use to hold billions of
@@ -246,38 +294,47 @@ def pq_encode(embeddings: DataFrame) -> DataFrame:
     Returns (vec_id, codes array, recon = sqrt of total squared
     quantization error, rounded 6dp).
     """
-    sub = embeddings.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s"),
-        "embedding",
-    ).select(
-        "vec_id",
-        "s",
-        F.transform(
-            F.slice(F.col("embedding"), F.col("s") * PQ_DSUB + 1, PQ_DSUB),
-            lambda x: x.cast("double"),
-        ).alias("subvec"),
-    )
-    cb = sub.filter(F.col("vec_id") < PQ_K).select(
-        "s", F.col("vec_id").alias("cid"), F.col("subvec").alias("cvec")
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("subvec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    best = (
-        sub.join(F.broadcast(cb), "s")
-        .select("vec_id", "s", F.struct(d2.alias("d2"), F.col("cid")).alias("m"))
-        .groupBy("vec_id", "s")
-        .agg(F.min("m").alias("m"))
-        .select("vec_id", "s", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"))
-    )
+    best = _pq_assign(embeddings)
     return best.groupBy("vec_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("s", "cid"))), lambda x: x.cid
         ).alias("codes"),
         F.round(F.sqrt(F.sum("d2")), 6).alias("recon"),
+    )
+
+
+def pq_adc_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the production
+    PQ query path: the corpus is touched only through its PQ_M small
+    codes, while the query stays full-precision. Per query, a lookup
+    table of squared distances from each query sub-vector to every
+    codebook entry (|Q| x PQ_M x PQ_K rows — broadcast-sized) joins the
+    corpus code table on (subspace, code); the per-(query, vector) sum
+    is one keyed agg with map-side partials. Distances are rounded 6dp
+    BEFORE ranking (the q17 convention) so float-sum order can't flip
+    ties between identically-coded vectors; rank ties break by
+    neighbor id. WindowGroupLimit keeps top-k per query ahead of the
+    final exchange.
+    """
+    codes = _pq_assign(embeddings).select("vec_id", "s", "cid")
+    qsub = _pq_subvectors(embeddings.filter(F.col("vec_id") < n_queries)).select(
+        F.col("vec_id").alias("query_id"), "s", F.col("subvec").alias("qsub")
+    )
+    cb = _pq_codebook(_pq_subvectors(embeddings))
+    lut = qsub.join(F.broadcast(cb), "s").select(
+        "query_id", "s", "cid", _l2sq(F.col("qsub"), F.col("cvec")).alias("d2q")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "cid"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("d2q"), 6).alias("adc_d2"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_d2", "rank")
     )
 
 

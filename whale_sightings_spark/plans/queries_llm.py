@@ -425,9 +425,8 @@ def q122_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # billion-vector ANN indexes; operators/similarity.pq_encode)
 # ---------------------------------------------------------------------------
 
-@register(
-    "q127_pq_encode",
-    f"""
+#: q127's full oracle SQL, shared with the q137 ADC-search oracle
+_PQ_ENCODE_SQL = f"""
     WITH sub AS (
         SELECT vec_id, s.i AS s,
                list_transform(range(1, {SIM.PQ_DSUB} + 1),
@@ -458,10 +457,71 @@ def q122_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sqrt(sum(d2)), 6) AS recon
     FROM best
     GROUP BY vec_id
-    """,
-)
+    """
+
+
+@register("q127_pq_encode", _PQ_ENCODE_SQL)
 def q127_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_encode(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# q137 — ADC (asymmetric-distance) top-k over the q127 PQ codes: the
+# production PQ query path — corpus touched only through its codes,
+# query kept full-precision via a per-query distance lookup table
+# (operators/similarity.pq_adc_topk)
+# ---------------------------------------------------------------------------
+
+_SUBVEC = (
+    f"list_transform(range(1, {SIM.PQ_DSUB} + 1), "
+    f"j -> CAST(embedding[(s.i) * {SIM.PQ_DSUB} + j] AS DOUBLE))"
+)
+
+
+@register(
+    "q137_pq_adc_search",
+    f"""
+    WITH enc AS (
+        SELECT vec_id, codes FROM ({_PQ_ENCODE_SQL})
+    ),
+    codesx AS (
+        SELECT vec_id, p.i - 1 AS s, codes[p.i] AS cid
+        FROM enc, LATERAL (SELECT unnest(range(1, {SIM.PQ_M} + 1)) AS i) p
+    ),
+    qsub AS (
+        SELECT vec_id AS query_id, s.i AS s, {_SUBVEC} AS qsub
+        FROM embeddings,
+             LATERAL (SELECT unnest(range(0, {SIM.PQ_M})) AS i) s
+        WHERE vec_id < 5
+    ),
+    cb AS (
+        SELECT vec_id AS cid, s.i AS s, {_SUBVEC} AS cvec
+        FROM embeddings,
+             LATERAL (SELECT unnest(range(0, {SIM.PQ_M})) AS i) s
+        WHERE vec_id < {SIM.PQ_K}
+    ),
+    lut AS (
+        SELECT q.query_id, q.s, c.cid,
+               list_sum(list_transform(list_zip(q.qsub, c.cvec),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2q
+        FROM qsub q JOIN cb c ON c.s = q.s
+    ),
+    scored AS (
+        SELECT l.query_id, x.vec_id AS neighbor_id,
+               round(sum(l.d2q), 6) AS adc_d2
+        FROM codesx x JOIN lut l ON l.s = x.s AND l.cid = x.cid
+        GROUP BY l.query_id, x.vec_id
+        HAVING l.query_id <> x.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_d2,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def q137_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.pq_adc_topk(load_table(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------
