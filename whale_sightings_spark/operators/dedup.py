@@ -176,6 +176,21 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+def _banded_minhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, band) MinHash-LSH band keys. The "has >= SHINGLE_N
+    tokens" predicate is applied to raw text BEFORE staging: filters on
+    the staged array would be pushed below the projections with the
+    full expression re-inlined (see _shingle_docs); this form costs one
+    split per row at the scan. Each stage (md5 per shingle, 8
+    arithmetic mins, banding) references a materialized column."""
+    return (
+        _shingled(docs.filter(F.size(tokens(F.col("text"))) >= SHINGLE_N))
+        .select("doc_id", F.transform("shingles", hash60).alias("hashed"))
+        .select("doc_id", minhash_signature_from_hashes(F.col("hashed")).alias("sig"))
+        .select("doc_id", F.explode(band_keys(F.col("sig"))).alias("band"))
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """MinHash-LSH candidate pairs with exact-Jaccard verification.
 
@@ -188,15 +203,7 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     # BEFORE staging: filters on the staged array would be pushed below
     # the projections with the full expression re-inlined (see
     # _shingle_docs); this form costs one split per row at the scan
-    sigs = (
-        _shingled(docs.filter(F.size(tokens(F.col("text"))) >= SHINGLE_N))
-        # stage: one md5 per shingle, then 8 cheap arithmetic mins, then
-        # banding over the materialized signature
-        .select("doc_id", F.transform("shingles", hash60).alias("hashed"))
-        .select("doc_id", minhash_signature_from_hashes(F.col("hashed")).alias("sig"))
-        .select("doc_id", F.explode(band_keys(F.col("sig"))).alias("band"))
-    )
-    cands = _bucket_candidate_pairs(sigs).distinct()
+    cands = _bucket_candidate_pairs(_banded_minhash(docs)).distinct()
 
     pairs = _shingle_docs(docs)
     sizes = pairs.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
@@ -222,6 +229,64 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_incremental_pairs(
+    docs: DataFrame, split_id: int
+) -> DataFrame:
+    """Incremental near-dup: which NEW documents (doc_id >= split_id)
+    near-duplicate the EXISTING corpus (doc_id < split_id) — the
+    daily-delta shape of q15. The delta's band keys probe the history's
+    band index; history x history pairs are never generated, so the
+    per-ingest cost is O(delta) band joins, not O(corpus). The
+    hot-bucket cap applies to HISTORY bucket sizes (a boilerplate
+    band in the historical index would otherwise fan every delta doc
+    out quadratically); in production the history band index is
+    precomputed and bucketed on band, making the probe exchange-free.
+    Exact-Jaccard verification touches candidate pairs only.
+    Returns (doc_new, doc_hist, jaccard >= JACCARD_THRESHOLD).
+    """
+    hist = docs.filter(F.col("doc_id") < split_id)
+    batch = docs.filter(F.col("doc_id") >= split_id)
+    hb = _banded_minhash(hist)
+    bb = _banded_minhash(batch)
+    kept = (
+        hb.groupBy("band")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") <= MAX_BAND_BUCKET)
+        .select("band")
+    )
+    cands = (
+        bb.join(hb.join(kept, "band").withColumnRenamed("doc_id", "doc_hist"), "band")
+        .select(F.col("doc_id").alias("doc_new"), "doc_hist")
+        .distinct()
+    )
+    pairs = _shingle_docs(docs)
+    sizes = pairs.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    pn = pairs.select(F.col("doc_id").alias("doc_new"), "shingle")
+    ph = pairs.select(F.col("doc_id").alias("doc_hist"), "shingle")
+    inter = (
+        cands.join(pn, "doc_new")
+        .join(ph, ["doc_hist", "shingle"])
+        .groupBy("doc_new", "doc_hist")
+        .agg(F.count("*").alias("n_common"))
+    )
+    zn = sizes.select(F.col("doc_id").alias("doc_new"), F.col("n_shingles").alias("size_n"))
+    zh = sizes.select(F.col("doc_id").alias("doc_hist"), F.col("n_shingles").alias("size_h"))
+    return (
+        inter.join(zn, "doc_new")
+        .join(zh, "doc_hist")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_n") + F.col("size_h") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_new", "doc_hist", "jaccard")
     )
 
 

@@ -144,6 +144,71 @@ def q15_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q138 — incremental near-dup probe: the daily-delta shape of q15 —
+# NEW docs (doc_id >= split) probe the EXISTING corpus's band index
+# (doc_id < split); history x history pairs are never generated
+# (operators/dedup.minhash_incremental_pairs). The fixed split id
+# stands in for the ingest watermark a production run passes.
+# ---------------------------------------------------------------------------
+
+_INC_SPLIT = 400
+
+
+@register(
+    "q138_incremental_neardup",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, [{", ".join(_SIG_EXPRS)}] AS sig
+        FROM sh WHERE len(shingles) > 0
+    ),
+    banded AS (
+        SELECT doc_id, unnest([{", ".join(_BAND_EXPRS)}]) AS band FROM sig
+    ),
+    hb AS (SELECT doc_id AS doc_hist, band FROM banded WHERE doc_hist < {_INC_SPLIT}),
+    bb AS (SELECT doc_id AS doc_new, band FROM banded WHERE doc_new >= {_INC_SPLIT}),
+    kept AS (
+        SELECT band FROM hb GROUP BY band HAVING count(*) <= {DD.MAX_BAND_BUCKET}
+    ),
+    cands AS (
+        SELECT DISTINCT b.doc_new, h.doc_hist
+        FROM bb b
+        JOIN hb h ON h.band = b.band
+        JOIN kept k ON k.band = b.band
+    ),
+    spairs AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents)
+    ),
+    keep AS (
+        SELECT shingle FROM spairs GROUP BY shingle HAVING count(*) <= {DD.MAX_SHINGLE_DF}
+    ),
+    fpairs AS (SELECT p.doc_id, p.shingle FROM spairs p JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM fpairs GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_new, c.doc_hist, count(*) AS n_common
+        FROM cands c
+        JOIN fpairs a ON a.doc_id = c.doc_new
+        JOIN fpairs b ON b.doc_id = c.doc_hist AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT doc_new, doc_hist,
+           round(CAST(n_common AS DOUBLE) / (zn.n + zh.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes zn ON zn.doc_id = inter.doc_new
+    JOIN sizes zh ON zh.doc_id = inter.doc_hist
+    WHERE round(CAST(n_common AS DOUBLE) / (zn.n + zh.n - n_common), 6) >= {DD.JACCARD_THRESHOLD}
+    """,
+)
+def q138_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_incremental_pairs(
+        load_table(spark, sf_dir, "documents"), _INC_SPLIT
+    )
+
+
+# ---------------------------------------------------------------------------
 # q129 — MinHash sketch-quality audit: estimated vs exact Jaccard over
 # every LSH candidate pair (operators/dedup.minhash_estimate_audit).
 # False-positive band collisions (zero shared shingles) stay in the
