@@ -1249,3 +1249,75 @@ def q134_neardup_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(hit.cast("double") / F.nullif(n_pred, F.lit(0)), 6).alias("precision"),
         F.round(hit.cast("double") / F.nullif(n_truth, F.lit(0)), 6).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q139 — cross-source content-overlap matrix: distinct word-3-gram
+# shingles each PAIR of sources shares — the provenance audit that
+# finds mirrored / scraped-from-each-other sources before mixing
+# weights are chosen. (Whole-document fingerprints are too strict: in
+# this corpus exact dups never span sources, and at web scale mirrors
+# rewrite boilerplate anyway — shingle overlap is the robust signal.)
+# The shingle index is df-capped (MAX_SHINGLE_DF, the dedup-family
+# guard) so boilerplate cannot dominate; the per-shingle self-join
+# expands at most |sources|^2 rows per shingle (source cardinality is
+# bounded), and the output matrix is |sources|^2-bounded.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q139_source_overlap",
+    f"""
+    WITH sp AS (
+        SELECT DISTINCT doc_id, source, shingle
+        FROM (SELECT doc_id, source, unnest({_SHINGLES}) AS shingle
+              FROM documents)
+    ),
+    keep AS (
+        SELECT shingle FROM (SELECT DISTINCT doc_id, shingle FROM sp)
+        GROUP BY shingle HAVING count(*) <= {DD.MAX_SHINGLE_DF}
+    ),
+    ss AS (
+        SELECT DISTINCT source, sp.shingle
+        FROM sp JOIN keep USING (shingle)
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS n_shared_shingles
+    FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def q139_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sp = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode_outer(
+                TX.word_shingles(F.col("text"), DD.SHINGLE_N)
+            ).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+        .distinct()
+    )
+    keep = (
+        sp.select("doc_id", "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= DD.MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    ss = sp.join(keep, "shingle").select("source", "shingle").distinct()
+    a = ss.alias("a")
+    b = ss.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )
