@@ -860,3 +860,115 @@ def q133_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q140 — retrieval-quality audit: nDCG of the BM25 ranking (q103)
+# against a deterministic graded relevance label (rel(d) = number of
+# distinct query terms d contains, 0-3). Completes the eval triad —
+# recall@k for the ANN index (q116), precision/recall for the near-dup
+# detector (q134), nDCG for lexical search. Every stage after the two
+# retrieval/label scans is k-sized: ranks come from the q123 scalar
+# collect (no global window), the ideal ordering is a TakeOrdered
+# top-k by (rel desc, doc_id), and DCG/IDCG are scalar folds over
+# k-row lists.
+# ---------------------------------------------------------------------------
+
+_NDCG_K = _BM25_TOP  # evaluate the full returned list
+
+
+def _rank_via_collect(df, order_neg_col: str, out_col: str):
+    """(doc_id, rank, <order col>) from a k-row list: one scalar
+    collect sorted by (<order_neg_col> asc = value desc, doc_id)."""
+    arr = df.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(order_neg_col).alias("o"), "doc_id"))
+        ).alias("arr")
+    )
+    return arr.select(F.posexplode("arr").alias("pos", "s")).select(
+        F.col("s.doc_id").alias("doc_id"),
+        (F.col("pos") + 1).cast("int").alias(out_col),
+    )
+
+
+@register(
+    "q140_bm25_ndcg",
+    f"""
+    WITH lex AS ({_BM25_SQL}),
+    lexr AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+                 AS rank
+        FROM lex
+    ),
+    rel AS (
+        SELECT doc_id, count(DISTINCT tok) AS rel FROM (
+            SELECT doc_id, unnest({TX.tokens_sql('text')}) AS tok
+            FROM documents
+        )
+        WHERE tok IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+        GROUP BY doc_id
+    ),
+    dcg AS (
+        SELECT sum((pow(2, coalesce(r.rel, 0)) - 1) / log2(l.rank + 1)) AS dcg
+        FROM lexr l LEFT JOIN rel r USING (doc_id)
+    ),
+    ideal AS (
+        SELECT rel,
+               CAST(row_number() OVER (ORDER BY rel DESC, doc_id) AS INT)
+                 AS rank
+        FROM rel
+        ORDER BY rel DESC, doc_id
+        LIMIT {_NDCG_K}
+    ),
+    idcg AS (
+        SELECT sum((pow(2, rel) - 1) / log2(rank + 1)) AS idcg FROM ideal
+    )
+    SELECT round(dcg.dcg, 6) AS dcg,
+           round(idcg.idcg, 6) AS idcg,
+           round(dcg.dcg / idcg.idcg, 6) AS ndcg
+    FROM dcg CROSS JOIN idcg
+    """,
+)
+def q140_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lex = q103_bm25_search(spark, sf_dir).withColumn("ns", -F.col("score"))
+    lexr = _rank_via_collect(lex, "ns", "rank")
+    rel = (
+        docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isin(*_BM25_TERMS))
+        .select("doc_id", "tok")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.countDistinct("tok").alias("rel"))
+    )
+    gain = (F.pow(F.lit(2.0), F.coalesce(F.col("rel"), F.lit(0))) - 1) / F.log2(
+        F.col("rank") + 1
+    )
+    dcg = lexr.join(rel, "doc_id", "left").agg(F.sum(gain).alias("dcg"))
+    ideal = (
+        rel.orderBy(F.desc("rel"), "doc_id")
+        .limit(_NDCG_K)
+        .withColumn("nr", -F.col("rel"))
+    )
+    ideal_r = (
+        ideal.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("nr").alias("o"), "doc_id", "rel"))
+            ).alias("arr")
+        )
+        .select(F.posexplode("arr").alias("pos", "s"))
+        .select(
+            F.col("s.rel").alias("rel"), (F.col("pos") + 1).cast("int").alias("rank")
+        )
+    )
+    igain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("rank") + 1)
+    idcg = ideal_r.agg(F.sum(igain).alias("idcg"))
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .select(
+            F.round("dcg", 6).alias("dcg"),
+            F.round("idcg", 6).alias("idcg"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        )
+    )
