@@ -1321,3 +1321,129 @@ def q139_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_shared_shingles"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q141 — near-dup threshold sweep: the Jaccard histogram of ALL
+# candidate pairs (any shared df-capped shingle), bucketed at 0.05 —
+# the tuning audit that shows where JACCARD_THRESHOLD should sit for a
+# given corpus (a bimodal histogram = clean threshold; mass at the
+# threshold = borderline pairs worth inspecting). Identical inverted-
+# index shapes as q14; the histogram is a ≤20-group agg on top.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q141_jaccard_histogram",
+    _JACCARD_BASE
+    + """
+    , inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM fpairs a JOIN fpairs b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6)
+                 AS jac
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = inter.doc_a
+        JOIN sizes sb ON sb.doc_id = inter.doc_b
+    )
+    SELECT CAST(floor(least(jac, 0.999999) * 20) AS INT) AS bucket,
+           round(CAST(floor(least(jac, 0.999999) * 20) AS INT) / 20.0, 2)
+             AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM j
+    GROUP BY 1, 2
+    """,
+)
+def q141_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD._shingle_docs(docs)
+    sizes = pairs.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    inter = (
+        DD._bucket_candidate_pairs(
+            pairs.select(F.col("shingle").alias("band"), "doc_id")
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    jac = F.round(
+        F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        6,
+    )
+    bucket = F.floor(F.least(jac, F.lit(0.999999)) * 20).cast("int")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            "bucket",
+            F.round(F.col("bucket") / 20.0, 2).alias("bucket_lo"),
+            "n_pairs",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q142 — Zipf-fit audit: least-squares slope of ln(freq) on ln(rank)
+# over the top-K vocabulary — natural text tracks slope ≈ -1, and a
+# corpus that departs hard from Zipf (templated/generated text) shows
+# it here before any model ever trains on it. Token counts are the q30
+# shuffle; the regression runs over the K-row ranked list (ranks from
+# one scalar collect, regr_* aggregates over K rows).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q142_zipf_fit",
+    f"""
+    WITH t AS (
+        SELECT unnest({TX.tokens_sql('text')}) AS tok FROM documents
+    ),
+    f AS (
+        SELECT tok, count(*) AS n FROM t WHERE tok <> '' GROUP BY tok
+    ),
+    v AS (
+        SELECT tok, n,
+               CAST(row_number() OVER (ORDER BY n DESC, tok) AS INT) AS rank
+        FROM f ORDER BY n DESC, tok LIMIT {VOCAB_TOP_K}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           round(regr_slope(ln(n), ln(rank)), 6) AS zipf_slope,
+           round(regr_intercept(ln(n), ln(rank)), 6) AS zipf_intercept,
+           round(regr_r2(ln(n), ln(rank)), 6) AS r2
+    FROM v
+    """,
+)
+def q142_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    f = (
+        docs.select(F.explode_outer(TX.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    top = f.orderBy(F.desc("n"), "tok").limit(VOCAB_TOP_K)
+    ranked = (
+        top.agg(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("n")).alias("nn"), "tok", "n"))
+            ).alias("arr")
+        )
+        .select(F.posexplode("arr").alias("pos", "s"))
+        .select(
+            F.col("s.n").alias("n"), (F.col("pos") + 1).cast("int").alias("rank")
+        )
+    )
+    y = F.log(F.col("n").cast("double"))
+    x = F.log(F.col("rank").cast("double"))
+    return ranked.agg(
+        F.count("*").alias("n_points"),
+        F.round(F.regr_slope(y, x), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )
