@@ -287,3 +287,19 @@ def test_q123_hybrid_rrf_final_topk_is_take_ordered(spark, sf_dir):
     # and no stage may fall back to a row-at-a-time python eval
     plan = explain_str(queries()["q123_hybrid_rrf"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q137_adc_luts_are_broadcast(spark, sf_dir):
+    # the per-query distance LUT and codebook must reach the corpus
+    # code table as broadcasts — the corpus side never shuffles for them
+    plan = explain_str(queries()["q137_pq_adc_search"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_q125_rank_normalization_is_window_free(spark, sf_dir):
+    # decile-rank normalization must come from broadcast percentile
+    # boundaries, never a percent_rank-style window over the corpus
+    plan = explain_str(queries()["q125_quality_ensemble"](spark, sf_dir))
+    assert "Window " not in plan and "WindowExec" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

@@ -1447,3 +1447,62 @@ def q142_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(y, x), 6).alias("zipf_intercept"),
         F.round(F.regr_r2(y, x), 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q143 — embedding data-quality audit: the preflight every ANN/dedup
+# pipeline runs before indexing — zero-norm vectors (cosine undefined,
+# LSH signatures degenerate), wrong-dimension vectors (zip_with would
+# silently truncate), NaN components, and the norm envelope. One
+# corpus scan, all checks row-local, one scalar aggregate.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q143_embedding_quality",
+    f"""
+    WITH s AS (
+        SELECT len(embedding) AS dim,
+               sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+               len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) > 0
+                   AS has_nan
+        FROM embeddings
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN dim <> {SIM.EMBEDDING_DIM} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bad_dim,
+           CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_norm,
+           CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm
+    FROM s
+    """,
+)
+def q143_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    s = emb.select(
+        F.size("embedding").alias("dim"),
+        nrm.alias("nrm"),
+        (F.size(F.filter("embedding", lambda x: F.isnan(x.cast("double")))) > 0)
+        .alias("has_nan"),
+    )
+    return s.agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(F.when(F.col("dim") != SIM.EMBEDDING_DIM, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bad_dim"),
+        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_norm"),
+        F.sum(F.when(F.col("has_nan"), 1).otherwise(0)).cast("bigint").alias("n_nan"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )
