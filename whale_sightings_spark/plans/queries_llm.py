@@ -1506,3 +1506,105 @@ def q143_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("nrm"), 6).alias("min_norm"),
         F.round(F.max("nrm"), 6).alias("max_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q144 — document/embedding alignment audit: which documents lack an
+# embedding row and which embeddings are orphaned — the referential
+# check a retrieval pipeline runs after every embedding backfill
+# (a doc without a vector silently drops out of semantic search; an
+# orphan vector pollutes the index). One full-outer join on the id,
+# rolled up per source (orphan vectors report under source NULL).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q144_doc_embedding_coverage",
+    """
+    WITH j AS (
+        SELECT d.doc_id, d.source, e.vec_id
+        FROM documents d
+        FULL OUTER JOIN embeddings e ON e.vec_id = d.doc_id
+    )
+    SELECT source,
+           CAST(count(doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_embedded,
+           CAST(sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing_vec,
+           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphan_vec
+    FROM j
+    GROUP BY source
+    """,
+)
+def q144_doc_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    j = docs.join(emb, docs["doc_id"] == emb["vec_id"], "full")
+    both = F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull()
+    return j.groupBy("source").agg(
+        F.count("doc_id").alias("n_docs"),
+        F.sum(F.when(both, 1).otherwise(0)).cast("bigint").alias("n_embedded"),
+        F.sum(F.when(F.col("vec_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missing_vec"),
+        F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_orphan_vec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q145 — language-mix divergence per source: chi-square statistic of
+# each source's language distribution against the corpus-wide mix —
+# the audit that flags a source whose language balance departs from
+# the corpus before mixing weights bake the skew in. One (source,
+# lang) count shuffle; the corpus marginals are dictionary-sized and
+# broadcast; the chi-square fold is per-source over |langs| terms.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q145_lang_mix_divergence",
+    """
+    WITH sl AS (
+        SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang
+    ),
+    st AS (SELECT source, sum(n) AS s_total FROM sl GROUP BY source),
+    lt AS (SELECT lang, sum(n) AS l_total FROM sl GROUP BY lang),
+    tot AS (SELECT sum(n) AS t FROM sl),
+    terms AS (
+        SELECT sl.source,
+               pow(sl.n - st.s_total * (lt.l_total * 1.0 / tot.t), 2)
+                 / (st.s_total * (lt.l_total * 1.0 / tot.t)) AS term
+        FROM sl
+        JOIN st USING (source)
+        JOIN lt USING (lang)
+        CROSS JOIN tot
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           round(sum(term), 6) AS chi2
+    FROM terms
+    GROUP BY source
+    """,
+)
+def q145_lang_mix_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    st = sl.groupBy("source").agg(F.sum("n").alias("s_total"))
+    lt = sl.groupBy("lang").agg(F.sum("n").alias("l_total"))
+    tot = sl.agg(F.sum("n").alias("t"))
+    expected = F.col("s_total") * (F.col("l_total") * F.lit(1.0) / F.col("t"))
+    terms = (
+        sl.join(F.broadcast(st), "source")
+        .join(F.broadcast(lt), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            (F.pow(F.col("n") - expected, F.lit(2.0)) / expected).alias("term"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.count("*").alias("n_langs"),
+        F.round(F.sum("term"), 6).alias("chi2"),
+    )
