@@ -430,3 +430,48 @@ def q135_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pc, 6).alias("p_cur"),
         F.round((pr - pc) * F.log(pr / pc), 6).alias("psi_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q146 — k-anonymity audit: before releasing a structured extract,
+# count the quasi-identifier groups smaller than k — every row in such
+# a group is re-identifiable by joining on the quasi-identifiers
+# (here (nation, market segment); real deployments pass the QI set).
+# One keyed agg to group sizes, then a group-cardinality-sized rollup;
+# the per-nation breakdown of risky rows keeps the report actionable.
+# ---------------------------------------------------------------------------
+
+_K_ANON = 5
+
+
+@register(
+    "q146_k_anonymity",
+    f"""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS n
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey AS nation_id,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN n < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_small_groups,
+           CAST(sum(CASE WHEN n < {_K_ANON} THEN n ELSE 0 END) AS BIGINT)
+               AS n_risky_rows,
+           CAST(min(n) AS BIGINT) AS min_group_size
+    FROM g
+    GROUP BY c_nationkey
+    """,
+)
+def q146_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("n"))
+    small = F.col("n") < _K_ANON
+    return g.groupBy(F.col("c_nationkey").alias("nation_id")).agg(
+        F.count("*").alias("n_groups"),
+        F.sum(F.when(small, 1).otherwise(0)).cast("bigint").alias("n_small_groups"),
+        F.sum(F.when(small, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_risky_rows"),
+        F.min("n").cast("bigint").alias("min_group_size"),
+    )

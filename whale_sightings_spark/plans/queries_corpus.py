@@ -847,13 +847,11 @@ _BUDGET_TOKENS = 100_000
 _BUDGET_TEMP = 0.7
 
 
-@register(
-    "q109_budget_allocation",
-    f"""
-    WITH tc AS (
-        SELECT source, sum({TX.token_count_sql('text')}) AS n_tokens
-        FROM documents GROUP BY source
-    ),
+def _alloc_sql(tc_cte: str) -> str:
+    """Largest-remainder allocation oracle over a (source, n_tokens)
+    CTE — shared by q109 (raw counts) and q147 (survivor counts)."""
+    return f"""
+    WITH tc AS ({tc_cte}),
     w AS (
         SELECT source, n_tokens,
                pow(n_tokens, {_BUDGET_TEMP}) AS wt,
@@ -880,18 +878,16 @@ _BUDGET_TEMP = 0.7
     SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
            base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc_tokens
     FROM ranked
-    """,
-)
-def q109_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    tc = docs.groupBy("source").agg(
-        F.sum(TX.token_count(F.col("text"))).alias("n_tokens")
-    )
-    # everything below operates on the source-cardinality table; the
-    # two global sums are broadcast single-row aggregates (the q36
-    # pattern) and the one global ranking window is bounded by
-    # |sources| — the q07 post-distinct dictionary class, allow-listed
-    # in the plan sweep
+    """
+
+
+def _largest_remainder_alloc(tc: DataFrame) -> DataFrame:
+    """Exact largest-remainder split of _BUDGET_TOKENS over a
+    (source, n_tokens) table. Everything operates on the
+    source-cardinality table; the two global sums are broadcast
+    single-row aggregates (the q36 pattern) and the one global ranking
+    window is bounded by |sources| — the q07 post-distinct dictionary
+    class, allow-listed in the plan sweep."""
     wcol = F.pow(F.col("n_tokens").cast("double"), _BUDGET_TEMP)
     w = tc.select("source", "n_tokens", wcol.alias("wt"))
     wsum = w.agg(F.sum("wt").alias("wsum"))
@@ -923,6 +919,23 @@ def q109_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
         ).alias("alloc_tokens"),
     )
+
+
+@register(
+    "q109_budget_allocation",
+    _alloc_sql(
+        f"""
+        SELECT source, sum({TX.token_count_sql('text')}) AS n_tokens
+        FROM documents GROUP BY source
+    """
+    ),
+)
+def q109_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tc = docs.groupBy("source").agg(
+        F.sum(TX.token_count(F.col("text"))).alias("n_tokens")
+    )
+    return _largest_remainder_alloc(tc)
 
 
 # ---------------------------------------------------------------------------
@@ -1322,3 +1335,44 @@ def q136_ppl_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bigrams").cast("int").alias("n_bigrams"),
         F.round(F.exp(-F.col("lp") / F.col("n_bigrams")), 4).alias("ppl_interp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q147 — dedup-aware budget allocation: q109's largest-remainder split
+# computed over SURVIVOR token counts only (the min-doc_id row of each
+# exact-dup fingerprint group) — the correction that stops a source
+# full of duplicates from buying budget with tokens that dedup will
+# delete anyway. One extra fingerprint agg + survivor semi-join ahead
+# of q109's source-cardinality machinery.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q147_dedup_aware_budget",
+    _alloc_sql(
+        f"""
+        SELECT d.source, sum({TX.token_count_sql('d.text')}) AS n_tokens
+        FROM documents d
+        JOIN (
+            SELECT min(doc_id) AS doc_id
+            FROM (SELECT doc_id, {TX.fingerprint_md5_sql('text')} AS fp
+                  FROM documents)
+            GROUP BY fp
+        ) s ON s.doc_id = d.doc_id
+        GROUP BY d.source
+    """
+    ),
+)
+def q147_dedup_aware_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.operators.dedup import dedup_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = dedup_exact(docs).select(
+        F.col("survivor_id").alias("doc_id")
+    )
+    tc = (
+        docs.join(survivors, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.sum(TX.token_count(F.col("text"))).alias("n_tokens"))
+    )
+    return _largest_remainder_alloc(tc)
