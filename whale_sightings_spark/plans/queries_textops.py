@@ -972,3 +972,80 @@ def q140_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q148 — special-token contamination scan: documents containing a
+# tokenizer's control sequences ("<|endoftext|>", "<s>", "[INST]", …)
+# poison training (injected text can terminate or re-role a sequence),
+# so every corpus is scanned for them before tokenization. The corpus
+# text carries none, so — the q115 convention — a deterministic subset
+# (doc_id % 7 == 0) gets one injected, and the scan itself is the
+# operator under test: per-source flagged counts plus which token was
+# found. Row-local contains() over a broadcast-literal pattern set,
+# one source-cardinality agg; no regex needed (the patterns are fixed
+# strings, so the scan stays in whole-stage codegen).
+# ---------------------------------------------------------------------------
+
+_SPECIAL_TOKENS = ("<|endoftext|>", "<s>", "[INST]")
+
+
+@register(
+    "q148_special_token_scan",
+    f"""
+    WITH staged AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' ' ||
+                         (['{_SPECIAL_TOKENS[0]}', '{_SPECIAL_TOKENS[1]}',
+                           '{_SPECIAL_TOKENS[2]}'])[CAST(doc_id % 3 AS INT) + 1]
+                    ELSE text END AS t
+        FROM documents
+    ),
+    flags AS (
+        SELECT source,
+               {" + ".join(f"(CASE WHEN contains(t, '{tok}') THEN 1 ELSE 0 END)" for tok in _SPECIAL_TOKENS)}
+                 AS n_hits,
+               {" OR ".join(f"contains(t, '{tok}')" for tok in _SPECIAL_TOKENS)}
+                 AS flagged
+        FROM staged
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+           CAST(sum(n_hits) AS BIGINT) AS n_token_hits
+    FROM flags
+    GROUP BY source
+    """,
+)
+def q148_special_token_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    inject = F.element_at(
+        F.array(*[F.lit(t) for t in _SPECIAL_TOKENS]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    staged = docs.select(
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" "), inject)
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    hit = [F.col("t").contains(tok) for tok in _SPECIAL_TOKENS]
+    n_hits = sum(
+        (F.when(h, 1).otherwise(0) for h in hit), F.lit(0)
+    )
+    flagged = hit[0] | hit[1] | hit[2]
+    return (
+        staged.select("source", n_hits.alias("n_hits"), flagged.alias("flagged"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("flagged"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.sum("n_hits").cast("bigint").alias("n_token_hits"),
+        )
+    )
