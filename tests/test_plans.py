@@ -155,10 +155,10 @@ def test_no_single_partition_global_window_anywhere(all_plans):
         n
         for n, p in all_plans.items()
         if _has_global_window(p)
-        # q109's ranking window runs over the post-aggregate source
+        # q109/q147's ranking window runs over the post-aggregate source
         # dictionary (|sources| rows) — the same bounded class as q07/q08
         and n not in {"q07_surrogate_keys", "q08_nullsafe_lookup",
-                      "q109_budget_allocation"}
+                      "q109_budget_allocation", "q147_dedup_aware_budget"}
     ]
     assert not offenders, f"global single-partition windows in: {offenders}"
 
