@@ -1608,3 +1608,62 @@ def q145_lang_mix_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_langs"),
         F.round(F.sum("term"), 6).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q149 — cluster/label purity: agreement between the embedding
+# quantizer's cells (embeddings.label) and the documents' language
+# labels, joined on the shared id — the cross-modal diagnostic that
+# says whether the cell structure tracks any semantic signal. Purity
+# of a cell = share of its dominant language. One id-keyed join, one
+# (cell, lang) agg; the purity fold runs on the cell-cardinality
+# table via a max-struct (no window).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q149_cluster_purity",
+    """
+    WITH j AS (
+        SELECT e.label AS cell, d.lang
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    ),
+    cl AS (
+        SELECT cell, lang, count(*) AS n FROM j GROUP BY cell, lang
+    ),
+    tot AS (
+        SELECT cell, sum(n) AS cell_n FROM cl GROUP BY cell
+    ),
+    dom AS (
+        SELECT cell, max({'n': n, 'lang': lang}) AS m FROM cl GROUP BY cell
+    )
+    SELECT t.cell,
+           CAST(t.cell_n AS BIGINT) AS n_vecs,
+           d.m['lang'] AS dominant_lang,
+           CAST(d.m['n'] AS BIGINT) AS n_dominant,
+           round(CAST(d.m['n'] AS DOUBLE) / t.cell_n, 6) AS purity
+    FROM tot t JOIN dom d USING (cell)
+    """,
+)
+def q149_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(
+        F.col("label").alias("cell"), "lang"
+    )
+    cl = j.groupBy("cell", "lang").agg(F.count("*").alias("n"))
+    tot = cl.groupBy("cell").agg(F.sum("n").alias("cell_n"))
+    dom = cl.groupBy("cell").agg(
+        F.max(F.struct("n", "lang")).alias("m")
+    )
+    return (
+        tot.join(dom, "cell")
+        .select(
+            "cell",
+            F.col("cell_n").cast("bigint").alias("n_vecs"),
+            F.col("m.lang").alias("dominant_lang"),
+            F.col("m.n").cast("bigint").alias("n_dominant"),
+            F.round(F.col("m.n").cast("double") / F.col("cell_n"), 6).alias(
+                "purity"
+            ),
+        )
+    )

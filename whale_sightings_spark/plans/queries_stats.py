@@ -696,3 +696,48 @@ def q105_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("flag").agg(
         F.count("*").alias("n"), F.round(F.corr("rq", "rp"), 6).alias("spearman")
     )
+
+
+# ---------------------------------------------------------------------------
+# q150 — packing-efficiency audit: the distribution of bin fill ratios
+# (bin tokens / capacity) over q64's packed bins — THE metric for a
+# packing strategy (low fill = wasted context windows, ratios > 1 =
+# docs spanning bins that need boundary handling). One keyed agg on
+# top of q64's single window shuffle; the histogram is ≤11 buckets.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q150_packing_efficiency",
+    f"""
+    WITH packed AS ({_PACK_SQL}),
+    bins AS (
+        SELECT bucket, bin_id, sum(n_tokens) AS bin_tokens
+        FROM packed GROUP BY bucket, bin_id
+    )
+    SELECT CAST(least(floor(bin_tokens * 10.0 / {_PACK_BIN}), 10) AS INT)
+               AS fill_decile,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(min(bin_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(bin_tokens) AS BIGINT) AS max_tokens,
+           round(avg(bin_tokens * 1.0 / {_PACK_BIN}), 6) AS avg_fill
+    FROM bins
+    GROUP BY 1
+    """,
+)
+def q150_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = q64_sequence_packing(spark, sf_dir)
+    bins = packed.groupBy("bucket", "bin_id").agg(
+        F.sum("n_tokens").alias("bin_tokens")
+    )
+    decile = F.least(
+        F.floor(F.col("bin_tokens") * 10.0 / _PACK_BIN), F.lit(10)
+    ).cast("int")
+    return bins.groupBy(decile.alias("fill_decile")).agg(
+        F.count("*").alias("n_bins"),
+        F.min("bin_tokens").cast("bigint").alias("min_tokens"),
+        F.max("bin_tokens").cast("bigint").alias("max_tokens"),
+        F.round(F.avg(F.col("bin_tokens") * F.lit(1.0) / _PACK_BIN), 6).alias(
+            "avg_fill"
+        ),
+    )
