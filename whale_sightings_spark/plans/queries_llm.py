@@ -1667,3 +1667,40 @@ def q149_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q151 — IVF cell-balance audit: the size distribution of the
+# quantizer's cells and the imbalance factor (max cell / mean cell) —
+# the metric that predicts probe-path tail latency (q18/q96/q122 all
+# scan whole cells, so one hot cell IS the p99) and decides when the
+# quantizer needs retraining. One cell-keyed agg, then a scalar fold
+# over the cell-cardinality table.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q151_ivf_cell_balance",
+    """
+    WITH c AS (
+        SELECT label, count(*) AS n FROM embeddings GROUP BY label
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(min(n) AS BIGINT) AS min_cell,
+           CAST(max(n) AS BIGINT) AS max_cell,
+           round(avg(n), 4) AS avg_cell,
+           round(max(n) / avg(n), 6) AS imbalance,
+           round(stddev_samp(n) / avg(n), 6) AS cv
+    FROM c
+    """,
+)
+def q151_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.groupBy("label").agg(F.count("*").alias("n"))
+    return c.agg(
+        F.count("*").alias("n_cells"),
+        F.min("n").cast("bigint").alias("min_cell"),
+        F.max("n").cast("bigint").alias("max_cell"),
+        F.round(F.avg("n"), 4).alias("avg_cell"),
+        F.round(F.max("n") / F.avg("n"), 6).alias("imbalance"),
+        F.round(F.stddev_samp("n") / F.avg("n"), 6).alias("cv"),
+    )
