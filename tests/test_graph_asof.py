@@ -142,3 +142,74 @@ def test_asof_join_matches_pandas_merge_asof(spark):
                 for r in exp_df.itertuples()
             }
             assert got == exp, f"seed={seed} tol={tol_str}"
+
+
+def test_asof_nearest_matches_pandas_composition(spark):
+    """Seeded random differential for the NEAREST direction: expected =
+    pandas backward + forward merge_asof composed with the operator's
+    documented tie rule (equidistant -> backward). Composing two
+    independent pandas searches avoids depending on pandas' own
+    (unspecified) nearest tie-break."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    from whale_sightings_spark.operators.asof import asof_join_nearest
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n_l, n_r = 120, 80
+        base = datetime.datetime(2024, 3, 1)
+        lpd = pd.DataFrame(
+            {
+                "k": rng.integers(0, 5, n_l),
+                "lid": np.arange(n_l),
+                "ts": [
+                    base + datetime.timedelta(seconds=int(s))
+                    for s in rng.integers(0, 3600, n_l)
+                ],
+            }
+        )
+        rpd = pd.DataFrame(
+            {
+                "k": rng.integers(0, 5, n_r),
+                "rid": np.arange(n_r) + 1000,
+                "ts": [
+                    base + datetime.timedelta(seconds=int(s))
+                    for s in rng.integers(0, 3600, n_r)
+                ],
+            }
+        ).drop_duplicates(subset=["k", "ts"])
+
+        lsort = lpd.sort_values("ts", kind="stable")
+        rsort = rpd.sort_values("ts", kind="stable")
+        back = pd.merge_asof(lsort, rsort, on="ts", by="k",
+                             direction="backward", suffixes=("", "_b"))
+        fwd = pd.merge_asof(lsort, rsort, on="ts", by="k",
+                            direction="forward", suffixes=("", "_f"))
+        rts = {(int(r.k), int(r.rid)): r.ts for r in rpd.itertuples()}
+        exp = {}
+        for b, f in zip(back.itertuples(), fwd.itertuples()):
+            assert b.lid == f.lid
+            bid = None if pd.isna(b.rid) else int(b.rid)
+            fid = None if pd.isna(f.rid) else int(f.rid)
+            if bid is None and fid is None:
+                exp[int(b.lid)] = None
+            elif fid is None:
+                exp[int(b.lid)] = bid
+            elif bid is None:
+                exp[int(b.lid)] = fid
+            else:
+                bd = b.ts - rts[(int(b.k), bid)]
+                fd = rts[(int(f.k), fid)] - f.ts
+                exp[int(b.lid)] = bid if bd <= fd else fid
+
+        got = {
+            r["lid"]: r["rid_near"]
+            for r in asof_join_nearest(
+                spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+                on="k", ts_col="ts", right_cols=["rid"],
+            ).collect()
+        }
+        assert got == exp, f"seed={seed}"

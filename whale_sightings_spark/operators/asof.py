@@ -95,3 +95,85 @@ def asof_join(
         *lcols,
         *[F.col(f"__payload.{c}").alias(f"{c}{suffix}") for c in right_cols],
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    right_cols: list[str],
+    suffix: str = "_near",
+) -> DataFrame:
+    """Nearest-match as-of join (pandas ``merge_asof(direction=
+    'nearest')``): each left row gains the ``right_cols`` of the right
+    row minimizing ``|right.ts - left.ts|`` over equal ``on`` keys;
+    exactly-equidistant candidates resolve to the BACKWARD one (the
+    contract is explicit because engines disagree here). Same
+    uniqueness precondition as :func:`asof_join`.
+
+    Shape: the same union + single shuffle, but TWO window passes over
+    the one sort order — a running-last (backward candidate) and a
+    running-first over the forward frame — then a row-local distance
+    compare. No second exchange: both frames share the partitioning
+    and ordering, so Catalyst plans them in one sorted pipeline.
+    """
+    assert "__rts" not in right_cols and "__rts" not in left.columns, (
+        "'__rts' is reserved by asof_join_nearest"
+    )
+    lcols = left.columns
+    payload_fields = [
+        f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in right_cols
+    ] + [f"`__rts`:{right.schema[ts_col].dataType.simpleString()}"]
+
+    l = left.withColumn("__side", F.lit(1)).withColumn(
+        "__payload",
+        F.lit(None).cast("struct<" + ", ".join(payload_fields) + ">"),
+    )
+    r = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(0).alias("__side"),
+        F.struct(
+            *[F.col(c) for c in right_cols], F.col(ts_col).alias("__rts")
+        ).alias("__payload"),
+    )
+    for c in lcols:
+        if c not in (on, ts_col):
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+
+    unioned = l.unionByName(r.select(*lcols, "__side", "__payload"))
+    order = [F.col(ts_col).asc(), F.col("__side").asc()]
+    wb = (
+        W.partitionBy(on).orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy(on).orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = unioned.select(
+        *lcols,
+        "__side",
+        F.last("__payload", ignorenulls=True).over(wb).alias("__b"),
+        F.first("__payload", ignorenulls=True).over(wf).alias("__f"),
+    )
+    # interval subtraction works for TIMESTAMP and TIMESTAMP_NTZ alike
+    # (unix_micros rejects NTZ); day-time intervals compare directly
+    bdist = F.col(ts_col) - F.col("__b.__rts")
+    fdist = F.col("__f.__rts") - F.col(ts_col)
+    picked = (
+        F.when(F.col("__b").isNull() & F.col("__f").isNull(), F.lit(None))
+        .when(F.col("__f").isNull(), F.col("__b"))
+        .when(F.col("__b").isNull(), F.col("__f"))
+        .when(bdist <= fdist, F.col("__b"))
+        .otherwise(F.col("__f"))
+    )
+    return (
+        carried.filter(F.col("__side") == 1)
+        .withColumn("__payload", picked)
+        .select(
+            *lcols,
+            *[F.col(f"__payload.{c}").alias(f"{c}{suffix}") for c in right_cols],
+        )
+    )

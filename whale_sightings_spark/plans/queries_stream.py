@@ -406,3 +406,80 @@ def q35_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("click_id_asof"), F.lit(-1)).alias("click_id_asof"),
         F.coalesce(F.col("click_ts_asof"), F.lit("")).alias("click_ts_asof"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q152 — NEAREST-match as-of join (operators/asof.asof_join_nearest,
+# pandas merge_asof(direction='nearest')): each purchase matched to
+# the click whose timestamp is closest in EITHER direction; exact
+# equidistance resolves backward (explicit contract). Oracle: two
+# DuckDB ASOF joins (<= and >=) combined by a row-local distance CASE.
+# Same single-shuffle union shape as q35 — two window frames over one
+# sort order.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q152_asof_nearest",
+    f"""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (
+        SELECT user_id, ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ),
+    b AS (
+        SELECT p.event_id AS purchase_id, p.user_id, p.ts AS pts,
+               c.ts AS bts, c.click_id AS bid
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND c.ts <= p.ts
+    ),
+    f AS (
+        SELECT p.event_id AS purchase_id, c.ts AS fts, c.click_id AS fid
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND c.ts >= p.ts
+    )
+    SELECT b.purchase_id, b.user_id,
+           strftime(b.pts, '{_TS_FMT_US}') AS purchase_ts,
+           coalesce(CASE
+               WHEN bts IS NULL AND fts IS NULL THEN NULL
+               WHEN fts IS NULL THEN bid
+               WHEN bts IS NULL THEN fid
+               WHEN date_diff('microseconds', bts, pts)
+                    <= date_diff('microseconds', pts, fts) THEN bid
+               ELSE fid END, -1) AS click_id_near,
+           coalesce(CASE
+               WHEN bts IS NULL AND fts IS NULL THEN NULL
+               WHEN fts IS NULL THEN strftime(bts, '{_TS_FMT_US}')
+               WHEN bts IS NULL THEN strftime(fts, '{_TS_FMT_US}')
+               WHEN date_diff('microseconds', bts, pts)
+                    <= date_diff('microseconds', pts, fts)
+                 THEN strftime(bts, '{_TS_FMT_US}')
+               ELSE strftime(fts, '{_TS_FMT_US}') END, '') AS click_ts_near
+    FROM b JOIN f USING (purchase_id)
+    """,
+)
+def q152_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.operators.asof import asof_join_nearest
+
+    events = load_table(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("click_ts", F.date_format("ts", fmt))
+    )
+    joined = asof_join_nearest(
+        purchases, clicks, on="user_id", ts_col="ts",
+        right_cols=["click_id", "click_ts"],
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("purchase_ts"),
+        F.coalesce(F.col("click_id_near"), F.lit(-1)).alias("click_id_near"),
+        F.coalesce(F.col("click_ts_near"), F.lit("")).alias("click_ts_near"),
+    )
