@@ -224,6 +224,21 @@ def test_no_bounded_key_window_over_raw_fact_anywhere(all_plans):
     assert not offenders, f"bounded-key windows over raw facts in: {offenders}"
 
 
+def test_no_complex_typed_output_columns_anywhere(spark, sf_dir):
+    # The driver's pandas canonicalizer sorts output columns by value
+    # and cannot hash list/map/struct cells (r04's q127 red row). Every
+    # registered query must render complex values (arrays of codes,
+    # doc-id manifests, …) as delimited strings in its final projection.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, fn in queries().items():
+        for field in fn(spark, sf_dir).schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{field.name}:{field.dataType.simpleString()}")
+    assert not offenders, f"complex-typed output columns: {offenders}"
+
+
 # ---------------------------------------------------------------------------
 # Round-3 operator plan shapes: the claims SCALE.md makes for the
 # incremental/graph/search family, asserted structurally.

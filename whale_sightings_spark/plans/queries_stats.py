@@ -606,7 +606,8 @@ def q64_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
            CAST(greatest(max(offset_tokens + n_tokens) - {_PACK_BIN}, 0)
                 AS BIGINT) AS spill_tokens,
-           list(doc_id ORDER BY offset_tokens, doc_id) AS doc_ids
+           array_to_string(list(doc_id ORDER BY offset_tokens, doc_id), ',')
+               AS doc_ids
     FROM packed
     GROUP BY bucket, bin_id
     """,
@@ -620,9 +621,14 @@ def q131_packed_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("offset_tokens") + F.col("n_tokens")) - F.lit(_PACK_BIN),
             F.lit(0).cast("bigint"),
         ).alias("spill_tokens"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("offset_tokens", "doc_id"))),
-            lambda x: x.doc_id,
+        # string-rendered (driver's pandas canonicalizer can't hash lists);
+        # the per-bin collect stays bounded by the 4096-token bin capacity
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("offset_tokens", "doc_id"))),
+                lambda x: x.doc_id.cast("string"),
+            ),
+            ",",
         ).alias("doc_ids"),
     )
 

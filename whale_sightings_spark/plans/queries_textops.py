@@ -809,7 +809,7 @@ _URL_VARIANT_SQL = """
             SELECT doc_id, host, path,
                    array_to_string(list_sort(list_filter(
                        string_split(query, '&'),
-                       x -> x <> '' AND NOT x LIKE 'utm_%')), '&') AS q
+                       x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS q
             FROM parts
         )
     )
@@ -823,7 +823,9 @@ _URL_VARIANT_SQL = """
 )
 def q133_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    page = (F.col("doc_id") / 4).cast("bigint").cast("string")
+    # exact integer division (matches the oracle's doc_id // 4; double
+    # division would lose exactness past 2^53)
+    page = F.expr("doc_id div 4").cast("string")
     v = (F.col("doc_id") % 4).cast("int")
     url = (
         F.when(v == 0, F.concat(F.lit("https://www.example.com/a/"), page,

@@ -372,28 +372,30 @@ def streaming_incremental_dedup(
     never rescanned or rewritten, exactly the batch operator's shape.
     Re-delivered batches are self-healing: fingerprints already in the
     state anti-join away, so at-least-once delivery converges to the
-    same state (asserted by the replay test). The state dir here is
-    plain parquet append on a DRIVER-LOCAL filesystem (the presence
-    probe is an ``os.listdir``, and non-transactional appends mean a
-    mid-append crash can leave partial part-files that poison the next
-    read); production swaps in a transactional table format on shared
-    storage — the plan shape is identical. Runs with availableNow and
-    blocks until the backlog drains.
+    same state (asserted by the replay test). The state table is read
+    with an explicit schema, so an empty state dir is just an empty
+    DataFrame — no filesystem-specific presence probe, works on any
+    Hadoop-compatible FS. The state dir here is plain parquet append
+    (non-transactional: a mid-append crash can leave partial part-files
+    that poison the next read); production swaps in a transactional
+    table format on shared storage — the plan shape is identical. Runs
+    with availableNow and blocks until the backlog drains.
     """
     schema = spark.read.parquet(docs_dir).schema
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         sess = batch_df.sparkSession
         fp = batch_df.select(
             "doc_id",
             F.md5(F.encode(F.lower(F.col("text")), "UTF-8")).alias("fingerprint"),
         )
         keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
-        if any(f.endswith(".parquet") for f in os.listdir(state_dir)):
-            state = sess.read.parquet(state_dir).select("fingerprint")
-            keep = keep.join(state, "fingerprint", "left_anti")
+        state = (
+            sess.read.schema("doc_id long, fingerprint string")
+            .parquet(state_dir)
+            .select("fingerprint")
+        )
+        keep = keep.join(state, "fingerprint", "left_anti")
         keep.select("doc_id", "fingerprint").write.mode("append").parquet(state_dir)
 
     import os
