@@ -80,3 +80,26 @@ def test_q126_no_cluster_spans_splits(spark, sf_dir):
         .count()
     )
     assert spans == 0
+
+
+def test_pq_trained_codebook_beats_seed(spark, sf_dir):
+    """The Lloyd-trained codebook must strictly reduce total squared
+    quantization error vs the first-PQ_K seed stand-in (k-means
+    monotonically improves its objective; training on the 1-in-10
+    sample still wins on the full corpus)."""
+    from pyspark.sql import functions as F
+
+    from whale_sightings_spark.operators import similarity as SIM
+    from whale_sightings_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub = SIM._pq_subvectors(emb)
+
+    def total_err(cb):
+        return (
+            SIM._pq_assign_to(sub, cb).agg(F.sum("d2").alias("e")).collect()[0]["e"]
+        )
+
+    seed_err = total_err(SIM._pq_seed_codebook(sub))
+    trained_err = total_err(SIM._pq_codebook(sub))
+    assert trained_err < seed_err, (trained_err, seed_err)

@@ -225,6 +225,14 @@ def ann_recall(embeddings: DataFrame, n_queries: int = 5, k: int = 5) -> DataFra
 PQ_M = 8
 PQ_DSUB = EMBEDDING_DIM // PQ_M
 PQ_K = 4
+#: Lloyd rounds for PQ codebook training. A FIXED count (not
+#: run-to-convergence) keeps the operator deterministic and
+#: SQL-expressible — the oracle unrolls the identical rounds (the q112
+#: pattern). Training runs on the deterministic 1-in-PQ_TRAIN_MOD
+#: vec_id sample: at 100 TB the training passes touch ~10% of the
+#: corpus while the single encode pass touches all of it.
+PQ_KMEANS_ROUNDS = 2
+PQ_TRAIN_MOD = 10
 
 
 def _pq_subvectors(embeddings: DataFrame) -> DataFrame:
@@ -243,12 +251,115 @@ def _pq_subvectors(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def _pq_codebook(sub: DataFrame) -> DataFrame:
-    """(s, cid, cvec) — PQ_M x PQ_K rows (deterministic "training":
-    the first PQ_K vectors' sub-vectors)."""
+def pq_codebook_ctes() -> str:
+    """DuckDB CTE chain for the trained codebook, unrolled from the
+    SAME constants as ``_pq_codebook`` (one spec, two engines). Expects
+    a CTE named ``sub`` (vec_id, s, subvec) in scope; the final trained
+    codebook CTE is named ``cb`` (s, cid, cvec)."""
+    l2 = (
+        "list_sum(list_transform(list_zip(t.subvec, c.cvec), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    parts = [
+        f"tr AS (SELECT * FROM sub WHERE vec_id % {PQ_TRAIN_MOD} = 0)",
+        f"cb0 AS (SELECT s, vec_id AS cid, subvec AS cvec FROM sub"
+        f" WHERE vec_id < {PQ_K})",
+    ]
+    for r in range(1, PQ_KMEANS_ROUNDS + 1):
+        parts.append(
+            f"""a{r} AS (
+        SELECT vec_id, s, cid, subvec FROM (
+            SELECT t.vec_id, t.s, c.cid, t.subvec,
+                   row_number() OVER (
+                       PARTITION BY t.vec_id, t.s ORDER BY {l2}, c.cid) AS rn
+            FROM tr t JOIN cb{r - 1} c ON c.s = t.s
+        ) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""m{r} AS (
+        SELECT s, cid, list(v ORDER BY pos) AS mvec FROM (
+            SELECT x.s, x.cid, d.i AS pos, round(avg(x.subvec[d.i]), 6) AS v
+            FROM a{r} x,
+                 LATERAL (SELECT unnest(range(1, {PQ_DSUB} + 1)) AS i) d
+            GROUP BY x.s, x.cid, d.i
+        ) GROUP BY s, cid)"""
+        )
+        parts.append(
+            f"""cb{r} AS (
+        SELECT c.s, c.cid, coalesce(m.mvec, c.cvec) AS cvec
+        FROM cb{r - 1} c LEFT JOIN m{r} m ON m.s = c.s AND m.cid = c.cid)"""
+        )
+    parts.append(f"cb AS (SELECT * FROM cb{PQ_KMEANS_ROUNDS})")
+    return ",\n    ".join(parts)
+
+
+def _pq_seed_codebook(sub: DataFrame) -> DataFrame:
+    """(s, cid, cvec) — PQ_M x PQ_K rows seeded from the first PQ_K
+    vectors' sub-vectors (deterministic, no RNG to mirror in SQL)."""
     return sub.filter(F.col("vec_id") < PQ_K).select(
         "s", F.col("vec_id").alias("cid"), F.col("subvec").alias("cvec")
     )
+
+
+def _pq_assign_to(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, s, cid, d2, subvec): nearest entry of ``cb`` per
+    (vector, subspace) via a min-struct keyed agg (map-side partial,
+    d2-then-cid tie-break); the sub-vector rides along in the struct so
+    training doesn't re-join it."""
+    d2 = _l2sq(F.col("subvec"), F.col("cvec"))
+    return (
+        sub.join(F.broadcast(cb), "s")
+        .select(
+            "vec_id",
+            "s",
+            F.struct(d2.alias("d2"), F.col("cid"), F.col("subvec")).alias("m"),
+        )
+        .groupBy("vec_id", "s")
+        .agg(F.min("m").alias("m"))
+        .select("vec_id", "s", "m.cid", "m.d2", "m.subvec")
+    )
+
+
+def _pq_codebook(sub: DataFrame) -> DataFrame:
+    """(s, cid, cvec) — the k-means-TRAINED codebook: PQ_KMEANS_ROUNDS
+    Lloyd rounds from the first-PQ_K seed, over the deterministic
+    1-in-PQ_TRAIN_MOD training sample.
+
+    Each round: assign every training sub-vector to its nearest
+    centroid (broadcast codebook, keyed min-struct argmin), then
+    recompute each centroid as the element-wise mean of its members —
+    posexplode to (s, cid, pos) rows (a 256-group bounded agg with
+    map-side partials), mean rounded 6dp so both engines agree exactly,
+    re-collected in dim order. A centroid that loses all members keeps
+    its previous value (left-join + coalesce). The PQ_M x PQ_K result
+    is collected and recreated each round — a dim-sized scalar collect
+    that truncates lineage so every Lloyd round is one job (MLlib's
+    KMeans keeps its centroids driver-side the same way).
+    """
+    spark = sub.sparkSession
+    train = sub.filter(F.col("vec_id") % PQ_TRAIN_MOD == 0)
+    cb = _pq_seed_codebook(sub)
+    for _ in range(PQ_KMEANS_ROUNDS):
+        assigned = _pq_assign_to(train, cb)
+        means = (
+            assigned.select("s", "cid", F.posexplode("subvec").alias("pos", "v"))
+            .groupBy("s", "cid", "pos")
+            .agg(F.round(F.avg("v"), 6).alias("v"))
+            .groupBy("s", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda x: x.v,
+                ).alias("mvec")
+            )
+        )
+        cb = spark.createDataFrame(
+            cb.join(means, ["s", "cid"], "left")
+            .select("s", "cid", F.coalesce("mvec", "cvec").alias("cvec"))
+            .collect(),
+            schema="s int, cid bigint, cvec array<double>",
+        )
+    return cb
 
 
 def _l2sq(a, b) -> F.Column:
@@ -260,29 +371,20 @@ def _l2sq(a, b) -> F.Column:
 
 
 def _pq_assign(embeddings: DataFrame) -> DataFrame:
-    """(vec_id, s, cid, d2): per-(vector, subspace) nearest codebook
-    entry via a min-struct keyed agg (map-side partial, d2-then-cid
-    tie-break)."""
+    """(vec_id, s, cid, d2): per-(vector, subspace) nearest TRAINED
+    codebook entry (one full-corpus encode pass against the broadcast
+    trained codebook)."""
     sub = _pq_subvectors(embeddings)
-    cb = _pq_codebook(sub)
-    d2 = _l2sq(F.col("subvec"), F.col("cvec"))
-    return (
-        sub.join(F.broadcast(cb), "s")
-        .select("vec_id", "s", F.struct(d2.alias("d2"), F.col("cid")).alias("m"))
-        .groupBy("vec_id", "s")
-        .agg(F.min("m").alias("m"))
-        .select("vec_id", "s", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"))
-    )
+    return _pq_assign_to(sub, _pq_codebook(sub)).select("vec_id", "s", "cid", "d2")
 
 
 def pq_encode(embeddings: DataFrame) -> DataFrame:
     """Product-quantization encoding: each vector compressed to PQ_M
     small codes (the memory layout ANN indexes use to hold billions of
     vectors in RAM — 64 floats -> 8 codes here). The codebook is
-    deterministic "training": the first PQ_K vectors' sub-vectors per
-    subspace (production swaps in per-subspace k-means; the operator
-    shape — broadcast codebook, per-subspace argmin, regroup — is
-    identical).
+    k-means-trained per subspace (PQ_KMEANS_ROUNDS Lloyd rounds over
+    the deterministic 1-in-PQ_TRAIN_MOD sample, seeded from the first
+    PQ_K vectors — see ``_pq_codebook``).
 
     Scale shape: sub-vectors are generated row-local (explode +
     slice); the codebook is PQ_M x PQ_K rows and broadcasts; argmin
@@ -316,11 +418,12 @@ def pq_adc_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5) -> DataFr
     neighbor id. WindowGroupLimit keeps top-k per query ahead of the
     final exchange.
     """
-    codes = _pq_assign(embeddings).select("vec_id", "s", "cid")
+    sub = _pq_subvectors(embeddings)
+    cb = _pq_codebook(sub)  # trained once; codes and LUT share it
+    codes = _pq_assign_to(sub, cb).select("vec_id", "s", "cid")
     qsub = _pq_subvectors(embeddings.filter(F.col("vec_id") < n_queries)).select(
         F.col("vec_id").alias("query_id"), "s", F.col("subvec").alias("qsub")
     )
-    cb = _pq_codebook(_pq_subvectors(embeddings))
     lut = qsub.join(F.broadcast(cb), "s").select(
         "query_id", "s", "cid", _l2sq(F.col("qsub"), F.col("cvec")).alias("d2q")
     )

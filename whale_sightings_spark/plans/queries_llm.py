@@ -500,10 +500,7 @@ _PQ_ENCODE_SQL = f"""
         FROM embeddings,
              LATERAL (SELECT unnest(range(0, {SIM.PQ_M})) AS i) s
     ),
-    cb AS (
-        SELECT s, vec_id AS cid, subvec AS cvec FROM sub
-        WHERE vec_id < {SIM.PQ_K}
-    ),
+    {SIM.pq_codebook_ctes()},
     d AS (
         SELECT a.vec_id, a.s, c.cid,
                list_sum(list_transform(list_zip(a.subvec, c.cvec),
@@ -525,9 +522,19 @@ _PQ_ENCODE_SQL = f"""
     """
 
 
-@register("q127_pq_encode", _PQ_ENCODE_SQL)
+@register(
+    "q127_pq_encode",
+    # the driver's pandas canonicalizer cannot hash list values, so the
+    # final projection renders codes as a delimited string on BOTH
+    # engines; internal consumers (q137 ADC) keep the array form
+    f"SELECT vec_id, array_to_string(codes, ',') AS codes, recon"
+    f" FROM ({_PQ_ENCODE_SQL})",
+)
 def q127_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.pq_encode(load_table(spark, sf_dir, "embeddings"))
+    enc = SIM.pq_encode(load_table(spark, sf_dir, "embeddings"))
+    return enc.withColumn(
+        "codes", F.array_join(F.col("codes").cast("array<string>"), ",")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -553,18 +560,16 @@ _SUBVEC = (
         SELECT vec_id, p.i - 1 AS s, codes[p.i] AS cid
         FROM enc, LATERAL (SELECT unnest(range(1, {SIM.PQ_M} + 1)) AS i) p
     ),
+    sub AS (
+        SELECT vec_id, s.i AS s, {_SUBVEC} AS subvec
+        FROM embeddings,
+             LATERAL (SELECT unnest(range(0, {SIM.PQ_M})) AS i) s
+    ),
     qsub AS (
-        SELECT vec_id AS query_id, s.i AS s, {_SUBVEC} AS qsub
-        FROM embeddings,
-             LATERAL (SELECT unnest(range(0, {SIM.PQ_M})) AS i) s
-        WHERE vec_id < 5
+        SELECT vec_id AS query_id, s, subvec AS qsub
+        FROM sub WHERE vec_id < 5
     ),
-    cb AS (
-        SELECT vec_id AS cid, s.i AS s, {_SUBVEC} AS cvec
-        FROM embeddings,
-             LATERAL (SELECT unnest(range(0, {SIM.PQ_M})) AS i) s
-        WHERE vec_id < {SIM.PQ_K}
-    ),
+    {SIM.pq_codebook_ctes()},
     lut AS (
         SELECT q.query_id, q.s, c.cid,
                list_sum(list_transform(list_zip(q.qsub, c.cvec),
