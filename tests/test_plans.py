@@ -312,6 +312,14 @@ def test_q137_adc_luts_are_broadcast(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
 
 
+def test_q153_ivf_adc_probe_and_lut_are_broadcast(spark, sf_dir):
+    # the composed serving path: probe table and ADC LUT broadcast to
+    # the cell-keyed code table; top-k per query stays map-side
+    plan = explain_str(queries()["q153_ivf_adc_search"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
 def test_q125_rank_normalization_is_window_free(spark, sf_dir):
     # decile-rank normalization must come from broadcast percentile
     # boundaries, never a percent_rank-style window over the corpus

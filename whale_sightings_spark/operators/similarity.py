@@ -441,6 +441,94 @@ def pq_adc_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5) -> DataFr
     )
 
 
+def ivf_adc_topk(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 5, n_probe: int = 2
+) -> DataFrame:
+    """IVF + ADC: the billion-scale serving path, composing the
+    multi-probe coarse quantizer (``ann_multiprobe_topk``'s probe
+    selection) with asymmetric-distance ranking over PQ codes
+    (``pq_adc_topk``'s LUT join): candidates are pruned to the
+    ``n_probe`` nearest cells per query, then ranked by ADC distance —
+    the corpus is touched only through its PQ_M small codes, never its
+    full-precision vectors.
+
+    Scale shape: the code table keyed by coarse cell is the classic
+    inverted-list layout — at 100 TB it is precomputed once and stored
+    PARTITIONED BY cell, so a probe is a partition-pruned read (here
+    the cell attaches via one co-partitioned equi-join on vec_id). The
+    probe table (|Q| x n_probe) and the distance LUT (|Q| x PQ_M x
+    PQ_K) both broadcast; scoring is one keyed agg with map-side
+    partials over probed-cell rows only, and WindowGroupLimit keeps
+    top-k per query ahead of the final exchange. Distances are rounded
+    6dp BEFORE ranking, rank ties break by neighbor id (the q17
+    convention).
+    """
+    sub = _pq_subvectors(embeddings)
+    cb = _pq_codebook(sub)
+    cell_codes = (
+        _pq_assign_to(sub, cb)
+        .select("vec_id", "s", "cid")
+        .join(embeddings.select("vec_id", F.col("label").alias("cell")), "vec_id")
+    )
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cw = W.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cell_centroids(embeddings)))
+        .withColumn("ccos", F.round(cosine(F.col("qvec"), F.col("centroid")), 6))
+        .withColumn("probe_rank", F.row_number().over(cw))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("query_id", "cell")
+    )
+    qsub = _pq_subvectors(embeddings.filter(F.col("vec_id") < n_queries)).select(
+        F.col("vec_id").alias("query_id"), "s", F.col("subvec").alias("qsub")
+    )
+    lut = qsub.join(F.broadcast(cb), "s").select(
+        "query_id", "s", "cid", _l2sq(F.col("qsub"), F.col("cvec")).alias("d2q")
+    )
+    scored = (
+        cell_codes.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .join(F.broadcast(lut), ["query_id", "s", "cid"])
+        .groupBy("query_id", "cell", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("d2q"), 6).alias("adc_d2"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cell", "neighbor_id", "adc_d2", "rank")
+    )
+
+
+def ivf_adc_recall(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 5, n_probe: int = 2
+) -> DataFrame:
+    """Recall@k of the IVF+ADC path vs exact brute-force top-k — the
+    audit that quantifies TOTAL loss of the compressed serving path
+    (coarse-cell pruning + PQ quantization together), the number a
+    production index build signs off on before serving traffic. Same
+    bounded shapes as ``ann_recall``: exact side |Q| x N, approx side
+    probed-cells only, comparison query-set-sized."""
+    exact = ann_bruteforce_topk(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_adc_topk(embeddings, n_queries, k, n_probe).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .withColumn("recall", F.round(F.col("n_hit") / F.lit(float(k)), 6))
+        .select("query_id", "n_exact", "n_hit", "recall")
+    )
+
+
 def lsh_signature(emb) -> F.Column:
     """16-bit hyperplane signature as an int (bit i = sign of dot with
     plane i)."""

@@ -595,6 +595,120 @@ def q137_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q153/q154 — IVF+ADC: the composed billion-scale serving path (probe
+# the 2 nearest cells, rank candidates by asymmetric PQ distance) and
+# its recall@k audit vs exact top-k, quantifying the TOTAL loss of
+# cell pruning + PQ compression together
+# (operators/similarity.ivf_adc_topk / ivf_adc_recall)
+# ---------------------------------------------------------------------------
+
+#: shared CTE chain: sub-vectors, trained codebook, full-corpus codes,
+#: probe selection, and the per-query ADC lookup table
+_IVF_ADC_CTES = f"""
+    sub AS (
+        SELECT vec_id, s.i AS s, {_SUBVEC} AS subvec
+        FROM embeddings,
+             LATERAL (SELECT unnest(range(0, {SIM.PQ_M})) AS i) s
+    ),
+    {SIM.pq_codebook_ctes()},
+    dist AS (
+        SELECT a.vec_id, a.s, c.cid,
+               list_sum(list_transform(list_zip(a.subvec, c.cvec),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+        FROM sub a JOIN cb c ON c.s = a.s
+    ),
+    enc AS (
+        SELECT vec_id, s, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+            FROM dist
+        ) WHERE rn = 1
+    ),
+    {_CENTROIDS_SQL},
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id < 5
+    ),
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.query_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({SIM.cosine_sql('q.qvec', 'c.centroid')}, 6) DESC,
+                                c.cell
+                   ) AS probe_rank
+            FROM q CROSS JOIN cents c
+        ) WHERE probe_rank <= 2
+    ),
+    lut AS (
+        SELECT u.vec_id AS query_id, u.s, c.cid,
+               list_sum(list_transform(list_zip(u.subvec, c.cvec),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2q
+        FROM sub u JOIN cb c ON c.s = u.s
+        WHERE u.vec_id < 5
+    ),
+    adc AS (
+        SELECT p.query_id, m.label AS cell, e.vec_id AS neighbor_id,
+               round(sum(l.d2q), 6) AS adc_d2
+        FROM enc e
+        JOIN embeddings m ON m.vec_id = e.vec_id
+        JOIN probes p ON p.cell = m.label
+        JOIN lut l ON l.query_id = p.query_id AND l.s = e.s AND l.cid = e.cid
+        WHERE e.vec_id <> p.query_id
+        GROUP BY p.query_id, m.label, e.vec_id
+    ),
+    adc_topk AS (
+        SELECT query_id, cell, neighbor_id, adc_d2,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY adc_d2, neighbor_id
+               ) AS INT) AS rank
+        FROM adc
+        QUALIFY rank <= 5
+    )"""
+
+
+@register(
+    "q153_ivf_adc_search",
+    f"""
+    WITH {_IVF_ADC_CTES}
+    SELECT query_id, cell, neighbor_id, adc_d2, rank FROM adc_topk
+    """,
+)
+def q153_ivf_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.ivf_adc_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "q154_ivf_adc_recall",
+    f"""
+    WITH {_IVF_ADC_CTES},
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({SIM.cosine_sql('q.qvec', 'c.embedding')}, 6) DESC,
+                                c.vec_id
+                   ) AS rank
+            FROM embeddings c CROSS JOIN q
+            WHERE c.vec_id <> q.query_id
+        ) WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           count(*) AS n_exact,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           round(CAST(count(a.neighbor_id) AS DOUBLE) / 5, 6) AS recall
+    FROM exact e
+    LEFT JOIN adc_topk a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def q154_ivf_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.ivf_adc_recall(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
 # q19 — embedding near-dup via hyperplane LSH blocking + cosine verify
 # ---------------------------------------------------------------------------
 
