@@ -332,3 +332,55 @@ def test_streaming_incremental_dedup_state_and_replay(spark, sf_dir, tmp_path_fa
     streaming_incremental_dedup(spark, docs_dir, state_dir, str(base / "ckpt2"))
     after = sorted(tuple(r) for r in spark.read.parquet(state_dir).collect())
     assert before == after
+
+
+def test_streaming_incremental_neardup_matches_batch_and_replays(
+    spark, sf_dir, tmp_path_factory
+):
+    """The foreachBatch incremental near-dup twin: (a) after the
+    backlog drains, the emitted pairs equal the batch operator's q138
+    result on the same history/delta split; (b) a full replay from a
+    fresh checkpoint emits nothing new (at-least-once converges)."""
+    from whale_sightings_spark.operators.dedup import minhash_incremental_pairs
+    from whale_sightings_spark.streaming.events import streaming_incremental_neardup
+
+    split = 400
+    base = tmp_path_factory.mktemp("inc_neardup")
+    docs_dir = str(base / "docs")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") < split).coalesce(1).write.parquet(
+        docs_dir, mode="append"
+    )
+    docs.filter(F.col("doc_id") >= split).coalesce(1).write.parquet(
+        docs_dir, mode="append"
+    )
+    state_dir = str(base / "state")
+    out_dir = str(base / "out")
+    streaming_incremental_neardup(
+        spark, docs_dir, state_dir, out_dir, str(base / "ckpt1")
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.schema("doc_new long, doc_hist long, jaccard double")
+        .parquet(out_dir)
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in minhash_incremental_pairs(docs, split)
+        .select("doc_new", "doc_hist", "jaccard")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+    streaming_incremental_neardup(
+        spark, docs_dir, state_dir, out_dir, str(base / "ckpt2")
+    )
+    after = sorted(
+        tuple(r)
+        for r in spark.read.schema("doc_new long, doc_hist long, jaccard double")
+        .parquet(out_dir)
+        .collect()
+    )
+    assert after == got

@@ -413,3 +413,141 @@ def streaming_incremental_dedup(
         .start()
         .awaitTermination()
     )
+
+
+def streaming_incremental_neardup(
+    spark: SparkSession,
+    docs_dir: str,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming twin of the q138 incremental near-dup: each micro-batch
+    of documents probes the persisted band index of everything ingested
+    BEFORE it, and the verified near-dup pairs (batch doc x history
+    doc, exact Jaccard >= threshold) append to ``out_dir``. History x
+    history pairs are never regenerated — per-batch cost is O(batch)
+    band probes, q138's contract (within-batch pairs are likewise out
+    of contract, exactly as q138 never pairs delta x delta).
+
+    State is two set-semantics parquet tables under ``state_dir``:
+    ``bands`` (doc_id, band — the probe index) and ``shingles``
+    (doc_id, shingle — raw distinct pairs for exact verification; the
+    shingle-df cap is applied at probe time over history-so-far plus
+    the batch, so when the backlog drains the cap set equals the batch
+    operator's full-corpus one). Both caps mirror the batch operator:
+    hot HISTORY band buckets (> MAX_BAND_BUCKET) are skipped, hot
+    shingles (> MAX_SHINGLE_DF) dropped from verification.
+
+    Re-delivery is self-healing at the ingest boundary: a batch doc
+    whose id already sits in the band index anti-joins away before it
+    probes or appends, so at-least-once delivery emits each pair once
+    (the q95-twin idempotence pattern). State reads are schema-pinned
+    (empty dirs read as empty frames on any Hadoop-compatible FS) and
+    de-duplicated, so a torn append degrades to a no-op on replay;
+    production swaps the two state dirs for transactional tables — the
+    probe plan is identical. Runs with availableNow and blocks until
+    the backlog drains.
+    """
+    from whale_sightings_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        MAX_BAND_BUCKET,
+        MAX_SHINGLE_DF,
+        _banded_minhash,
+        _shingled,
+    )
+
+    schema = spark.read.parquet(docs_dir).schema
+    bands_dir = state_dir.rstrip("/") + "/bands"
+    shingles_dir = state_dir.rstrip("/") + "/shingles"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        hb = (
+            sess.read.schema("doc_id long, band string")
+            .parquet(bands_dir)
+            .distinct()
+        )
+        hs = (
+            sess.read.schema("doc_id long, shingle string")
+            .parquet(shingles_dir)
+            .distinct()
+        )
+        # ingest-boundary idempotence: already-indexed docs drop out
+        batch = batch_df.join(
+            hb.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+        bb = _banded_minhash(batch)
+        bs = (
+            _shingled(batch)
+            .select("doc_id", F.explode_outer("shingles").alias("shingle"))
+            .filter(F.col("shingle").isNotNull())
+            .distinct()
+        )
+        kept = (
+            hb.groupBy("band")
+            .agg(F.count("*").alias("bn"))
+            .filter(F.col("bn") <= MAX_BAND_BUCKET)
+            .select("band")
+        )
+        cands = (
+            bb.join(hb.join(kept, "band").withColumnRenamed("doc_id", "doc_hist"), "band")
+            .select(F.col("doc_id").alias("doc_new"), "doc_hist")
+            .distinct()
+        )
+        # df cap over corpus-so-far (history + this batch) — converges
+        # to the batch operator's full-corpus cap when the backlog drains
+        pairs = hs.unionByName(bs)
+        fpairs = pairs.join(
+            pairs.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= MAX_SHINGLE_DF)
+            .select("shingle"),
+            "shingle",
+        )
+        sizes = fpairs.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+        pn = fpairs.select(F.col("doc_id").alias("doc_new"), "shingle")
+        ph = fpairs.select(F.col("doc_id").alias("doc_hist"), "shingle")
+        inter = (
+            cands.join(pn, "doc_new")
+            .join(ph, ["doc_hist", "shingle"])
+            .groupBy("doc_new", "doc_hist")
+            .agg(F.count("*").alias("n_common"))
+        )
+        zn = sizes.select(F.col("doc_id").alias("doc_new"), F.col("n_shingles").alias("size_n"))
+        zh = sizes.select(F.col("doc_id").alias("doc_hist"), F.col("n_shingles").alias("size_h"))
+        out = (
+            inter.join(zn, "doc_new")
+            .join(zh, "doc_hist")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_common")
+                    / (F.col("size_n") + F.col("size_h") - F.col("n_common")),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("doc_new", "doc_hist", "jaccard")
+        )
+        out.write.mode("append").parquet(out_dir)
+        bb.select("doc_id", "band").write.mode("append").parquet(bands_dir)
+        bs.write.mode("append").parquet(shingles_dir)
+
+    import os
+
+    os.makedirs(bands_dir, exist_ok=True)
+    os.makedirs(shingles_dir, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
