@@ -92,3 +92,25 @@ def test_pagerank_fixed_uniform_on_regular_graph(spark):
     assert len(pr) == n
     for r in pr:
         assert math.isclose(r.pr, 1.0 / n, abs_tol=1e-12), r
+
+
+def test_orient_by_degree_sqrt_m_bound_on_hub_heavy_graph(spark):
+    """Pin the wedge-fanout property, not just the pure-star case: on a
+    hub-heavy composite (one 60-leaf hub + a 12-clique + bridges), the
+    low->high orientation must keep EVERY node's out-degree within the
+    theoretical sqrt(2m) bound (out-neighbors of v all have degree >=
+    deg(v) >= out(v), so 2m >= out(v)^2) — the invariant that makes the
+    q107 wedge join hub-safe at any scale."""
+    edges = [(0, i) for i in range(1, 61)]                       # hub 0
+    clique = list(range(100, 112))
+    edges += [(a, b) for a in clique for b in clique if a < b]   # 12-clique
+    edges += [(i, 100 + i) for i in range(1, 9)]                 # bridges
+    pairs = _pairs(spark, edges)
+    e = GR.orient_by_degree(pairs)
+    m = e.count()
+    assert m == len(edges)  # each undirected edge oriented exactly once
+    out = e.groupBy("a").agg(F.count("*").alias("d"))
+    max_out = out.agg(F.max("d")).collect()[0][0]
+    assert max_out <= math.isqrt(2 * m) + 1, (max_out, m)
+    # the hub absorbs its star edges: they all point INTO node 0
+    assert e.filter((F.col("a") == 0)).count() == 0
