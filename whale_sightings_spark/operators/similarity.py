@@ -251,21 +251,27 @@ def _pq_subvectors(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def pq_codebook_ctes() -> str:
-    """DuckDB CTE chain for the trained codebook, unrolled from the
-    SAME constants as ``_pq_codebook`` (one spec, two engines). Expects
-    a CTE named ``sub`` (vec_id, s, subvec) in scope; the final trained
-    codebook CTE is named ``cb`` (s, cid, cvec)."""
+def pq_codebook_ctes(
+    k: int = PQ_K,
+    rounds: int = PQ_KMEANS_ROUNDS,
+    train_mod: int = PQ_TRAIN_MOD,
+    dsub: int = PQ_DSUB,
+) -> str:
+    """DuckDB CTE chain for a Lloyd-trained codebook, unrolled from the
+    SAME constants as ``_lloyd_codebook`` (one spec, two engines).
+    Expects a CTE named ``sub`` (vec_id, s, subvec) in scope; the final
+    trained codebook CTE is named ``cb`` (s, cid, cvec). Defaults are
+    the PQ geometry; the trained coarse quantizer passes its own."""
     l2 = (
         "list_sum(list_transform(list_zip(t.subvec, c.cvec), "
         "p -> (p[1] - p[2]) * (p[1] - p[2])))"
     )
     parts = [
-        f"tr AS (SELECT * FROM sub WHERE vec_id % {PQ_TRAIN_MOD} = 0)",
+        f"tr AS (SELECT * FROM sub WHERE vec_id % {train_mod} = 0)",
         f"cb0 AS (SELECT s, vec_id AS cid, subvec AS cvec FROM sub"
-        f" WHERE vec_id < {PQ_K})",
+        f" WHERE vec_id < {k})",
     ]
-    for r in range(1, PQ_KMEANS_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         parts.append(
             f"""a{r} AS (
         SELECT vec_id, s, cid, subvec FROM (
@@ -280,7 +286,7 @@ def pq_codebook_ctes() -> str:
         SELECT s, cid, list(v ORDER BY pos) AS mvec FROM (
             SELECT x.s, x.cid, d.i AS pos, round(avg(x.subvec[d.i]), 6) AS v
             FROM a{r} x,
-                 LATERAL (SELECT unnest(range(1, {PQ_DSUB} + 1)) AS i) d
+                 LATERAL (SELECT unnest(range(1, {dsub} + 1)) AS i) d
             GROUP BY x.s, x.cid, d.i
         ) GROUP BY s, cid)"""
         )
@@ -289,7 +295,7 @@ def pq_codebook_ctes() -> str:
         SELECT c.s, c.cid, coalesce(m.mvec, c.cvec) AS cvec
         FROM cb{r - 1} c LEFT JOIN m{r} m ON m.s = c.s AND m.cid = c.cid)"""
         )
-    parts.append(f"cb AS (SELECT * FROM cb{PQ_KMEANS_ROUNDS})")
+    parts.append(f"cb AS (SELECT * FROM cb{rounds})")
     return ",\n    ".join(parts)
 
 
@@ -336,10 +342,23 @@ def _pq_codebook(sub: DataFrame) -> DataFrame:
     that truncates lineage so every Lloyd round is one job (MLlib's
     KMeans keeps its centroids driver-side the same way).
     """
+    return _lloyd_codebook(sub, PQ_K, PQ_KMEANS_ROUNDS, PQ_TRAIN_MOD)
+
+
+def _lloyd_codebook(
+    sub: DataFrame, k: int, rounds: int, train_mod: int
+) -> DataFrame:
+    """Generic Lloyd trainer over (vec_id, s, subvec) rows — serves
+    both the per-subspace PQ codebook (PQ_M subspaces) and the full-dim
+    coarse quantizer (single subspace s=0). Contract documented on
+    ``_pq_codebook``; the SQL twin is ``pq_codebook_ctes`` with the
+    same parameters."""
     spark = sub.sparkSession
-    train = sub.filter(F.col("vec_id") % PQ_TRAIN_MOD == 0)
-    cb = _pq_seed_codebook(sub)
-    for _ in range(PQ_KMEANS_ROUNDS):
+    train = sub.filter(F.col("vec_id") % train_mod == 0)
+    cb = sub.filter(F.col("vec_id") < k).select(
+        "s", F.col("vec_id").alias("cid"), F.col("subvec").alias("cvec")
+    )
+    for _ in range(rounds):
         assigned = _pq_assign_to(train, cb)
         means = (
             assigned.select("s", "cid", F.posexplode("subvec").alias("pos", "v"))
@@ -516,6 +535,106 @@ def ivf_adc_recall(
     )
     approx = ivf_adc_topk(embeddings, n_queries, k, n_probe).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .withColumn("recall", F.round(F.col("n_hit") / F.lit(float(k)), 6))
+        .select("query_id", "n_exact", "n_hit", "recall")
+    )
+
+
+#: trained coarse quantizer geometry: IVF_K full-dimension cells,
+#: trained with the same fixed Lloyd rounds / deterministic sample as
+#: the PQ codebook (one trainer, two quantizers)
+IVF_K = 8
+IVF_KMEANS_ROUNDS = 2
+IVF_TRAIN_MOD = 10
+
+
+def _fulldim_sub(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, s=0, subvec) — the full embedding as a single-subspace
+    input to the shared Lloyd trainer."""
+    return embeddings.select(
+        "vec_id",
+        F.lit(0).alias("s"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("subvec"),
+    )
+
+
+def ivf_trained_assign(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, cell, d2): every vector assigned to its nearest TRAINED
+    coarse cell — the real IVF build step (the label-as-cell variants
+    stand in for exactly this). One full-dim Lloyd training on the
+    1-in-IVF_TRAIN_MOD sample (bounded jobs, dim-sized collects), then
+    one corpus pass against the broadcast IVF_K centroids; L2 metric
+    throughout (mean updates optimize the L2 objective, so assignment
+    must use it too)."""
+    sub = _fulldim_sub(embeddings)
+    cb = _lloyd_codebook(sub, IVF_K, IVF_KMEANS_ROUNDS, IVF_TRAIN_MOD)
+    return _pq_assign_to(sub, cb).select(
+        "vec_id", F.col("cid").alias("cell"), "d2"
+    )
+
+
+def ivf_trained_cell_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-trained-cell build report (cell, n_members, min/max member,
+    avg_d2): the balance + distortion audit a production index build
+    emits after training — q151's balance envelope, but over cells the
+    trainer actually produced. Cell-cardinality-sized output; one keyed
+    agg with map-side partials."""
+    return (
+        ivf_trained_assign(embeddings)
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("vec_id").alias("min_member"),
+            F.max("vec_id").alias("max_member"),
+            F.round(F.avg(F.round(F.col("d2"), 6)), 4).alias("avg_d2"),
+        )
+    )
+
+
+def ivf_trained_recall(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 5
+) -> DataFrame:
+    """Recall@k of a single-probe IVF over TRAINED cells vs exact
+    top-k — q116's audit with the trained quantizer substituted for the
+    label stand-in, quantifying what training buys. Candidates are the
+    query's own trained cell, ranked by full-precision cosine with the
+    q17 tie-break."""
+    assign = ivf_trained_assign(embeddings).select("vec_id", "cell")
+    q = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .join(assign, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            "cell",
+        )
+    )
+    c = embeddings.join(assign, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        "cell",
+    )
+    scored = (
+        c.join(F.broadcast(q), ["cell"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    approx = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    exact = ann_bruteforce_topk(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id"
     )
     return (
         exact.join(approx, ["query_id", "neighbor_id"], "left")

@@ -709,6 +709,106 @@ def q154_ivf_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q155/q156 — TRAINED coarse quantizer: the label-as-cell IVF variants
+# stand in for a k-means quantizer; these make it real. q155 is the
+# index-build report over the trained cells (balance + distortion);
+# q156 is q116's recall audit with the trained quantizer substituted,
+# quantifying what training buys.
+# (operators/similarity.ivf_trained_cell_stats / ivf_trained_recall)
+# ---------------------------------------------------------------------------
+
+#: shared CTE chain: full-dim sub-vectors, trained coarse codebook,
+#: per-vector cell assignment (L2, d2-then-cid tie-break)
+_IVF_TRAINED_CTES = f"""
+    sub AS (
+        SELECT vec_id, 0 AS s,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS subvec
+        FROM embeddings
+    ),
+    {SIM.pq_codebook_ctes(k=SIM.IVF_K, rounds=SIM.IVF_KMEANS_ROUNDS,
+                          train_mod=SIM.IVF_TRAIN_MOD, dsub=SIM.EMBEDDING_DIM)},
+    cdist AS (
+        SELECT t.vec_id, c.cid,
+               list_sum(list_transform(list_zip(t.subvec, c.cvec),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+        FROM sub t JOIN cb c ON c.s = t.s
+    ),
+    assign AS (
+        SELECT vec_id, cid AS cell, d2 FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM cdist
+        ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "q155_ivf_trained_cells",
+    f"""
+    WITH {_IVF_TRAINED_CTES}
+    SELECT cell,
+           CAST(count(*) AS BIGINT) AS n_members,
+           min(vec_id) AS min_member,
+           max(vec_id) AS max_member,
+           round(avg(round(d2, 6)), 4) AS avg_d2
+    FROM assign
+    GROUP BY cell
+    """,
+)
+def q155_ivf_trained_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.ivf_trained_cell_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "q156_ivf_trained_recall",
+    f"""
+    WITH {_IVF_TRAINED_CTES},
+    q AS (
+        SELECT a.vec_id AS query_id, e.embedding AS qvec, a.cell AS qcell
+        FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+        WHERE a.vec_id < 5
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({SIM.cosine_sql('q.qvec', 'c.embedding')}, 6) DESC,
+                                c.vec_id
+                   ) AS rank
+            FROM embeddings c CROSS JOIN q
+            WHERE c.vec_id <> q.query_id
+        ) WHERE rank <= 5
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({SIM.cosine_sql('q.qvec', 'c.embedding')}, 6) DESC,
+                                c.vec_id
+                   ) AS rank
+            FROM embeddings c
+            JOIN assign ac ON ac.vec_id = c.vec_id
+            JOIN q ON ac.cell = q.qcell
+            WHERE c.vec_id <> q.query_id
+        ) WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           count(*) AS n_exact,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           round(CAST(count(a.neighbor_id) AS DOUBLE) / 5, 6) AS recall
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def q156_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.ivf_trained_recall(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
 # q19 — embedding near-dup via hyperplane LSH blocking + cosine verify
 # ---------------------------------------------------------------------------
 
