@@ -119,3 +119,20 @@ def test_trained_cells_beat_label_cells_on_recall(spark, sf_dir):
     label_recall = SIM.ann_recall(emb).agg(F.avg("recall")).collect()[0][0]
     trained_recall = SIM.ivf_trained_recall(emb).agg(F.avg("recall")).collect()[0][0]
     assert trained_recall > label_recall, (trained_recall, label_recall)
+
+
+def test_residual_pq_beats_raw_pq_on_recon(spark, sf_dir):
+    """IVF-PQ's reason to exist: encoding residuals (vector - assigned
+    coarse centroid) with the same PQ budget must reconstruct tighter
+    than encoding raw vectors."""
+    from pyspark.sql import functions as F
+
+    from whale_sightings_spark.operators import similarity as SIM
+    from whale_sightings_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    raw = SIM.pq_encode(emb).agg(F.sum(F.col("recon") ** 2)).collect()[0][0]
+    res = (
+        SIM.pq_residual_encode(emb).agg(F.sum(F.col("recon") ** 2)).collect()[0][0]
+    )
+    assert res < raw, (res, raw)

@@ -256,6 +256,8 @@ def pq_codebook_ctes(
     rounds: int = PQ_KMEANS_ROUNDS,
     train_mod: int = PQ_TRAIN_MOD,
     dsub: int = PQ_DSUB,
+    prefix: str = "",
+    src: str = "sub",
 ) -> str:
     """DuckDB CTE chain for a Lloyd-trained codebook, unrolled from the
     SAME constants as ``_lloyd_codebook`` (one spec, two engines).
@@ -267,35 +269,35 @@ def pq_codebook_ctes(
         "p -> (p[1] - p[2]) * (p[1] - p[2])))"
     )
     parts = [
-        f"tr AS (SELECT * FROM sub WHERE vec_id % {train_mod} = 0)",
-        f"cb0 AS (SELECT s, vec_id AS cid, subvec AS cvec FROM sub"
+        f"{prefix}tr AS (SELECT * FROM {src} WHERE vec_id % {train_mod} = 0)",
+        f"{prefix}cb0 AS (SELECT s, vec_id AS cid, subvec AS cvec FROM {src}"
         f" WHERE vec_id < {k})",
     ]
     for r in range(1, rounds + 1):
         parts.append(
-            f"""a{r} AS (
+            f"""{prefix}a{r} AS (
         SELECT vec_id, s, cid, subvec FROM (
             SELECT t.vec_id, t.s, c.cid, t.subvec,
                    row_number() OVER (
                        PARTITION BY t.vec_id, t.s ORDER BY {l2}, c.cid) AS rn
-            FROM tr t JOIN cb{r - 1} c ON c.s = t.s
+            FROM {prefix}tr t JOIN {prefix}cb{r - 1} c ON c.s = t.s
         ) WHERE rn = 1)"""
         )
         parts.append(
-            f"""m{r} AS (
+            f"""{prefix}m{r} AS (
         SELECT s, cid, list(v ORDER BY pos) AS mvec FROM (
             SELECT x.s, x.cid, d.i AS pos, round(avg(x.subvec[d.i]), 6) AS v
-            FROM a{r} x,
+            FROM {prefix}a{r} x,
                  LATERAL (SELECT unnest(range(1, {dsub} + 1)) AS i) d
             GROUP BY x.s, x.cid, d.i
         ) GROUP BY s, cid)"""
         )
         parts.append(
-            f"""cb{r} AS (
+            f"""{prefix}cb{r} AS (
         SELECT c.s, c.cid, coalesce(m.mvec, c.cvec) AS cvec
-        FROM cb{r - 1} c LEFT JOIN m{r} m ON m.s = c.s AND m.cid = c.cid)"""
+        FROM {prefix}cb{r - 1} c LEFT JOIN {prefix}m{r} m ON m.s = c.s AND m.cid = c.cid)"""
         )
-    parts.append(f"cb AS (SELECT * FROM cb{rounds})")
+    parts.append(f"{prefix}cb AS (SELECT * FROM {prefix}cb{rounds})")
     return ",\n    ".join(parts)
 
 
@@ -645,6 +647,57 @@ def ivf_trained_recall(
         )
         .withColumn("recall", F.round(F.col("n_hit") / F.lit(float(k)), 6))
         .select("query_id", "n_exact", "n_hit", "recall")
+    )
+
+
+def pq_residual_encode(embeddings: DataFrame) -> DataFrame:
+    """IVF-PQ proper: PQ-encode the RESIDUAL (vector minus its assigned
+    trained coarse centroid) — the storage layout a production
+    billion-vector index actually writes (FAISS IndexIVFPQ). Residuals
+    concentrate near the origin, so the same PQ bit budget spends its
+    codes on local detail: total reconstruction error must drop vs
+    encoding raw vectors (pinned by pytest).
+
+    Scale shape: coarse assignment is ``ivf_trained_assign``'s one
+    corpus pass; the residual is a row-local zip_with against the
+    broadcast centroid; the residual PQ codebook trains through the
+    same ``_lloyd_codebook`` (bounded jobs); the final encode is one
+    keyed argmin + regroup, exactly ``pq_encode``'s tail. Returns
+    (vec_id, cell, codes comma-string, recon)."""
+    sub0 = _fulldim_sub(embeddings)
+    coarse = _lloyd_codebook(sub0, IVF_K, IVF_KMEANS_ROUNDS, IVF_TRAIN_MOD)
+    assigned = _pq_assign_to(sub0, coarse)
+    res = assigned.join(F.broadcast(coarse), ["s", "cid"]).select(
+        "vec_id",
+        F.col("cid").alias("cell"),
+        F.zip_with("subvec", "cvec", lambda a, b: a - b).alias("rvec"),
+    )
+    rsub = res.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s"),
+        "rvec",
+    ).select(
+        "vec_id",
+        "s",
+        F.slice(F.col("rvec"), F.col("s") * PQ_DSUB + 1, PQ_DSUB).alias("subvec"),
+    )
+    rcb = _lloyd_codebook(rsub, PQ_K, PQ_KMEANS_ROUNDS, PQ_TRAIN_MOD)
+    enc = (
+        _pq_assign_to(rsub, rcb)
+        .groupBy("vec_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "cid"))),
+                    lambda x: x.cid.cast("string"),
+                ),
+                ",",
+            ).alias("codes"),
+            F.round(F.sqrt(F.sum("d2")), 6).alias("recon"),
+        )
+    )
+    return enc.join(res.select("vec_id", "cell"), "vec_id").select(
+        "vec_id", "cell", "codes", "recon"
     )
 
 

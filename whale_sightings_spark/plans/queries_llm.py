@@ -809,6 +809,60 @@ def q156_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q157 — residual PQ encode (IVF-PQ proper): PQ codes over the residual
+# vector - assigned trained coarse centroid, the storage layout a
+# billion-vector index actually writes; residuals concentrate near the
+# origin so the same code budget reconstructs tighter than raw-vector
+# PQ (operators/similarity.pq_residual_encode + recon pytest)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q157_residual_pq_encode",
+    f"""
+    WITH {_IVF_TRAINED_CTES},
+    resid AS (
+        SELECT a.vec_id, a.cell,
+               list_transform(list_zip(s.subvec, c.cvec),
+                   p -> p[1] - p[2]) AS rvec
+        FROM assign a
+        JOIN sub s ON s.vec_id = a.vec_id
+        JOIN cb c ON c.cid = a.cell AND c.s = 0
+    ),
+    rsub AS (
+        SELECT vec_id, s.i AS s,
+               list_transform(range(1, {SIM.PQ_DSUB} + 1),
+                   j -> rvec[(s.i) * {SIM.PQ_DSUB} + j]) AS subvec
+        FROM resid,
+             LATERAL (SELECT unnest(range(0, {SIM.PQ_M})) AS i) s
+    ),
+    {SIM.pq_codebook_ctes(prefix='r', src='rsub')},
+    rdist AS (
+        SELECT a.vec_id, a.s, c.cid,
+               list_sum(list_transform(list_zip(a.subvec, c.cvec),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+        FROM rsub a JOIN rcb c ON c.s = a.s
+    ),
+    rbest AS (
+        SELECT vec_id, s, cid, d2 FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+            FROM rdist
+        ) WHERE rn = 1
+    )
+    SELECT b.vec_id, r.cell,
+           array_to_string(list(b.cid ORDER BY b.s), ',') AS codes,
+           round(sqrt(sum(b.d2)), 6) AS recon
+    FROM rbest b
+    JOIN (SELECT DISTINCT vec_id, cell FROM resid) r ON r.vec_id = b.vec_id
+    GROUP BY b.vec_id, r.cell
+    """,
+)
+def q157_residual_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.pq_residual_encode(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
 # q19 — embedding near-dup via hyperplane LSH blocking + cosine verify
 # ---------------------------------------------------------------------------
 
