@@ -305,3 +305,73 @@ def q53_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     common = a.intersectAll(b).withColumn("tag", F.lit("common"))
     extra = a.exceptAll(b).withColumn("tag", F.lit("a_extra"))
     return common.unionByName(extra)
+
+
+# ---------------------------------------------------------------------------
+# q159 — curriculum phases: split the corpus into 4 quality-ordered
+# training phases at exact score quartiles — the deterministic
+# easy-to-hard ordering a curriculum schedule consumes. Boundaries are
+# ONE exact-percentile scalar aggregate (bounded: 3 doubles collected,
+# the zorder boundary pattern — never a global sort or window);
+# assignment is a row-local comparison against the broadcast
+# boundaries; the report is a 4-group agg. Spark's exact percentile and
+# DuckDB's quantile_cont share linear interpolation over the same
+# 6dp-rounded score multiset, so the boundaries agree exactly.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q159_curriculum_phases",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, {TX.quality_score_sql('text')} AS score,
+               {TX.token_count_sql('text')} AS n_tokens
+        FROM documents
+    ),
+    b AS (
+        SELECT round(quantile_cont(score, 0.25), 6) AS b1,
+               round(quantile_cont(score, 0.50), 6) AS b2,
+               round(quantile_cont(score, 0.75), 6) AS b3
+        FROM scored
+    )
+    SELECT CASE WHEN score <= b1 THEN 0
+                WHEN score <= b2 THEN 1
+                WHEN score <= b3 THEN 2
+                ELSE 3 END AS phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS phase_tokens,
+           round(avg(score), 4) AS avg_score,
+           round(min(score), 6) AS min_score,
+           round(max(score), 6) AS max_score
+    FROM scored CROSS JOIN b
+    GROUP BY 1
+    """,
+)
+def q159_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        TX.quality_score(F.col("text")).alias("score"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+    )
+    b1, b2, b3 = [
+        round(v, 6)
+        for v in scored.agg(
+            F.percentile("score", F.lit([0.25, 0.50, 0.75]))
+        ).collect()[0][0]
+    ]
+    phase = (
+        F.when(F.col("score") <= b1, 0)
+        .when(F.col("score") <= b2, 1)
+        .when(F.col("score") <= b3, 2)
+        .otherwise(3)
+    )
+    return scored.select(phase.alias("phase"), "score", "n_tokens").groupBy(
+        "phase"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("phase_tokens"),
+        F.round(F.avg("score"), 4).alias("avg_score"),
+        F.round(F.min("score"), 6).alias("min_score"),
+        F.round(F.max("score"), 6).alias("max_score"),
+    )

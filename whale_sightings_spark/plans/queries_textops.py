@@ -1051,3 +1051,66 @@ def q148_special_token_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_hits").cast("bigint").alias("n_token_hits"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q158 — tokenizer fertility audit: per-language chars-per-token and
+# tokens-per-word under the BPE-ish regex tokenizer. The pretraining
+# diagnostic behind per-language token budgets: scripts the tokenizer
+# fragments (high fertility) consume budget faster than their text
+# volume suggests, so budgets allocated in tokens (q109/q147) need this
+# table to translate to document counts. Row-local ratios + one
+# lang-cardinality agg with map-side partials; docs where either
+# tokenizer finds nothing are excluded from the ratio means (zero
+# denominators) but still counted.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q158_tokenizer_fertility",
+    f"""
+    WITH t AS (
+        SELECT lang,
+               length(text) AS n_chars,
+               {TX.regex_token_count_sql('text')} AS n_subtok,
+               {TX.token_count_sql('text')} AS n_words
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_subtok) AS BIGINT) AS total_tokens,
+           round(avg(CASE WHEN n_subtok > 0
+                          THEN CAST(n_chars AS DOUBLE) / n_subtok END), 4)
+               AS chars_per_token,
+           round(avg(CASE WHEN n_words > 0
+                          THEN CAST(n_subtok AS DOUBLE) / n_words END), 4)
+               AS fertility
+    FROM t
+    GROUP BY lang
+    """,
+)
+def q158_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        TX.regex_token_count(F.col("text")).alias("n_subtok"),
+        TX.token_count(F.col("text")).alias("n_words"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_subtok").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("n_subtok") > 0, F.col("n_chars") / F.col("n_subtok")
+                )
+            ),
+            4,
+        ).alias("chars_per_token"),
+        F.round(
+            F.avg(
+                F.when(F.col("n_words") > 0, F.col("n_subtok") / F.col("n_words"))
+            ),
+            4,
+        ).alias("fertility"),
+    )
