@@ -650,6 +650,51 @@ def ivf_trained_recall(
     )
 
 
+def ivf_incremental_ingest_audit(
+    embeddings: DataFrame, split_id: int
+) -> DataFrame:
+    """Index-lifecycle audit: NEW vectors (vec_id >= split) are
+    assigned to cells trained on HISTORY only (vec_id < split) — the
+    O(batch) ingest path of a serving index, which must not retrain per
+    delta — and the per-cell report compares the new batch's cell
+    distribution against history's with a PSI term, the
+    retrain-trigger signal (drifted embeddings pile into few stale
+    cells). Training touches only the history sample; the delta pass is
+    one broadcast-codebook argmin over batch rows; the report is
+    cell-cardinality-sized. Returns (cell, n_hist, n_new, share_hist,
+    share_new, psi_term)."""
+    sub = _fulldim_sub(embeddings)
+    hsub = sub.filter(F.col("vec_id") < split_id)
+    cb = _lloyd_codebook(hsub, IVF_K, IVF_KMEANS_ROUNDS, IVF_TRAIN_MOD)
+    assign = _pq_assign_to(sub, cb).select(
+        "vec_id", F.col("cid").alias("cell")
+    )
+    counts = assign.groupBy("cell").agg(
+        F.sum(F.when(F.col("vec_id") < split_id, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hist"),
+        F.sum(F.when(F.col("vec_id") >= split_id, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+    )
+    tot = counts.agg(
+        F.sum("n_hist").alias("th"), F.sum("n_new").alias("tn")
+    )
+    # PSI with the standard epsilon floor so empty cells stay finite;
+    # mirrored in the oracle
+    eps = F.lit(1e-4)
+    sh = F.greatest(F.col("n_hist") / F.col("th"), eps)
+    sn = F.greatest(F.col("n_new") / F.col("tn"), eps)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_hist",
+        "n_new",
+        F.round(F.col("n_hist") / F.col("th"), 6).alias("share_hist"),
+        F.round(F.col("n_new") / F.col("tn"), 6).alias("share_new"),
+        F.round((sn - sh) * F.log(sn / sh), 6).alias("psi_term"),
+    )
+
+
 def pq_residual_encode(embeddings: DataFrame) -> DataFrame:
     """IVF-PQ proper: PQ-encode the RESIDUAL (vector minus its assigned
     trained coarse centroid) — the storage layout a production

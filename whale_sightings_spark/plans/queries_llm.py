@@ -863,6 +863,66 @@ def q157_residual_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q160 — incremental index ingest + drift audit: NEW vectors (vec_id >=
+# split) assigned to cells trained on HISTORY only — the O(batch)
+# ingest path of a serving index — with a per-cell PSI term comparing
+# the batch's cell distribution to history's (the retrain trigger)
+# (operators/similarity.ivf_incremental_ingest_audit)
+# ---------------------------------------------------------------------------
+
+_IVF_SPLIT = 400
+
+
+@register(
+    "q160_ivf_ingest_drift",
+    f"""
+    WITH sub AS (
+        SELECT vec_id, 0 AS s,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS subvec
+        FROM embeddings
+    ),
+    hsub AS (SELECT * FROM sub WHERE vec_id < {_IVF_SPLIT}),
+    {SIM.pq_codebook_ctes(k=SIM.IVF_K, rounds=SIM.IVF_KMEANS_ROUNDS,
+                          train_mod=SIM.IVF_TRAIN_MOD, dsub=SIM.EMBEDDING_DIM,
+                          src='hsub')},
+    cdist AS (
+        SELECT t.vec_id, c.cid,
+               list_sum(list_transform(list_zip(t.subvec, c.cvec),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+        FROM sub t JOIN cb c ON c.s = t.s
+    ),
+    assign AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM cdist
+        ) WHERE rn = 1
+    ),
+    counts AS (
+        SELECT cell,
+               CAST(sum(CASE WHEN vec_id < {_IVF_SPLIT} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hist,
+               CAST(sum(CASE WHEN vec_id >= {_IVF_SPLIT} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new
+        FROM assign GROUP BY cell
+    ),
+    tot AS (SELECT sum(n_hist) AS th, sum(n_new) AS tn FROM counts)
+    SELECT cell, n_hist, n_new,
+           round(n_hist / th, 6) AS share_hist,
+           round(n_new / tn, 6) AS share_new,
+           round((greatest(n_new / tn, 0.0001) - greatest(n_hist / th, 0.0001))
+                 * ln(greatest(n_new / tn, 0.0001)
+                      / greatest(n_hist / th, 0.0001)), 6) AS psi_term
+    FROM counts CROSS JOIN tot
+    """,
+)
+def q160_ivf_ingest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.ivf_incremental_ingest_audit(
+        load_table(spark, sf_dir, "embeddings"), _IVF_SPLIT
+    )
+
+
+# ---------------------------------------------------------------------------
 # q19 — embedding near-dup via hyperplane LSH blocking + cosine verify
 # ---------------------------------------------------------------------------
 
