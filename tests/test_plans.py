@@ -320,6 +320,14 @@ def test_q153_ivf_adc_probe_and_lut_are_broadcast(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
 
 
+def test_q161_ivfpq_lut_broadcast_and_mapside_topk(spark, sf_dir):
+    # the full serving path: per-probed-cell residual LUT broadcasts to
+    # the cell-keyed residual code table; top-k per query stays map-side
+    plan = explain_str(queries()["q161_ivfpq_search"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
 def test_q125_rank_normalization_is_window_free(spark, sf_dir):
     # decile-rank normalization must come from broadcast percentile
     # boundaries, never a percent_rank-style window over the corpus

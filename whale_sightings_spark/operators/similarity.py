@@ -695,6 +695,100 @@ def ivf_incremental_ingest_audit(
     )
 
 
+def _split_subspaces(df: DataFrame, vec_col: str, *keys: str) -> DataFrame:
+    """Row-local explode of ``vec_col`` into PQ_M (s, subvec) rows,
+    keeping ``keys``."""
+    return df.select(
+        *keys,
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s"),
+        vec_col,
+    ).select(
+        *keys,
+        "s",
+        F.slice(F.col(vec_col), F.col("s") * PQ_DSUB + 1, PQ_DSUB).alias("subvec"),
+    )
+
+
+def _residual_pq_index(embeddings: DataFrame):
+    """Build the IVF-PQ index pieces shared by the encode and serving
+    paths: (coarse codebook, residual codebook, residuals-with-cell,
+    per-subspace residual code assignment)."""
+    sub0 = _fulldim_sub(embeddings)
+    coarse = _lloyd_codebook(sub0, IVF_K, IVF_KMEANS_ROUNDS, IVF_TRAIN_MOD)
+    assigned = _pq_assign_to(sub0, coarse)
+    res = assigned.join(F.broadcast(coarse), ["s", "cid"]).select(
+        "vec_id",
+        F.col("cid").alias("cell"),
+        F.zip_with("subvec", "cvec", lambda a, b: a - b).alias("rvec"),
+    )
+    rsub = _split_subspaces(res, "rvec", "vec_id")
+    rcb = _lloyd_codebook(rsub, PQ_K, PQ_KMEANS_ROUNDS, PQ_TRAIN_MOD)
+    best = _pq_assign_to(rsub, rcb)
+    return coarse, rcb, res, best
+
+
+def ivfpq_topk(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 5, n_probe: int = 2
+) -> DataFrame:
+    """The complete IVF-PQ serving path (the FAISS IndexIVFPQ query):
+    probe the ``n_probe`` coarse cells nearest each query (L2, the
+    trained quantizer's own metric), compute the query's residual
+    AGAINST EACH PROBED CELL'S centroid — the detail that makes
+    residual ADC correct: corpus codes in a cell encode residuals to
+    that cell's centroid, so the query must be re-centered per probed
+    cell — and rank candidates by asymmetric distance over their
+    residual codes.
+
+    Scale shape: probe selection and both LUTs are query-set-sized
+    broadcasts; the cell-keyed residual code table is the stored
+    inverted-list layout (partition-pruned by cell at scale); scoring
+    is one keyed agg with map-side partials over probed-cell rows;
+    WindowGroupLimit keeps top-k per query map-side. Distances rounded
+    6dp before ranking, ties by neighbor id (the q17 convention).
+    """
+    sub0 = _fulldim_sub(embeddings)
+    coarse, rcb, res, best = _residual_pq_index(embeddings)
+    codes = best.select("vec_id", "s", "cid").join(
+        res.select("vec_id", "cell"), "vec_id"
+    )
+    qd = (
+        sub0.filter(F.col("vec_id") < n_queries)
+        .join(F.broadcast(coarse), "s")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cid").alias("cell"),
+            _l2sq(F.col("subvec"), F.col("cvec")).alias("d2"),
+            F.zip_with("subvec", "cvec", lambda a, b: a - b).alias("qrvec"),
+        )
+    )
+    pw = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        qd.withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "cell", "qrvec")
+    )
+    qrsub = _split_subspaces(probes, "qrvec", "query_id", "cell")
+    lut = qrsub.join(F.broadcast(rcb), "s").select(
+        "query_id",
+        "cell",
+        "s",
+        "cid",
+        _l2sq(F.col("subvec"), F.col("cvec")).alias("d2q"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["cell", "s", "cid"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "cell", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("d2q"), 6).alias("adc_d2"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cell", "neighbor_id", "adc_d2", "rank")
+    )
+
+
 def pq_residual_encode(embeddings: DataFrame) -> DataFrame:
     """IVF-PQ proper: PQ-encode the RESIDUAL (vector minus its assigned
     trained coarse centroid) — the storage layout a production
@@ -709,27 +803,9 @@ def pq_residual_encode(embeddings: DataFrame) -> DataFrame:
     same ``_lloyd_codebook`` (bounded jobs); the final encode is one
     keyed argmin + regroup, exactly ``pq_encode``'s tail. Returns
     (vec_id, cell, codes comma-string, recon)."""
-    sub0 = _fulldim_sub(embeddings)
-    coarse = _lloyd_codebook(sub0, IVF_K, IVF_KMEANS_ROUNDS, IVF_TRAIN_MOD)
-    assigned = _pq_assign_to(sub0, coarse)
-    res = assigned.join(F.broadcast(coarse), ["s", "cid"]).select(
-        "vec_id",
-        F.col("cid").alias("cell"),
-        F.zip_with("subvec", "cvec", lambda a, b: a - b).alias("rvec"),
-    )
-    rsub = res.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s"),
-        "rvec",
-    ).select(
-        "vec_id",
-        "s",
-        F.slice(F.col("rvec"), F.col("s") * PQ_DSUB + 1, PQ_DSUB).alias("subvec"),
-    )
-    rcb = _lloyd_codebook(rsub, PQ_K, PQ_KMEANS_ROUNDS, PQ_TRAIN_MOD)
+    _coarse, _rcb, res, best = _residual_pq_index(embeddings)
     enc = (
-        _pq_assign_to(rsub, rcb)
-        .groupBy("vec_id")
+        best.groupBy("vec_id")
         .agg(
             F.array_join(
                 F.transform(

@@ -817,10 +817,10 @@ def q156_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "q157_residual_pq_encode",
-    f"""
-    WITH {_IVF_TRAINED_CTES},
+#: shared residual-PQ index chain (coarse cells -> residuals ->
+#: residual codebook -> per-subspace residual codes), used by the q157
+#: encode and the q161 serving path
+_RESIDUAL_PQ_CTES = f"""{_IVF_TRAINED_CTES},
     resid AS (
         SELECT a.vec_id, a.cell,
                list_transform(list_zip(s.subvec, c.cvec),
@@ -849,7 +849,13 @@ def q156_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
             FROM rdist
         ) WHERE rn = 1
-    )
+    )"""
+
+
+@register(
+    "q157_residual_pq_encode",
+    f"""
+    WITH {_RESIDUAL_PQ_CTES}
     SELECT b.vec_id, r.cell,
            array_to_string(list(b.cid ORDER BY b.s), ',') AS codes,
            round(sqrt(sum(b.d2)), 6) AS recon
@@ -860,6 +866,75 @@ def q156_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q157_residual_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_residual_encode(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# q161 — the complete IVF-PQ serving path (FAISS IndexIVFPQ query):
+# probe the 2 nearest coarse cells by L2, re-center the query's
+# residual against EACH probed cell's centroid (corpus codes in a cell
+# encode residuals to that centroid, so the LUT must too), rank
+# candidates by ADC over residual codes
+# (operators/similarity.ivfpq_topk)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q161_ivfpq_search",
+    f"""
+    WITH {_RESIDUAL_PQ_CTES},
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT vec_id AS query_id, cid AS cell,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d2, cid) AS pr
+            FROM cdist WHERE vec_id < 5
+        ) WHERE pr <= 2
+    ),
+    qres AS (
+        SELECT p.query_id, p.cell,
+               list_transform(list_zip(s.subvec, c.cvec),
+                   x -> x[1] - x[2]) AS qrvec
+        FROM probes p
+        JOIN sub s ON s.vec_id = p.query_id
+        JOIN cb c ON c.cid = p.cell AND c.s = 0
+    ),
+    qrsub AS (
+        SELECT query_id, cell, s.i AS s,
+               list_transform(range(1, {SIM.PQ_DSUB} + 1),
+                   j -> qrvec[(s.i) * {SIM.PQ_DSUB} + j]) AS qsub
+        FROM qres,
+             LATERAL (SELECT unnest(range(0, {SIM.PQ_M})) AS i) s
+    ),
+    lut AS (
+        SELECT q.query_id, q.cell, q.s, c.cid,
+               list_sum(list_transform(list_zip(q.qsub, c.cvec),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2q
+        FROM qrsub q JOIN rcb c ON c.s = q.s
+    ),
+    ccodes AS (
+        SELECT b.vec_id, r.cell, b.s, b.cid
+        FROM rbest b
+        JOIN (SELECT DISTINCT vec_id, cell FROM resid) r
+          ON r.vec_id = b.vec_id
+    ),
+    scored AS (
+        SELECT l.query_id, x.cell, x.vec_id AS neighbor_id,
+               round(sum(l.d2q), 6) AS adc_d2
+        FROM ccodes x
+        JOIN lut l ON l.cell = x.cell AND l.s = x.s AND l.cid = x.cid
+        WHERE x.vec_id <> l.query_id
+        GROUP BY 1, 2, 3
+    )
+    SELECT query_id, cell, neighbor_id, adc_d2,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY adc_d2, neighbor_id
+           ) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def q161_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.ivfpq_topk(load_table(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------
