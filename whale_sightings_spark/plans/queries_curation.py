@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from whale_sightings_spark.functions import text as TX
+from whale_sightings_spark.functions.hashing import hash60_sql
 from whale_sightings_spark.operators import curation as CU
 from whale_sightings_spark.operators.dedup import SHINGLE_N
 from whale_sightings_spark.plans.queries import register
@@ -374,4 +375,145 @@ def q159_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("score"), 4).alias("avg_score"),
         F.round(F.min("score"), 6).alias("min_score"),
         F.round(F.max("score"), 6).alias("max_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q162 — training-shard export audit: hash-shard the corpus into
+# _N_SHARDS fixed shards (the deterministic pseudo-random global
+# shuffle a trainer's data loader expects — hash placement IS the
+# shuffle, no global sort) and report per-shard balance plus each
+# shard's token deviation from the mean. Row-local hashing + one
+# shard-cardinality agg; the mean joins back as a broadcast scalar.
+# At 100 TB this is the audit run before sealing a shard set: a shard
+# > a few percent off the mean starves its data-parallel rank.
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+_SHARD_KEY = "'shard:' || CAST(doc_id AS VARCHAR)"
+_SHARD_SQL = f"({hash60_sql(_SHARD_KEY)}) % {_N_SHARDS}"
+
+
+@register(
+    "q162_shard_export_audit",
+    f"""
+    WITH t AS (
+        SELECT CAST({_SHARD_SQL} AS BIGINT) AS shard,
+               {TX.token_count_sql('text')} AS n_tokens
+        FROM documents
+    ),
+    per AS (
+        SELECT shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+        FROM t GROUP BY shard
+    ),
+    m AS (SELECT avg(shard_tokens) AS mean_tokens FROM per)
+    SELECT shard, n_docs, shard_tokens,
+           round(shard_tokens / mean_tokens - 1, 6) AS token_dev
+    FROM per CROSS JOIN m
+    """,
+)
+def q162_shard_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.functions.hashing import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        (
+            hash60(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+            % _N_SHARDS
+        ).alias("shard"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+    )
+    per = t.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+    )
+    m = per.agg(F.avg("shard_tokens").alias("mean_tokens"))
+    return per.crossJoin(F.broadcast(m)).select(
+        "shard",
+        "n_docs",
+        "shard_tokens",
+        F.round(F.col("shard_tokens") / F.col("mean_tokens") - 1, 6).alias(
+            "token_dev"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q163 — data-constrained epoch planning: with a fixed training budget
+# split equally across sources (equal sampling weights), small sources
+# must repeat; each additional epoch of a source is worth less than the
+# last. Per source: epochs = share / unique_tokens and the
+# diminishing-returns effective token value
+#     effective = U * 2 * (1 - DECAY^k) + (e - k) * U * DECAY^k,
+#     k = floor(e), DECAY = 0.5
+# (each full repeat contributes DECAY^i * U, the partial epoch
+# pro-rata) — the planning table that says which sources are
+# repeat-saturated before a run is launched. One source-cardinality
+# agg + a scalar total; everything else is row-local math on the
+# bounded source table.
+# ---------------------------------------------------------------------------
+
+_EPOCH_DECAY = 0.5
+_BUDGET_MULT = 2  # budget = 2x total corpus tokens
+
+
+@register(
+    "q163_epoch_planning",
+    f"""
+    WITH per AS (
+        SELECT source,
+               CAST(sum({TX.token_count_sql('text')}) AS BIGINT) AS unique_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT sum(unique_tokens) * {_BUDGET_MULT}.0 / count(*) AS share
+        FROM per
+    ),
+    e AS (
+        SELECT source, unique_tokens, share,
+               share / unique_tokens AS epochs,
+               floor(share / unique_tokens) AS k
+        FROM per CROSS JOIN tot
+    )
+    SELECT source, unique_tokens,
+           CAST(floor(share) AS BIGINT) AS share_tokens,
+           round(epochs, 4) AS epochs,
+           round(unique_tokens * 2 * (1 - power({_EPOCH_DECAY}, k))
+                 + (epochs - k) * unique_tokens * power({_EPOCH_DECAY}, k), 2)
+               AS effective_tokens,
+           round((unique_tokens * 2 * (1 - power({_EPOCH_DECAY}, k))
+                  + (epochs - k) * unique_tokens * power({_EPOCH_DECAY}, k))
+                 / share, 6) AS utilization
+    FROM e
+    """,
+)
+def q163_epoch_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(TX.token_count(F.col("text"))).cast("bigint").alias("unique_tokens")
+    )
+    tot = per.agg(
+        (F.sum("unique_tokens") * _BUDGET_MULT / F.count("*")).alias("share")
+    )
+    e = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "unique_tokens",
+        "share",
+        (F.col("share") / F.col("unique_tokens")).alias("epochs"),
+        F.floor(F.col("share") / F.col("unique_tokens")).alias("k"),
+    )
+    decay_k = F.pow(F.lit(_EPOCH_DECAY), F.col("k"))
+    effective = (
+        F.col("unique_tokens") * 2 * (1 - decay_k)
+        + (F.col("epochs") - F.col("k")) * F.col("unique_tokens") * decay_k
+    )
+    return e.select(
+        "source",
+        "unique_tokens",
+        F.floor("share").cast("bigint").alias("share_tokens"),
+        F.round("epochs", 4).alias("epochs"),
+        F.round(effective, 2).alias("effective_tokens"),
+        F.round(effective / F.col("share"), 6).alias("utilization"),
     )
