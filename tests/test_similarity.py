@@ -136,3 +136,28 @@ def test_residual_pq_beats_raw_pq_on_recon(spark, sf_dir):
         SIM.pq_residual_encode(emb).agg(F.sum(F.col("recon") ** 2)).collect()[0][0]
     )
     assert res < raw, (res, raw)
+
+
+def test_lloyd_training_error_is_monotone_in_rounds(spark, sf_dir):
+    """k-means guarantee worth pinning: total quantization error on the
+    TRAINING sample never increases with more Lloyd rounds (assignment
+    and mean-update steps each only decrease the objective; the 6dp
+    centroid rounding both engines share is far below the per-round
+    improvements here)."""
+    from pyspark.sql import functions as F
+
+    from whale_sightings_spark.operators import similarity as SIM
+    from whale_sightings_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub = SIM._pq_subvectors(emb)
+    train = sub.filter(F.col("vec_id") % SIM.PQ_TRAIN_MOD == 0)
+
+    def train_err(rounds):
+        cb = SIM._lloyd_codebook(sub, SIM.PQ_K, rounds, SIM.PQ_TRAIN_MOD)
+        return (
+            SIM._pq_assign_to(train, cb).agg(F.sum("d2").alias("e")).collect()[0]["e"]
+        )
+
+    errs = [train_err(r) for r in range(4)]
+    assert all(b <= a + 1e-6 for a, b in zip(errs, errs[1:])), errs
