@@ -340,3 +340,118 @@ def q125_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ensemble"), "doc_id")
         .limit(_ENS_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q164 — filter-attribution ablation: for each screen in a quality
+# ensemble, how many documents it flags and how many ONLY it flags
+# (its unique kills) — the table a curation team reads before tuning
+# thresholds: a filter with many flags but no unique kills is redundant
+# with the rest of the ensemble; one with many unique kills carries
+# real signal. All four screens are row-local (codegen); the whole
+# report is ONE scalar aggregate exploded to four rows — no per-filter
+# rescans, no shuffle beyond the single reduce.
+# ---------------------------------------------------------------------------
+
+_FA_MIN_TOK = 20
+_FA_MIN_SCORE = 0.55
+_FA_MAX_TOPTOK = 0.125
+_FA_MAX_CPT = 5.68
+
+from whale_sightings_spark.operators.curation import (
+    top_token_ratio_sql as _ttr_sql,
+)
+
+_FA_TOPTOK_SQL = _ttr_sql(f"({TX.tokens_sql('text')})")
+
+
+@register(
+    "q164_filter_attribution",
+    f"""
+    WITH flags AS (
+        SELECT ({TX.token_count_sql('text')} < {_FA_MIN_TOK}) AS f_short,
+               ({TX.quality_score_sql('text')} < {_FA_MIN_SCORE}) AS f_lowq,
+               ({_FA_TOPTOK_SQL} > {_FA_MAX_TOPTOK}) AS f_toptok,
+               (n_chars * 1.0 / {TX.token_count_sql('text')}
+                   > {_FA_MAX_CPT}) AS f_cpt
+        FROM documents
+        WHERE {TX.token_count_sql('text')} > 0
+    ),
+    nf AS (
+        SELECT *, CAST(f_short AS INT) + CAST(f_lowq AS INT)
+                  + CAST(f_toptok AS INT) + CAST(f_cpt AS INT) AS n_flags
+        FROM flags
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CAST(f_short AS INT)) AS BIGINT) AS a_short,
+               CAST(sum(CASE WHEN f_short AND n_flags = 1 THEN 1 ELSE 0 END) AS BIGINT) AS u_short,
+               CAST(sum(CAST(f_lowq AS INT)) AS BIGINT) AS a_lowq,
+               CAST(sum(CASE WHEN f_lowq AND n_flags = 1 THEN 1 ELSE 0 END) AS BIGINT) AS u_lowq,
+               CAST(sum(CAST(f_toptok AS INT)) AS BIGINT) AS a_toptok,
+               CAST(sum(CASE WHEN f_toptok AND n_flags = 1 THEN 1 ELSE 0 END) AS BIGINT) AS u_toptok,
+               CAST(sum(CAST(f_cpt AS INT)) AS BIGINT) AS a_cpt,
+               CAST(sum(CASE WHEN f_cpt AND n_flags = 1 THEN 1 ELSE 0 END) AS BIGINT) AS u_cpt
+        FROM nf
+    )
+    SELECT 'short' AS filter, a_short AS n_flagged, u_short AS n_unique,
+           round(a_short * 1.0 / n_docs, 6) AS flag_rate FROM agg
+    UNION ALL
+    SELECT 'lowq', a_lowq, u_lowq, round(a_lowq * 1.0 / n_docs, 6) FROM agg
+    UNION ALL
+    SELECT 'toptok', a_toptok, u_toptok, round(a_toptok * 1.0 / n_docs, 6) FROM agg
+    UNION ALL
+    SELECT 'cpt', a_cpt, u_cpt, round(a_cpt * 1.0 / n_docs, 6) FROM agg
+    """,
+)
+def q164_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.operators import curation as CU
+
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = TX.token_count(F.col("text"))
+    staged = docs.filter(ntok > 0).select(
+        (ntok < _FA_MIN_TOK).alias("f_short"),
+        (TX.quality_score(F.col("text")) < _FA_MIN_SCORE).alias("f_lowq"),
+        (
+            CU.top_token_ratio(TX.tokens(F.col("text"))) > _FA_MAX_TOPTOK
+        ).alias("f_toptok"),
+        (F.col("n_chars") * 1.0 / ntok > _FA_MAX_CPT).alias("f_cpt"),
+    )
+    names = ("short", "lowq", "toptok", "cpt")
+    nf = staged.withColumn(
+        "n_flags",
+        sum(
+            (F.col(f"f_{n}").cast("int") for n in names), F.lit(0)
+        ),
+    )
+    agg = nf.agg(
+        F.count("*").alias("n_docs"),
+        *[
+            a
+            for n in names
+            for a in (
+                F.sum(F.col(f"f_{n}").cast("int")).cast("bigint").alias(f"a_{n}"),
+                F.sum(
+                    F.when(F.col(f"f_{n}") & (F.col("n_flags") == 1), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"u_{n}"),
+            )
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("filter"),
+                F.col(f"a_{n}").alias("n_flagged"),
+                F.col(f"u_{n}").alias("n_unique"),
+                F.round(F.col(f"a_{n}") * 1.0 / F.col("n_docs"), 6).alias(
+                    "flag_rate"
+                ),
+            )
+            for n in names
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select(
+        "r.filter", "r.n_flagged", "r.n_unique", "r.flag_rate"
+    )
