@@ -789,6 +789,92 @@ def ivfpq_topk(
     )
 
 
+#: probe budgets for the recall-vs-cost tuning curve
+PROBE_BUDGETS = (1, 2, 4)
+
+
+def ann_trained_probe_curve(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 5
+) -> DataFrame:
+    """Recall@k as a function of probe budget over the TRAINED
+    quantizer — the tuning curve that prices the IVF recall knob
+    (probe more cells => recall climbs toward brute force, cost grows
+    linearly in probed rows). One corpus assignment + one probe
+    ranking, then every budget in PROBE_BUDGETS shares them: the probe
+    table fans out by a row-local budget explode, candidate ranking
+    windows on the bounded (budget, query) key over probed-cell rows
+    only, and the report is a budget-cardinality agg. Returns
+    (n_probe, avg_recall, min_recall)."""
+    sub = _fulldim_sub(embeddings)
+    cb = _lloyd_codebook(sub, IVF_K, IVF_KMEANS_ROUNDS, IVF_TRAIN_MOD)
+    assign = _pq_assign_to(sub, cb).select(
+        "vec_id", F.col("cid").alias("cell")
+    )
+    qd = (
+        sub.filter(F.col("vec_id") < n_queries)
+        .join(F.broadcast(cb), "s")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cid").alias("cell"),
+            _l2sq(F.col("subvec"), F.col("cvec")).alias("d2"),
+        )
+    )
+    pw = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        qd.withColumn("pr", F.row_number().over(pw))
+        .withColumn(
+            "n_probe", F.explode(F.array(*[F.lit(b) for b in PROBE_BUDGETS]))
+        )
+        .filter(F.col("pr") <= F.col("n_probe"))
+        .select("n_probe", "query_id", "cell")
+    )
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    c = embeddings.join(assign, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        "cell",
+    )
+    scored = (
+        c.join(F.broadcast(probes), ["cell"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(q), ["query_id"])
+        .withColumn("cos", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+    )
+    w = W.partitionBy("n_probe", "query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    approx = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("n_probe", "query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    exact = ann_bruteforce_topk(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    budgets = embeddings.sparkSession.createDataFrame(
+        [(b,) for b in PROBE_BUDGETS], "n_probe int"
+    )
+    per_q = (
+        exact.crossJoin(F.broadcast(budgets))
+        .join(approx, ["n_probe", "query_id", "neighbor_id"], "left")
+        .groupBy("n_probe", "query_id")
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(float(k))
+            ).alias("recall")
+        )
+    )
+    return (
+        per_q.groupBy("n_probe")
+        .agg(
+            F.round(F.avg("recall"), 6).alias("avg_recall"),
+            F.round(F.min("recall"), 6).alias("min_recall"),
+        )
+    )
+
+
 def pq_residual_encode(embeddings: DataFrame) -> DataFrame:
     """IVF-PQ proper: PQ-encode the RESIDUAL (vector minus its assigned
     trained coarse centroid) — the storage layout a production

@@ -938,6 +938,85 @@ def q161_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q165 — probe-budget tuning curve: recall@5 vs number of probed
+# trained cells (1/2/4) — the table that prices the IVF recall knob
+# before committing a serving configuration
+# (operators/similarity.ann_trained_probe_curve)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q165_probe_recall_curve",
+    f"""
+    WITH {_IVF_TRAINED_CTES},
+    pranked AS (
+        SELECT vec_id AS query_id, cid AS cell,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY d2, cid) AS pr
+        FROM cdist WHERE vec_id < 5
+    ),
+    probes AS (
+        SELECT b.np AS n_probe, p.query_id, p.cell
+        FROM pranked p, LATERAL (
+            SELECT unnest([{", ".join(str(b) for b in SIM.PROBE_BUDGETS)}]) AS np
+        ) b
+        WHERE p.pr <= b.np
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id < 5
+    ),
+    approx AS (
+        SELECT n_probe, query_id, neighbor_id FROM (
+            SELECT p.n_probe, p.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY p.n_probe, p.query_id
+                       ORDER BY round({SIM.cosine_sql('q.qvec', 'c.embedding')}, 6) DESC,
+                                c.vec_id
+                   ) AS rank
+            FROM embeddings c
+            JOIN assign a ON a.vec_id = c.vec_id
+            JOIN probes p ON p.cell = a.cell
+            JOIN q ON q.query_id = p.query_id
+            WHERE c.vec_id <> p.query_id
+        ) WHERE rank <= 5
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({SIM.cosine_sql('q.qvec', 'c.embedding')}, 6) DESC,
+                                c.vec_id
+                   ) AS rank
+            FROM embeddings c CROSS JOIN q
+            WHERE c.vec_id <> q.query_id
+        ) WHERE rank <= 5
+    ),
+    per_q AS (
+        SELECT b.np AS n_probe, e.query_id,
+               CAST(count(a.neighbor_id) AS DOUBLE) / 5 AS recall
+        FROM exact e
+        CROSS JOIN (
+            SELECT unnest([{", ".join(str(b) for b in SIM.PROBE_BUDGETS)}]) AS np
+        ) b
+        LEFT JOIN approx a
+          ON a.n_probe = b.np AND a.query_id = e.query_id
+         AND a.neighbor_id = e.neighbor_id
+        GROUP BY 1, 2
+    )
+    SELECT CAST(n_probe AS INT) AS n_probe,
+           round(avg(recall), 6) AS avg_recall,
+           round(min(recall), 6) AS min_recall
+    FROM per_q
+    GROUP BY n_probe
+    """,
+)
+def q165_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.ann_trained_probe_curve(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
 # q160 — incremental index ingest + drift audit: NEW vectors (vec_id >=
 # split) assigned to cells trained on HISTORY only — the O(batch)
 # ingest path of a serving index — with a per-cell PSI term comparing
