@@ -384,3 +384,54 @@ def test_streaming_incremental_neardup_matches_batch_and_replays(
         .collect()
     )
     assert after == got
+
+
+def test_streaming_ivf_ingest_matches_batch_and_replays(
+    spark, sf_dir, tmp_path_factory
+):
+    """The foreachBatch index-ingest twin: (a) drained-stream per-cell
+    history/new counts equal the q160 batch audit's; (b) replay from a
+    fresh checkpoint changes nothing (idempotent at-least-once)."""
+    from whale_sightings_spark.operators.similarity import (
+        ivf_incremental_ingest_audit,
+    )
+    from whale_sightings_spark.streaming.events import streaming_ivf_ingest
+
+    split = 400
+    base = tmp_path_factory.mktemp("ivf_ingest")
+    emb_dir = str(base / "emb")
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.filter(F.col("vec_id") < split).coalesce(1).write.parquet(
+        emb_dir, mode="append"
+    )
+    emb.filter(F.col("vec_id") >= split).coalesce(1).write.parquet(
+        emb_dir, mode="append"
+    )
+    state_dir = str(base / "state")
+    streaming_ivf_ingest(spark, emb_dir, state_dir, str(base / "ckpt1"))
+
+    assigns = spark.read.schema("vec_id long, cell long, batch_id long").parquet(
+        state_dir + "/assignments"
+    )
+    got = sorted(
+        tuple(r)
+        for r in assigns.groupBy("cell")
+        .agg(
+            F.sum(F.when(F.col("vec_id") < split, 1).otherwise(0)).alias("n_hist"),
+            F.sum(F.when(F.col("vec_id") >= split, 1).otherwise(0)).alias("n_new"),
+        )
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ivf_incremental_ingest_audit(emb, split)
+        .select("cell", "n_hist", "n_new")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+    streaming_ivf_ingest(spark, emb_dir, state_dir, str(base / "ckpt2"))
+    after = spark.read.schema("vec_id long, cell long, batch_id long").parquet(
+        state_dir + "/assignments"
+    )
+    assert after.count() == assigns.count()

@@ -551,3 +551,85 @@ def streaming_incremental_neardup(
         .start()
         .awaitTermination()
     )
+
+
+def streaming_ivf_ingest(
+    spark: SparkSession,
+    emb_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming twin of the q160 incremental index ingest: the FIRST
+    micro-batch trains the coarse quantizer (the same bounded Lloyd
+    jobs over its deterministic 1-in-PQ_TRAIN_MOD sample) and persists
+    the dim-sized codebook; every batch — including the first — is then
+    assigned against the PERSISTED codebook and its (vec_id, cell,
+    batch_id) assignments append to state. Later batches never retrain:
+    per-trigger cost is one broadcast-codebook argmin over batch rows,
+    exactly the batch operator's contract, so drained-stream
+    assignments equal ``ivf_incremental_ingest_audit``'s when the first
+    file holds the history.
+
+    Re-delivery is self-healing: already-assigned vec_ids anti-join
+    away before assignment or append (the q95-twin idempotence
+    pattern); the codebook is written once and only read afterwards.
+    State reads are schema-pinned (empty dirs = empty frames on any
+    Hadoop-compatible FS); production swaps the two state dirs for
+    transactional tables — the assign plan is identical.
+    """
+    from whale_sightings_spark.operators.similarity import (
+        IVF_K,
+        IVF_KMEANS_ROUNDS,
+        IVF_TRAIN_MOD,
+        _fulldim_sub,
+        _lloyd_codebook,
+        _pq_assign_to,
+    )
+
+    schema = spark.read.parquet(emb_dir).schema
+    cb_dir = state_dir.rstrip("/") + "/codebook"
+    assign_dir = state_dir.rstrip("/") + "/assignments"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        seen = (
+            sess.read.schema("vec_id long, cell long, batch_id long")
+            .parquet(assign_dir)
+            .select("vec_id")
+            .distinct()
+        )
+        batch = batch_df.join(seen, "vec_id", "left_anti")
+        cb = (
+            sess.read.schema("s int, cid bigint, cvec array<double>")
+            .parquet(cb_dir)
+        )
+        if cb.limit(1).isEmpty():
+            # first batch: train on this batch's deterministic sample
+            # and persist the PQ_M x IVF_K codebook once
+            cb = _lloyd_codebook(
+                _fulldim_sub(batch), IVF_K, IVF_KMEANS_ROUNDS, IVF_TRAIN_MOD
+            )
+            cb.write.mode("append").parquet(cb_dir)
+        assigned = _pq_assign_to(_fulldim_sub(batch), cb).select(
+            "vec_id",
+            F.col("cid").alias("cell"),
+            F.lit(batch_id).cast("long").alias("batch_id"),
+        )
+        assigned.write.mode("append").parquet(assign_dir)
+
+    import os
+
+    os.makedirs(cb_dir, exist_ok=True)
+    os.makedirs(assign_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(emb_dir)
+    )
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
