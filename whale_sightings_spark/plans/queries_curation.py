@@ -517,3 +517,82 @@ def q163_epoch_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(effective, 2).alias("effective_tokens"),
         F.round(effective / F.col("share"), 6).alias("utilization"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q166 — dataset card: the one-row summary a curated corpus ships with
+# (datasheet numbers a consumer reads before training on it): volume,
+# exact-duplicate rate, language-mix entropy, mean quality, short-doc
+# fraction, source count. One corpus scan feeds three bounded partial
+# aggs (scalar, lang-cardinality, fingerprint agg folded to a scalar);
+# the card row is assembled by broadcast cross joins of one-row frames.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q166_dataset_card",
+    f"""
+    WITH base AS (
+        SELECT doc_id, lang, source,
+               {TX.token_count_sql('text')} AS ntok,
+               {TX.quality_score_sql('text')} AS score,
+               {TX.fingerprint_md5_sql('text')} AS fp
+        FROM documents
+    ),
+    scal AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS total_tokens,
+               round(avg(score), 4) AS mean_quality,
+               round(avg(CASE WHEN ntok < 20 THEN 1.0 ELSE 0.0 END), 6)
+                   AS short_frac,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM base
+    ),
+    dup AS (
+        SELECT round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6)
+                   AS exact_dup_rate
+        FROM base
+    ),
+    langs AS (
+        SELECT round(-sum(p * ln(p)), 6) AS lang_entropy
+        FROM (
+            SELECT CAST(count(*) AS DOUBLE)
+                   / (SELECT count(*) FROM base) AS p
+            FROM base GROUP BY lang
+        )
+    )
+    SELECT * FROM scal CROSS JOIN dup CROSS JOIN langs
+    """,
+)
+def q166_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        "source",
+        TX.token_count(F.col("text")).alias("ntok"),
+        TX.quality_score(F.col("text")).alias("score"),
+        TX.fingerprint_md5(F.col("text")).alias("fp"),
+    )
+    scal = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("score"), 4).alias("mean_quality"),
+        F.round(
+            F.avg(F.when(F.col("ntok") < 20, 1.0).otherwise(0.0)), 6
+        ).alias("short_frac"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    dup = base.agg(
+        F.round(
+            1.0 - F.countDistinct("fp").cast("double") / F.count("*"), 6
+        ).alias("exact_dup_rate")
+    )
+    n = base.agg(F.count("*").alias("n"))
+    langs = (
+        base.groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .crossJoin(F.broadcast(n))
+        .select((F.col("c").cast("double") / F.col("n")).alias("p"))
+        .agg(F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6).alias("lang_entropy"))
+    )
+    return scal.crossJoin(F.broadcast(dup)).crossJoin(F.broadcast(langs))
