@@ -1114,3 +1114,128 @@ def q158_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("fertility"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q167 — SFT chat-turn audit: parse chat-formatted documents into role
+# turns and account the loss mask — the validation an instruction-tuning
+# pipeline runs before training (malformed role alternation is silently
+# corrosive; the trainable fraction prices the dataset in assistant
+# tokens, the only ones that take gradient). Chat markup is derived
+# deterministically from the corpus (1-in-3 docs; 1-in-9 get a planted
+# double-user violation) identically in both engines; the operator
+# under test is the parse: regexp_extract_all pulls (role, turn text)
+# pairs, alternation and per-role token sums evaluate with row-local
+# higher-order functions — everything stays in codegen, zero shuffles
+# before the final per-doc projection.
+# ---------------------------------------------------------------------------
+
+_CHAT_RE = r"<\|(user|assistant)\|> ([^<]*)"
+
+
+@register(
+    "q167_chat_turn_audit",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {TX.tokens_sql('text')} AS toks FROM documents
+        WHERE doc_id % 3 = 0
+    ),
+    chat AS (
+        SELECT doc_id,
+               -- coalesce each slice: DuckDB yields NULL (not []) when
+               -- the lower bound exceeds the list length
+               '<|user|> ' || coalesce(array_to_string(toks[1:10], ' '), '')
+               || CASE WHEN doc_id % 9 = 0 THEN ' <|user|> '
+                       ELSE ' <|assistant|> ' END
+               || coalesce(array_to_string(toks[11:20], ' '), '')
+               || ' <|user|> '
+               || coalesce(array_to_string(toks[21:30], ' '), '')
+               || ' <|assistant|> '
+               || coalesce(array_to_string(toks[31:], ' '), '')
+                   AS chat
+        FROM t
+    ),
+    parsed AS (
+        SELECT doc_id,
+               regexp_extract_all(chat, '{_CHAT_RE}', 1) AS roles,
+               list_transform(regexp_extract_all(chat, '{_CHAT_RE}', 2),
+                   x -> CASE WHEN trim(x) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(x), ' +'))
+                        END) AS counts
+        FROM chat
+    )
+    SELECT doc_id,
+           CAST(len(roles) AS INT) AS n_turns,
+           (roles[1] = 'user' AND len(list_filter(range(1, len(roles)),
+               i -> roles[i] = roles[i + 1])) = 0) AS alternation_ok,
+           CAST(list_sum(counts) AS BIGINT) AS total_tokens,
+           CAST(list_sum(list_transform(list_zip(roles, counts),
+               p -> CASE WHEN p[1] = 'assistant' THEN p[2] ELSE 0 END))
+               AS BIGINT) AS assistant_tokens,
+           round(CASE WHEN list_sum(counts) > 0
+                 THEN CAST(list_sum(list_transform(list_zip(roles, counts),
+                      p -> CASE WHEN p[1] = 'assistant' THEN p[2] ELSE 0 END))
+                      AS DOUBLE) / list_sum(counts)
+                 ELSE 0.0 END, 6) AS trainable_frac
+    FROM parsed
+    """,
+)
+def q167_chat_turn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    )
+    sep2 = F.when(F.col("doc_id") % 9 == 0, F.lit(" <|user|> ")).otherwise(
+        F.lit(" <|assistant|> ")
+    )
+    chat = t.select(
+        "doc_id",
+        F.concat(
+            F.lit("<|user|> "),
+            F.array_join(F.slice("toks", 1, 10), " "),
+            sep2,
+            F.array_join(F.slice("toks", 11, 10), " "),
+            F.lit(" <|user|> "),
+            F.array_join(F.slice("toks", 21, 10), " "),
+            F.lit(" <|assistant|> "),
+            F.array_join(F.expr("slice(toks, 31, 1000000)"), " "),
+        ).alias("chat"),
+    )
+    tokn = lambda x: (
+        F.when(F.trim(x) == "", 0).otherwise(F.size(F.split(F.trim(x), " +")))
+    )
+    parsed = chat.select(
+        "doc_id",
+        F.expr(f"regexp_extract_all(chat, r'{_CHAT_RE}', 1)").alias("roles"),
+        F.transform(
+            F.expr(f"regexp_extract_all(chat, r'{_CHAT_RE}', 2)"), tokn
+        ).alias("counts"),
+    )
+    n = F.size("roles")
+    bad_adj = F.size(
+        F.filter(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.element_at("roles", i) == F.element_at("roles", i + 1),
+        )
+    )
+    total = F.aggregate("counts", F.lit(0), lambda a, c: a + c)
+    assistant = F.aggregate(
+        F.zip_with(
+            "roles", "counts", lambda r, c: F.when(r == "assistant", c).otherwise(0)
+        ),
+        F.lit(0),
+        lambda a, c: a + c,
+    )
+    return parsed.select(
+        "doc_id",
+        n.cast("int").alias("n_turns"),
+        (
+            (F.element_at("roles", 1) == "user")
+            & (F.when(n >= 2, bad_adj == 0).otherwise(F.lit(True)))
+        ).alias("alternation_ok"),
+        total.cast("bigint").alias("total_tokens"),
+        assistant.cast("bigint").alias("assistant_tokens"),
+        F.round(
+            F.when(total > 0, assistant.cast("double") / total).otherwise(0.0), 6
+        ).alias("trainable_frac"),
+    )
