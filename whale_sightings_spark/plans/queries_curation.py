@@ -596,3 +596,108 @@ def q166_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6).alias("lang_entropy"))
     )
     return scal.crossJoin(F.broadcast(dup)).crossJoin(F.broadcast(langs))
+
+
+# ---------------------------------------------------------------------------
+# q168 — per-source boilerplate scan: n-gram shingles that recur across
+# a large share of ONE source's documents are crawler boilerplate
+# (cookie banners, footers, navigation) — removing them is a standard
+# pre-training cleanup distinct from cross-corpus dedup (the shingle is
+# frequent WITHIN a source, not duplicated between documents at random).
+# The synthetic corpus has no boilerplate, so a per-source footer is
+# planted on every even doc_id (identically in both engines — the q48
+# planted-PII pattern); the operator under test is the detector:
+# distinct (source, shingle, doc) explode, a (source, shingle) doc
+# count, share against the source's doc count, threshold. Group keys
+# are (source x shingle) — at 100 TB this is the same bounded inverted-
+# index shape as the dedup family, and the report is source-sized.
+# ---------------------------------------------------------------------------
+
+_BOILER_N = 5
+_BOILER_SHARE = 0.25
+
+
+@register(
+    "q168_boilerplate_scan",
+    f"""
+    WITH staged AS (
+        SELECT doc_id, source,
+               -- plant on (doc_id // 20) % 2 so the footer varies
+               -- WITHIN each source (doc_id % 2 would correlate
+               -- perfectly with the round-robin source assignment)
+               text || CASE WHEN (doc_id // 20) % 2 = 0
+                   THEN ' copyright footer ' || source
+                        || ' all rights reserved'
+                   ELSE '' END AS text
+        FROM documents
+    ),
+    toks AS (SELECT doc_id, source, {TX.tokens_sql('text')} AS t FROM staged),
+    pairs AS (
+        SELECT DISTINCT doc_id, source, shingle
+        FROM (
+            SELECT doc_id, source,
+                   unnest({TX.shingles_from_tokens_sql('t', _BOILER_N)}) AS shingle
+            FROM toks
+        )
+    ),
+    nds AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    counts AS (
+        SELECT p.source, p.shingle,
+               count(*) AS nd, max(d.n_docs) AS n_docs
+        FROM pairs p JOIN nds d ON d.source = p.source
+        GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(max(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN nd * 1.0 / n_docs >= {_BOILER_SHARE}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_shingles,
+           round(max(nd * 1.0 / n_docs), 6) AS max_share
+    FROM counts
+    GROUP BY source
+    """,
+)
+def q168_boilerplate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.functions.text import shingles_from_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.expr("(doc_id div 20) % 2") == 0,
+                F.concat(
+                    F.lit(" copyright footer "),
+                    F.col("source"),
+                    F.lit(" all rights reserved"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    pairs = (
+        staged.select("doc_id", "source", TX.tokens(F.col("text")).alias("t"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode_outer(shingles_from_tokens(F.col("t"), _BOILER_N)).alias(
+                "shingle"
+            ),
+        )
+        .filter(F.col("shingle").isNotNull())
+        .distinct()
+    )
+    nds = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    counts = (
+        pairs.join(F.broadcast(nds), "source")
+        .groupBy("source", "shingle")
+        .agg(F.count("*").alias("nd"), F.max("n_docs").alias("n_docs"))
+    )
+    share = F.col("nd") * 1.0 / F.col("n_docs")
+    return counts.groupBy("source").agg(
+        F.max("n_docs").cast("bigint").alias("n_docs"),
+        F.sum(F.when(share >= _BOILER_SHARE, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_boiler_shingles"),
+        F.round(F.max(share), 6).alias("max_share"),
+    )
