@@ -1376,3 +1376,120 @@ def q147_dedup_aware_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(TX.token_count(F.col("text"))).alias("n_tokens"))
     )
     return _largest_remainder_alloc(tc)
+
+
+# ---------------------------------------------------------------------------
+# q169 — contrastive-pair mining: the training-pair table an embedding
+# model is fine-tuned on — per anchor, one POSITIVE (its most-similar
+# in-cell neighbor at cosine >= the q19 near-dup threshold) and up to
+# two HARD NEGATIVES (the most-similar neighbors strictly below the
+# negative margin — close enough to be informative, dissimilar enough
+# to be wrong). q96's capped within-cell self-join supplies the
+# candidates (same _KNN_MAX_CELL quadratic guard, mirrored in the
+# oracle); positives and negatives are two rank windows over the SAME
+# pair table keyed by the corpus-cardinality anchor id. Anchors with no
+# qualifying positive contribute nothing (an anchor without a known
+# duplicate has no supervised pair).
+# ---------------------------------------------------------------------------
+
+_CONTRAST_POS = 0.2   # the q19 near-dup threshold
+_CONTRAST_NEG = 0.1   # hard negatives live strictly below this margin
+_CONTRAST_NEGS = 2
+
+
+@register(
+    "q169_contrastive_pairs",
+    f"""
+    WITH ok AS (
+        SELECT label AS cell FROM embeddings
+        GROUP BY label
+        HAVING count(*) > 1 AND count(*) <= {_KNN_MAX_CELL}
+    ),
+    pairs AS (
+        SELECT a.vec_id AS anchor_id,
+               b.vec_id AS neighbor_id,
+               round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos
+        FROM embeddings a
+        JOIN ok ON ok.cell = a.label
+        JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    pos AS (
+        SELECT anchor_id, neighbor_id, cos FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY anchor_id ORDER BY cos DESC, neighbor_id
+            ) AS rn
+            FROM pairs WHERE cos >= {_CONTRAST_POS}
+        ) WHERE rn = 1
+    ),
+    neg AS (
+        SELECT anchor_id, neighbor_id, cos, rn FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY anchor_id ORDER BY cos DESC, neighbor_id
+            ) AS rn
+            FROM pairs WHERE cos < {_CONTRAST_NEG}
+        ) WHERE rn <= {_CONTRAST_NEGS}
+    )
+    SELECT p.anchor_id, 'pos' AS kind, CAST(1 AS INT) AS rank,
+           p.neighbor_id, p.cos
+    FROM pos p
+    UNION ALL
+    SELECT n.anchor_id, 'neg' AS kind, CAST(n.rn AS INT) AS rank,
+           n.neighbor_id, n.cos
+    FROM neg n JOIN pos p ON p.anchor_id = n.anchor_id
+    """,
+)
+def q169_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ok = (
+        emb.groupBy(F.col("label").alias("cell"))
+        .agg(F.count("*").alias("cn"))
+        .filter((F.col("cn") > 1) & (F.col("cn") <= _KNN_MAX_CELL))
+        .select("cell")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("cell"),
+        F.col("embedding").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("cell"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = (
+        a.join(F.broadcast(ok), "cell")
+        .join(b, "cell")
+        .filter(F.col("anchor_id") != F.col("neighbor_id"))
+        .select(
+            "anchor_id",
+            "neighbor_id",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+    )
+    w = W.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    pos = (
+        pairs.filter(F.col("cos") >= _CONTRAST_POS)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    neg = (
+        pairs.filter(F.col("cos") < _CONTRAST_NEG)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CONTRAST_NEGS)
+    )
+    pos_rows = pos.select(
+        "anchor_id",
+        F.lit("pos").alias("kind"),
+        F.lit(1).cast("int").alias("rank"),
+        "neighbor_id",
+        "cos",
+    )
+    neg_rows = neg.join(pos.select("anchor_id"), "anchor_id").select(
+        "anchor_id",
+        F.lit("neg").alias("kind"),
+        F.col("rn").cast("int").alias("rank"),
+        "neighbor_id",
+        "cos",
+    )
+    return pos_rows.unionByName(neg_rows)
