@@ -1239,3 +1239,99 @@ def q167_chat_turn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(total > 0, assistant.cast("double") / total).otherwise(0.0), 6
         ).alias("trainable_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q170 — vocabulary growth (Heaps-law) curve: distinct token types vs
+# cumulative tokens over 5 fixed corpus prefixes — the audit that tells
+# you whether a corpus keeps contributing new vocabulary or has gone
+# stale (types ~ tokens^beta; a collapsing beta means more data is
+# adding repetition, not coverage). Prefix id is row-local against one
+# broadcast max-doc scalar (always 5 buckets at ANY corpus size); each
+# token's FIRST prefix is one vocab-cardinality keyed agg; the curve
+# assembles with a 5x5 triangular self-join of the bucket table —
+# bounded at every scale, never a global window.
+# ---------------------------------------------------------------------------
+
+_HEAPS_BUCKETS = 5
+
+
+@register(
+    "q170_vocab_growth",
+    f"""
+    WITH mx AS (SELECT max(doc_id) + 1 AS md FROM documents),
+    t AS (
+        SELECT CAST(floor(doc_id * {_HEAPS_BUCKETS}.0 / md) AS INT) AS bucket,
+               unnest({TX.tokens_sql('text')}) AS tok
+        FROM documents CROSS JOIN mx
+        WHERE trim(text) <> ''
+    ),
+    per_tok AS (SELECT tok, min(bucket) AS first_b FROM t GROUP BY tok),
+    new_types AS (
+        SELECT first_b AS bucket, CAST(count(*) AS BIGINT) AS new_types
+        FROM per_tok GROUP BY first_b
+    ),
+    tok_counts AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+        FROM t GROUP BY bucket
+    )
+    -- drive from tok_counts so buckets contributing ZERO new types
+    -- (a saturated vocabulary) still appear on the curve
+    SELECT a.bucket,
+           CAST(coalesce(max(CASE WHEN c.bucket = a.bucket
+                             THEN nb.new_types END), 0) AS BIGINT) AS new_types,
+           CAST(sum(coalesce(nb.new_types, 0)) AS BIGINT) AS cum_types,
+           CAST(sum(c.n_tokens) AS BIGINT) AS cum_tokens,
+           round(ln(sum(coalesce(nb.new_types, 0)))
+                 / ln(sum(c.n_tokens)), 6) AS heaps_beta
+    FROM tok_counts a
+    JOIN tok_counts c ON c.bucket <= a.bucket
+    LEFT JOIN new_types nb ON nb.bucket = c.bucket
+    GROUP BY a.bucket
+    """,
+)
+def q170_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg((F.max("doc_id") + 1).alias("md"))
+    t = (
+        docs.filter(F.trim("text") != "")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.floor(F.col("doc_id") * _HEAPS_BUCKETS / F.col("md"))
+            .cast("int")
+            .alias("bucket"),
+            F.explode(TX.tokens(F.col("text"))).alias("tok"),
+        )
+    )
+    new_types = (
+        t.groupBy("tok")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("new_types"))
+    )
+    tok_counts = t.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_tokens")
+    )
+    a = tok_counts.select("bucket")
+    bc = tok_counts.join(new_types, "bucket", "left").select(
+        F.col("bucket").alias("b2"),
+        F.coalesce("new_types", F.lit(0)).alias("nt"),
+        "n_tokens",
+    )
+    return (
+        a.join(F.broadcast(bc), F.col("b2") <= F.col("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("b2") == F.col("bucket"), F.col("nt"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("new_types"),
+            F.sum("nt").cast("bigint").alias("cum_types"),
+            F.sum("n_tokens").cast("bigint").alias("cum_tokens"),
+            F.round(F.log(F.sum("nt")) / F.log(F.sum("n_tokens")), 6).alias(
+                "heaps_beta"
+            ),
+        )
+    )
