@@ -747,3 +747,58 @@ def q150_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_fill"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q171 — context-window overflow audit: for each candidate training
+# context length, the fraction of documents that exceed it and the
+# token mass truncation would discard — the two numbers that decide a
+# run's max_seq_len (too short wastes corpus in truncation, too long
+# wastes compute on padding; q64's packing consumes the chosen limit).
+# One scan; the 3 candidate limits fan out row-locally (explode of a
+# 3-element literal array) into a 3-group agg with map-side partials.
+# ---------------------------------------------------------------------------
+
+_CTX_LIMITS = (64, 128, 256)
+
+
+@register(
+    "q171_context_overflow",
+    f"""
+    WITH t AS (
+        SELECT l.lim, {TX.token_count_sql('text')} AS ntok
+        FROM documents,
+             LATERAL (SELECT unnest([{", ".join(str(x) for x in _CTX_LIMITS)}])
+                      AS lim) l
+    )
+    SELECT CAST(lim AS INT) AS ctx_limit,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ntok > lim THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_over,
+           round(avg(CASE WHEN ntok > lim THEN 1.0 ELSE 0.0 END), 6)
+               AS frac_over,
+           CAST(sum(greatest(ntok - lim, 0)) AS BIGINT) AS tokens_lost,
+           round(sum(greatest(ntok - lim, 0)) * 1.0 / sum(ntok), 6)
+               AS loss_frac
+    FROM t
+    GROUP BY lim
+    """,
+)
+def q171_context_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.explode(F.array(*[F.lit(x) for x in _CTX_LIMITS])).alias("lim"),
+        TX.token_count(F.col("text")).alias("ntok"),
+    )
+    lost = F.greatest(F.col("ntok") - F.col("lim"), F.lit(0))
+    return t.groupBy(F.col("lim").cast("int").alias("ctx_limit")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("ntok") > F.col("lim"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_over"),
+        F.round(
+            F.avg(F.when(F.col("ntok") > F.col("lim"), 1.0).otherwise(0.0)), 6
+        ).alias("frac_over"),
+        F.sum(lost).cast("bigint").alias("tokens_lost"),
+        F.round(F.sum(lost) * 1.0 / F.sum("ntok"), 6).alias("loss_frac"),
+    )
