@@ -23,7 +23,33 @@ from whale_sightings_spark.session import get_spark  # noqa: E402
 QUERIES = queries()
 
 
+#: refuse to start while the 1-min loadavg exceeds this — a committed
+#: bench artifact taken under CPU steal (r05 was captured at loadavg 13)
+#: reads 1.5-2x inflated on spike queries and poisons round-over-round
+#: comparison. Spin-wait (bounded) instead of failing so cron/driver
+#: invocations self-heal; SPARK_GRAFT_BENCH_NO_GATE=1 skips the gate.
+LOADAVG_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_LOADAVG_GATE", "2.0"))
+LOADAVG_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_LOADAVG_WAIT", "600"))
+
+
+def _wait_for_quiet_host() -> None:
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_GATE"):
+        return
+    deadline = time.monotonic() + LOADAVG_WAIT_S
+    while os.getloadavg()[0] > LOADAVG_GATE:
+        if time.monotonic() > deadline:
+            print(
+                f"bench: loadavg {os.getloadavg()[0]:.1f} still > "
+                f"{LOADAVG_GATE} after {LOADAVG_WAIT_S}s — proceeding; "
+                "treat this artifact as contended",
+                file=sys.stderr,
+            )
+            return
+        time.sleep(10)
+
+
 def main() -> None:
+    _wait_for_quiet_host()
     loadavg_start = os.getloadavg()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

@@ -435,3 +435,100 @@ def test_streaming_ivf_ingest_matches_batch_and_replays(
         state_dir + "/assignments"
     )
     assert after.count() == assigns.count()
+
+
+def test_streaming_ivf_ingest_first_batch_without_low_ids(
+    spark, sf_dir, tmp_path_factory
+):
+    """ADVICE r05: when the FIRST micro-batch does not contain vec_ids
+    0..IVF_K-1, the codebook must seed from the ids actually present —
+    not train partial/empty and silently drop the batch. Deliver the
+    HIGH-id file first: the trained codebook must still hold exactly
+    IVF_K cells and every vector in the corpus must be assigned."""
+    from whale_sightings_spark.operators.similarity import IVF_K
+    from whale_sightings_spark.streaming.events import streaming_ivf_ingest
+
+    split = 400
+    base = tmp_path_factory.mktemp("ivf_ingest_highfirst")
+    emb_dir = str(base / "emb")
+    emb = load_table(spark, sf_dir, "embeddings")
+    # high ids FIRST (file mod-time orders the stream), low ids second
+    emb.filter(F.col("vec_id") >= split).coalesce(1).write.parquet(
+        emb_dir, mode="append"
+    )
+    import time
+
+    time.sleep(1.1)  # distinct mtimes so the file order is stable
+    emb.filter(F.col("vec_id") < split).coalesce(1).write.parquet(
+        emb_dir, mode="append"
+    )
+    state_dir = str(base / "state")
+    streaming_ivf_ingest(spark, emb_dir, state_dir, str(base / "ckpt1"))
+
+    cb = spark.read.schema("s int, cid bigint, cvec array<double>").parquet(
+        state_dir + "/codebook"
+    )
+    assert cb.count() == IVF_K
+    assert sorted(r[0] for r in cb.select("cid").collect()) == list(range(IVF_K))
+    assigns = spark.read.schema("vec_id long, cell long, batch_id long").parquet(
+        state_dir + "/assignments"
+    )
+    n = emb.count()
+    assert assigns.count() == n, "no vector may be silently dropped"
+    assert assigns.select("vec_id").distinct().count() == n
+
+
+def test_streaming_incremental_neardup_multifile_delta(
+    spark, sf_dir, tmp_path_factory
+):
+    """ADVICE r05: pin the multi-file-delta semantics — each micro-batch
+    equals the batch operator applied to the corpus PREFIX delivered so
+    far (caps evaluated over that prefix), so the drained output is the
+    union of per-prefix ``minhash_incremental_pairs`` calls, and replay
+    from a fresh checkpoint adds nothing."""
+    from whale_sightings_spark.operators.dedup import minhash_incremental_pairs
+    from whale_sightings_spark.streaming.events import streaming_incremental_neardup
+
+    s1, s2 = 400, 450
+    base = tmp_path_factory.mktemp("inc_neardup_multi")
+    docs_dir = str(base / "docs")
+    docs = load_table(spark, sf_dir, "documents")
+    import time
+
+    for lo, hi in [(None, s1), (s1, s2), (s2, None)]:
+        part = docs
+        if lo is not None:
+            part = part.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("doc_id") < hi)
+        part.coalesce(1).write.parquet(docs_dir, mode="append")
+        time.sleep(1.1)
+    state_dir = str(base / "state")
+    out_dir = str(base / "out")
+    streaming_incremental_neardup(
+        spark, docs_dir, state_dir, out_dir, str(base / "ckpt1")
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.schema("doc_new long, doc_hist long, jaccard double")
+        .parquet(out_dir)
+        .collect()
+    )
+    b2 = minhash_incremental_pairs(docs.filter(F.col("doc_id") < s2), s1)
+    b3 = minhash_incremental_pairs(docs, s2)
+    want = sorted(
+        tuple(r)
+        for r in b2.unionByName(b3)
+        .select("doc_new", "doc_hist", "jaccard")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+    streaming_incremental_neardup(
+        spark, docs_dir, state_dir, out_dir, str(base / "ckpt2")
+    )
+    after = spark.read.schema(
+        "doc_new long, doc_hist long, jaccard double"
+    ).parquet(out_dir)
+    assert sorted(tuple(r) for r in after.collect()) == got

@@ -110,3 +110,38 @@ def test_lang_profiles_hit_real_stopwords(spark):
     )
     got = [r["l"] for r in df.select(TX.lang_id(F.col("t")).alias("l")).collect()]
     assert got == ["en", "de"]
+
+
+def test_q133_utm_filter_underscore_is_literal(spark):
+    """Regression pin for the r04 ADVICE divergence class: the oracle
+    once used ``LIKE 'utm_%'`` whose ``_`` is a single-char WILDCARD —
+    a param named ``utmXfoo`` (any char where the underscore sits)
+    would be dropped by DuckDB but kept by Spark's startswith. Both
+    engines must now treat the underscore literally: keep ``utmXfoo=1``,
+    drop real ``utm_*`` params, in identical sorted order."""
+    import duckdb
+
+    query = "utmXfoo=1&utm_source=x&ref=abc&utm_campaign=y&utmz=2"
+    # the exact filter fragment the q133 oracle uses
+    got_duck = duckdb.sql(
+        "SELECT array_to_string(list_sort(list_filter("
+        f"string_split('{query}', '&'), "
+        "x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS q"
+    ).fetchone()[0]
+    # the exact filter expression the q133 Spark plan uses
+    got_spark = (
+        spark.range(1)
+        .select(
+            F.array_join(
+                F.array_sort(
+                    F.filter(
+                        F.split(F.lit(query), "&"),
+                        lambda x: (x != "") & ~x.startswith("utm_"),
+                    )
+                ),
+                "&",
+            ).alias("q")
+        )
+        .collect()[0][0]
+    )
+    assert got_duck == got_spark == "ref=abc&utmXfoo=1&utmz=2"

@@ -348,16 +348,26 @@ def _pq_codebook(sub: DataFrame) -> DataFrame:
 
 
 def _lloyd_codebook(
-    sub: DataFrame, k: int, rounds: int, train_mod: int
+    sub: DataFrame,
+    k: int,
+    rounds: int,
+    train_mod: int,
+    seed: DataFrame | None = None,
 ) -> DataFrame:
     """Generic Lloyd trainer over (vec_id, s, subvec) rows — serves
     both the per-subspace PQ codebook (PQ_M subspaces) and the full-dim
     coarse quantizer (single subspace s=0). Contract documented on
     ``_pq_codebook``; the SQL twin is ``pq_codebook_ctes`` with the
-    same parameters."""
+    same parameters.
+
+    ``seed`` overrides the default first-k-vec_ids seed with an
+    explicit (s, cid, cvec) frame — callers whose input ids don't
+    start at 0 (e.g. a streaming micro-batch) seed from the ids
+    actually present instead of silently training a partial codebook.
+    """
     spark = sub.sparkSession
     train = sub.filter(F.col("vec_id") % train_mod == 0)
-    cb = sub.filter(F.col("vec_id") < k).select(
+    cb = seed if seed is not None else sub.filter(F.col("vec_id") < k).select(
         "s", F.col("vec_id").alias("cid"), F.col("subvec").alias("cvec")
     )
     for _ in range(rounds):
@@ -677,8 +687,13 @@ def ivf_incremental_ingest_audit(
         .cast("bigint")
         .alias("n_new"),
     )
+    # degenerate splits (split at/beyond either corpus end) make a side
+    # total 0; floor it at 1 so shares are 0, not null/inf — Spark and
+    # DuckDB diverge on null/inf division semantics otherwise. Mirrored
+    # in the q160 oracle.
     tot = counts.agg(
-        F.sum("n_hist").alias("th"), F.sum("n_new").alias("tn")
+        F.greatest(F.sum("n_hist"), F.lit(1)).alias("th"),
+        F.greatest(F.sum("n_new"), F.lit(1)).alias("tn"),
     )
     # PSI with the standard epsilon floor so empty cells stay finite;
     # mirrored in the oracle
@@ -709,12 +724,18 @@ def _split_subspaces(df: DataFrame, vec_col: str, *keys: str) -> DataFrame:
     )
 
 
-def _residual_pq_index(embeddings: DataFrame):
+def _residual_pq_index(embeddings: DataFrame, split_id: int | None = None):
     """Build the IVF-PQ index pieces shared by the encode and serving
     paths: (coarse codebook, residual codebook, residuals-with-cell,
-    per-subspace residual code assignment)."""
+    per-subspace residual code assignment).
+
+    With ``split_id``, BOTH codebooks train on history only (vec_id <
+    split_id) while every vector is still encoded — the incremental
+    encode-ingest contract (q160's history-only-training rule applied
+    to the full IVF-PQ layout)."""
     sub0 = _fulldim_sub(embeddings)
-    coarse = _lloyd_codebook(sub0, IVF_K, IVF_KMEANS_ROUNDS, IVF_TRAIN_MOD)
+    tr0 = sub0 if split_id is None else sub0.filter(F.col("vec_id") < split_id)
+    coarse = _lloyd_codebook(tr0, IVF_K, IVF_KMEANS_ROUNDS, IVF_TRAIN_MOD)
     assigned = _pq_assign_to(sub0, coarse)
     res = assigned.join(F.broadcast(coarse), ["s", "cid"]).select(
         "vec_id",
@@ -722,7 +743,8 @@ def _residual_pq_index(embeddings: DataFrame):
         F.zip_with("subvec", "cvec", lambda a, b: a - b).alias("rvec"),
     )
     rsub = _split_subspaces(res, "rvec", "vec_id")
-    rcb = _lloyd_codebook(rsub, PQ_K, PQ_KMEANS_ROUNDS, PQ_TRAIN_MOD)
+    rtr = rsub if split_id is None else rsub.filter(F.col("vec_id") < split_id)
+    rcb = _lloyd_codebook(rtr, PQ_K, PQ_KMEANS_ROUNDS, PQ_TRAIN_MOD)
     best = _pq_assign_to(rsub, rcb)
     return coarse, rcb, res, best
 
@@ -984,4 +1006,188 @@ def embedding_neardup_pairs(embeddings: DataFrame) -> DataFrame:
         .withColumn("cos", F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6))
         .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
         .select("vec_a", "vec_b", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ index lifecycle — build ONCE, serve MANY. The
+# inline q153/q161 paths prove the math but retrain per call; a real
+# index is an on-disk artifact: two dim-sized codebooks plus the
+# residual code table stored PARTITIONED BY coarse cell (the classic
+# inverted-list layout), so a probe of n_probe cells is a
+# partition-PRUNED read touching n_probe/IVF_K of the data at rest.
+# Parity note: the reference has no vector index at all — this family
+# is part of the net-new LLM-pipeline surface the brief demands.
+# ---------------------------------------------------------------------------
+
+#: bump when codebook geometry/constants change — the cached index
+#: path embeds it so stale artifacts are never served
+INDEX_FORMAT_VERSION = 1
+
+
+def ivfpq_index_paths(index_dir: str) -> tuple[str, str, str]:
+    base = index_dir.rstrip("/")
+    return (
+        base + "/coarse_codebook",
+        base + "/residual_codebook",
+        base + "/codes",
+    )
+
+
+def build_ivfpq_index(embeddings: DataFrame, index_dir: str) -> None:
+    """Build-once: train the coarse + residual codebooks
+    (``_residual_pq_index`` — bounded Lloyd jobs over the deterministic
+    sample), encode the whole corpus, and write three artifacts under
+    ``index_dir``:
+
+    - ``coarse_codebook``  (s=0, cid, cvec) — IVF_K rows
+    - ``residual_codebook`` (s, cid, cvec) — PQ_M x PQ_K rows
+    - ``codes`` (vec_id, s, cid) PARTITIONED BY cell — the inverted
+      lists; one shuffle keyed by cell co-locates each list into its
+      own partition directory (at 100 TB add
+      ``spark.sql.files.maxRecordsPerFile`` so hot cells split into
+      multiple files; the directory layout is unchanged).
+
+    Training is deterministic (fixed seeds, fixed rounds, 6dp-rounded
+    means), so a rebuild over the same corpus reproduces the artifact
+    bit-for-bit — serving from the store equals the inline
+    ``ivfpq_topk`` result, which is how the q173 oracle checks it.
+    """
+    coarse_dir, rcb_dir, codes_dir = ivfpq_index_paths(index_dir)
+    coarse, rcb, res, best = _residual_pq_index(embeddings)
+    coarse.write.mode("overwrite").parquet(coarse_dir)
+    rcb.write.mode("overwrite").parquet(rcb_dir)
+    codes = best.select("vec_id", "s", "cid").join(
+        res.select("vec_id", "cell"), "vec_id"
+    )
+    (
+        codes.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(codes_dir)
+    )
+
+
+def read_ivfpq_index(spark, index_dir: str):
+    """(coarse, rcb, codes) read back schema-pinned; ``cell`` (a
+    partition directory column, inferred int) is cast back to long
+    AFTER the scan so partition pruning still sees the raw column."""
+    coarse_dir, rcb_dir, codes_dir = ivfpq_index_paths(index_dir)
+    cb_schema = "s int, cid bigint, cvec array<double>"
+    coarse = spark.read.schema(cb_schema).parquet(coarse_dir)
+    rcb = spark.read.schema(cb_schema).parquet(rcb_dir)
+    codes = spark.read.parquet(codes_dir)
+    return coarse, rcb, codes
+
+
+def ivfpq_topk_from_index(
+    spark,
+    embeddings: DataFrame,
+    index_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Serve-many: ``ivfpq_topk``'s exact query path, but every stored
+    piece comes from the ``build_ivfpq_index`` artifact — NO Lloyd
+    training in this DAG. Probe selection ranks the stored coarse
+    centroids per query (broadcast, |Q| x IVF_K); the probed cell ids
+    (|Q| x n_probe scalars) collect to the driver and push into the
+    code-table scan as a partition filter, so the inverted-list read
+    is PRUNED to the probed cells (plan-asserted in
+    tests/test_similarity.py). Re-centered per-cell LUTs, keyed ADC
+    agg, and WindowGroupLimit top-k are identical to the inline path,
+    and so is the result (training is deterministic)."""
+    coarse, rcb, codes = read_ivfpq_index(spark, index_dir)
+    qsub0 = _fulldim_sub(embeddings.filter(F.col("vec_id") < n_queries))
+    qd = qsub0.join(F.broadcast(coarse), "s").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cid").alias("cell"),
+        _l2sq(F.col("subvec"), F.col("cvec")).alias("d2"),
+        F.zip_with("subvec", "cvec", lambda a, b: a - b).alias("qrvec"),
+    )
+    pw = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        qd.withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "cell", "qrvec")
+    )
+    # |Q| x n_probe scalar collect: the probed-cell list becomes a
+    # partition filter on the stored code table — the scan reads only
+    # the probed inverted lists
+    probe_cells = sorted(
+        {r["cell"] for r in probes.select("cell").distinct().collect()}
+    )
+    pruned = codes.filter(
+        F.col("cell").isin([int(c) for c in probe_cells])
+    ).select("vec_id", "s", "cid", F.col("cell").cast("long").alias("cell"))
+    qrsub = _split_subspaces(probes, "qrvec", "query_id", "cell")
+    lut = qrsub.join(F.broadcast(rcb), "s").select(
+        "query_id",
+        "cell",
+        "s",
+        "cid",
+        _l2sq(F.col("subvec"), F.col("cvec")).alias("d2q"),
+    )
+    scored = (
+        pruned.join(F.broadcast(lut), ["cell", "s", "cid"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "cell", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("d2q"), 6).alias("adc_d2"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cell", "neighbor_id", "adc_d2", "rank")
+    )
+
+
+def ivfpq_stored_cell_stats(spark, index_dir: str) -> DataFrame:
+    """Build audit read from the STORED artifact: per inverted list
+    (cell), member count, code-row count (must be members x PQ_M),
+    distinct residual codes in use, and member id bounds — the
+    sign-off report a build job emits before the index serves traffic.
+    One scan of the code table + a cell-cardinality agg."""
+    _coarse, _rcb, codes = read_ivfpq_index(spark, index_dir)
+    return (
+        codes.select(F.col("cell").cast("long").alias("cell"), "vec_id", "s", "cid")
+        .groupBy("cell")
+        .agg(
+            F.countDistinct("vec_id").alias("n_vecs"),
+            F.count("*").alias("n_code_rows"),
+            F.countDistinct("s", "cid").alias("n_codes_used"),
+            F.min("vec_id").alias("min_vec"),
+            F.max("vec_id").alias("max_vec"),
+        )
+    )
+
+
+def ivfpq_incremental_encode(
+    embeddings: DataFrame, split_id: int
+) -> DataFrame:
+    """Encode-ingest: every vector's IVF-PQ layout (cell + residual
+    codes + recon) where BOTH codebooks are trained on HISTORY only
+    (vec_id < split_id) — what a serving index does when a delta
+    arrives: assign + encode against the STORED quantizers, never
+    retrain per batch. Per-delta cost is one broadcast-codebook coarse
+    argmin, a row-local residual, and one broadcast residual-codebook
+    argmin — O(batch), q160's ingest contract extended to the full
+    storage layout. Returns (vec_id, cell, codes comma-string, recon);
+    the streaming twin (streaming/events.streaming_ivfpq_encode) must
+    drain to exactly these rows when the first micro-batch holds the
+    history."""
+    _coarse, _rcb, res, best = _residual_pq_index(embeddings, split_id)
+    enc = best.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "cid"))),
+                lambda x: x.cid.cast("string"),
+            ),
+            ",",
+        ).alias("codes"),
+        F.round(F.sqrt(F.sum("d2")), 6).alias("recon"),
+    )
+    return enc.join(res.select("vec_id", "cell"), "vec_id").select(
+        "vec_id", "cell", "codes", "recon"
     )

@@ -355,12 +355,16 @@ def q159_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.quality_score(F.col("text")).alias("score"),
         TX.token_count(F.col("text")).alias("n_tokens"),
     )
-    b1, b2, b3 = [
-        round(v, 6)
-        for v in scored.agg(
-            F.percentile("score", F.lit([0.25, 0.50, 0.75]))
-        ).collect()[0][0]
-    ]
+    # boundaries rounded INSIDE Spark SQL (F.round = half away from
+    # zero, same convention as DuckDB's round) — Python round() is
+    # banker's rounding and could shift an exact .5e-6 tie by 1e-6,
+    # reassigning boundary docs to a different phase than the oracle
+    b1, b2, b3 = scored.agg(
+        F.transform(
+            F.percentile("score", F.lit([0.25, 0.50, 0.75])),
+            lambda v: F.round(v, 6),
+        )
+    ).collect()[0][0]
     phase = (
         F.when(F.col("score") <= b1, 0)
         .when(F.col("score") <= b2, 1)

@@ -878,9 +878,11 @@ def q157_residual_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "q161_ivfpq_search",
-    f"""
+#: the complete IVF-PQ query oracle — shared by q161 (inline retrain)
+#: and q173 (served from the persisted index): the build is
+#: deterministic, so the stored-artifact path must produce byte-equal
+#: results to the inline one
+_IVFPQ_SEARCH_ORACLE = f"""
     WITH {_RESIDUAL_PQ_CTES},
     probes AS (
         SELECT query_id, cell FROM (
@@ -931,8 +933,10 @@ def q157_residual_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) AS INT) AS rank
     FROM scored
     QUALIFY rank <= 5
-    """,
-)
+    """
+
+
+@register("q161_ivfpq_search", _IVFPQ_SEARCH_ORACLE)
 def q161_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivfpq_topk(load_table(spark, sf_dir, "embeddings"))
 
@@ -1060,7 +1064,8 @@ _IVF_SPLIT = 400
                     AS BIGINT) AS n_new
         FROM assign GROUP BY cell
     ),
-    tot AS (SELECT sum(n_hist) AS th, sum(n_new) AS tn FROM counts)
+    tot AS (SELECT greatest(sum(n_hist), 1) AS th,
+                   greatest(sum(n_new), 1) AS tn FROM counts)
     SELECT cell, n_hist, n_new,
            round(n_hist / th, 6) AS share_hist,
            round(n_new / tn, 6) AS share_new,

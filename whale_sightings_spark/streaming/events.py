@@ -434,10 +434,20 @@ def streaming_incremental_neardup(
     ``bands`` (doc_id, band — the probe index) and ``shingles``
     (doc_id, shingle — raw distinct pairs for exact verification; the
     shingle-df cap is applied at probe time over history-so-far plus
-    the batch, so when the backlog drains the cap set equals the batch
-    operator's full-corpus one). Both caps mirror the batch operator:
-    hot HISTORY band buckets (> MAX_BAND_BUCKET) are skipped, hot
-    shingles (> MAX_SHINGLE_DF) dropped from verification.
+    the CURRENT batch, a prefix of the final corpus). Both caps mirror
+    the batch operator: hot HISTORY band buckets (> MAX_BAND_BUCKET)
+    are skipped, hot shingles (> MAX_SHINGLE_DF) dropped from
+    verification.
+
+    Cap caveat — drained output equals ``minhash_incremental_pairs``
+    exactly only when the whole delta arrives in ONE micro-batch
+    (the single-delta drain): with a multi-file delta, intermediate
+    batches evaluate the df/bucket caps over a prefix corpus, so a
+    shingle or band bucket that only crosses its cap once LATER files
+    arrive is still used by earlier batches (and vice versa). Pairs
+    whose shingles sit far from the cap thresholds are unaffected —
+    ``tests/test_streaming.py`` pins both the single-delta equality
+    and the multi-file-delta behavior.
 
     Re-delivery is self-healing at the ingest boundary: a batch doc
     whose id already sits in the band index anti-joins away before it
@@ -605,10 +615,45 @@ def streaming_ivf_ingest(
         )
         if cb.limit(1).isEmpty():
             # first batch: train on this batch's deterministic sample
-            # and persist the PQ_M x IVF_K codebook once
-            cb = _lloyd_codebook(
-                _fulldim_sub(batch), IVF_K, IVF_KMEANS_ROUNDS, IVF_TRAIN_MOD
+            # and persist the IVF_K codebook once. Seed from the first
+            # IVF_K vec_ids ACTUALLY PRESENT (k-sized scalar collect) —
+            # the trainer's default vec_id < IVF_K seed silently yields
+            # a partial/empty codebook when the batch doesn't contain
+            # the low ids, and an empty codebook drops every vector
+            # from the assignment state with no redelivery. When ids
+            # 0..IVF_K-1 ARE present (the stream==batch test layout)
+            # the rank map is the identity, so drained state still
+            # equals the batch operator's.
+            sub = _fulldim_sub(batch)
+            seed_ids = sorted(
+                r[0]
+                for r in sub.select("vec_id")
+                .orderBy("vec_id")
+                .limit(IVF_K)
+                .collect()
             )
+            if len(seed_ids) < IVF_K:
+                raise ValueError(
+                    f"streaming_ivf_ingest: first batch has only "
+                    f"{len(seed_ids)} vectors — need >= {IVF_K} to seed "
+                    "the coarse codebook; deliver a larger first batch"
+                )
+            map_df = sess.createDataFrame(
+                [(int(v), i) for i, v in enumerate(seed_ids)],
+                "vec_id long, cid bigint",
+            )
+            seed = sub.join(F.broadcast(map_df), "vec_id").select(
+                "s", "cid", F.col("subvec").alias("cvec")
+            )
+            cb = _lloyd_codebook(
+                sub, IVF_K, IVF_KMEANS_ROUNDS, IVF_TRAIN_MOD, seed=seed
+            )
+            if cb.count() != IVF_K:
+                raise ValueError(
+                    "streaming_ivf_ingest: trained codebook is partial "
+                    f"({cb.count()} of {IVF_K} cells) — refusing to "
+                    "persist; the batch would be silently dropped"
+                )
             cb.write.mode("append").parquet(cb_dir)
         assigned = _pq_assign_to(_fulldim_sub(batch), cb).select(
             "vec_id",
