@@ -334,3 +334,20 @@ def test_q125_rank_normalization_is_window_free(spark, sf_dir):
     plan = explain_str(queries()["q125_quality_ensemble"](spark, sf_dir))
     assert "Window " not in plan and "WindowExec" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q173_stored_index_probe_is_partition_pruned(spark, sf_dir):
+    """The serve-from-store path must hit the cell-partitioned code
+    table with a partition filter (the probed cells), so the scan reads
+    only n_probe of the IVF_K inverted lists — the on-disk layout claim
+    SCALE.md makes for 100 TB, asserted on the actual plan. Also: no
+    Lloyd training in this DAG means no createDataFrame-backed codebook
+    (LocalTableScan/scan over ExistingRDD) — the codebooks come from
+    parquet scans of the stored artifact."""
+    plan = explain_str(queries()["q173_ivfpq_search_stored"](spark, sf_dir))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, f"no PartitionFilters on the code-table scan:\n{plan}"
+    assert "cell" in m.group(1) and "IN" in m.group(1).upper(), m.group(1)
+    # serve-many: the trained codebooks are parquet artifacts, not
+    # freshly-collected local relations
+    assert "LocalTableScan" not in plan, "a codebook was retrained inline"

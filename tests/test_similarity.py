@@ -161,3 +161,63 @@ def test_lloyd_training_error_is_monotone_in_rounds(spark, sf_dir):
 
     errs = [train_err(r) for r in range(4)]
     assert all(b <= a + 1e-6 for a, b in zip(errs, errs[1:])), errs
+
+
+def test_stored_index_serve_equals_inline(spark, sf_dir, tmp_path_factory):
+    """Build-once/serve-many contract: serving from the persisted
+    artifact (codebooks + cell-partitioned code table on disk) must
+    reproduce the inline ``ivfpq_topk`` result exactly — training is
+    deterministic, so the store is a cache of the same math, and a
+    rebuild into a second directory produces an identical code table."""
+    from pyspark.sql import functions as F
+
+    from whale_sightings_spark.operators import similarity as SIM
+    from whale_sightings_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = tmp_path_factory.mktemp("ivfpq_store")
+    idx1 = str(base / "idx1")
+    SIM.build_ivfpq_index(emb, idx1)
+    stored = sorted(
+        tuple(r)
+        for r in SIM.ivfpq_topk_from_index(spark, emb, idx1).collect()
+    )
+    inline = sorted(tuple(r) for r in SIM.ivfpq_topk(emb).collect())
+    assert stored == inline and len(stored) > 0
+
+    idx2 = str(base / "idx2")
+    SIM.build_ivfpq_index(emb, idx2)
+    read = lambda d: sorted(  # noqa: E731
+        tuple(r)
+        for r in spark.read.parquet(SIM.ivfpq_index_paths(d)[2])
+        .select("vec_id", "s", "cid", F.col("cell").cast("long"))
+        .collect()
+    )
+    assert read(idx1) == read(idx2), "rebuild must be deterministic"
+
+
+def test_incremental_encode_history_prefix_matches_full_build(spark, sf_dir):
+    """Ingest-path consistency: for HISTORY vectors (vec_id < split),
+    the incremental encode (codebooks trained on history only) must
+    equal a full ``pq_residual_encode`` over the history corpus alone —
+    the delta's arrival cannot silently re-encode what's already
+    stored."""
+    from pyspark.sql import functions as F
+
+    from whale_sightings_spark.operators import similarity as SIM
+    from whale_sightings_spark.schemas import load_table
+
+    split = 400
+    emb = load_table(spark, sf_dir, "embeddings")
+    inc = sorted(
+        tuple(r)
+        for r in SIM.ivfpq_incremental_encode(emb, split)
+        .filter(F.col("vec_id") < split)
+        .collect()
+    )
+    full_hist = sorted(
+        tuple(r)
+        for r in SIM.pq_residual_encode(emb.filter(F.col("vec_id") < split))
+        .collect()
+    )
+    assert inc == full_hist and len(inc) == split

@@ -532,3 +532,66 @@ def test_streaming_incremental_neardup_multifile_delta(
         "doc_new long, doc_hist long, jaccard double"
     ).parquet(out_dir)
     assert sorted(tuple(r) for r in after.collect()) == got
+
+
+def test_streaming_ivfpq_encode_matches_batch_and_replays(
+    spark, sf_dir, tmp_path_factory
+):
+    """The foreachBatch IVF-PQ encode twin: (a) drained-stream code
+    rows, regrouped to (vec_id, cell, codes, recon), equal the q174
+    batch operator's when the first file holds the history; (b) replay
+    from a fresh checkpoint appends nothing (idempotent
+    at-least-once)."""
+    from whale_sightings_spark.operators.similarity import (
+        ivfpq_incremental_encode,
+    )
+    from whale_sightings_spark.streaming.events import streaming_ivfpq_encode
+
+    split = 400
+    base = tmp_path_factory.mktemp("ivfpq_encode")
+    emb_dir = str(base / "emb")
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.filter(F.col("vec_id") < split).coalesce(1).write.parquet(
+        emb_dir, mode="append"
+    )
+    import time
+
+    time.sleep(1.1)
+    emb.filter(F.col("vec_id") >= split).coalesce(1).write.parquet(
+        emb_dir, mode="append"
+    )
+    state_dir = str(base / "state")
+    streaming_ivfpq_encode(spark, emb_dir, state_dir, str(base / "ckpt1"))
+
+    state = spark.read.schema(
+        "vec_id long, cell bigint, s int, cid bigint, d2 double"
+    ).parquet(state_dir + "/codes")
+    got = sorted(
+        tuple(r)
+        for r in state.groupBy("vec_id", "cell")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "cid"))),
+                    lambda x: x.cid.cast("string"),
+                ),
+                ",",
+            ).alias("codes"),
+            F.round(F.sqrt(F.sum("d2")), 6).alias("recon"),
+        )
+        .select("vec_id", "cell", "codes", "recon")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ivfpq_incremental_encode(emb, split)
+        .select("vec_id", "cell", "codes", "recon")
+        .collect()
+    )
+    assert got == want and len(got) == emb.count()
+
+    streaming_ivfpq_encode(spark, emb_dir, state_dir, str(base / "ckpt2"))
+    after = spark.read.schema(
+        "vec_id long, cell bigint, s int, cid bigint, d2 double"
+    ).parquet(state_dir + "/codes")
+    assert after.count() == state.count()

@@ -563,6 +563,34 @@ def streaming_incremental_neardup(
     )
 
 
+def _rank_seed(sub, k: int):
+    """(s, cid, cvec) Lloyd seed from the first ``k`` vec_ids ACTUALLY
+    PRESENT in ``sub`` (k-sized scalar collect + broadcast rank map;
+    the identity when ids 0..k-1 are present, so drained-stream state
+    still equals the batch operator's in the history-first layout).
+    The trainer's default ``vec_id < k`` seed silently yields a
+    partial/empty codebook when a micro-batch lacks the low ids —
+    fail loudly instead of dropping vectors."""
+    sess = sub.sparkSession
+    seed_ids = sorted(
+        r[0]
+        for r in sub.select("vec_id").distinct().orderBy("vec_id").limit(k).collect()
+    )
+    if len(seed_ids) < k:
+        raise ValueError(
+            f"streaming codebook seed: first batch has only "
+            f"{len(seed_ids)} vectors — need >= {k}; deliver a larger "
+            "first batch"
+        )
+    map_df = sess.createDataFrame(
+        [(int(v), i) for i, v in enumerate(seed_ids)],
+        "vec_id long, cid bigint",
+    )
+    return sub.join(F.broadcast(map_df), "vec_id").select(
+        "s", "cid", F.col("subvec").alias("cvec")
+    )
+
+
 def streaming_ivf_ingest(
     spark: SparkSession,
     emb_dir: str,
@@ -625,28 +653,12 @@ def streaming_ivf_ingest(
             # the rank map is the identity, so drained state still
             # equals the batch operator's.
             sub = _fulldim_sub(batch)
-            seed_ids = sorted(
-                r[0]
-                for r in sub.select("vec_id")
-                .orderBy("vec_id")
-                .limit(IVF_K)
-                .collect()
-            )
-            if len(seed_ids) < IVF_K:
-                raise ValueError(
-                    f"streaming_ivf_ingest: first batch has only "
-                    f"{len(seed_ids)} vectors — need >= {IVF_K} to seed "
-                    "the coarse codebook; deliver a larger first batch"
-                )
-            map_df = sess.createDataFrame(
-                [(int(v), i) for i, v in enumerate(seed_ids)],
-                "vec_id long, cid bigint",
-            )
-            seed = sub.join(F.broadcast(map_df), "vec_id").select(
-                "s", "cid", F.col("subvec").alias("cvec")
-            )
             cb = _lloyd_codebook(
-                sub, IVF_K, IVF_KMEANS_ROUNDS, IVF_TRAIN_MOD, seed=seed
+                sub,
+                IVF_K,
+                IVF_KMEANS_ROUNDS,
+                IVF_TRAIN_MOD,
+                seed=_rank_seed(sub, IVF_K),
             )
             if cb.count() != IVF_K:
                 raise ValueError(
@@ -666,6 +678,122 @@ def streaming_ivf_ingest(
 
     os.makedirs(cb_dir, exist_ok=True)
     os.makedirs(assign_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(emb_dir)
+    )
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def streaming_ivfpq_encode(
+    spark: SparkSession,
+    emb_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming twin of the q174 incremental IVF-PQ encode: the FIRST
+    micro-batch trains BOTH codebooks (coarse, then residual — the
+    same bounded Lloyd jobs, rank-seeded so a batch without the low
+    vec_ids still trains a complete codebook) and persists them; every
+    batch — including the first — is then encoded against the
+    PERSISTED codebooks: one broadcast coarse argmin, a row-local
+    residual, one broadcast residual argmin — O(batch) per trigger,
+    the q160 ingest contract extended to the full storage layout.
+    State is the code table (vec_id, cell, s, cid, d2) appended per
+    batch; drained-stream codes equal ``ivfpq_incremental_encode``'s
+    when the first file holds the history (pinned in
+    tests/test_streaming.py).
+
+    Re-delivery is self-healing: already-encoded vec_ids anti-join
+    away before encode or append (the q95-twin idempotence pattern);
+    codebooks are written once and only read afterwards. Production
+    swaps the state dirs for the ``build_ivfpq_index`` artifact layout
+    (cell-partitioned codes) — the encode plan is identical.
+    """
+    from whale_sightings_spark.operators.similarity import (
+        IVF_K,
+        IVF_KMEANS_ROUNDS,
+        IVF_TRAIN_MOD,
+        PQ_K,
+        PQ_KMEANS_ROUNDS,
+        PQ_M,
+        PQ_TRAIN_MOD,
+        _fulldim_sub,
+        _lloyd_codebook,
+        _pq_assign_to,
+        _split_subspaces,
+    )
+
+    schema = spark.read.parquet(emb_dir).schema
+    base = state_dir.rstrip("/")
+    coarse_dir = base + "/coarse_codebook"
+    rcb_dir = base + "/residual_codebook"
+    codes_dir = base + "/codes"
+    cb_schema = "s int, cid bigint, cvec array<double>"
+
+    def _residuals(sub, coarse):
+        assigned = _pq_assign_to(sub, coarse)
+        return assigned.join(F.broadcast(coarse), ["s", "cid"]).select(
+            "vec_id",
+            F.col("cid").alias("cell"),
+            F.zip_with("subvec", "cvec", lambda a, b: a - b).alias("rvec"),
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        seen = (
+            sess.read.schema("vec_id long, cell bigint, s int, cid bigint, d2 double")
+            .parquet(codes_dir)
+            .select("vec_id")
+            .distinct()
+        )
+        batch = batch_df.join(seen, "vec_id", "left_anti")
+        coarse = sess.read.schema(cb_schema).parquet(coarse_dir)
+        if coarse.limit(1).isEmpty():
+            sub = _fulldim_sub(batch)
+            coarse = _lloyd_codebook(
+                sub, IVF_K, IVF_KMEANS_ROUNDS, IVF_TRAIN_MOD,
+                seed=_rank_seed(sub, IVF_K),
+            )
+            if coarse.count() != IVF_K:
+                raise ValueError(
+                    "streaming_ivfpq_encode: partial coarse codebook — "
+                    "refusing to persist"
+                )
+            coarse.write.mode("append").parquet(coarse_dir)
+            rsub = _split_subspaces(_residuals(sub, coarse), "rvec", "vec_id")
+            rcb = _lloyd_codebook(
+                rsub, PQ_K, PQ_KMEANS_ROUNDS, PQ_TRAIN_MOD,
+                seed=_rank_seed(rsub, PQ_K),
+            )
+            if rcb.count() != PQ_M * PQ_K:
+                raise ValueError(
+                    "streaming_ivfpq_encode: partial residual codebook — "
+                    "refusing to persist"
+                )
+            rcb.write.mode("append").parquet(rcb_dir)
+        # encode against the PERSISTED codebooks (read back, never the
+        # in-memory frames — the serve path a later batch will take)
+        coarse = sess.read.schema(cb_schema).parquet(coarse_dir)
+        rcb = sess.read.schema(cb_schema).parquet(rcb_dir)
+        res = _residuals(_fulldim_sub(batch), coarse)
+        best = _pq_assign_to(_split_subspaces(res, "rvec", "vec_id"), rcb)
+        out = best.select("vec_id", "s", "cid", "d2").join(
+            res.select("vec_id", "cell"), "vec_id"
+        ).select("vec_id", F.col("cell").cast("bigint").alias("cell"), "s", "cid", "d2")
+        out.write.mode("append").parquet(codes_dir)
+
+    import os
+
+    for d in (coarse_dir, rcb_dir, codes_dir):
+        os.makedirs(d, exist_ok=True)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
