@@ -1335,3 +1335,30 @@ def q170_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q176/q177 — corpus-trained BPE: the merge table (q176) and the
+# fertility audit re-asked of the TRAINED tokenizer (q177; q158 asks
+# it of the whitespace tokenizer). Training never touches corpus token
+# rows: the corpus collapses once to its word-frequency dictionary
+# (one corpus-scale agg + deterministic top-cap), then K rounds of
+# pair-count -> argmax -> simultaneous merge run over vocab-scale
+# symbol rows — the q112 driver-loop pattern with a 1-row TakeOrdered
+# collect per round. The oracle unrolls the same K rounds (in-SQL
+# argmax, same tie-break, same gaps-and-islands non-overlap rule).
+# (operators/bpe.bpe_merge_table / bpe_fertility; monotone
+# bytes-per-token pinned in tests/test_bpe.py)
+# ---------------------------------------------------------------------------
+
+from whale_sightings_spark.operators import bpe as BPE  # noqa: E402
+
+
+@register("q176_bpe_merge_table", BPE.bpe_merge_table_sql())
+def q176_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return BPE.bpe_merge_table(load_table(spark, sf_dir, "documents"))
+
+
+@register("q177_bpe_fertility", BPE.bpe_fertility_sql())
+def q177_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return BPE.bpe_fertility(load_table(spark, sf_dir, "documents"))
