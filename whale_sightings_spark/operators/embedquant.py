@@ -1,0 +1,324 @@
+"""Embedding storage/serving economics operators (net-new; extends the
+ANN/PQ family in ``operators/similarity.py`` with the audits a
+100 TB embedding store runs before sealing a layout):
+
+- semantic eval-contamination screen: max-cosine of every train vector
+  against a broadcast held-out probe set (the embedding-space sibling
+  of the lexical q119 screen — a paraphrased eval answer shares no
+  3-grams but sits next to its source in embedding space)
+- int8 affine quantization audit: per-dimension (min,max) -> scale,
+  round-trip reconstruction error; the go/no-go before swapping a
+  float32 store for a 4x-smaller int8 one
+- Matryoshka truncated-dimension recall: recall@k when queries are
+  served from a prefix of the embedding (8/16/32 of 64 dims) vs the
+  full-dimension exact top-k — the dim-budget tuning curve for
+  MRL-style embeddings
+
+Reference parity note: the reference engine (jarretjeter/
+whale-sightings) has no embedding surface; these extend the
+training-data-pipeline mandate, reusing the cosine/window conventions
+of ``operators/similarity.py`` (deterministic (score DESC, id)
+tie-breaks, caps mirrored in the DuckDB oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from whale_sightings_spark.operators.similarity import cosine, cosine_sql
+
+# ---------------------------------------------------------------------------
+# semantic eval-contamination screen
+# ---------------------------------------------------------------------------
+
+#: every 50th vector stands in for the held-out eval/benchmark set —
+#: deterministic, and scale-independent (the probe set is |corpus|/50
+#: here, but in production it is a fixed small benchmark; either way it
+#: is the BROADCAST side)
+PROBE_MOD = 50
+PROBE_REM = 7
+#: max-cosine at or above this flags the train vector as semantically
+#: contaminated (p99 of the probe-vs-corpus cosine at sf0.01 is ~0.29;
+#: 0.35 flags the genuine near-neighbor tail, ~3%)
+SEM_CONTAM_T = 0.35
+
+
+def semantic_contamination_audit(embeddings: DataFrame) -> DataFrame:
+    """Per-label contamination report: for every train vector (not in
+    the probe set), the max cosine against the broadcast probe set;
+    aggregated per label cell.
+
+    Scale shape: probes broadcast (eval sets are benchmark-sized); ONE
+    corpus scan scores |corpus| x |probes| row-locally; the per-vector
+    max is a partial-aggregated keyed agg on vec_id and the final
+    report is label-cardinality-sized. No corpus-side shuffle beyond
+    the two partial aggs. At 100 TB with a 10k-vector eval set this is
+    the embedding twin of the q119 lexical contamination screen.
+    """
+    probes = embeddings.filter(
+        F.col("vec_id") % PROBE_MOD == PROBE_REM
+    ).select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec"))
+    train = embeddings.filter(F.col("vec_id") % PROBE_MOD != PROBE_REM).select(
+        "vec_id", "label", "embedding"
+    )
+    scored = train.join(F.broadcast(probes)).select(
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("embedding"), F.col("pvec")), 6).alias("cos"),
+    )
+    per_vec = scored.groupBy("vec_id", "label").agg(
+        F.max("cos").alias("max_cos")
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").alias("n_train"),
+            F.sum((F.col("max_cos") >= SEM_CONTAM_T).cast("long")).alias(
+                "n_contaminated"
+            ),
+            F.round(F.avg("max_cos"), 6).alias("avg_max_cos"),
+            F.round(F.max("max_cos"), 6).alias("peak_cos"),
+        )
+        .select("label", "n_train", "n_contaminated", "avg_max_cos", "peak_cos")
+    )
+
+
+def semantic_contamination_sql() -> str:
+    cos = cosine_sql("t.embedding", "p.pvec")
+    return f"""
+    WITH p AS (
+        SELECT vec_id AS probe_id, embedding AS pvec
+        FROM embeddings WHERE vec_id % {PROBE_MOD} = {PROBE_REM}
+    ),
+    t AS (
+        SELECT vec_id, label, embedding
+        FROM embeddings WHERE vec_id % {PROBE_MOD} <> {PROBE_REM}
+    ),
+    pv AS (
+        SELECT t.vec_id, t.label, max(round({cos}, 6)) AS max_cos
+        FROM t CROSS JOIN p
+        GROUP BY t.vec_id, t.label
+    )
+    SELECT label,
+           count(*) AS n_train,
+           CAST(count(*) FILTER (max_cos >= {SEM_CONTAM_T}) AS BIGINT)
+               AS n_contaminated,
+           round(avg(max_cos), 6) AS avg_max_cos,
+           round(max(max_cos), 6) AS peak_cos
+    FROM pv
+    GROUP BY label
+    """
+
+
+# ---------------------------------------------------------------------------
+# int8 affine quantization audit
+# ---------------------------------------------------------------------------
+
+#: int8 code range (unsigned convention; 256 levels)
+INT8_LEVELS = 255
+#: constant-dimension guard: a dim with hi == lo quantizes to code 0
+#: with zero error; floor the scale so the division never yields inf
+SCALE_FLOOR = 1e-12
+
+
+def int8_quantization_audit(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension int8 affine round-trip report: (lo, hi) bounds,
+    scale = (hi-lo)/255, RMSE and max |error| of encode->decode.
+
+    Scale shape: two corpus passes. Pass 1 posexplodes to (dim, val)
+    and partial-aggregates min/max per dim — the shuffle is
+    EMBEDDING_DIM rows per map partition. Pass 2 re-derives the error
+    per element against the broadcast 64-row bounds table and partial-
+    aggregates the moments the same way. Nothing row-scale ever
+    shuffles; the d-times element inflation is the intrinsic cost of a
+    per-dimension audit and stays inside one codegen stage.
+    """
+    d = embeddings.select(
+        F.posexplode("embedding").alias("pos", "fval")
+    ).select("pos", F.col("fval").cast("double").alias("val"))
+    bounds = d.groupBy("pos").agg(
+        F.min("val").alias("lo"), F.max("val").alias("hi")
+    )
+    scale = F.greatest(
+        (F.col("hi") - F.col("lo")) / INT8_LEVELS, F.lit(SCALE_FLOOR)
+    )
+    b = bounds.withColumn("scale", scale)
+    e = d.join(F.broadcast(b), "pos")
+    code = F.least(
+        F.greatest(F.round((F.col("val") - F.col("lo")) / F.col("scale"), 0), F.lit(0.0)),
+        F.lit(float(INT8_LEVELS)),
+    )
+    err = F.col("val") - (F.col("lo") + code * F.col("scale"))
+    return (
+        e.withColumn("err", err)
+        .groupBy("pos", "lo", "hi", "scale")
+        .agg(
+            F.round(F.sqrt(F.avg(F.col("err") * F.col("err"))), 6).alias("rmse"),
+            F.round(F.max(F.abs("err")), 6).alias("max_abs_err"),
+        )
+        .select(
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            F.round("lo", 6).alias("lo"),
+            F.round("hi", 6).alias("hi"),
+            F.round("scale", 9).alias("scale"),
+            "rmse",
+            "max_abs_err",
+        )
+    )
+
+
+def int8_quantization_sql() -> str:
+    return f"""
+    WITH d AS (
+        SELECT i.i AS dim, CAST(embedding[i.i] AS DOUBLE) AS val
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) i
+    ),
+    b AS (
+        SELECT dim, min(val) AS lo, max(val) AS hi,
+               greatest((max(val) - min(val)) / {INT8_LEVELS}, {SCALE_FLOOR})
+                   AS scale
+        FROM d GROUP BY dim
+    ),
+    e AS (
+        SELECT d.dim, b.lo, b.hi, b.scale,
+               d.val - (b.lo + least(greatest(round((d.val - b.lo) / b.scale),
+                                              0), {INT8_LEVELS}) * b.scale)
+                   AS err
+        FROM d JOIN b USING (dim)
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           round(lo, 6) AS lo,
+           round(hi, 6) AS hi,
+           round(scale, 9) AS scale,
+           round(sqrt(avg(err * err)), 6) AS rmse,
+           round(max(abs(err)), 6) AS max_abs_err
+    FROM e
+    GROUP BY dim, lo, hi, scale
+    """
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncated-dimension recall
+# ---------------------------------------------------------------------------
+
+#: served prefix widths to audit (full dim = 64 is the ground truth)
+TRUNC_DIMS = (8, 16, 32)
+TRUNC_QUERIES = 5
+TRUNC_K = 5
+
+
+def _topk(frame: DataFrame, k: int) -> DataFrame:
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        frame.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def truncated_dim_recall(embeddings: DataFrame) -> DataFrame:
+    """recall@k per (trunc_dim, query): top-k by cosine over the first
+    ``trunc_dim`` components vs the full-dimension exact top-k.
+
+    Scale shape: the query set (TRUNC_QUERIES vectors) broadcasts; each
+    width is one corpus scan scored row-locally with a WindowGroupLimit
+    top-k per query — identical to the q116 recall harness, with the
+    slice applied BEFORE the dot product so a production run reading a
+    dim-pruned column (or the prefix of a float array) scans less, not
+    more. Output is |TRUNC_DIMS| x |queries| rows.
+    """
+    q = embeddings.filter(F.col("vec_id") < TRUNC_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    exact = _topk(
+        pairs.withColumn(
+            "cos", F.round(cosine(F.col("qvec"), F.col("cvec")), 6)
+        ),
+        TRUNC_K,
+    )
+    out = None
+    for td in TRUNC_DIMS:
+        approx = _topk(
+            pairs.withColumn(
+                "cos",
+                F.round(
+                    cosine(
+                        F.slice(F.col("qvec"), 1, td),
+                        F.slice(F.col("cvec"), 1, td),
+                    ),
+                    6,
+                ),
+            ),
+            TRUNC_K,
+        ).withColumn("hit", F.lit(1))
+        r = (
+            exact.join(approx, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                .cast("long")
+                .alias("n_hit")
+            )
+            .select(
+                F.lit(td).cast("long").alias("trunc_dim"),
+                "query_id",
+                "n_hit",
+                F.round(F.col("n_hit") / F.lit(float(TRUNC_K)), 6).alias(
+                    "recall"
+                ),
+            )
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def truncated_dim_recall_sql() -> str:
+    full = cosine_sql("q.qvec", "c.embedding")
+    branches = []
+    for td in TRUNC_DIMS:
+        tcos = cosine_sql(f"q.qvec[1:{td}]", f"c.embedding[1:{td}]")
+        branches.append(
+            f"""
+    SELECT CAST({td} AS BIGINT) AS trunc_dim, e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           round(CAST(count(a.neighbor_id) AS DOUBLE) / {TRUNC_K}, 6)
+               AS recall
+    FROM exact e
+    LEFT JOIN (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({tcos}, 6) DESC, c.vec_id
+                   ) AS rank
+            FROM embeddings c CROSS JOIN q
+            WHERE c.vec_id <> q.query_id
+        ) WHERE rank <= {TRUNC_K}
+    ) a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id"""
+        )
+    union = "\n    UNION ALL\n".join(branches)
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id < {TRUNC_QUERIES}
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({full}, 6) DESC, c.vec_id
+                   ) AS rank
+            FROM embeddings c CROSS JOIN q
+            WHERE c.vec_id <> q.query_id
+        ) WHERE rank <= {TRUNC_K}
+    )
+    {union}
+    """

@@ -537,6 +537,7 @@ def _load_extra_registries() -> None:
     import whale_sightings_spark.plans.queries_corpus  # noqa: F401
     import whale_sightings_spark.plans.queries_curation  # noqa: F401
     import whale_sightings_spark.plans.queries_datetime  # noqa: F401
+    import whale_sightings_spark.plans.queries_embed  # noqa: F401
     import whale_sightings_spark.plans.queries_geo  # noqa: F401
     import whale_sightings_spark.plans.queries_llm  # noqa: F401
     import whale_sightings_spark.plans.queries_olap2  # noqa: F401

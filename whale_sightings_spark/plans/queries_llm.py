@@ -2230,13 +2230,19 @@ def _ivfpq_index_dir(spark: SparkSession, sf_dir: str) -> str:
         os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))), ".index_cache"),
     )
-    index_dir = os.path.join(
-        root,
-        os.path.basename(os.path.normpath(sf_dir)),
-        f"ivfpq_v{SIM.INDEX_FORMAT_VERSION}_{fp}",
-    )
+    sf_root = os.path.join(root, os.path.basename(os.path.normpath(sf_dir)))
+    leaf = f"ivfpq_v{SIM.INDEX_FORMAT_VERSION}_{fp}"
+    index_dir = os.path.join(sf_root, leaf)
     _coarse_dir, _rcb_dir, codes_dir = SIM.ivfpq_index_paths(index_dir)
     if not os.path.exists(os.path.join(codes_dir, "_SUCCESS")):
+        # evict stale fingerprints (a regenerated corpus or bumped
+        # format version) so the cache holds one live artifact per sf
+        import shutil
+
+        if os.path.isdir(sf_root):
+            for d in os.listdir(sf_root):
+                if d != leaf:
+                    shutil.rmtree(os.path.join(sf_root, d), ignore_errors=True)
         SIM.build_ivfpq_index(load_table(spark, sf_dir, "embeddings"), index_dir)
     return index_dir
 

@@ -1362,3 +1362,166 @@ def q176_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q177_bpe_fertility", BPE.bpe_fertility_sql())
 def q177_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BPE.bpe_fertility(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q178/q179 — the trained tokenizer's other two shipped artifacts: the
+# symbol VOCABULARY after K merges (q178: per surviving symbol, how
+# many dictionary words use it and its corpus-weighted occurrence
+# count — the table an embedding matrix is sized from) and a
+# deterministic SEGMENTATION sample (q179: the top-20 words by corpus
+# frequency with their trained tokenization — the artifact reviewers
+# eyeball). Both are vocab-scale aggs over the final symbol frame;
+# the oracles extend the same unrolled round chain.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q178_bpe_vocab",
+    f"""
+    WITH {BPE.bpe_ctes()}
+    SELECT sym,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+           CAST(sum(wcount) AS BIGINT) AS n_occurrences
+    FROM s{BPE.BPE_ROUNDS}
+    GROUP BY sym
+    """,
+)
+def q178_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _merges, syms = BPE.bpe_train(load_table(spark, sf_dir, "documents"))
+    return syms.groupBy("sym").agg(
+        F.countDistinct("word").alias("n_words"),
+        F.sum("wcount").cast("bigint").alias("n_occurrences"),
+    )
+
+
+@register(
+    "q179_bpe_segmentations",
+    f"""
+    WITH {BPE.bpe_ctes()}
+    SELECT word, wcount, string_agg(sym, ' ' ORDER BY pos) AS segmentation
+    FROM s{BPE.BPE_ROUNDS}
+    GROUP BY word, wcount
+    ORDER BY wcount DESC, word
+    LIMIT 20
+    """,
+)
+def q179_bpe_segmentations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _merges, syms = BPE.bpe_train(load_table(spark, sf_dir, "documents"))
+    return (
+        syms.groupBy("word", "wcount")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                    lambda x: x.sym,
+                ),
+                " ",
+            ).alias("segmentation")
+        )
+        .orderBy(F.desc("wcount"), F.asc("word"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q180 — BPE-budget sequence packing: q64's deterministic context-bin
+# packing re-costed with TRAINED-BPE token counts — the composition a
+# real pipeline runs (the packer budgets in the tokens the MODEL will
+# see, not whitespace words). Per-doc BPE counts come from the corpus
+# word stream joined to the broadcast vocab-scale token table (char
+# fallback past the training cap, the q177 contract); the fill is
+# q64's one window shuffle over (bucket, doc_id). Proves the trained
+# tokenizer artifact is consumable across operators, like q175 does
+# for the IVF-PQ index.
+# ---------------------------------------------------------------------------
+
+from whale_sightings_spark.functions.hashing import hash60, hash60_sql  # noqa: E402
+
+_BPE_PACK_BIN = 4096
+_BPE_PACK_BUCKETS = 16
+_BPE_PACK_BUCKET_SQL = (
+    f"({hash60_sql('CAST(doc_id AS VARCHAR)')}) % {_BPE_PACK_BUCKETS}"
+)
+
+
+@register(
+    "q180_bpe_packing",
+    f"""
+    WITH {BPE.bpe_ctes()},
+    wt AS (SELECT word, CAST(count(*) AS BIGINT) AS n_tokens
+           FROM s{BPE.BPE_ROUNDS} GROUP BY word),
+    dw AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), ' +')) AS word
+            FROM documents
+        ) WHERE word <> ''
+    ),
+    perdoc AS (
+        SELECT d.doc_id,
+               CAST(sum(coalesce(t.n_tokens, len(d.word))) AS BIGINT) AS n_tokens
+        FROM dw d LEFT JOIN wt t ON t.word = d.word
+        GROUP BY d.doc_id
+    ),
+    t AS (
+        SELECT doc.doc_id,
+               coalesce(p.n_tokens, 0) AS n_tokens,
+               CAST({_BPE_PACK_BUCKET_SQL.replace('doc_id', 'doc.doc_id')} AS BIGINT) AS bucket
+        FROM documents doc LEFT JOIN perdoc p ON p.doc_id = doc.doc_id
+    ),
+    s AS (
+        SELECT doc_id, n_tokens, bucket,
+               sum(n_tokens) OVER (
+                   PARTITION BY bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM t
+    )
+    SELECT doc_id, bucket, n_tokens,
+           CAST(floor((cum - n_tokens) / {_BPE_PACK_BIN}.0) AS BIGINT) AS bin_id,
+           CAST((cum - n_tokens) % {_BPE_PACK_BIN} AS BIGINT) AS offset_tokens
+    FROM s
+    """,
+)
+def q180_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wt = BPE.bpe_word_tokens(docs).select("word", "n_tokens")
+    dw = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("word"),
+    ).filter(F.col("word") != "")
+    perdoc = (
+        dw.join(F.broadcast(wt), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce("n_tokens", F.length("word").cast("bigint")))
+            .cast("bigint")
+            .alias("n_tokens")
+        )
+    )
+    t = (
+        docs.select("doc_id")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            (hash60(F.col("doc_id").cast("string")) % _BPE_PACK_BUCKETS).alias(
+                "bucket"
+            ),
+        )
+    )
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    s = t.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return s.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        F.floor(start / _BPE_PACK_BIN).alias("bin_id"),
+        (start % _BPE_PACK_BIN).alias("offset_tokens"),
+    )
