@@ -221,3 +221,63 @@ def test_incremental_encode_history_prefix_matches_full_build(spark, sf_dir):
         .collect()
     )
     assert inc == full_hist and len(inc) == split
+
+
+# ---------------------------------------------------------------------------
+# embedquant family (q181-q183)
+# ---------------------------------------------------------------------------
+
+
+def test_int8_quant_error_bounded_by_half_step(spark, sf_dir):
+    """Affine int8 round-trip contract: for every dimension the max
+    reconstruction error of an IN-RANGE value is half a quantization
+    step (clamping can't bite because lo/hi come from the same data)."""
+    from whale_sightings_spark.operators import embedquant as EQ
+    from whale_sightings_spark.schemas import load_table
+
+    rows = EQ.int8_quantization_audit(
+        load_table(spark, sf_dir, "embeddings")
+    ).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r.max_abs_err <= r.scale / 2 + 1e-6, r
+        assert r.rmse <= r.max_abs_err + 1e-9, r
+        assert r.lo <= r.hi, r
+
+
+def test_matryoshka_recall_full_prefix_orders_mean(spark, sf_dir):
+    """Wider prefixes can't be systematically worse: mean recall@5 at
+    32 dims >= mean recall at 8 dims (the curve the audit exists to
+    draw), and every recall sits in [0, 1]."""
+    from whale_sightings_spark.operators import embedquant as EQ
+    from whale_sightings_spark.schemas import load_table
+
+    rows = EQ.truncated_dim_recall(
+        load_table(spark, sf_dir, "embeddings")
+    ).collect()
+    assert {r.trunc_dim for r in rows} == set(EQ.TRUNC_DIMS)
+    by_dim = {}
+    for r in rows:
+        assert 0.0 <= r.recall <= 1.0
+        by_dim.setdefault(r.trunc_dim, []).append(r.recall)
+    mean = {d: sum(v) / len(v) for d, v in by_dim.items()}
+    assert mean[32] >= mean[8] - 1e-9, mean
+
+
+def test_semantic_contamination_probe_exclusion(spark, sf_dir):
+    """The probe set itself never appears on the train side (a probe
+    scoring itself at cos=1 would fake a contamination hit), and label
+    group sizes add up to the non-probe corpus."""
+    from whale_sightings_spark.operators import embedquant as EQ
+    from whale_sightings_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = EQ.semantic_contamination_audit(emb).collect()
+    n_total = emb.count()
+    n_probe = emb.filter(
+        f"vec_id % {EQ.PROBE_MOD} = {EQ.PROBE_REM}"
+    ).count()
+    assert sum(r.n_train for r in out) == n_total - n_probe
+    for r in out:
+        assert -1.0 <= r.avg_max_cos <= 1.0
+        assert r.n_contaminated <= r.n_train
