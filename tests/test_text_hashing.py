@@ -145,3 +145,16 @@ def test_q133_utm_filter_underscore_is_literal(spark):
         .collect()[0][0]
     )
     assert got_duck == got_spark == "ref=abc&utmXfoo=1&utmz=2"
+
+
+def test_bloom_prescreen_has_no_false_negatives(spark, sf_dir):
+    """Bloom contract: the prescreen only OVER-approximates — every
+    exact dictionary hit is a Bloom candidate. Per source that means
+    candidates - false_positives == exact_hits exactly."""
+    from whale_sightings_spark.plans.queries import queries
+
+    rows = queries()["q184_bloom_prescreen"](spark, sf_dir).collect()
+    assert rows, "audit must cover at least one source"
+    for r in rows:
+        assert r.n_bloom_candidates - r.n_false_pos == r.n_exact_hits, r
+        assert r.n_bloom_candidates <= r.n_grams_probed, r

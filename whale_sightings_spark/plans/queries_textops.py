@@ -1525,3 +1525,167 @@ def q180_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / _BPE_PACK_BIN).alias("bin_id"),
         (start % _BPE_PACK_BIN).alias("offset_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q184 — Bloom-filter prescreened contamination join: q119's eval
+# 3-gram dictionary compiled into a fixed 3840-bit Bloom filter
+# (64 x 60-bit words, 3 salted hash60 probes) that prescreens the
+# training gram stream BEFORE the exact dictionary join — the manual
+# form of the runtime row-group filter Spark's own bloom-join pushes
+# at scale, with the false-positive economics made visible. The
+# filter is a 64-row bit_or agg over the (small) eval set, broadcast
+# to the probe side; candidates then verify against the exact
+# dictionary, and the audit prices the prescreen per source:
+# candidates vs exact hits vs false positives. Contract: the Bloom
+# side can only OVER-approximate (exact hits are always candidates) —
+# pytest-pinned, and the per-source fp counts are oracle-checked.
+# At 100 TB the win is that the exact (shuffle) join sees only the
+# candidate stream — the filter itself is 64 bigints.
+# ---------------------------------------------------------------------------
+
+_BLOOM_WORDS = 64
+_BLOOM_WORD_BITS = 60
+_BLOOM_BITS = _BLOOM_WORDS * _BLOOM_WORD_BITS
+_BLOOM_K = 3
+
+
+def _bloom_pos_sql(gram_expr: str, j: int) -> str:
+    salted = "'bl" + str(j) + ":' || " + gram_expr
+    return f"({hash60_sql(salted)}) % {_BLOOM_BITS}"
+
+
+_BLOOM_GRAMS = f"""
+    t AS (
+        SELECT doc_id, {TX.tokens_sql('text')} AS t FROM documents
+    ),
+    g AS (
+        SELECT doc_id, unnest({TX.shingles_from_tokens_sql('t', 3)}) AS gram
+        FROM t
+    ),
+    e AS (SELECT DISTINCT gram FROM g WHERE doc_id < 5),
+    tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id >= 10)
+"""
+
+_BLOOM_BUILD = f"""
+    pos AS (
+        SELECT unnest([{", ".join(_bloom_pos_sql('gram', j) for j in range(_BLOOM_K))}]) AS p
+        FROM e
+    ),
+    filt AS (
+        SELECT p // {_BLOOM_WORD_BITS} AS word_idx,
+               bit_or((CAST(1 AS BIGINT) << CAST(p % {_BLOOM_WORD_BITS} AS INTEGER))) AS word
+        FROM pos GROUP BY 1
+    )
+"""
+
+
+@register(
+    "q184_bloom_prescreen",
+    f"""
+    WITH {_BLOOM_GRAMS},
+    {_BLOOM_BUILD},
+    probe AS (
+        SELECT doc_id, gram,
+               unnest([{", ".join(_bloom_pos_sql('gram', j) for j in range(_BLOOM_K))}]) AS p
+        FROM tr
+    ),
+    hits AS (
+        SELECT probe.doc_id, probe.gram,
+               min(CASE WHEN f.word IS NULL THEN 0
+                        ELSE CAST((f.word >> CAST(probe.p % {_BLOOM_WORD_BITS} AS INTEGER)) & 1 AS INTEGER)
+                   END) AS all_set
+        FROM probe LEFT JOIN filt f ON f.word_idx = probe.p // {_BLOOM_WORD_BITS}
+        GROUP BY probe.doc_id, probe.gram
+    ),
+    verdicts AS (
+        SELECT h.doc_id, h.gram, h.all_set = 1 AS bloom_cand,
+               e.gram IS NOT NULL AS exact_hit
+        FROM hits h LEFT JOIN e ON e.gram = h.gram
+    ),
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT s.source,
+           CAST(count(*) AS BIGINT) AS n_grams_probed,
+           CAST(count(*) FILTER (bloom_cand) AS BIGINT) AS n_bloom_candidates,
+           CAST(count(*) FILTER (exact_hit) AS BIGINT) AS n_exact_hits,
+           CAST(count(*) FILTER (bloom_cand AND NOT exact_hit) AS BIGINT)
+               AS n_false_pos,
+           round(CAST(count(*) FILTER (bloom_cand AND NOT exact_hit) AS DOUBLE)
+                 / greatest(count(*) FILTER (bloom_cand), 1), 6) AS fp_rate
+    FROM verdicts v JOIN src s USING (doc_id)
+    GROUP BY s.source
+    """,
+)
+def q184_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+    g = t.select(
+        "doc_id", F.explode(TX.shingles_from_tokens(F.col("t"), 3)).alias("gram")
+    )
+    ev = g.filter(F.col("doc_id") < 5).select("gram").distinct()
+    tr = g.filter(F.col("doc_id") >= 10).distinct()
+
+    def positions(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            *frame.columns,
+            F.explode(
+                F.array(
+                    *[
+                        hash60(F.concat(F.lit(f"bl{j}:"), F.col("gram")))
+                        % _BLOOM_BITS
+                        for j in range(_BLOOM_K)
+                    ]
+                )
+            ).alias("p"),
+        )
+
+    filt = (
+        positions(ev)
+        .select(
+            (F.col("p") / _BLOOM_WORD_BITS).cast("long").alias("word_idx"),
+            (F.col("p") % _BLOOM_WORD_BITS).cast("int").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("word"))
+    )
+    probe = positions(tr)
+    hits = (
+        probe.join(
+            F.broadcast(filt),
+            (F.col("p") / _BLOOM_WORD_BITS).cast("long") == F.col("word_idx"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "gram",
+            F.when(F.col("word").isNull(), F.lit(0))
+            .otherwise(
+                F.expr(
+                    f"CAST((word >> CAST(p % {_BLOOM_WORD_BITS} AS INT)) & 1 AS INT)"
+                )
+            )
+            .alias("set_"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.min("set_").alias("all_set"))
+    )
+    verdicts = hits.join(
+        F.broadcast(ev.withColumn("exact_hit", F.lit(True))), "gram", "left"
+    ).select(
+        "doc_id",
+        (F.col("all_set") == 1).alias("bloom_cand"),
+        F.coalesce("exact_hit", F.lit(False)).alias("exact_hit"),
+    )
+    cand = F.sum(F.col("bloom_cand").cast("long"))
+    fp = F.sum((F.col("bloom_cand") & ~F.col("exact_hit")).cast("long"))
+    return (
+        verdicts.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_grams_probed"),
+            cand.alias("n_bloom_candidates"),
+            F.sum(F.col("exact_hit").cast("long")).alias("n_exact_hits"),
+            fp.alias("n_false_pos"),
+            F.round(fp / F.greatest(cand, F.lit(1)), 6).alias("fp_rate"),
+        )
+    )
