@@ -1493,3 +1493,169 @@ def q169_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos",
     )
     return pos_rows.unionByName(neg_rows)
+
+
+# ---------------------------------------------------------------------------
+# q185 — trigram stupid-backoff perplexity on a HELD-OUT split: the
+# q120/q136 LM family extended one order, with the backoff cascade a
+# production perplexity filter actually exercises (train on 90% of
+# docs, score the held-out 10%, so unseen trigrams/bigrams genuinely
+# fall back). S(w3|w1w2) = c123/c12 if seen, else α·c23/c2 if the
+# bigram is seen, else α²·(c3+1)/(N+V) (add-one floor so OOV tokens
+# score finite). Context counts are KenLM-style sums over the n-gram
+# tables themselves (c12 = Σ_w3 c123, c2 = Σ_w3 c23) so every branch
+# is a keyed window over the LM TABLE, not the corpus. Scale shape:
+# the scoring stream joins three vocab-bounded LM tables on their
+# n-gram keys (the LM tables shuffle once at build; the held-out
+# stream rides the same hash family); per-doc report is one keyed
+# agg. The audit columns (n_bo2/n_bo1) price how often the filter is
+# trusting backed-off estimates.
+# ---------------------------------------------------------------------------
+
+_SB_ALPHA = 0.4
+_SB_HOLD_MOD = 10
+
+
+@register(
+    "q185_ppl_stupid_backoff",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {TX.tokens_sql('text')} AS w FROM documents
+    ),
+    ev AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+        FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+        WHERE w[i] <> '' AND w[i + 1] <> '' AND w[i + 2] <> ''
+    ),
+    bev AS (
+        SELECT doc_id, w[i] AS wa, w[i + 1] AS wb
+        FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) r
+        WHERE w[i] <> '' AND w[i + 1] <> ''
+    ),
+    tri AS (
+        SELECT w1, w2, w3, count(*) AS c123,
+               sum(count(*)) OVER (PARTITION BY w1, w2) AS c12
+        FROM ev WHERE doc_id % {_SB_HOLD_MOD} <> 0
+        GROUP BY w1, w2, w3
+    ),
+    big AS (
+        SELECT wa, wb, count(*) AS c23,
+               sum(count(*)) OVER (PARTITION BY wa) AS c2
+        FROM bev WHERE doc_id % {_SB_HOLD_MOD} <> 0
+        GROUP BY wa, wb
+    ),
+    uni AS (
+        SELECT tok, count(*) AS c3
+        FROM (SELECT doc_id, unnest({TX.tokens_sql('text')}) AS tok
+              FROM documents)
+        WHERE tok <> '' AND doc_id % {_SB_HOLD_MOD} <> 0
+        GROUP BY tok
+    ),
+    tot AS (SELECT sum(c3) AS n, count(*) AS v FROM uni),
+    scored AS (
+        SELECT e.doc_id,
+               CASE WHEN t.c123 IS NOT NULL THEN t.c123 * 1.0 / t.c12
+                    WHEN b.c23 IS NOT NULL
+                        THEN {_SB_ALPHA} * b.c23 / b.c2
+                    ELSE {_SB_ALPHA} * {_SB_ALPHA}
+                         * (coalesce(u.c3, 0) + 1.0) / (tot.n + tot.v)
+               END AS p,
+               CASE WHEN t.c123 IS NULL AND b.c23 IS NOT NULL THEN 1
+                    ELSE 0 END AS bo2,
+               CASE WHEN t.c123 IS NULL AND b.c23 IS NULL THEN 1
+                    ELSE 0 END AS bo1
+        FROM ev e
+        LEFT JOIN tri t ON t.w1 = e.w1 AND t.w2 = e.w2 AND t.w3 = e.w3
+        LEFT JOIN big b ON b.wa = e.w2 AND b.wb = e.w3
+        LEFT JOIN uni u ON u.tok = e.w3
+        CROSS JOIN tot
+        WHERE e.doc_id % {_SB_HOLD_MOD} = 0
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(bo2) AS BIGINT) AS n_bo2,
+           CAST(sum(bo1) AS BIGINT) AS n_bo1,
+           round(exp(-sum(ln(p)) / count(*)), 4) AS ppl_sb
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def q185_ppl_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("w"))
+    ev = (
+        toks.select("doc_id", "w", F.posexplode("w").alias("i", "w1"))
+        .select(
+            "doc_id",
+            "w1",
+            F.try_element_at("w", F.col("i") + 2).alias("w2"),
+            F.try_element_at("w", F.col("i") + 3).alias("w3"),
+        )
+        .filter(
+            (F.col("w1") != "")
+            & F.col("w2").isNotNull() & (F.col("w2") != "")
+            & F.col("w3").isNotNull() & (F.col("w3") != "")
+        )
+    )
+    bev = (
+        toks.select("doc_id", "w", F.posexplode("w").alias("i", "wa"))
+        .select("doc_id", "wa", F.try_element_at("w", F.col("i") + 2).alias("wb"))
+        .filter((F.col("wa") != "") & F.col("wb").isNotNull() & (F.col("wb") != ""))
+    )
+    held = F.col("doc_id") % _SB_HOLD_MOD == 0
+    tri = (
+        ev.filter(~held)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("c123"))
+        .withColumn("c12", F.sum("c123").over(W.partitionBy("w1", "w2")))
+    )
+    big = (
+        bev.filter(~held)
+        .groupBy("wa", "wb")
+        .agg(F.count("*").alias("c23"))
+        .withColumn("c2", F.sum("c23").over(W.partitionBy("wa")))
+    )
+    uni = (
+        toks.filter(~held)
+        .select(F.explode("w").alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("c3"))
+    )
+    tot = uni.agg(F.sum("c3").alias("n"), F.count("*").alias("v"))
+    a = F.lit(_SB_ALPHA)
+    p = (
+        F.when(F.col("c123").isNotNull(), F.col("c123") * F.lit(1.0) / F.col("c12"))
+        .when(F.col("c23").isNotNull(), a * F.col("c23") / F.col("c2"))
+        .otherwise(
+            a * a * (F.coalesce("c3", F.lit(0)) + F.lit(1.0))
+            / (F.col("n") + F.col("v"))
+        )
+    )
+    scored = (
+        ev.filter(held)
+        .join(tri, ["w1", "w2", "w3"], "left")
+        .join(
+            big,
+            (F.col("wa") == F.col("w2")) & (F.col("wb") == F.col("w3")),
+            "left",
+        )
+        .join(uni, F.col("tok") == F.col("w3"), "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            p.alias("p"),
+            (F.col("c123").isNull() & F.col("c23").isNotNull())
+            .cast("int")
+            .alias("bo2"),
+            (F.col("c123").isNull() & F.col("c23").isNull())
+            .cast("int")
+            .alias("bo1"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_trigrams"),
+        F.sum("bo2").cast("long").alias("n_bo2"),
+        F.sum("bo1").cast("long").alias("n_bo1"),
+        F.round(F.exp(-F.sum(F.log("p")) / F.count("*")), 4).alias("ppl_sb"),
+    )
