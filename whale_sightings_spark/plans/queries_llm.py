@@ -2445,3 +2445,106 @@ def q175_semantic_dedup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drop_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q186 — quality-aware survivor selection: q29's near-dup clusters,
+# but the kept document per cluster is the HIGHEST-QUALITY member
+# (quality_score desc, doc_id tie-break) instead of min-id — the
+# policy real curation pipelines run, since the first-crawled copy of
+# a page is often the worst one. Per-source audit prices the choice:
+# how many docs survive, what share of tokens they carry, and how
+# often quality selection actually flipped the outcome vs the naive
+# min-id rule (n_quality_flips — the value of scoring before
+# deduping). Shapes: q29's edge-set propagation + one window over the
+# cluster-keyed doc table (cluster sizes are near-dup-group-bounded)
+# + a source-sized agg. Nothing new shuffles at corpus scale beyond
+# the one cluster-keyed hash partition.
+# ---------------------------------------------------------------------------
+
+
+def _q186_oracle() -> str:
+    k = DD.COMPONENT_ITERATIONS
+    return (
+        _label_prop_ctes(_SIMHASH_PAIRS_SQL, k)
+        + f"""
+    , clusters AS (
+        SELECT d.doc_id, d.source,
+               coalesce(l.label, d.doc_id) AS cluster,
+               round({TX.quality_score_sql('d.text')}, 6) AS q,
+               {TX.token_count_sql('d.text')} AS n_tokens
+        FROM documents d LEFT JOIN l{k} l ON l.doc_id = d.doc_id
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY cluster ORDER BY q DESC, doc_id
+               ) AS rk,
+               min(doc_id) OVER (PARTITION BY cluster) AS min_id
+        FROM clusters
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (rk = 1) AS BIGINT) AS n_survivors,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(sum(n_tokens) FILTER (rk = 1) AS BIGINT) AS tokens_kept,
+           round(CAST(sum(n_tokens) FILTER (rk = 1) AS DOUBLE)
+                 / sum(n_tokens), 6) AS kept_token_share,
+           CAST(count(*) FILTER (rk = 1 AND doc_id <> min_id) AS BIGINT)
+               AS n_quality_flips
+    FROM ranked
+    GROUP BY source
+    """
+    )
+
+
+@register("q186_quality_survivors", _q186_oracle())
+def q186_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.simhash_pairs(docs)
+    labels = DD.dedup_components(pairs)
+    clusters = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.round(TX.quality_score(F.col("text")), 6).alias("q"),
+            TX.token_count(F.col("text")).alias("n_tokens"),
+        )
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "q",
+            "n_tokens",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster"),
+        )
+    )
+    cw = W.partitionBy("cluster")
+    ranked = clusters.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.row_number()
+        .over(cw.orderBy(F.desc("q"), F.asc("doc_id")))
+        .alias("rk"),
+        F.min("doc_id").over(cw).alias("min_id"),
+    )
+    kept = F.col("rk") == 1
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_survivors"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+        F.round(
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+            / F.sum("n_tokens"),
+            6,
+        ).alias("kept_token_share"),
+        F.sum((kept & (F.col("doc_id") != F.col("min_id"))).cast("long")).alias(
+            "n_quality_flips"
+        ),
+    )
