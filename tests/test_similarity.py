@@ -281,3 +281,28 @@ def test_semantic_contamination_probe_exclusion(spark, sf_dir):
     for r in out:
         assert -1.0 <= r.avg_max_cos <= 1.0
         assert r.n_contaminated <= r.n_train
+
+
+def test_pca_top_component_dominates_and_is_unit(spark, sf_dir):
+    """Rayleigh-quotient contracts: the returned loading is unit-norm,
+    and the eigenvalue estimate is >= the variance captured by any
+    single axis-aligned direction (lambda_max >= max diagonal entry of
+    a symmetric covariance; power iteration after 8 rounds should be
+    at least that far along)."""
+    from whale_sightings_spark.operators import embedquant as EQ
+    from whale_sightings_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = EQ.pca_top_component(emb).collect()
+    assert len(rows) == 64
+    norm = sum(r.loading**2 for r in rows) ** 0.5
+    assert abs(norm - 1.0) < 1e-3, norm
+    eig = rows[0].eigval
+    assert all(r.eigval == eig for r in rows)
+    # per-dim variances from the int8 audit bounds pass would do, but
+    # recompute directly: eig must beat the best single dimension
+    import numpy as np
+
+    X = np.array(emb.select("embedding").toPandas()["embedding"].tolist(), dtype=float)
+    assert eig >= X.var(axis=0).max() - 1e-4
+    assert 0.0 < rows[0].var_share < 1.0

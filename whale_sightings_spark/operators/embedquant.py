@@ -322,3 +322,148 @@ def truncated_dim_recall_sql() -> str:
     )
     {union}
     """
+
+
+# ---------------------------------------------------------------------------
+# PCA top component via fixed-round power iteration
+# ---------------------------------------------------------------------------
+
+#: fixed power-iteration rounds (deterministic + SQL-unrollable, the
+#: q112 fixed-k convention); intermediate vectors round to 12 decimals
+#: each round so Spark-driver math and the DuckDB-unrolled oracle
+#: cannot drift apart
+PCA_ROUNDS = 8
+PCA_VEC_DP = 12
+#: covariance entries round to 9 decimals before iterating — the sum
+#: order inside each engine differs at ~1e-13, far under the grid
+PCA_COV_DP = 9
+
+
+def pca_top_component(embeddings: DataFrame) -> DataFrame:
+    """Top principal component of the embedding cloud: one covariance
+    pass + PCA_ROUNDS power-iteration steps on the collected d x d
+    matrix (d = 64 -> 4096 doubles, scalar-scale driver math like the
+    q159 percentile-boundary collect).
+
+    Scale shape: the ONLY corpus-scale work is the covariance pass —
+    a d^2-per-row explode that partial-aggregates to (i, j) cells, so
+    the shuffle is 4096 rows per map partition regardless of corpus
+    size. Everything after (iteration, eigenvalue, variance share) is
+    driver-side over the d x d collect. At 100 TB this is how you fit
+    the whitening/PCA transform a dimensionality-reduction or
+    embedding-drift stage needs without ever centralizing vectors.
+    Output: per-dim loading of the unit top component, the Rayleigh
+    eigenvalue, and its share of total variance (trace).
+    """
+    import numpy as np
+
+    d1 = embeddings.select("embedding", F.posexplode("embedding").alias("i", "xi"))
+    d2 = d1.select(
+        "i",
+        F.col("xi").cast("double").alias("xi"),
+        F.posexplode("embedding").alias("j", "xj"),
+    ).select("i", "xi", "j", F.col("xj").cast("double").alias("xj"))
+    stats = d2.groupBy("i", "j").agg(
+        F.sum(F.col("xi") * F.col("xj")).alias("s"), F.count("*").alias("n")
+    )
+    mu = (
+        embeddings.select(F.posexplode("embedding").alias("i", "xi"))
+        .groupBy("i")
+        .agg(F.round(F.avg(F.col("xi").cast("double")), PCA_COV_DP).alias("mu"))
+    )
+    rows = (
+        stats.join(mu.select(F.col("i"), F.col("mu").alias("mu_i")), "i")
+        .join(
+            mu.select(F.col("i").alias("j"), F.col("mu").alias("mu_j")), "j"
+        )
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("s") / F.col("n") - F.col("mu_i") * F.col("mu_j"),
+                PCA_COV_DP,
+            ).alias("c"),
+        )
+        .collect()
+    )
+    d = max(r.i for r in rows) + 1
+    C = np.zeros((d, d))
+    for r in rows:
+        C[r.i, r.j] = r.c
+    v = np.round(np.full(d, 1.0 / float(np.sqrt(d))), PCA_VEC_DP)
+    for _ in range(PCA_ROUNDS):
+        # mirror the oracle's per-dim sum: plain dot is fine — the
+        # 12-dp round each step absorbs any sum-order difference
+        w = C @ v
+        v = np.round(w / float(np.sqrt((w * w).sum())), PCA_VEC_DP)
+    eig = float(v @ C @ v)
+    trace = float(np.trace(C))
+    spark = embeddings.sparkSession
+    out = [
+        (int(i) + 1, float(v[i]), round(eig, 6), round(eig / trace, 6))
+        for i in range(d)
+    ]
+    return spark.createDataFrame(
+        out, "dim long, loading double, eigval double, var_share double"
+    ).select("dim", F.round("loading", 6).alias("loading"), "eigval", "var_share")
+
+
+def pca_top_component_sql(dim: int = 64) -> str:
+    """DuckDB twin: identical covariance grid, identical unrolled
+    rounds with the same 12-dp per-round rounding."""
+    ctes = f"""
+    d2 AS (
+        SELECT i.i AS i, CAST(embedding[i.i] AS DOUBLE) AS xi,
+               j.j AS j, CAST(embedding[j.j] AS DOUBLE) AS xj
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, {dim})) AS i) i,
+             LATERAL (SELECT unnest(generate_series(1, {dim})) AS j) j
+    ),
+    mu AS (
+        SELECT i.i AS i,
+               round(avg(CAST(embedding[i.i] AS DOUBLE)), {PCA_COV_DP}) AS mu
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, {dim})) AS i) i
+        GROUP BY i.i
+    ),
+    cov AS MATERIALIZED (
+        SELECT d2.i, d2.j,
+               round(sum(xi * xj) / count(*)
+                     - any_value(mi.mu) * any_value(mj.mu), {PCA_COV_DP}) AS c
+        FROM d2
+        JOIN mu mi ON mi.i = d2.i
+        JOIN mu mj ON mj.i = d2.j
+        GROUP BY d2.i, d2.j
+    ),
+    r0 AS (
+        SELECT i AS dim, round(1.0 / sqrt({dim}.0), {PCA_VEC_DP}) AS v
+        FROM mu
+    )"""
+    for k in range(1, PCA_ROUNDS + 1):
+        ctes += f""",
+    m{k} AS MATERIALIZED (
+        SELECT cov.i AS dim, sum(cov.c * r.v) AS w
+        FROM cov JOIN r{k-1} r ON r.dim = cov.j
+        GROUP BY cov.i
+    ),
+    n{k} AS (SELECT sqrt(sum(w * w)) AS nrm FROM m{k}),
+    r{k} AS MATERIALIZED (
+        SELECT dim, round(w / nrm, {PCA_VEC_DP}) AS v
+        FROM m{k} CROSS JOIN n{k}
+    )"""
+    last = f"r{PCA_ROUNDS}"
+    return f"""
+    WITH {ctes},
+    eig AS (
+        SELECT round(sum(a.v * cov.c * b.v), 6) AS eigval
+        FROM cov
+        JOIN {last} a ON a.dim = cov.i
+        JOIN {last} b ON b.dim = cov.j
+    ),
+    tr AS (SELECT sum(c) AS trace FROM cov WHERE i = j)
+    SELECT CAST(r.dim AS BIGINT) AS dim,
+           round(r.v, 6) AS loading,
+           eig.eigval AS eigval,
+           round(eig.eigval / tr.trace, 6) AS var_share
+    FROM {last} r CROSS JOIN eig CROSS JOIN tr
+    """

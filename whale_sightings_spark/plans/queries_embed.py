@@ -60,3 +60,20 @@ def q182_int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q183_matryoshka_recall", EQ.truncated_dim_recall_sql())
 def q183_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EQ.truncated_dim_recall(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# q187 — PCA top principal component by fixed-round power iteration:
+# one d^2-per-row covariance pass (partial-aggregated to 4096 cells —
+# the only corpus-scale work), then 8 deterministic iteration rounds
+# over the collected d x d matrix, 12-dp rounded per round so the
+# driver math and the SQL-unrolled oracle agree exactly. The fit step
+# for whitening / dimensionality reduction / embedding-drift
+# monitoring; q183 prices serving fewer dims, this computes the basis
+# you'd actually project onto.
+# ---------------------------------------------------------------------------
+
+
+@register("q187_pca_top_component", EQ.pca_top_component_sql())
+def q187_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EQ.pca_top_component(load_table(spark, sf_dir, "embeddings"))
