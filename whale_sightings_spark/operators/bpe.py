@@ -193,34 +193,37 @@ def bpe_fertility(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def bpe_ctes(rounds: int = BPE_ROUNDS, cap: int = BPE_VOCAB_CAP) -> str:
+def bpe_ctes(rounds: int = BPE_ROUNDS, cap: int = BPE_VOCAB_CAP,
+             prefix: str = "", where: str = "") -> str:
     """CTE chain: wd (word dict), s0 (char rows), then per round r:
     p{r} pair counts, m{r} in-SQL argmax (same tie-break as the Spark
     driver collect), s{r} the merge applied with the same
     gaps-and-islands rule. Ends with s{rounds} and m1..m{rounds} in
-    scope."""
+    scope. ``prefix`` namespaces every CTE (two chains can coexist
+    in one statement, the pq_codebook_ctes convention); ``where``
+    filters the documents feeding the word dictionary."""
     parts = [
-        f"""wd AS (
+        f"""{prefix}wd AS (
         SELECT word, CAST(count(*) AS BIGINT) AS wcount FROM (
             SELECT unnest(regexp_split_to_array(trim(lower(text)), ' +')) AS word
-            FROM documents
+            FROM documents{" WHERE " + where if where else ""}
         ) WHERE word <> ''
         GROUP BY word ORDER BY wcount DESC, word LIMIT {cap})""",
-        """s0 AS (
+        f"""{prefix}s0 AS (
         SELECT word, wcount, CAST(d.i AS BIGINT) AS pos,
                substr(word, CAST(d.i AS INT), 1) AS sym
-        FROM wd, LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) d)""",
+        FROM {prefix}wd, LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) d)""",
     ]
     for r in range(1, rounds + 1):
         parts.extend([
-            f"""p{r} AS (
+            f"""{prefix}p{r} AS (
         SELECT sym AS a, nxt AS b, CAST(sum(wcount) AS BIGINT) AS cnt FROM (
             SELECT sym, wcount,
                    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
-            FROM s{r - 1}
+            FROM {prefix}s{r - 1}
         ) WHERE nxt IS NOT NULL GROUP BY 1, 2)""",
-            f"m{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1)",
-            f"""f{r} AS (
+            f"{prefix}m{r} AS (SELECT a, b, cnt FROM {prefix}p{r} ORDER BY cnt DESC, a, b LIMIT 1)",
+            f"""{prefix}f{r} AS (
         SELECT *, cand AND ((pos - min(pos) OVER (PARTITION BY word, grp)) % 2 = 0) AS mrg
         FROM (
             SELECT *, CASE WHEN cand THEN
@@ -231,16 +234,16 @@ def bpe_ctes(rounds: int = BPE_ROUNDS, cap: int = BPE_VOCAB_CAP) -> str:
                        (s.sym = m.a AND coalesce(
                            lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = m.b,
                            false)) AS cand
-                FROM s{r - 1} s CROSS JOIN m{r} m
+                FROM {prefix}s{r - 1} s CROSS JOIN {prefix}m{r} m
             )
         ))""",
-            f"""s{r} AS (
+            f"""{prefix}s{r} AS (
         SELECT word, wcount,
                CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
                CASE WHEN mrg THEN ma || mb ELSE sym END AS sym
         FROM (
             SELECT *, lag(mrg) OVER (PARTITION BY word ORDER BY pos) AS consumed
-            FROM f{r}
+            FROM {prefix}f{r}
         ) WHERE NOT coalesce(consumed, false))""",
         ])
     return ",\n    ".join(parts)

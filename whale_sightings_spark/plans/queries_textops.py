@@ -1689,3 +1689,75 @@ def q184_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(fp / F.greatest(cand, F.lit(1)), 6).alias("fp_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q188 — tokenizer retrain-drift audit: the trained-BPE merge table
+# fit on the HISTORY prefix (80% of docs) vs the one fit on the full
+# corpus, compared round by round — the staleness check a production
+# pipeline runs before deciding whether yesterday's tokenizer still
+# fits today's corpus (q170's Heaps curve asks it of the vocabulary;
+# this asks it of the actual shipped artifact). Per round: both
+# chains' merged symbol, agreement flag, both pair counts; plus the
+# Jaccard of the two merge-PAIR sets as the one-number drift score.
+# Scale shape: two independent BPE trainings (each 1 corpus-scale
+# word agg + K vocab-scale rounds, q176's contract) and a
+# merge-table-sized (K-row) comparison — the drift math never touches
+# the corpus again.
+# ---------------------------------------------------------------------------
+
+_DRIFT_HOLD = "doc_id % 5 <> 4"
+
+
+def _q188_oracle() -> str:
+    k = BPE.BPE_ROUNDS
+    hm = "\n        UNION ALL\n        ".join(
+        f"SELECT {r} AS round, a, b, cnt FROM h_m{r}" for r in range(1, k + 1)
+    )
+    gm = "\n        UNION ALL\n        ".join(
+        f"SELECT {r} AS round, a, b, cnt FROM g_m{r}" for r in range(1, k + 1)
+    )
+    return f"""
+    WITH {BPE.bpe_ctes(prefix="h_", where=_DRIFT_HOLD)},
+    {BPE.bpe_ctes(prefix="g_")},
+    hm AS ({hm}),
+    gm AS ({gm}),
+    u AS (
+        SELECT coalesce(h.a, g.a) AS a, coalesce(h.b, g.b) AS b,
+               h.a IS NOT NULL AND g.a IS NOT NULL AS both_
+        FROM (SELECT DISTINCT a, b FROM hm) h
+        FULL JOIN (SELECT DISTINCT a, b FROM gm) g
+          ON g.a = h.a AND g.b = h.b
+    ),
+    j AS (
+        SELECT round(CAST(count(*) FILTER (both_) AS DOUBLE) / count(*), 6)
+               AS merge_jaccard
+        FROM u
+    )
+    SELECT hm.round,
+           hm.a || hm.b AS hist_merged,
+           gm.a || gm.b AS full_merged,
+           hm.a = gm.a AND hm.b = gm.b AS agree,
+           hm.cnt AS hist_count,
+           gm.cnt AS full_count,
+           j.merge_jaccard
+    FROM hm JOIN gm USING (round) CROSS JOIN j
+    """
+
+
+@register("q188_bpe_drift", _q188_oracle())
+def q188_bpe_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mh, _ = BPE.bpe_train(docs.filter(_DRIFT_HOLD))
+    mg, _ = BPE.bpe_train(docs)
+    hp = {(a, b) for _r, a, b, _m, _c in mh}
+    gp = {(a, b) for _r, a, b, _m, _c in mg}
+    jacc = round(len(hp & gp) / len(hp | gp), 6) if hp | gp else 0.0
+    rows = []
+    for (r, ha, hb, hm_, hc), (_r2, ga, gb, gm_, gc) in zip(mh, mg):
+        rows.append((r, hm_, gm_, (ha, hb) == (ga, gb), hc, gc, jacc))
+    return spark.createDataFrame(
+        rows,
+        "round int, hist_merged string, full_merged string, agree boolean,"
+        " hist_count bigint, full_count bigint, merge_jaccard double",
+    )
