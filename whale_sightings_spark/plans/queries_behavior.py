@@ -475,3 +475,65 @@ def q146_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_risky_rows"),
         F.min("n").cast("bigint").alias("min_group_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q189 — temporal leakage-safe split audit: train = events before the
+# cut date, test = at/after, with the per-event-type entity-leakage
+# report (users active on BOTH sides). Doc-keyed random splits leak
+# through time (a model trained on a user's January behavior is
+# evaluated on the same user's February); q126 guards the near-dup
+# axis, this guards the temporal/entity axis — the audit a
+# forecasting or ranking pipeline runs before trusting its eval. One
+# (event_type, user_id)-keyed partial agg then a type-sized rollup;
+# nothing row-scale shuffles twice. Timestamps compared as UTC-naive
+# literals (session TZ pinned UTC, the house convention).
+# ---------------------------------------------------------------------------
+
+_TSPLIT_CUT = "2024-01-22 00:00:00"
+
+
+@register(
+    "q189_temporal_leakage_split",
+    f"""
+    WITH g AS (
+        SELECT event_type, user_id,
+               count(*) FILTER (ts <  TIMESTAMP '{_TSPLIT_CUT}') AS n_tr,
+               count(*) FILTER (ts >= TIMESTAMP '{_TSPLIT_CUT}') AS n_te
+        FROM events
+        GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(sum(n_tr) AS BIGINT) AS n_train_events,
+           CAST(sum(n_te) AS BIGINT) AS n_test_events,
+           CAST(count(*) FILTER (n_tr > 0) AS BIGINT) AS n_users_train,
+           CAST(count(*) FILTER (n_te > 0) AS BIGINT) AS n_users_test,
+           CAST(count(*) FILTER (n_tr > 0 AND n_te > 0) AS BIGINT)
+               AS n_users_leaked,
+           round(CAST(count(*) FILTER (n_tr > 0 AND n_te > 0) AS DOUBLE)
+                 / greatest(count(*) FILTER (n_te > 0), 1), 6)
+               AS leaked_test_share
+    FROM g
+    GROUP BY event_type
+    """,
+)
+def q189_temporal_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(_TSPLIT_CUT).cast("timestamp")
+    g = ev.groupBy("event_type", "user_id").agg(
+        F.sum((F.col("ts") < cut).cast("long")).alias("n_tr"),
+        F.sum((F.col("ts") >= cut).cast("long")).alias("n_te"),
+    )
+    tr = F.col("n_tr") > 0
+    te = F.col("n_te") > 0
+    leaked = F.sum((tr & te).cast("long"))
+    return g.groupBy("event_type").agg(
+        F.sum("n_tr").cast("long").alias("n_train_events"),
+        F.sum("n_te").cast("long").alias("n_test_events"),
+        F.sum(tr.cast("long")).alias("n_users_train"),
+        F.sum(te.cast("long")).alias("n_users_test"),
+        leaked.alias("n_users_leaked"),
+        F.round(
+            leaked / F.greatest(F.sum(te.cast("long")), F.lit(1)), 6
+        ).alias("leaked_test_share"),
+    )
