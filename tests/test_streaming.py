@@ -595,3 +595,41 @@ def test_streaming_ivfpq_encode_matches_batch_and_replays(
         "vec_id long, cell bigint, s int, cid bigint, d2 double"
     ).parquet(state_dir + "/codes")
     assert after.count() == state.count()
+
+
+def test_streaming_bpe_ingest_matches_batch_and_replays(
+    spark, sf_dir, tmp_path_factory
+):
+    """The foreachBatch BPE-ingest twin: (a) the merge table trained
+    from the drained word-count state equals the batch operator's
+    EXACTLY — word counts are algebraic, so unlike the near-dup twin
+    this holds for ANY micro-batch split, pinned here with a 3-file
+    delta; (b) replay from a fresh checkpoint changes nothing."""
+    from whale_sightings_spark.operators.bpe import bpe_train
+    from whale_sightings_spark.streaming.events import (
+        bpe_train_from_state,
+        streaming_bpe_ingest,
+    )
+
+    base = tmp_path_factory.mktemp("bpe_ingest")
+    docs_dir = str(base / "docs")
+    docs = load_table(spark, sf_dir, "documents")
+    for lo, hi in ((0, 15), (15, 35), (35, 10**9)):
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.parquet(docs_dir, mode="append")
+
+    state_dir = str(base / "state")
+    streaming_bpe_ingest(spark, docs_dir, state_dir, str(base / "ckpt1"))
+
+    got_merges, _ = bpe_train_from_state(spark, state_dir)
+    want_merges, _ = bpe_train(docs)
+    assert got_merges == want_merges and len(got_merges) > 0
+
+    # replay: fresh checkpoint, same files — doc_id anti-join makes it
+    # a no-op; state row count and trained merges are unchanged
+    n_before = spark.read.parquet(state_dir + "/wordcounts").count()
+    streaming_bpe_ingest(spark, docs_dir, state_dir, str(base / "ckpt2"))
+    assert spark.read.parquet(state_dir + "/wordcounts").count() == n_before
+    again, _ = bpe_train_from_state(spark, state_dir)
+    assert again == want_merges

@@ -124,7 +124,16 @@ def bpe_train(docs: DataFrame, rounds: int = BPE_ROUNDS):
     frame). The per-round argmax is a 1-row TakeOrdered collect; the
     symbol frame is localCheckpoint'ed per round so lineage stays flat
     across rounds (the q112 iterative-operator convention)."""
-    syms = _char_rows(word_dict(docs)).localCheckpoint()
+    return bpe_train_from_dict(word_dict(docs), rounds)
+
+
+def bpe_train_from_dict(wd: DataFrame, rounds: int = BPE_ROUNDS):
+    """Train from an already-built (word, wcount) dictionary — the
+    entry the streaming ingest twin uses: its drained word-count state
+    aggregates to exactly ``word_dict``'s output, so the trained
+    merges are identical to the batch operator's. ``wd`` must already
+    carry the deterministic top-cap ordering contract."""
+    syms = _char_rows(wd).localCheckpoint()
     merges: list[tuple[int, str, str, str, int]] = []
     for r in range(1, rounds + 1):
         top = (

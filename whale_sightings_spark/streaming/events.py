@@ -806,3 +806,96 @@ def streaming_ivfpq_encode(
         .start()
         .awaitTermination()
     )
+
+
+def streaming_bpe_ingest(
+    spark: SparkSession,
+    docs_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming twin of the q176 trained-BPE pipeline's corpus pass:
+    each micro-batch appends its PER-DOC word counts (doc_id, word,
+    cnt) to the dictionary state — the only corpus-scale stage of BPE
+    training. Training itself (``bpe_train_from_state``) then runs
+    over the drained state's word sums, so the streamed tokenizer's
+    merge table equals the batch operator's EXACTLY regardless of how
+    the corpus was split into micro-batches (word counts are algebraic
+    — no prefix-cap divergence like the near-dup twin documents; the
+    vocab cap applies once, at train time, over the summed state).
+
+    Re-delivery is self-healing: already-counted doc_ids anti-join
+    away before the append (the q95-twin idempotence pattern), and the
+    trainer de-duplicates (doc_id, word) rows so a torn append
+    degrades to a no-op on replay. Per-trigger cost is one word agg
+    over the batch — O(batch tokens). Production swaps the state dir
+    for a transactional table keyed by (doc_id, word).
+    """
+    schema = spark.read.parquet(docs_dir).schema
+    wc_dir = state_dir.rstrip("/") + "/wordcounts"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        seen = (
+            sess.read.schema("doc_id long, word string, cnt long")
+            .parquet(wc_dir)
+            .select("doc_id")
+            .distinct()
+        )
+        batch = batch_df.join(seen, "doc_id", "left_anti")
+        counts = (
+            batch.select(
+                "doc_id",
+                F.explode(
+                    F.split(F.trim(F.lower(F.col("text"))), " +")
+                ).alias("word"),
+            )
+            .filter(F.col("word") != "")
+            .groupBy("doc_id", "word")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        counts.write.mode("append").parquet(wc_dir)
+
+    import os
+
+    os.makedirs(wc_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def bpe_train_from_state(spark: SparkSession, state_dir: str, rounds: int | None = None):
+    """Train the BPE merge table from the drained streaming state:
+    de-duplicate (doc_id, word) rows (torn-append guard), sum to the
+    word dictionary, apply the SAME deterministic top-cap as
+    ``operators.bpe.word_dict``, and run the shared trainer. Returns
+    the (merges, symbol-frame) pair of ``bpe_train``."""
+    from whale_sightings_spark.operators.bpe import (
+        BPE_ROUNDS,
+        BPE_VOCAB_CAP,
+        bpe_train_from_dict,
+    )
+
+    wc_dir = state_dir.rstrip("/") + "/wordcounts"
+    state = (
+        spark.read.schema("doc_id long, word string, cnt long")
+        .parquet(wc_dir)
+        .groupBy("doc_id", "word")
+        .agg(F.max("cnt").alias("cnt"))
+    )
+    wd = (
+        state.groupBy("word")
+        .agg(F.sum("cnt").cast("bigint").alias("wcount"))
+        .orderBy(F.desc("wcount"), F.asc("word"))
+        .limit(BPE_VOCAB_CAP)
+    )
+    return bpe_train_from_dict(wd, BPE_ROUNDS if rounds is None else rounds)
