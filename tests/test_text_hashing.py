@@ -158,3 +158,45 @@ def test_bloom_prescreen_has_no_false_negatives(spark, sf_dir):
     for r in rows:
         assert r.n_bloom_candidates - r.n_false_pos == r.n_exact_hits, r
         assert r.n_bloom_candidates <= r.n_grams_probed, r
+
+
+def test_prefix_jaccard_join_equals_bruteforce(spark, sf_dir):
+    """Prefix-filter theorem contract: q191's output equals the
+    all-pairs exact Jaccard join — no false negatives (the guarantee
+    the df-capped LSH family trades away) and no false positives
+    (the verify stage is exact)."""
+    from whale_sightings_spark.functions.text import (
+        shingles_from_tokens,
+        tokens,
+    )
+    from whale_sightings_spark.plans.queries import queries
+    from whale_sightings_spark.schemas import load_table
+
+    got = sorted(
+        tuple(r)
+        for r in queries()["q191_prefix_jaccard_join"](spark, sf_dir).collect()
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", tokens(F.col("text")).alias("t"))
+        .select(
+            "doc_id",
+            F.explode(shingles_from_tokens(F.col("t"), 3)).alias("shingle"),
+        )
+        .distinct()
+    )
+    rows = sh.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.shingle)
+    ids = sorted(by_doc)
+    want = []
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            inter = len(by_doc[da] & by_doc[db])
+            union = len(by_doc[da] | by_doc[db])
+            if union and inter * 5 >= 2 * (union):
+                want.append((da, db, round(inter / union, 6)))
+    assert got == sorted(want)
+    assert len(got) > 0, "threshold must catch at least one pair"

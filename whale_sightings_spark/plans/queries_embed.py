@@ -9,6 +9,7 @@ built from the SAME Python constants (one spec, two engines).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from whale_sightings_spark.operators import embedquant as EQ
 from whale_sightings_spark.plans.queries import register
@@ -77,3 +78,70 @@ def q183_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q187_pca_top_component", EQ.pca_top_component_sql())
 def q187_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EQ.pca_top_component(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# q192 — cluster-separation matrix: pairwise cosine between label-cell
+# CENTROIDS. q110 audits within-cell cohesion; this audits the other
+# axis — two cells whose centroids point the same way will leak into
+# each other's IVF probes (q151's tail) and confuse cell-keyed
+# semantic dedup. Centroids stay in LONG (label, dim, v) form: the
+# pairwise dot is a dim-keyed join over label-cardinality² rows — no
+# array assembly, no corpus rescans (one explode pass feeds
+# everything). Per-dim centroid components round to 6dp before any
+# product so both engines share one grid.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q192_centroid_separation",
+    """
+    WITH comp AS (
+        SELECT label, d.i AS dim,
+               round(avg(CAST(embedding[d.i] AS DOUBLE)), 6) AS v
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) d
+        GROUP BY label, d.i
+    ),
+    nrm AS (
+        SELECT label, sqrt(sum(v * v)) AS nrm FROM comp GROUP BY label
+    ),
+    dots AS (
+        SELECT a.label AS label_a, b.label AS label_b, sum(a.v * b.v) AS dot
+        FROM comp a JOIN comp b ON b.dim = a.dim AND a.label < b.label
+        GROUP BY a.label, b.label
+    )
+    SELECT d.label_a, d.label_b,
+           round(d.dot / (na.nrm * nb.nrm), 6) AS centroid_cos
+    FROM dots d
+    JOIN nrm na ON na.label = d.label_a
+    JOIN nrm nb ON nb.label = d.label_b
+    """,
+)
+def q192_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select("label", F.posexplode("embedding").alias("p", "x"))
+        .groupBy("label", (F.col("p") + 1).alias("dim"))
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("v"))
+    )
+    nrm = comp.groupBy("label").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"))
+    a = comp.select(F.col("label").alias("label_a"), "dim", F.col("v").alias("va"))
+    b = comp.select(F.col("label").alias("label_b"), "dim", F.col("v").alias("vb"))
+    dots = (
+        a.join(b, (a["dim"] == b["dim"]) & (F.col("label_a") < F.col("label_b")))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    na = nrm.select(F.col("label").alias("label_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("label").alias("label_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "centroid_cos"
+            ),
+        )
+    )

@@ -1761,3 +1761,243 @@ def q188_bpe_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round int, hist_merged string, full_merged string, agree boolean,"
         " hist_count bigint, full_count bigint, merge_jaccard double",
     )
+
+
+# ---------------------------------------------------------------------------
+# q190 — Dirichlet query-likelihood retrieval: the language-model
+# ranking family (Zhai/Lafferty) next to q103's BM25 — score(d) =
+# Σ_t log((tf + μ·P(t|C)) / (|d| + μ)). Decomposed so the plan stays
+# bounded exactly like BM25's: a constant Σ_t log(μ·P(t|C)) (term-set-
+# sized broadcast), a row-local -|Q|·log(|d|+μ) length penalty every
+# doc pays, and a match bonus Σ log(1 + tf/(μ·P(t|C))) that only
+# MATCHED (doc, term) rows contribute — the token stream is filtered
+# to the broadcast-literal query terms before any aggregation. Docs
+# with zero matches still rank (short docs pay less length penalty) —
+# the faithful QL semantics BM25 can't express. Top-k via TakeOrdered.
+# ---------------------------------------------------------------------------
+
+_QL_TERMS = ("join", "vector", "stream")
+_QL_MU = 300.0
+_QL_TOP = 15
+
+
+@register(
+    "q190_query_likelihood",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({TX.tokens_sql('text')}) AS tok FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+    tot AS (SELECT sum(len) AS t FROM dl),
+    tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM toks
+        WHERE tok IN ({", ".join(f"'{t}'" for t in _QL_TERMS)})
+        GROUP BY doc_id, tok
+    ),
+    cf AS (
+        SELECT tok, sum(tf) AS cf FROM tf GROUP BY tok
+    ),
+    cst AS (
+        SELECT sum(ln({_QL_MU} * cf / tot.t)) AS c FROM cf CROSS JOIN tot
+    ),
+    bonus AS (
+        SELECT tf.doc_id,
+               sum(ln(1 + tf.tf * tot.t / ({_QL_MU} * cf.cf))) AS b,
+               CAST(count(*) AS BIGINT) AS n_matched
+        FROM tf JOIN cf ON cf.tok = tf.tok CROSS JOIN tot
+        GROUP BY tf.doc_id
+    )
+    SELECT dl.doc_id,
+           CAST(dl.len AS BIGINT) AS len,
+           coalesce(bonus.n_matched, 0) AS n_matched,
+           round(cst.c - {len(_QL_TERMS)} * ln(dl.len + {_QL_MU})
+                 + coalesce(bonus.b, 0), 6) AS ql_score
+    FROM dl LEFT JOIN bonus ON bonus.doc_id = dl.doc_id CROSS JOIN cst
+    ORDER BY ql_score DESC, dl.doc_id
+    LIMIT {_QL_TOP}
+    """,
+)
+def q190_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("len"))
+    tot = dl.agg(F.sum("len").alias("t"))
+    tf = (
+        toks.filter(F.col("tok").isin(*_QL_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    cf = tf.groupBy("tok").agg(F.sum("tf").alias("cf"))
+    cst = (
+        cf.crossJoin(F.broadcast(tot))
+        .agg(F.sum(F.log(_QL_MU * F.col("cf") / F.col("t"))).alias("c"))
+    )
+    bonus = (
+        tf.join(F.broadcast(cf), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(1 + F.col("tf") * F.col("t") / (_QL_MU * F.col("cf")))
+            ).alias("b"),
+            F.count("*").alias("n_matched"),
+        )
+    )
+    return (
+        dl.join(bonus, "doc_id", "left")
+        .crossJoin(F.broadcast(cst))
+        .select(
+            "doc_id",
+            F.col("len").cast("long").alias("len"),
+            F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
+            F.round(
+                F.col("c")
+                - len(_QL_TERMS) * F.log(F.col("len") + F.lit(_QL_MU))
+                + F.coalesce("b", F.lit(0.0)),
+                6,
+            ).alias("ql_score"),
+        )
+        .orderBy(F.desc("ql_score"), F.asc("doc_id"))
+        .limit(_QL_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q191 — prefix-filtered EXACT set-similarity join (PPJoin shape):
+# every pair with 3-gram Jaccard >= τ, with NO false negatives — the
+# guarantee the df-capped LSH family (q14-q16) explicitly trades away.
+# Each doc's shingles are ranked rarest-first (global df asc, shingle
+# asc); by the prefix-filter theorem two sets with Jaccard >= τ must
+# share an element inside their first n - ceil(τ·n) + 1 rarest
+# shingles, so candidates come from an equi-join of the PREFIX
+# inverted index only (rarity ordering keeps those posting lists
+# short — that is the whole trick), then verify exactly. τ = 2/5 and
+# the ceil/threshold tests run in INTEGER arithmetic in both engines
+# (DuckDB decimal literals vs IEEE doubles would disagree on
+# ceil(0.4·n) boundaries). Shapes: 1 df agg, 1 per-doc rank window,
+# 1 prefix equi-join, q14's intersect-count verify.
+# ---------------------------------------------------------------------------
+
+_PPJ_NUM = 2
+_PPJ_DEN = 5
+
+
+@register(
+    "q191_prefix_jaccard_join",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {TX.tokens_sql('text')} AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest({TX.shingles_from_tokens_sql('t', 3)}) AS shingle
+            FROM t
+        )
+    ),
+    dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    ranked AS (
+        SELECT sh.doc_id, sh.shingle, sz.n,
+               row_number() OVER (
+                   PARTITION BY sh.doc_id
+                   ORDER BY dfc.df, sh.shingle
+               ) AS rk
+        FROM sh JOIN dfc USING (shingle) JOIN sz USING (doc_id)
+    ),
+    pref AS (
+        SELECT doc_id, shingle, n FROM ranked
+        WHERE rk <= n - (({_PPJ_NUM} * n + {_PPJ_DEN} - 1) // {_PPJ_DEN}) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pref a JOIN pref b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_common AS DOUBLE)
+                 / (za.n + zb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sz za ON za.doc_id = i.doc_a
+    JOIN sz zb ON zb.doc_id = i.doc_b
+    WHERE i.n_common * {_PPJ_DEN} >= {_PPJ_NUM} * (za.n + zb.n - i.n_common)
+    """,
+)
+def q191_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from whale_sightings_spark.functions.text import shingles_from_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+        .select(
+            "doc_id",
+            F.explode(shingles_from_tokens(F.col("t"), 3)).alias("shingle"),
+        )
+        .distinct()
+    )
+    dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ranked = (
+        sh.join(dfc, "shingle")
+        .join(sz, "doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+            ),
+        )
+    )
+    plen = (
+        F.col("n")
+        - F.expr(f"({_PPJ_NUM} * n + {_PPJ_DEN} - 1) div {_PPJ_DEN}")
+        + 1
+    )
+    pref = ranked.filter(F.col("rk") <= plen).select("doc_id", "shingle")
+    a = pref.alias("a")
+    b = pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .filter(
+            F.col("n_common") * _PPJ_DEN
+            >= _PPJ_NUM * (F.col("na") + F.col("nb") - F.col("n_common"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
