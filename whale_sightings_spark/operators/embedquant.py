@@ -467,3 +467,166 @@ def pca_top_component_sql(dim: int = 64) -> str:
            round(eig.eigval / tr.trace, 6) AS var_share
     FROM {last} r CROSS JOIN eig CROSS JOIN tr
     """
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized serving recall
+# ---------------------------------------------------------------------------
+
+INT8_QUERIES = 5
+INT8_K = 5
+
+
+def int8_serving_recall(embeddings: DataFrame) -> DataFrame:
+    """recall@k when the CORPUS side is served from int8 codes
+    (decode = lo + code*scale per dim) while queries stay float — the
+    asymmetric-distance convention. q182 prices the int8 swap in
+    reconstruction error; this prices it in the metric that matters,
+    retrieval recall vs the float exact top-k.
+
+    Scale shape: everything runs in LONG (vec_id, dim, val) form — the
+    per-dim bounds are the q182 partial agg, decode is row-local
+    against the broadcast 64-row bounds table, and the query-corpus
+    scores are a dim-keyed join against the broadcast query set
+    followed by one (query, vec) partial agg. No array re-assembly, no
+    corpus-scale shuffle beyond the keyed score agg; top-k is the
+    WindowGroupLimit harness every recall audit here shares.
+    """
+    d = embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "fval")
+    ).select("vec_id", "pos", F.col("fval").cast("double").alias("val"))
+    bounds = d.groupBy("pos").agg(
+        F.min("val").alias("lo"), F.max("val").alias("hi")
+    )
+    b = bounds.withColumn(
+        "scale",
+        F.greatest((F.col("hi") - F.col("lo")) / INT8_LEVELS, F.lit(SCALE_FLOOR)),
+    )
+    code = F.least(
+        F.greatest(
+            F.round((F.col("val") - F.col("lo")) / F.col("scale"), 0), F.lit(0.0)
+        ),
+        F.lit(float(INT8_LEVELS)),
+    )
+    dec = d.join(F.broadcast(b), "pos").select(
+        "vec_id", "pos", (F.col("lo") + code * F.col("scale")).alias("rv")
+    )
+    rnorm = dec.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("rv") * F.col("rv"))).alias("rnrm")
+    )
+    q = d.filter(F.col("vec_id") < INT8_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "pos", F.col("val").alias("qv")
+    )
+    qnorm = q.groupBy("query_id").agg(
+        F.sqrt(F.sum(F.col("qv") * F.col("qv"))).alias("qnrm")
+    )
+    scored = (
+        dec.join(F.broadcast(q), "pos")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.col("rv") * F.col("qv")).alias("dot"))
+        .join(rnorm, "vec_id")
+        .join(F.broadcast(qnorm), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("dot") / (F.col("rnrm") * F.col("qnrm")), 6).alias(
+                "cos"
+            ),
+        )
+    )
+    approx = _topk(scored, INT8_K).withColumn("hit", F.lit(1))
+    qf = embeddings.filter(F.col("vec_id") < INT8_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cf = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    exact = _topk(
+        cf.join(F.broadcast(qf), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qvec"), F.col("cvec")), 6)),
+        INT8_K,
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"))
+        .select(
+            "query_id",
+            "n_hit",
+            F.round(F.col("n_hit") / F.lit(float(INT8_K)), 6).alias("recall"),
+        )
+    )
+
+
+def int8_serving_recall_sql() -> str:
+    full = cosine_sql("q.qvec", "c.embedding")
+    return f"""
+    WITH d AS (
+        SELECT vec_id, i.i AS pos, CAST(embedding[i.i] AS DOUBLE) AS val
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) i
+    ),
+    b AS (
+        SELECT pos, min(val) AS lo,
+               greatest((max(val) - min(val)) / {INT8_LEVELS}, {SCALE_FLOOR})
+                   AS scale
+        FROM d GROUP BY pos
+    ),
+    dec AS (
+        SELECT d.vec_id, d.pos,
+               b.lo + least(greatest(round((d.val - b.lo) / b.scale), 0),
+                            {INT8_LEVELS}) * b.scale AS rv
+        FROM d JOIN b USING (pos)
+    ),
+    rnorm AS (
+        SELECT vec_id, sqrt(sum(rv * rv)) AS rnrm FROM dec GROUP BY vec_id
+    ),
+    ql AS (
+        SELECT vec_id AS query_id, pos, val AS qv FROM d
+        WHERE vec_id < {INT8_QUERIES}
+    ),
+    qnorm AS (
+        SELECT query_id, sqrt(sum(qv * qv)) AS qnrm FROM ql GROUP BY query_id
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT s.query_id, s.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY s.query_id
+                       ORDER BY round(s.dot / (r.rnrm * n.qnrm), 6) DESC,
+                                s.vec_id
+                   ) AS rank
+            FROM (
+                SELECT ql.query_id, dec.vec_id, sum(dec.rv * ql.qv) AS dot
+                FROM dec JOIN ql USING (pos)
+                WHERE dec.vec_id <> ql.query_id
+                GROUP BY ql.query_id, dec.vec_id
+            ) s
+            JOIN rnorm r ON r.vec_id = s.vec_id
+            JOIN qnorm n ON n.query_id = s.query_id
+        ) WHERE rank <= {INT8_K}
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id < {INT8_QUERIES}
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({full}, 6) DESC, c.vec_id
+                   ) AS rank
+            FROM embeddings c CROSS JOIN q
+            WHERE c.vec_id <> q.query_id
+        ) WHERE rank <= {INT8_K}
+    )
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           round(CAST(count(a.neighbor_id) AS DOUBLE) / {INT8_K}, 6) AS recall
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """

@@ -145,3 +145,18 @@ def q192_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q193 — int8 serving recall: recall@5 with the corpus served from
+# int8 codes (queries stay float — the asymmetric convention). The
+# third leg of the quantization story: q182 = reconstruction error,
+# q183 = dimension budget, q193 = the recall the 4x-smaller store
+# actually delivers. Long-form decode + dim-keyed score join; no
+# array re-assembly.
+# ---------------------------------------------------------------------------
+
+
+@register("q193_int8_serving_recall", EQ.int8_serving_recall_sql())
+def q193_int8_serving_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EQ.int8_serving_recall(load_table(spark, sf_dir, "embeddings"))
