@@ -214,3 +214,95 @@ def triangle_census(pairs: DataFrame) -> DataFrame:
     n_edges = e.agg(F.count("*").alias("n_edges"))
     n_tri = tri.agg(F.count("*").alias("n_triangles"))
     return n_nodes.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(n_tri))
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling
+# ---------------------------------------------------------------------------
+
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def kcore_peel(
+    pairs: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """Fixed-round k-core peeling over the undirected pair graph:
+    each round removes every node whose degree among STILL-ALIVE
+    nodes is < k. Returns the per-round summary (round, n_removed,
+    n_alive) with a round-0 baseline row — the density profile of the
+    duplication graph (a deep 2-core = tangled template families that
+    min-id dedup handles badly; leaves peel off in round 1).
+
+    Scale shape: the edge set materializes ONCE (symmetric_edges'
+    eager localCheckpoint — the q106 lesson) and never grows; each
+    round is two alive-set semi-joins + one src-keyed degree agg, all
+    hash-partitioned on node id; the alive set only shrinks. Round
+    count is FIXED so the plan is static and the oracle unrolls (the
+    q112 convention); per-round sizes are scalar collects (the
+    convergence-probe allowance).
+    """
+    edges = symmetric_edges(pairs)
+    alive = edges.select(F.col("src").alias("v")).distinct().localCheckpoint()
+    counts = [alive.count()]
+    for _r in range(1, rounds + 1):
+        av_src = alive.select(F.col("v").alias("src"))
+        av_dst = alive.select(F.col("v").alias("dst"))
+        deg = (
+            edges.join(av_src, "src")
+            .join(av_dst, "dst")
+            .groupBy("src")
+            .agg(F.count("*").alias("d"))
+        )
+        alive = (
+            deg.filter(F.col("d") >= k)
+            .select(F.col("src").alias("v"))
+            .localCheckpoint()
+        )
+        counts.append(alive.count())
+    rows = [
+        (r, int(counts[r - 1] - counts[r]) if r else 0, int(counts[r]))
+        for r in range(0, rounds + 1)
+    ]
+    return pairs.sparkSession.createDataFrame(
+        rows, "round int, n_removed bigint, n_alive bigint"
+    )
+
+
+def kcore_sql(pairs_sql: str, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    """DuckDB twin: identical unrolled peel rounds over the same pair
+    CTE chain (the _pagerank_sql head-splicing convention)."""
+    body = pairs_sql.strip()
+    assert body.upper().startswith("WITH")
+    head, final = body[4:].rsplit("SELECT", 1)
+    out = f"""
+    WITH {head}, pairs AS (SELECT {final}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    a0 AS (SELECT DISTINCT src AS v FROM edges)
+    """
+    for r in range(1, rounds + 1):
+        out += f"""
+    , a{r} AS (
+        SELECT e.src AS v
+        FROM edges e
+        JOIN a{r-1} x ON x.v = e.src
+        JOIN a{r-1} y ON y.v = e.dst
+        GROUP BY e.src
+        HAVING count(*) >= {k}
+    )"""
+    selects = [
+        "SELECT 0 AS round, CAST(0 AS BIGINT) AS n_removed,"
+        " (SELECT count(*) FROM a0) AS n_alive"
+    ]
+    for r in range(1, rounds + 1):
+        selects.append(
+            f"SELECT {r} AS round,"
+            f" (SELECT count(*) FROM a{r-1}) - (SELECT count(*) FROM a{r})"
+            f" AS n_removed,"
+            f" (SELECT count(*) FROM a{r}) AS n_alive"
+        )
+    return out + "\n    " + "\n    UNION ALL\n    ".join(selects)

@@ -537,3 +537,80 @@ def q189_temporal_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             leaked / F.greatest(F.sum(te.cast("long")), F.lit(1)), 6
         ).alias("leaked_test_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q195 — event-transition mining: the first-order Markov transition
+# matrix over per-user event streams, with lift against target base
+# rates — the sequence-mining primitive behind next-action models and
+# funnel discovery (q77 checks ONE declared funnel; this surfaces
+# which transitions are over-represented at all). One user-keyed
+# window (lag, deterministic (ts, event_id) order) then a
+# type²-bounded agg; base rates join back as a broadcast type-sized
+# table. Nothing row-scale shuffles twice.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q195_transition_lift",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    tr AS (
+        SELECT prev_type AS src_type, event_type AS dst_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    src AS (SELECT src_type, sum(n) AS n_src FROM tr GROUP BY src_type),
+    dst AS (SELECT dst_type, sum(n) AS n_dst FROM tr GROUP BY dst_type),
+    tot AS (SELECT sum(n) AS t FROM tr)
+    SELECT tr.src_type, tr.dst_type,
+           CAST(tr.n AS BIGINT) AS n_trans,
+           round(CAST(tr.n AS DOUBLE) / src.n_src, 6) AS p_dst_given_src,
+           round((CAST(tr.n AS DOUBLE) / src.n_src)
+                 / (CAST(dst.n_dst AS DOUBLE) / tot.t), 6) AS lift
+    FROM tr
+    JOIN src USING (src_type)
+    JOIN dst USING (dst_type)
+    CROSS JOIN tot
+    """,
+)
+def q195_transition_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    tr = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("src_type"),
+            F.col("event_type").alias("dst_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    src = tr.groupBy("src_type").agg(F.sum("n").alias("n_src"))
+    dst = tr.groupBy("dst_type").agg(F.sum("n").alias("n_dst"))
+    tot = tr.agg(F.sum("n").alias("t"))
+    return (
+        tr.join(F.broadcast(src), "src_type")
+        .join(F.broadcast(dst), "dst_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "src_type",
+            "dst_type",
+            F.col("n").cast("long").alias("n_trans"),
+            F.round(F.col("n") / F.col("n_src"), 6).alias("p_dst_given_src"),
+            F.round(
+                (F.col("n") / F.col("n_src")) / (F.col("n_dst") / F.col("t")), 6
+            ).alias("lift"),
+        )
+    )

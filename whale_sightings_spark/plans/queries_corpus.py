@@ -1659,3 +1659,24 @@ def q185_ppl_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bo1").cast("long").alias("n_bo1"),
         F.round(F.exp(-F.sum(F.log("p")) / F.count("*")), 4).alias("ppl_sb"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q194 — k-core density profile of the near-dup graph: fixed-round
+# peeling (remove degree < 2 among still-alive nodes, 4 rounds) over
+# the SimHash pair graph. PageRank (q106) finds central docs and the
+# triangle census (q107) counts local density; the k-core profile
+# says how much of the graph survives once the leaf fringe peels —
+# a deep 2-core is a tangled template family that min-id dedup
+# handles badly. Edge set materializes once; per round two alive
+# semi-joins + one degree agg; sizes are scalar probes.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q194_kcore_profile",
+    GR.kcore_sql(_simhash_pairs_sql()),
+)
+def q194_kcore_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = DD.simhash_pairs(load_table(spark, sf_dir, "documents"))
+    return GR.kcore_peel(pairs)
