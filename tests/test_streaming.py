@@ -633,3 +633,50 @@ def test_streaming_bpe_ingest_matches_batch_and_replays(
     assert spark.read.parquet(state_dir + "/wordcounts").count() == n_before
     again, _ = bpe_train_from_state(spark, state_dir)
     assert again == want_merges
+
+
+def test_streaming_transition_counts_match_batch_and_replay(
+    spark, sf_dir, tmp_path_factory
+):
+    """The foreachBatch transition-mining twin: with time-partitioned
+    micro-batch files (the log-ingest layout), drained transition
+    counts equal q195's exactly — boundary transitions across batch
+    seams are stitched via the per-user frontier state. Replay from a
+    fresh checkpoint is a no-op."""
+    from whale_sightings_spark.plans.queries import queries
+    from whale_sightings_spark.streaming.events import (
+        streaming_transition_counts,
+        transition_counts_from_state,
+    )
+
+    base = tmp_path_factory.mktemp("trans_ingest")
+    ev_dir = str(base / "events")
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ("2024-01-11", "2024-01-21")
+    parts = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    ]
+    for p in parts:
+        p.coalesce(1).write.parquet(ev_dir, mode="append")
+
+    state_dir = str(base / "state")
+    streaming_transition_counts(spark, ev_dir, state_dir, str(base / "ckpt1"))
+
+    got = sorted(
+        tuple(r) for r in transition_counts_from_state(spark, state_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in queries()["q195_transition_lift"](spark, sf_dir)
+        .select("src_type", "dst_type", "n_trans")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+    streaming_transition_counts(spark, ev_dir, state_dir, str(base / "ckpt2"))
+    again = sorted(
+        tuple(r) for r in transition_counts_from_state(spark, state_dir).collect()
+    )
+    assert again == want

@@ -19,7 +19,7 @@ ground truth, batch is the oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -899,3 +899,140 @@ def bpe_train_from_state(spark: SparkSession, state_dir: str, rounds: int | None
         .limit(BPE_VOCAB_CAP)
     )
     return bpe_train_from_dict(wd, BPE_ROUNDS if rounds is None else rounds)
+
+
+def streaming_transition_counts(
+    spark: SparkSession,
+    events_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming twin of the q195 transition miner's corpus pass:
+    per micro-batch, count (src_type -> dst_type) transitions inside
+    the batch (a user-keyed lag window over batch rows) PLUS the
+    boundary transition from each user's carried last event into the
+    batch's first event, then persist both the count deltas and the
+    refreshed per-user frontier. Transition counts are algebraic, so
+    the drained state's sums equal the batch operator's counts EXACTLY
+    whenever each user's events arrive in (ts, event_id) order across
+    micro-batches (time-partitioned files — the layout a log ingest
+    actually has; pinned in tests/test_streaming.py with a 3-file
+    time split).
+
+    State: ``deltas`` (batch_id, src_type, dst_type, n) — replay-safe
+    because a re-delivered batch_id anti-joins away before append —
+    and ``frontier`` (user_id, ts, event_id, event_type, batch_id),
+    read as latest-batch-wins. Per-trigger cost: one batch-keyed
+    window + one frontier join; both sides are batch- or
+    user-cardinality-sized.
+    """
+    schema = spark.read.parquet(events_dir).schema
+    deltas_dir = state_dir.rstrip("/") + "/deltas"
+    frontier_dir = state_dir.rstrip("/") + "/frontier"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        done = (
+            sess.read.schema("batch_id long, src_type string, dst_type string, n long")
+            .parquet(deltas_dir)
+            .select("batch_id")
+            .distinct()
+        )
+        if not done.filter(F.col("batch_id") == batch_id).isEmpty():
+            return
+        frontier_all = sess.read.schema(
+            "user_id long, ts timestamp, event_id long, event_type string,"
+            " batch_id long"
+        ).parquet(frontier_dir)
+        fw = W.partitionBy("user_id").orderBy(
+            F.desc("batch_id"), F.desc("ts"), F.desc("event_id")
+        )
+        frontier = (
+            frontier_all.withColumn("rk", F.row_number().over(fw))
+            .filter(F.col("rk") == 1)
+            .select("user_id", "ts", "event_id", F.col("event_type").alias("prev_type"))
+        )
+        bw = W.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = batch_df.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.lag("event_type").over(bw).alias("prev_type"),
+            F.row_number().over(bw).alias("rk"),
+        )
+        inner = seq.filter(F.col("prev_type").isNotNull()).select(
+            F.col("prev_type").alias("src_type"),
+            F.col("event_type").alias("dst_type"),
+        )
+        boundary = (
+            seq.filter(F.col("rk") == 1)
+            .drop("prev_type")
+            .join(frontier.select("user_id", "prev_type"), "user_id")
+            .select(
+                F.col("prev_type").alias("src_type"),
+                F.col("event_type").alias("dst_type"),
+            )
+        )
+        deltas = (
+            inner.unionByName(boundary)
+            .groupBy("src_type", "dst_type")
+            .agg(F.count("*").cast("long").alias("n"))
+            .select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "src_type",
+                "dst_type",
+                "n",
+            )
+        )
+        deltas.write.mode("append").parquet(deltas_dir)
+        last = (
+            batch_df.withColumn(
+                "rk",
+                F.row_number().over(
+                    W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select(
+                "user_id",
+                "ts",
+                "event_id",
+                "event_type",
+                F.lit(batch_id).cast("long").alias("batch_id"),
+            )
+        )
+        last.write.mode("append").parquet(frontier_dir)
+
+    import os
+
+    os.makedirs(deltas_dir, exist_ok=True)
+    os.makedirs(frontier_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def transition_counts_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(src_type, dst_type, n_trans) summed from the drained streaming
+    deltas — compare against q195's count column."""
+    deltas_dir = state_dir.rstrip("/") + "/deltas"
+    return (
+        spark.read.schema(
+            "batch_id long, src_type string, dst_type string, n long"
+        )
+        .parquet(deltas_dir)
+        .groupBy("batch_id", "src_type", "dst_type")
+        .agg(F.max("n").alias("n"))
+        .groupBy("src_type", "dst_type")
+        .agg(F.sum("n").cast("long").alias("n_trans"))
+    )
