@@ -614,3 +614,102 @@ def q195_transition_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q196 — inter-event-time exponential fit: per-user arrival gaps, the
+# global MLE rate (λ = 1/mean), and a binned goodness-of-fit report
+# (observed vs exponential-expected share per mean-multiple bin).
+# This is how you size streaming state honestly: watermarks, session
+# gaps (q41's 30-min literal), and state TTLs all assume an arrival
+# process — this query checks the assumption and prices the tail. One
+# user-keyed lag window, a 1-row mean, then a 5-bin agg; bin edges in
+# multiples of the mean so the expected shares are closed-form
+# constants (exp(-lo) - exp(-hi)) identical in both engines.
+# ---------------------------------------------------------------------------
+
+_IET_BINS = ((0.0, 0.25), (0.25, 0.5), (0.5, 1.0), (1.0, 2.0), (2.0, None))
+
+
+def _iet_expected(lo: float, hi: float | None) -> float:
+    import math
+
+    return math.exp(-lo) - (math.exp(-hi) if hi is not None else 0.0)
+
+
+@register(
+    "q196_interarrival_fit",
+    f"""
+    WITH gaps AS (
+        SELECT CAST(date_diff('second',
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    ts) AS DOUBLE) AS gap_s
+        FROM events
+    ),
+    g AS (SELECT gap_s FROM gaps WHERE gap_s IS NOT NULL),
+    m AS (SELECT avg(gap_s) AS mean_s, count(*) AS n FROM g),
+    b AS (
+        SELECT CASE {" ".join(
+            f"WHEN gap_s < {hi} * m.mean_s THEN {i}" if hi is not None else f"ELSE {i}"
+            for i, (lo, hi) in enumerate(_IET_BINS)
+        )} END AS bin, m.mean_s, m.n
+        FROM g CROSS JOIN m
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           round(CAST(count(*) AS DOUBLE) / any_value(n), 6) AS obs_share,
+           round(CASE {" ".join(
+               f"WHEN bin = {i} THEN CAST({_iet_expected(lo, hi)!r} AS DOUBLE)"
+               for i, (lo, hi) in enumerate(_IET_BINS)
+           )} END, 6) AS exp_share,
+           round(abs(CAST(count(*) AS DOUBLE) / any_value(n)
+                 - CASE {" ".join(
+                     f"WHEN bin = {i} THEN CAST({_iet_expected(lo, hi)!r} AS DOUBLE)"
+                     for i, (lo, hi) in enumerate(_IET_BINS)
+                 )} END), 6) AS gap,
+           round(any_value(mean_s), 6) AS mean_gap_s
+    FROM b
+    GROUP BY bin
+    """,
+)
+def q196_interarrival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    gap = (
+        sec
+        - F.lag(sec).over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+    ).cast("double")
+    g = ev.select(gap.alias("gap_s")).filter(F.col("gap_s").isNotNull())
+    m = g.agg(F.avg("gap_s").alias("mean_s"), F.count("*").alias("n"))
+    binc = None
+    for i, (_lo, hi) in enumerate(_IET_BINS):
+        if hi is None:
+            binc = binc.otherwise(i)
+        else:
+            cond = F.col("gap_s") < hi * F.col("mean_s")
+            binc = F.when(cond, i) if binc is None else binc.when(cond, i)
+    expc = None
+    for i, (lo, hi) in enumerate(_IET_BINS):
+        e = _iet_expected(lo, hi)
+        expc = F.when(F.col("bin") == i, e) if expc is None else expc.when(
+            F.col("bin") == i, e
+        )
+    b = g.crossJoin(F.broadcast(m)).select(
+        binc.alias("bin"), "mean_s", "n"
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.round(F.count("*") / F.first("n"), 6).alias("obs_share"),
+            F.first("mean_s").alias("mean_s_raw"),
+        )
+        .select(
+            "bin",
+            "n_obs",
+            "obs_share",
+            F.round(expc, 6).alias("exp_share"),
+            F.round(F.abs(F.col("obs_share") - F.round(expc, 6)), 6).alias("gap"),
+            F.round("mean_s_raw", 6).alias("mean_gap_s"),
+        )
+    )

@@ -2001,3 +2001,103 @@ def q191_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q197 — HTML boilerplate strip + link-density screen: the web-corpus
+# cleanup stage (RefinedWeb/Dolma lineage) — strip markup, measure
+# how much of the raw payload was tag/nav overhead, and flag docs
+# whose link density crosses the spam threshold. The testdata has no
+# markup column, so the page is SYNTHESIZED deterministically from
+# (doc_id, text) — nav chrome on every page, an extra ad link on
+# every third doc — the q69 provenance-audit convention: the operator
+# chain (tag strip -> whitespace collapse -> density math) is the
+# real artifact, exercised end to end. All row-local regexp work in
+# one codegen stage + a source-sized agg.
+# ---------------------------------------------------------------------------
+
+_LINKDENS_T = 0.02
+
+
+@register(
+    "q197_boilerplate_strip",
+    f"""
+    WITH page AS (
+        SELECT doc_id, source,
+               '<html><head><title>doc ' || doc_id
+               || '</title></head><body><nav>home | about | contact</nav><p>'
+               || text || '</p><a href="https://ex.com/' || doc_id
+               || '">more</a>'
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '<a href="https://ads.example">ad</a>'
+                       ELSE '' END
+               || '</body></html>' AS html
+        FROM documents
+    ),
+    stripped AS (
+        SELECT doc_id, source, length(html) AS raw_chars,
+               len(regexp_extract_all(html, '<a ')) AS n_links,
+               trim(regexp_replace(regexp_replace(html, '<[^>]+>', ' ', 'g'),
+                                   ' +', ' ', 'g')) AS clean
+        FROM page
+    ),
+    m AS (
+        SELECT doc_id, source, raw_chars, n_links,
+               length(clean) AS clean_chars,
+               len(regexp_extract_all(clean, '[^ ]+')) AS n_words
+        FROM stripped
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(1.0 - CAST(clean_chars AS DOUBLE) / raw_chars), 6)
+               AS avg_tag_overhead,
+           round(avg(CAST(n_links AS DOUBLE) / n_words), 6)
+               AS avg_link_density,
+           CAST(count(*) FILTER (CAST(n_links AS DOUBLE) / n_words
+                                 > {_LINKDENS_T}) AS BIGINT) AS n_flagged
+    FROM m
+    GROUP BY source
+    """,
+)
+def q197_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id"),
+        F.lit('</title></head><body><nav>home | about | contact</nav><p>'),
+        F.col("text"),
+        F.lit('</p><a href="https://ex.com/'),
+        F.col("doc_id"),
+        F.lit('">more</a>'),
+        F.when(F.col("doc_id") % 3 == 0, '<a href="https://ads.example">ad</a>')
+        .otherwise(""),
+        F.lit("</body></html>"),
+    )
+    page = docs.select("doc_id", "source", html.alias("html"))
+    stripped = page.select(
+        "doc_id",
+        "source",
+        F.length("html").alias("raw_chars"),
+        F.size(F.regexp_extract_all("html", F.lit("<a "), 0)).alias("n_links"),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace("html", "<[^>]+>", " "), " +", " "
+            )
+        ).alias("clean"),
+    )
+    m = stripped.select(
+        "source",
+        "raw_chars",
+        "n_links",
+        F.length("clean").alias("clean_chars"),
+        F.size(F.regexp_extract_all("clean", F.lit("[^ ]+"), 0)).alias("n_words"),
+    )
+    dens = F.col("n_links").cast("double") / F.col("n_words")
+    return m.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.avg(1.0 - F.col("clean_chars").cast("double") / F.col("raw_chars")), 6
+        ).alias("avg_tag_overhead"),
+        F.round(F.avg(dens), 6).alias("avg_link_density"),
+        F.sum((dens > _LINKDENS_T).cast("long")).alias("n_flagged"),
+    )
