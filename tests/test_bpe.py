@@ -57,3 +57,36 @@ def test_bpe_corpus_compression_is_monotone(spark, sf_dir):
     # next round's count for the SAME pair space; just pin positivity
     # and the end-to-end compression win
     assert totals[-1] < totals[0]
+
+
+def test_bpe_sql_twin_survives_pair_exhaustion(spark):
+    """ADVICE r6: when the pair supply exhausts before BPE_ROUNDS,
+    Spark `bpe_train` breaks and keeps the last symbol frame; the SQL
+    twin must NOT collapse to empty (an empty m{r} used to CROSS JOIN
+    every later CTE to zero rows). Pin engine equality of both the
+    merge table and the final symbol frame on a corpus that trains out
+    after 2 merges."""
+    import duckdb
+
+    texts = ["ab ab", "ab", "c c c"]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges, syms = BPE.bpe_train(docs, BPE.BPE_ROUNDS)
+    # 'ab' -> one merge; 'c' is a single char (no pair). Exhausts early.
+    assert 0 < len(merges) < BPE.BPE_ROUNDS
+    s_final = sorted(
+        (r["word"], r["pos"], r["sym"])
+        for r in syms.select("word", "pos", "sym").collect()
+    )
+    s_merges = [(m[0], m[1], m[2], m[3], m[4]) for m in merges]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT unnest(?) AS text", [texts])
+    d_final = sorted(
+        con.execute(
+            f"WITH {BPE.bpe_ctes(BPE.BPE_ROUNDS)} "
+            f"SELECT word, pos, sym FROM s{BPE.BPE_ROUNDS}"
+        ).fetchall()
+    )
+    d_merges = sorted(con.execute(BPE.bpe_merge_table_sql()).fetchall())
+    assert d_final == s_final
+    assert d_merges == sorted(s_merges)

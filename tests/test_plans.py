@@ -351,3 +351,37 @@ def test_q173_stored_index_probe_is_partition_pruned(spark, sf_dir):
     # serve-many: the trained codebooks are parquet artifacts, not
     # freshly-collected local relations
     assert "LocalTableScan" not in plan, "a codebook was retrained inline"
+
+
+def test_bpe_serving_queries_read_stored_artifact(spark, sf_dir):
+    """Round-7 (VERDICT r6 #2): q177-q180 + q188 SERVE from the
+    persisted tokenizer artifact — their DAGs scan the stored parquet
+    tables and contain no createDataFrame-backed merge table
+    (LocalTableScan = a driver-side retrain happened in this plan).
+    q176 stays the build sign-off (build-if-absent then read-back)."""
+    from whale_sightings_spark.plans.queries_textops import _bpe_artifact_dir
+
+    artifact = _bpe_artifact_dir(spark, sf_dir)  # build once if absent
+    for name in (
+        "q177_bpe_fertility",
+        "q178_bpe_vocab",
+        "q179_bpe_segmentations",
+        "q180_bpe_packing",
+        "q188_bpe_drift",
+    ):
+        plan = explain_str(queries()[name](spark, sf_dir))
+        assert "LocalTableScan" not in plan, f"{name} retrained inline:\n{plan}"
+    # the pure store-served plans scan the artifact, not the corpus
+    for name in ("q178_bpe_vocab", "q179_bpe_segmentations"):
+        plan = explain_str(queries()[name](spark, sf_dir))
+        assert "symbols" in plan, f"{name} does not scan the store:\n{plan}"
+        assert "documents.parquet" not in plan, f"{name} rescans the corpus"
+    # build-if-absent is a cache: a second call must not rebuild
+    import os
+
+    _syms, merges_dir = __import__(
+        "whale_sightings_spark.operators.bpe", fromlist=["bpe_artifact_paths"]
+    ).bpe_artifact_paths(artifact)
+    mt0 = os.path.getmtime(os.path.join(merges_dir, "_SUCCESS"))
+    queries()["q176_bpe_merge_table"](spark, sf_dir).collect()
+    assert os.path.getmtime(os.path.join(merges_dir, "_SUCCESS")) == mt0

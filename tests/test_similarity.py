@@ -306,3 +306,62 @@ def test_pca_top_component_dominates_and_is_unit(spark, sf_dir):
     X = np.array(emb.select("embedding").toPandas()["embedding"].tolist(), dtype=float)
     assert eig >= X.var(axis=0).max() - 1e-4
     assert 0.0 < rows[0].var_share < 1.0
+
+
+def test_mmr_rerank_diversifies_vs_plain_topk(spark, sf_dir):
+    """MMR's reason to exist: the selected set's mean pairwise cosine
+    must not exceed plain top-k's (λ<1 trades relevance for
+    diversity), while pick 1 equals plain top-1 (no diversity term
+    yet). Also pins the greedy invariants: k picks per query, ranks
+    1..k, no duplicates."""
+    from pyspark.sql import functions as F
+
+    from whale_sightings_spark.operators.similarity import (
+        MMR_K,
+        ann_bruteforce_topk,
+        cosine,
+        mmr_topk,
+    )
+    from whale_sightings_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mmr = mmr_topk(emb).collect()
+    plain = ann_bruteforce_topk(emb, n_queries=3, k=MMR_K).collect()
+
+    by_q = {}
+    for r in mmr:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rows in by_q.items():
+        assert sorted(x["rank"] for x in rows) == list(range(1, MMR_K + 1))
+        ids = [x["neighbor_id"] for x in rows]
+        assert len(set(ids)) == MMR_K
+        top1 = min(
+            (p for p in plain if p["query_id"] == qid), key=lambda p: p["rank"]
+        )
+        first = min(rows, key=lambda x: x["rank"])
+        assert first["neighbor_id"] == top1["neighbor_id"]
+        # relevance of pick r is <= pick 1 (greedy starts at argmax rel)
+        assert all(x["relevance"] <= first["relevance"] + 1e-9 for x in rows)
+
+    def mean_pairwise(ids):
+        sub = emb.filter(F.col("vec_id").isin(ids)).select(
+            "vec_id", "embedding"
+        )
+        a = sub.select(
+            F.col("vec_id").alias("ia"), F.col("embedding").alias("ea")
+        )
+        b = sub.select(
+            F.col("vec_id").alias("ib"), F.col("embedding").alias("eb")
+        )
+        rows = (
+            a.join(b, F.col("ia") < F.col("ib"))
+            .select(cosine(F.col("ea"), F.col("eb")).alias("c"))
+            .collect()
+        )
+        return sum(r["c"] for r in rows) / len(rows)
+
+    for qid in by_q:
+        m_ids = [x["neighbor_id"] for x in by_q[qid]]
+        p_ids = [p["neighbor_id"] for p in plain if p["query_id"] == qid]
+        assert mean_pairwise(m_ids) <= mean_pairwise(p_ids) + 1e-9

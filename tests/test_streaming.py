@@ -680,3 +680,77 @@ def test_streaming_transition_counts_match_batch_and_replay(
         tuple(r) for r in transition_counts_from_state(spark, state_dir).collect()
     )
     assert again == want
+
+
+def test_streaming_ivfpq_index_ingest_full_loop(spark, sf_dir, tmp_path_factory):
+    """Round-7 (VERDICT r6 #4): the full index-maintenance loop on ONE
+    persisted artifact — build over history -> ingest deltas as a
+    stream (encoded against the STORED codebooks, appended in the cell
+    layout) -> serve. (a) The grown store's codes equal the
+    stored-codebook incremental encode of the full corpus; (b) replay
+    from a fresh checkpoint appends nothing; (c) the post-ingest probe
+    still reads the code table through a cell partition filter."""
+    import re
+    import time
+
+    from whale_sightings_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_encode_from_index,
+        ivfpq_topk_from_index,
+        read_ivfpq_index,
+    )
+    from whale_sightings_spark.streaming.events import (
+        streaming_ivfpq_index_ingest,
+    )
+
+    split = 400
+    base = tmp_path_factory.mktemp("ivfpq_index_ingest")
+    emb = load_table(spark, sf_dir, "embeddings")
+    index_dir = str(base / "index")
+    build_ivfpq_index(emb.filter(F.col("vec_id") < split), index_dir)
+
+    emb_dir = str(base / "deltas")
+    mid = split + 50
+    emb.filter(
+        (F.col("vec_id") >= split) & (F.col("vec_id") < mid)
+    ).coalesce(1).write.parquet(emb_dir, mode="append")
+    time.sleep(1.1)
+    emb.filter(F.col("vec_id") >= mid).coalesce(1).write.parquet(
+        emb_dir, mode="append"
+    )
+
+    streaming_ivfpq_index_ingest(spark, emb_dir, index_dir, str(base / "ckpt1"))
+
+    def stored_codes():
+        _c, _r, codes = read_ivfpq_index(spark, index_dir)
+        return codes.groupBy(
+            "vec_id", F.col("cell").cast("long").alias("cell")
+        ).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "cid"))),
+                    lambda x: x.cid.cast("string"),
+                ),
+                ",",
+            ).alias("codes")
+        )
+
+    got = sorted(tuple(r) for r in stored_codes().collect())
+    want = sorted(
+        tuple(r)
+        for r in ivfpq_encode_from_index(spark, emb, index_dir)
+        .select("vec_id", "cell", "codes")
+        .collect()
+    )
+    assert got == want and len(got) == emb.count()
+
+    streaming_ivfpq_index_ingest(spark, emb_dir, index_dir, str(base / "ckpt2"))
+    assert stored_codes().count() == len(got)
+
+    served = ivfpq_topk_from_index(spark, emb, index_dir)
+    plan = served.sparkSession._jvm.PythonSQLUtils.explainString(
+        served._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+    assert served.count() > 0

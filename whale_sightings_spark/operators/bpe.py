@@ -28,7 +28,7 @@ training at all; SURVEY.md's LLM-pipeline mandate is the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 #: merge-table size (rounds of training); vocab cap bounds training
@@ -36,6 +36,17 @@ from pyspark.sql import functions as F
 #: the trained merges' char fallback (see bpe_fertility)
 BPE_ROUNDS = 8
 BPE_VOCAB_CAP = 1000
+
+#: bump to invalidate persisted BPE artifacts when the training
+#: constants or storage layout change (mirrors
+#: similarity.INDEX_FORMAT_VERSION for the IVF-PQ artifact)
+BPE_FORMAT_VERSION = 1
+
+_MERGE_SCHEMA = (
+    "round int, left_sym string, right_sym string, merged string,"
+    " pair_count bigint"
+)
+_SYMS_SCHEMA = "word string, wcount bigint, pos bigint, sym string"
 
 
 def word_dict(docs: DataFrame) -> DataFrame:
@@ -154,9 +165,95 @@ def bpe_merge_table(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
     """(round, left_sym, right_sym, merged, pair_count) — the trained
     merge table, K rows (the artifact a tokenizer ships)."""
     merges, _syms = bpe_train(docs, rounds)
-    return docs.sparkSession.createDataFrame(
-        merges,
-        "round int, left_sym string, right_sym string, merged string, pair_count bigint",
+    return docs.sparkSession.createDataFrame(merges, _MERGE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Persisted tokenizer artifact — the q172 build-once/serve-many
+# convention applied to BPE: a real pipeline trains the tokenizer ONCE
+# and ships it; every consumer (fertility audit, vocab sizing,
+# segmentation review, packing) reads the stored tables instead of
+# re-deriving the identical merge sequence per query.
+# ---------------------------------------------------------------------------
+
+
+def bpe_artifact_paths(artifact_dir: str) -> tuple[str, str]:
+    """(symbols_dir, merges_dir) under ``artifact_dir``. Symbols are
+    written FIRST and merges LAST: the build-if-absent cache keys on
+    the merges ``_SUCCESS`` marker, so a build torn between the two
+    writes is invisible (the guard artifact is missing → rebuild), the
+    same torn-write contract as ``streaming_ivfpq_encode``."""
+    base = artifact_dir.rstrip("/")
+    return base + "/symbols", base + "/merges"
+
+
+def build_bpe_artifact(
+    docs: DataFrame, artifact_dir: str, rounds: int = BPE_ROUNDS
+) -> str:
+    """Train once and persist BOTH shipped tables: the final symbol
+    frame (word, wcount, pos, sym — vocab-scale, ≤ cap × word-length
+    rows) and the K-row merge table. Both are tiny by construction
+    (the corpus never lands on disk), so single-file writes; overwrite
+    mode keeps a retried build idempotent."""
+    merges, syms = bpe_train(docs, rounds)
+    syms_dir, merges_dir = bpe_artifact_paths(artifact_dir)
+    (
+        syms.select(
+            "word", F.col("wcount").cast("bigint").alias("wcount"), "pos", "sym"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(syms_dir)
+    )
+    mt = docs.sparkSession.createDataFrame(merges, _MERGE_SCHEMA)
+    mt.coalesce(1).write.mode("overwrite").parquet(merges_dir)
+    return artifact_dir
+
+
+def bpe_stored_symbols(spark: SparkSession, artifact_dir: str) -> DataFrame:
+    syms_dir, _merges_dir = bpe_artifact_paths(artifact_dir)
+    return spark.read.schema(_SYMS_SCHEMA).parquet(syms_dir)
+
+
+def bpe_stored_merge_table(spark: SparkSession, artifact_dir: str) -> DataFrame:
+    _syms_dir, merges_dir = bpe_artifact_paths(artifact_dir)
+    return spark.read.schema(_MERGE_SCHEMA).parquet(merges_dir)
+
+
+def bpe_stored_word_tokens(spark: SparkSession, artifact_dir: str) -> DataFrame:
+    """(word, n_tokens) from the STORED symbol frame — the broadcast
+    lookup every serving consumer joins against (no retraining)."""
+    return (
+        bpe_stored_symbols(spark, artifact_dir)
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n_tokens"))
+    )
+
+
+def bpe_fertility_from_store(
+    docs: DataFrame, spark: SparkSession, artifact_dir: str
+) -> DataFrame:
+    """``bpe_fertility`` served from the persisted artifact: identical
+    output (training is deterministic), but the only corpus-scale work
+    left is the word-stream join — the vocab-scale token table comes
+    off the store as a broadcast side."""
+    wt = bpe_stored_word_tokens(spark, artifact_dir)
+    dw = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("word"),
+    ).filter(F.col("word") != "")
+    j = dw.join(F.broadcast(wt), "word", "left").select(
+        "source",
+        "word",
+        F.coalesce("n_tokens", F.length("word").cast("bigint")).alias("n_toks"),
+    )
+    return j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum("n_toks").cast("bigint").alias("n_bpe_tokens"),
+        F.round(F.sum("n_toks") / F.count("*"), 6).alias("fertility"),
+        F.round(F.sum(F.length("word")) / F.sum("n_toks"), 6).alias(
+            "bytes_per_token"
+        ),
     )
 
 
@@ -240,10 +337,10 @@ def bpe_ctes(rounds: int = BPE_ROUNDS, cap: int = BPE_VOCAB_CAP,
                    END AS grp
             FROM (
                 SELECT s.word, s.wcount, s.pos, s.sym, m.a AS ma, m.b AS mb,
-                       (s.sym = m.a AND coalesce(
+                       coalesce(s.sym = m.a AND coalesce(
                            lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = m.b,
-                           false)) AS cand
-                FROM {prefix}s{r - 1} s CROSS JOIN {prefix}m{r} m
+                           false), false) AS cand
+                FROM {prefix}s{r - 1} s LEFT JOIN {prefix}m{r} m ON true
             )
         ))""",
             f"""{prefix}s{r} AS (

@@ -354,7 +354,11 @@ def minhash_estimate_audit(docs: DataFrame) -> DataFrame:
             "doc_b",
             F.round(est, 6).alias("est_jaccard"),
             F.round(exact, 6).alias("exact_jaccard"),
-            F.round(F.abs(est - exact), 6).alias("abs_err"),
+            # Round-inputs-first: differencing the already-6dp-rounded shares
+            # keeps the final round far from 0.5e-6 boundaries, where Spark's
+            # BigDecimal HALF_UP and DuckDB's std::round(x*1e6)/1e6 can
+            # disagree by 1 ulp (the q196/q159 divergence class).
+            F.round(F.abs(F.round(est, 6) - F.round(exact, 6)), 6).alias("abs_err"),
         )
     )
 

@@ -1143,6 +1143,190 @@ def ivfpq_topk_from_index(
     )
 
 
+#: MMR diversified re-ranking constants (one spec, two engines — the
+#: oracle embeds the SAME Python reprs). OML is written out, not
+#: computed as 1-LAMBDA, so both engines see the identical double.
+MMR_LAMBDA = 0.7
+MMR_OML = 0.3
+MMR_POOL = 20
+MMR_K = 5
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    n_queries: int = 3,
+    k: int = MMR_K,
+    pool: int = MMR_POOL,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedy selection where pick r maximizes
+    ``λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s)`` — the re-rank a
+    RAG retrieval stack runs so the k contexts aren't k near-copies.
+
+    Scale shape: ONE corpus-scale stage (the brute-force relevance
+    scan + WindowGroupLimit top-``pool`` — q17's plan; swap in the
+    IVF probe for the pool at 100 TB), then K driver rounds over the
+    BOUNDED |Q|×pool candidate frame: anti-join the selected set,
+    max-sim against ≤ k broadcast selected rows, argmax per query.
+    Nothing corpus-scale ever re-shuffles. All sims are 6dp-rounded
+    BEFORE the greedy (the q17 convention), so cross-engine argmax
+    comparisons operate on identical doubles.
+
+    Returns (query_id, rank 1..k in selection order, neighbor_id,
+    relevance, mmr_score); rank-1 rows carry score = relevance (the
+    first pick has no diversity term)."""
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "cvec",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("rel"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("neighbor_id"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= pool)
+        .select("query_id", "neighbor_id", "cvec", "rel")
+        .localCheckpoint()
+    )
+    selected = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cvec",
+            "rel",
+            F.lit(1).cast("int").alias("rank"),
+            F.col("rel").alias("score"),
+        )
+        .localCheckpoint()
+    )
+    for r in range(2, k + 1):
+        rem = cand.join(
+            selected.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        maxsim = (
+            rem.join(
+                F.broadcast(
+                    selected.select("query_id", F.col("cvec").alias("svec"))
+                ),
+                "query_id",
+            )
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine(F.col("cvec"), F.col("svec")), 6).alias("sim"),
+            )
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        pick = (
+            rem.join(maxsim, ["query_id", "neighbor_id"])
+            .withColumn(
+                "score",
+                F.lit(MMR_LAMBDA) * F.col("rel")
+                - F.lit(MMR_OML) * F.col("maxsim"),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("query_id").orderBy(
+                        F.desc("score"), F.asc("neighbor_id")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "cvec",
+                "rel",
+                F.lit(r).cast("int").alias("rank"),
+                "score",
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected.select(
+        "query_id",
+        "rank",
+        "neighbor_id",
+        F.col("rel").alias("relevance"),
+        F.round("score", 6).alias("mmr_score"),
+    )
+
+
+def mmr_topk_sql(n_queries: int = 3, k: int = MMR_K, pool: int = MMR_POOL) -> str:
+    """DuckDB twin: the same K greedy rounds unrolled from the same
+    constants (6dp-rounded sims before the greedy, identical λ reprs,
+    same (score DESC, neighbor_id) argmax tie-break)."""
+    cos = cosine_sql("c.embedding", "q.qvec")
+    parts = [
+        f"""q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id < {n_queries})""",
+        f"""scored AS (
+        SELECT q.query_id, c.vec_id AS nid, c.embedding AS cvec,
+               round({cos}, 6) AS rel
+        FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id)""",
+        f"""cand AS (
+        SELECT query_id, nid, cvec, rel FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY rel DESC, nid) AS rn
+            FROM scored
+        ) WHERE rn <= {pool})""",
+        """s1 AS (
+        SELECT query_id, nid, cvec, rel, CAST(1 AS INT) AS rank,
+               rel AS score
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY rel DESC, nid) AS rn
+            FROM cand
+        ) WHERE rn = 1)""",
+    ]
+    pair = cosine_sql("c.cvec", "s.cvec")
+    for r in range(2, k + 1):
+        parts.append(f"""m{r} AS (
+        SELECT c.query_id, c.nid, max(round({pair}, 6)) AS maxsim
+        FROM cand c JOIN s{r - 1} s ON s.query_id = c.query_id
+        WHERE NOT EXISTS (
+            SELECT 1 FROM s{r - 1} x
+            WHERE x.query_id = c.query_id AND x.nid = c.nid)
+        GROUP BY c.query_id, c.nid)""")
+        parts.append(f"""p{r} AS (
+        SELECT query_id, nid, cvec, rel, CAST({r} AS INT) AS rank, score
+        FROM (
+            SELECT c.query_id, c.nid, c.cvec, c.rel,
+                   {MMR_LAMBDA!r} * c.rel - {MMR_OML!r} * m.maxsim AS score,
+                   row_number() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY ({MMR_LAMBDA!r} * c.rel
+                                 - {MMR_OML!r} * m.maxsim) DESC, c.nid
+                   ) AS rn
+            FROM m{r} m JOIN cand c
+              ON c.query_id = m.query_id AND c.nid = m.nid
+        ) WHERE rn = 1)""")
+        parts.append(
+            f"s{r} AS (SELECT * FROM s{r - 1} UNION ALL SELECT * FROM p{r})"
+        )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT query_id, rank, nid AS neighbor_id, rel AS relevance,
+           round(score, 6) AS mmr_score
+    FROM s{k}
+    """
+
+
 def ivfpq_stored_cell_stats(spark, index_dir: str) -> DataFrame:
     """Build audit read from the STORED artifact: per inverted list
     (cell), member count, code-row count (must be members x PQ_M),
@@ -1178,6 +1362,13 @@ def ivfpq_incremental_encode(
     drain to exactly these rows when the first micro-batch holds the
     history."""
     _coarse, _rcb, res, best = _residual_pq_index(embeddings, split_id)
+    return _encode_rows(res, best)
+
+
+def _encode_rows(res: DataFrame, best: DataFrame) -> DataFrame:
+    """(vec_id, cell, codes comma-string, recon) from the residual
+    frame + per-subspace assignment — shared by the inline and
+    stored-codebook encode paths."""
     enc = best.groupBy("vec_id").agg(
         F.array_join(
             F.transform(
@@ -1191,3 +1382,37 @@ def ivfpq_incremental_encode(
     return enc.join(res.select("vec_id", "cell"), "vec_id").select(
         "vec_id", "cell", "codes", "recon"
     )
+
+
+def ivfpq_assign_encode(
+    embeddings: DataFrame, coarse: DataFrame, rcb: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(res, best) for ``embeddings`` against ALREADY-TRAINED codebook
+    frames: one broadcast coarse argmin, a row-local residual, one
+    broadcast residual argmin — O(batch), no Lloyd jobs in the DAG.
+    The serve-side half of ``_residual_pq_index``."""
+    sub0 = _fulldim_sub(embeddings)
+    assigned = _pq_assign_to(sub0, coarse)
+    res = assigned.join(F.broadcast(coarse), ["s", "cid"]).select(
+        "vec_id",
+        F.col("cid").alias("cell"),
+        F.zip_with("subvec", "cvec", lambda a, b: a - b).alias("rvec"),
+    )
+    rsub = _split_subspaces(res, "rvec", "vec_id")
+    best = _pq_assign_to(rsub, rcb)
+    return res, best
+
+
+def ivfpq_encode_from_index(
+    spark, embeddings: DataFrame, index_dir: str
+) -> DataFrame:
+    """``ivfpq_incremental_encode`` served from the PERSISTED artifact:
+    both codebooks come off ``build_ivfpq_index``'s store (built over
+    the history slice), so the encode DAG contains NO Lloyd training —
+    the O(batch) plan a serving index runs per delta, now on the same
+    artifact q172/q173 build and serve. Training is deterministic, so
+    the rows equal the inline history-trained encode exactly (pinned
+    by the q174 oracle and tests/test_similarity.py)."""
+    coarse, rcb, _codes = read_ivfpq_index(spark, index_dir)
+    res, best = ivfpq_assign_encode(embeddings, coarse, rcb)
+    return _encode_rows(res, best)

@@ -662,11 +662,11 @@ def _iet_expected(lo: float, hi: float | None) -> float:
                f"WHEN bin = {i} THEN CAST({_iet_expected(lo, hi)!r} AS DOUBLE)"
                for i, (lo, hi) in enumerate(_IET_BINS)
            )} END, 6) AS exp_share,
-           round(abs(CAST(count(*) AS DOUBLE) / any_value(n)
-                 - CASE {" ".join(
+           round(abs(round(CAST(count(*) AS DOUBLE) / any_value(n), 6)
+                 - round(CASE {" ".join(
                      f"WHEN bin = {i} THEN CAST({_iet_expected(lo, hi)!r} AS DOUBLE)"
                      for i, (lo, hi) in enumerate(_IET_BINS)
-                 )} END), 6) AS gap,
+                 )} END, 6)), 6) AS gap,
            round(any_value(mean_s), 6) AS mean_gap_s
     FROM b
     GROUP BY bin

@@ -160,3 +160,26 @@ def q192_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q193_int8_serving_recall", EQ.int8_serving_recall_sql())
 def q193_int8_serving_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EQ.int8_serving_recall(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# q199 — MMR diversified top-k re-rank (Carbonell & Goldstein 1998):
+# the post-retrieval stage a RAG stack runs so its k contexts aren't k
+# near-copies of one passage. Greedy: pick 1 = argmax relevance; pick
+# r = argmax λ·rel − (1−λ)·max-sim-to-selected over the remaining
+# candidate pool. One corpus-scale stage (the q17 relevance scan +
+# WindowGroupLimit top-pool); the K greedy rounds run over the bounded
+# |Q|×pool frame with the selected set broadcast — the q112
+# driver-loop convention. All sims 6dp-rounded before the greedy so
+# both engines' argmax compare identical doubles; the oracle unrolls
+# the same rounds from the same constants.
+# (operators/similarity.mmr_topk; diversity property pinned in
+# tests/test_similarity.py)
+# ---------------------------------------------------------------------------
+
+from whale_sightings_spark.operators import similarity as SIM  # noqa: E402
+
+
+@register("q199_mmr_rerank", SIM.mmr_topk_sql())
+def q199_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.mmr_topk(load_table(spark, sf_dir, "embeddings"))

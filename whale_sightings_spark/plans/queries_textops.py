@@ -1354,14 +1354,59 @@ def q170_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 from whale_sightings_spark.operators import bpe as BPE  # noqa: E402
 
 
+def _bpe_artifact_dir(
+    spark: SparkSession, sf_dir: str, where: str = "", tag: str = "full"
+) -> str:
+    """Build-if-absent cache of the trained-BPE artifact for
+    ``sf_dir`` — the `_ivfpq_index_dir` convention applied to the
+    tokenizer (the other artifact a real pipeline ships). Keyed by the
+    documents file's (size, mtime) fingerprint, the artifact format
+    version, and the training-corpus ``tag`` (q188's history split
+    trains its own artifact), so a regenerated corpus or changed
+    training constants can never serve stale merges. Eviction is
+    scoped to the ``bpe_`` prefix — the IVF-PQ cache shares sf_root."""
+    import os
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(doc_path)
+    fp = f"{st.st_size}_{int(st.st_mtime)}"
+    root = os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".index_cache"),
+    )
+    sf_root = os.path.join(root, os.path.basename(os.path.normpath(sf_dir)))
+    leaf = f"bpe_{tag}_v{BPE.BPE_FORMAT_VERSION}_{fp}"
+    artifact_dir = os.path.join(sf_root, leaf)
+    _syms_dir, merges_dir = BPE.bpe_artifact_paths(artifact_dir)
+    if not os.path.exists(os.path.join(merges_dir, "_SUCCESS")):
+        import shutil
+
+        if os.path.isdir(sf_root):
+            for d in os.listdir(sf_root):
+                if d != leaf and d.startswith(f"bpe_{tag}_"):
+                    shutil.rmtree(os.path.join(sf_root, d), ignore_errors=True)
+        docs = load_table(spark, sf_dir, "documents")
+        if where:
+            docs = docs.filter(where)
+        BPE.build_bpe_artifact(docs, artifact_dir)
+    return artifact_dir
+
+
 @register("q176_bpe_merge_table", BPE.bpe_merge_table_sql())
 def q176_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return BPE.bpe_merge_table(load_table(spark, sf_dir, "documents"))
+    # build sign-off: build-if-absent, then the result is the merge
+    # table READ BACK from the store (the q172 shape)
+    return BPE.bpe_stored_merge_table(spark, _bpe_artifact_dir(spark, sf_dir))
 
 
 @register("q177_bpe_fertility", BPE.bpe_fertility_sql())
 def q177_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return BPE.bpe_fertility(load_table(spark, sf_dir, "documents"))
+    return BPE.bpe_fertility_from_store(
+        load_table(spark, sf_dir, "documents"),
+        spark,
+        _bpe_artifact_dir(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1388,7 +1433,7 @@ def q177_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q178_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _merges, syms = BPE.bpe_train(load_table(spark, sf_dir, "documents"))
+    syms = BPE.bpe_stored_symbols(spark, _bpe_artifact_dir(spark, sf_dir))
     return syms.groupBy("sym").agg(
         F.countDistinct("word").alias("n_words"),
         F.sum("wcount").cast("bigint").alias("n_occurrences"),
@@ -1407,7 +1452,7 @@ def q178_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q179_bpe_segmentations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _merges, syms = BPE.bpe_train(load_table(spark, sf_dir, "documents"))
+    syms = BPE.bpe_stored_symbols(spark, _bpe_artifact_dir(spark, sf_dir))
     return (
         syms.groupBy("word", "wcount")
         .agg(
@@ -1486,7 +1531,7 @@ _BPE_PACK_BUCKET_SQL = (
 )
 def q180_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    wt = BPE.bpe_word_tokens(docs).select("word", "n_tokens")
+    wt = BPE.bpe_stored_word_tokens(spark, _bpe_artifact_dir(spark, sf_dir))
     dw = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("word"),
@@ -1747,19 +1792,62 @@ def _q188_oracle() -> str:
 
 @register("q188_bpe_drift", _q188_oracle())
 def q188_bpe_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    mh, _ = BPE.bpe_train(docs.filter(_DRIFT_HOLD))
-    mg, _ = BPE.bpe_train(docs)
-    hp = {(a, b) for _r, a, b, _m, _c in mh}
-    gp = {(a, b) for _r, a, b, _m, _c in mg}
-    jacc = round(len(hp & gp) / len(hp | gp), 6) if hp | gp else 0.0
-    rows = []
-    for (r, ha, hb, hm_, hc), (_r2, ga, gb, gm_, gc) in zip(mh, mg):
-        rows.append((r, hm_, gm_, (ha, hb) == (ga, gb), hc, gc, jacc))
-    return spark.createDataFrame(
-        rows,
-        "round int, hist_merged string, full_merged string, agree boolean,"
-        " hist_count bigint, full_count bigint, merge_jaccard double",
+    # both merge tables come off the persisted-artifact cache (the
+    # history split trains its own 'hist'-tagged artifact); the drift
+    # math is a K-row join — no retraining per call
+    hm = BPE.bpe_stored_merge_table(
+        spark, _bpe_artifact_dir(spark, sf_dir, where=_DRIFT_HOLD, tag="hist")
+    )
+    gm = BPE.bpe_stored_merge_table(spark, _bpe_artifact_dir(spark, sf_dir))
+    hp = hm.select("left_sym", "right_sym").distinct().withColumn(
+        "in_h", F.lit(True)
+    )
+    gp = gm.select("left_sym", "right_sym").distinct().withColumn(
+        "in_g", F.lit(True)
+    )
+    j = (
+        hp.join(gp, ["left_sym", "right_sym"], "full_outer")
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        F.coalesce("in_h", F.lit(False))
+                        & F.coalesce("in_g", F.lit(False))
+                    ).cast("double")
+                )
+                / F.count("*"),
+                6,
+            ).alias("merge_jaccard")
+        )
+    )
+    h = hm.select(
+        "round",
+        F.col("left_sym").alias("h_l"),
+        F.col("right_sym").alias("h_r"),
+        F.col("merged").alias("hist_merged"),
+        F.col("pair_count").alias("hist_count"),
+    )
+    g = gm.select(
+        "round",
+        F.col("left_sym").alias("g_l"),
+        F.col("right_sym").alias("g_r"),
+        F.col("merged").alias("full_merged"),
+        F.col("pair_count").alias("full_count"),
+    )
+    return (
+        h.join(g, "round")
+        .crossJoin(F.broadcast(j))
+        .select(
+            "round",
+            "hist_merged",
+            "full_merged",
+            ((F.col("h_l") == F.col("g_l")) & (F.col("h_r") == F.col("g_r"))).alias(
+                "agree"
+            ),
+            "hist_count",
+            "full_count",
+            "merge_jaccard",
+        )
     )
 
 
@@ -2100,4 +2188,95 @@ def q197_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_tag_overhead"),
         F.round(F.avg(dens), 6).alias("avg_link_density"),
         F.sum((dens > _LINKDENS_T).cast("long")).alias("n_flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q198 — tokenizer round-trip audit (completes the BPE story): the
+# invariant that makes a trained tokenizer SHIPPABLE is
+# decode(encode(word)) == word — re-joining each dictionary word's BPE
+# symbols in position order must reproduce the word exactly, for every
+# word, with zero exceptions. Per source: corpus words, in-vocab hit
+# count, round-trip mismatches (MUST be 0 — merges only ever
+# concatenate adjacent symbols, so the audit proves the stored symbol
+# frame is uncorrupted), and the char-coverage share the trained
+# dictionary actually buys (chars of in-vocab words / all chars) — the
+# number that says how much of the corpus encodes via trained merges
+# vs the char fallback. Serves from the persisted artifact (one
+# vocab-scale regroup + the corpus word-stream join q177 already
+# pays); the oracle re-derives the same frame from the unrolled
+# training chain.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q198_bpe_roundtrip_audit",
+    f"""
+    WITH {BPE.bpe_ctes()},
+    rj AS (
+        SELECT word, string_agg(sym, '' ORDER BY pos) AS rejoined
+        FROM s{BPE.BPE_ROUNDS} GROUP BY word
+    ),
+    dw AS (
+        SELECT source, word FROM (
+            SELECT source,
+                   unnest(regexp_split_to_array(trim(lower(text)), ' +')) AS word
+            FROM documents
+        ) WHERE word <> ''
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(count(r.word) AS BIGINT) AS n_in_vocab,
+           CAST(coalesce(sum(CASE WHEN r.word IS NOT NULL
+                                   AND r.rejoined <> d.word THEN 1 END), 0)
+                AS BIGINT) AS n_roundtrip_mismatch,
+           round(CAST(sum(CASE WHEN r.word IS NOT NULL THEN len(d.word)
+                          ELSE 0 END) AS DOUBLE)
+                 / sum(len(d.word)), 6) AS char_coverage
+    FROM dw d LEFT JOIN rj r ON r.word = d.word
+    GROUP BY source
+    """,
+)
+def q198_bpe_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    syms = BPE.bpe_stored_symbols(spark, _bpe_artifact_dir(spark, sf_dir))
+    rj = syms.groupBy("word").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                lambda x: x.sym,
+            ),
+            "",
+        ).alias("rejoined")
+    )
+    dw = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    j = dw.join(
+        F.broadcast(rj.withColumn("in_vocab", F.lit(True))), "word", "left"
+    )
+    return j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum(F.coalesce("in_vocab", F.lit(False)).cast("long")).alias(
+            "n_in_vocab"
+        ),
+        F.sum(
+            (
+                F.coalesce("in_vocab", F.lit(False))
+                & (F.col("rejoined") != F.col("word"))
+            ).cast("long")
+        ).alias("n_roundtrip_mismatch"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.coalesce("in_vocab", F.lit(False)), F.length("word")
+                ).otherwise(F.lit(0)).cast("double")
+            )
+            / F.sum(F.length("word")),
+            6,
+        ).alias("char_coverage"),
     )

@@ -713,9 +713,12 @@ def streaming_ivfpq_encode(
 
     Re-delivery is self-healing: already-encoded vec_ids anti-join
     away before encode or append (the q95-twin idempotence pattern);
-    codebooks are written once and only read afterwards. Production
-    swaps the state dirs for the ``build_ivfpq_index`` artifact layout
-    (cell-partitioned codes) — the encode plan is identical.
+    the train-once branch keys on the residual codebook — the last of
+    the two codebook writes — so a tear between them retrains both on
+    replay (overwrite-mode writes keep that idempotent) instead of
+    serving permanently empty encodes. Production swaps the state dirs
+    for the ``build_ivfpq_index`` artifact layout (cell-partitioned
+    codes) — the encode plan is identical.
     """
     from whale_sightings_spark.operators.similarity import (
         IVF_K,
@@ -755,8 +758,12 @@ def streaming_ivfpq_encode(
             .distinct()
         )
         batch = batch_df.join(seen, "vec_id", "left_anti")
-        coarse = sess.read.schema(cb_schema).parquet(coarse_dir)
-        if coarse.limit(1).isEmpty():
+        # Train-once guard keys on the RESIDUAL codebook — the LAST
+        # artifact written (ADVICE r6): a tear between the coarse and
+        # residual writes leaves rcb empty, so replay retrains BOTH;
+        # overwrite-mode writes make that retrain idempotent instead
+        # of appending a duplicate coarse codebook.
+        if sess.read.schema(cb_schema).parquet(rcb_dir).limit(1).isEmpty():
             sub = _fulldim_sub(batch)
             coarse = _lloyd_codebook(
                 sub, IVF_K, IVF_KMEANS_ROUNDS, IVF_TRAIN_MOD,
@@ -767,7 +774,8 @@ def streaming_ivfpq_encode(
                     "streaming_ivfpq_encode: partial coarse codebook — "
                     "refusing to persist"
                 )
-            coarse.write.mode("append").parquet(coarse_dir)
+            coarse = coarse.localCheckpoint()
+            coarse.write.mode("overwrite").parquet(coarse_dir)
             rsub = _split_subspaces(_residuals(sub, coarse), "rvec", "vec_id")
             rcb = _lloyd_codebook(
                 rsub, PQ_K, PQ_KMEANS_ROUNDS, PQ_TRAIN_MOD,
@@ -778,7 +786,7 @@ def streaming_ivfpq_encode(
                     "streaming_ivfpq_encode: partial residual codebook — "
                     "refusing to persist"
                 )
-            rcb.write.mode("append").parquet(rcb_dir)
+            rcb.write.mode("overwrite").parquet(rcb_dir)
         # encode against the PERSISTED codebooks (read back, never the
         # in-memory frames — the serve path a later batch will take)
         coarse = sess.read.schema(cb_schema).parquet(coarse_dir)
@@ -794,6 +802,74 @@ def streaming_ivfpq_encode(
 
     for d in (coarse_dir, rcb_dir, codes_dir):
         os.makedirs(d, exist_ok=True)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(emb_dir)
+    )
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def streaming_ivfpq_index_ingest(
+    spark: SparkSession,
+    emb_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Delta ingest INTO the persisted ``build_ivfpq_index`` artifact —
+    the full index-maintenance loop on ONE store: build (q172) ->
+    serve (q173) -> ingest (this) -> serve again. Every micro-batch is
+    encoded against the STORED codebooks (read-only; never retrained —
+    the artifact is history-immutable) and appended to the stored code
+    table IN ITS CELL-PARTITIONED LAYOUT, so the q173 probe's
+    partition-pruned scan keeps working over the grown index without
+    re-layout. Per-trigger cost: one broadcast coarse argmin, a
+    row-local residual, one broadcast residual argmin, one cell-keyed
+    append — O(batch).
+
+    Re-delivery is self-healing: already-stored vec_ids anti-join away
+    before encode or append (the q95-twin idempotence pattern), and
+    the artifact's codebooks are never written here, so there is no
+    torn-write window beyond the append itself. Drained codes equal
+    ``ivfpq_incremental_encode`` (stored-codebook path) when the index
+    was built over the history slice — pinned in
+    tests/test_streaming.py.
+    """
+    from whale_sightings_spark.operators.similarity import (
+        ivfpq_assign_encode,
+        ivfpq_index_paths,
+        read_ivfpq_index,
+    )
+
+    schema = spark.read.parquet(emb_dir).schema
+    _coarse_dir, _rcb_dir, codes_dir = ivfpq_index_paths(index_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        coarse, rcb, codes = read_ivfpq_index(sess, index_dir)
+        seen = codes.select("vec_id").distinct()
+        batch = batch_df.join(seen, "vec_id", "left_anti")
+        if batch.limit(1).isEmpty():
+            return
+        res, best = ivfpq_assign_encode(batch, coarse, rcb)
+        rows = (
+            best.select("vec_id", "s", "cid")
+            .join(res.select("vec_id", "cell"), "vec_id")
+            .select("vec_id", "s", "cid", F.col("cell").cast("long").alias("cell"))
+        )
+        (
+            rows.repartition("cell")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(codes_dir)
+        )
+
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -925,6 +1001,15 @@ def streaming_transition_counts(
     read as latest-batch-wins. Per-trigger cost: one batch-keyed
     window + one frontier join; both sides are batch- or
     user-cardinality-sized.
+
+    Torn-write contract (ADVICE r6): the two state appends are not
+    atomic, so the frontier is written FIRST and the replay guard is
+    keyed on the LAST artifact (deltas). A failure between the writes
+    leaves batch_id absent from deltas, so replay re-runs the batch;
+    the duplicate frontier rows it re-appends are identical and
+    collapse under the latest-batch-wins read. The frontier read also
+    pins ``batch_id < current`` so a replayed batch sees exactly the
+    pre-batch frontier even when its own torn rows already landed.
     """
     schema = spark.read.parquet(events_dir).schema
     deltas_dir = state_dir.rstrip("/") + "/deltas"
@@ -940,10 +1025,16 @@ def streaming_transition_counts(
         )
         if not done.filter(F.col("batch_id") == batch_id).isEmpty():
             return
-        frontier_all = sess.read.schema(
-            "user_id long, ts timestamp, event_id long, event_type string,"
-            " batch_id long"
-        ).parquet(frontier_dir)
+        frontier_all = (
+            sess.read.schema(
+                "user_id long, ts timestamp, event_id long, event_type string,"
+                " batch_id long"
+            )
+            .parquet(frontier_dir)
+            # pre-batch state only: a torn prior attempt may have
+            # appended THIS batch's frontier rows already
+            .filter(F.col("batch_id") < batch_id)
+        )
         fw = W.partitionBy("user_id").orderBy(
             F.desc("batch_id"), F.desc("ts"), F.desc("event_id")
         )
@@ -985,7 +1076,6 @@ def streaming_transition_counts(
                 "n",
             )
         )
-        deltas.write.mode("append").parquet(deltas_dir)
         last = (
             batch_df.withColumn(
                 "rk",
@@ -1002,7 +1092,11 @@ def streaming_transition_counts(
                 F.lit(batch_id).cast("long").alias("batch_id"),
             )
         )
+        # frontier FIRST, deltas LAST: the replay guard keys on deltas,
+        # so a tear between the writes re-runs the batch instead of
+        # silently skipping it with a stale frontier
         last.write.mode("append").parquet(frontier_dir)
+        deltas.write.mode("append").parquet(deltas_dir)
 
     import os
 
