@@ -705,3 +705,75 @@ def q168_boilerplate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_boiler_shingles"),
         F.round(F.max(share), 6).alias("max_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q201 — temperature-sampled data-mixing plan: the per-source sampling
+# weights a multilingual / multi-source pretraining run uses
+# (mT5/XLM-R convention): w_i = p_i^τ / Σ p_j^τ over raw token shares
+# p_i, with τ < 1 up-weighting small sources. For each source: raw
+# token share, temperature weight, the planned token draw under a
+# fixed per-epoch budget, and the oversampling factor (planned /
+# owned — >1 means the source repeats within one epoch; the number
+# dataset cards report). Scale shape: one corpus scan collapses to a
+# source-cardinality frame; everything after is broadcast scalars —
+# the plan is O(sources) no matter the corpus size.
+# ---------------------------------------------------------------------------
+
+_MIX_TAU = 0.7
+_MIX_BUDGET = 100_000
+
+
+@register(
+    "q201_mixing_plan",
+    f"""
+    WITH per AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum({TX.token_count_sql('text')}) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens) AS t FROM per),
+    shares AS (
+        SELECT per.*, CAST(n_tokens AS DOUBLE) / tot.t AS p,
+               pow(CAST(n_tokens AS DOUBLE) / tot.t, {_MIX_TAU!r}) AS pw
+        FROM per CROSS JOIN tot
+    ),
+    z AS (SELECT sum(pw) AS z FROM shares)
+    SELECT source, n_docs, n_tokens,
+           round(p, 6) AS raw_share,
+           round(pw / z.z, 6) AS temp_weight,
+           CAST(round(pw / z.z * {_MIX_BUDGET}, 0) AS BIGINT) AS planned_tokens,
+           round(pw / z.z * {_MIX_BUDGET} / n_tokens, 6) AS oversample_factor
+    FROM shares CROSS JOIN z
+    """,
+)
+def q201_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(TX.token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("t"))
+    shares = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("t")).alias("p"),
+        F.pow(F.col("n_tokens").cast("double") / F.col("t"), _MIX_TAU).alias(
+            "pw"
+        ),
+    )
+    z = shares.agg(F.sum("pw").alias("z"))
+    wgt = F.col("pw") / F.col("z")
+    return shares.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("p", 6).alias("raw_share"),
+        F.round(wgt, 6).alias("temp_weight"),
+        F.round(wgt * _MIX_BUDGET, 0).cast("bigint").alias("planned_tokens"),
+        F.round(wgt * _MIX_BUDGET / F.col("n_tokens"), 6).alias(
+            "oversample_factor"
+        ),
+    )

@@ -2280,3 +2280,131 @@ def q198_bpe_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("char_coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q200 — cross-document exact substring-overlap spans: the
+# memorization-span audit behind exact-substring dedup (Lee et al.
+# 2022, "Deduplicating Training Data Makes Language Models Better" —
+# the 50-token rule, scaled to this corpus's k=4). For every candidate
+# doc pair sharing >= MIN k-token shingles, report how many shingles
+# they share and the LONGEST CONSECUTIVE run of shared shingle
+# positions in doc_a (gaps-and-islands over matched positions; a run
+# of L shingles = an exact shared span of L + k - 1 tokens) — the span
+# length is what decides trim-vs-drop in a real pipeline. Scale shape:
+# q14's df-capped inverted-index contract (candidates only ever come
+# from 2..DF_CAP posting lists, never all-pairs); the span pass joins
+# doc_a's position stream to doc_b's bounded shingle set per candidate
+# pair; one window over (pair, pos).
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 4
+_SPAN_DF_CAP = 20
+_SPAN_MIN_SHARED = 2
+
+
+@register(
+    "q200_overlap_spans",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {TX.tokens_sql('text')} AS t FROM documents
+    ),
+    spos AS (
+        SELECT doc_id, CAST(d.i AS BIGINT) AS pos,
+               {TX.shingles_from_tokens_sql('t', _SPAN_K)}[CAST(d.i AS INT)] AS sh
+        FROM toks,
+             LATERAL (SELECT unnest(range(1, len(t) - {_SPAN_K - 1} + 1)) AS i) d
+        WHERE len(t) >= {_SPAN_K}
+    ),
+    sdist AS (SELECT DISTINCT doc_id, sh FROM spos),
+    keep AS (
+        SELECT sh FROM sdist GROUP BY sh
+        HAVING count(*) BETWEEN 2 AND {_SPAN_DF_CAP}
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM sdist a
+        JOIN keep k ON k.sh = a.sh
+        JOIN sdist b ON b.sh = a.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {_SPAN_MIN_SHARED}
+    ),
+    amatch AS (
+        SELECT c.doc_a, c.doc_b, p.pos
+        FROM cand c
+        JOIN spos p ON p.doc_id = c.doc_a
+        JOIN keep k ON k.sh = p.sh
+        JOIN sdist b ON b.doc_id = c.doc_b AND b.sh = p.sh
+    ),
+    runs AS (
+        SELECT doc_a, doc_b,
+               CAST(count(*) AS BIGINT) AS run_len
+        FROM (
+            SELECT doc_a, doc_b, pos,
+                   pos - row_number() OVER (
+                       PARTITION BY doc_a, doc_b ORDER BY pos) AS grp
+            FROM amatch
+        )
+        GROUP BY doc_a, doc_b, grp
+    )
+    SELECT c.doc_a, c.doc_b, c.n_shared,
+           CAST(max(r.run_len) + {_SPAN_K - 1} AS BIGINT) AS longest_span_tokens
+    FROM cand c JOIN runs r ON r.doc_a = c.doc_a AND r.doc_b = c.doc_b
+    GROUP BY c.doc_a, c.doc_b, c.n_shared
+    """,
+)
+def q200_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.functions.text import shingles_from_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    spos = (
+        docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") >= _SPAN_K)
+        .select(
+            "doc_id",
+            F.posexplode(shingles_from_tokens(F.col("t"), _SPAN_K)).alias(
+                "p0", "sh"
+            ),
+        )
+        .select("doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "sh")
+    )
+    sdist = spos.select("doc_id", "sh").distinct()
+    keep = (
+        sdist.groupBy("sh")
+        .agg(F.count("*").alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= _SPAN_DF_CAP))
+        .select("sh")
+    )
+    a = sdist.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sdist.select(F.col("doc_id").alias("doc_b"), "sh")
+    cand = (
+        a.join(keep, "sh")
+        .join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= _SPAN_MIN_SHARED)
+    )
+    amatch = (
+        cand.select("doc_a", "doc_b")
+        .join(spos.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(keep, "sh")
+        .join(b, ["doc_b", "sh"])
+        .select("doc_a", "doc_b", "pos")
+    )
+    w = W.partitionBy("doc_a", "doc_b").orderBy("pos")
+    runs = (
+        amatch.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "grp")
+        .agg(F.count("*").alias("run_len"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("run_len") + _SPAN_K - 1).cast("bigint").alias(
+                "longest_span_tokens"
+            )
+        )
+    )
+    return cand.join(runs, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "n_shared", "longest_span_tokens"
+    )
