@@ -213,6 +213,63 @@ def _extract_utf8_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode, schema=out_schema)
 
 
+#: synthetic-WAV generation constants (q202): deterministic 16-bit PCM
+#: samples from doc_id via modular arithmetic, so the DuckDB oracle can
+#: recompute every decoded stat closed-form. 32 samples of k/32768
+#: keep every sum-of-squares EXACT in double (k² ≤ 2^30, 32 terms →
+#: ≤ 35 bits), making rms bit-identical across engines regardless of
+#: summation order.
+WAV_SYNTH_RATE = 16000
+WAV_SYNTH_N = 32
+WAV_SYNTH_A = 7919
+WAV_SYNTH_B = 104729
+
+
+def attach_wav_media(docs: DataFrame) -> DataFrame:
+    """Synthesize a GENUINE RIFF/WAVE PCM payload per document —
+    real 44-byte header + 16-bit LE mono samples packed with struct —
+    so the decode audit exercises actual container bytes, not a
+    hand-off of arrays. Sample j of doc d is
+    ``((d*A + j*B) mod 65536) - 32768``."""
+    import struct as st
+
+    out_schema = "media_id long, kind string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                ks = [
+                    ((d * WAV_SYNTH_A + j * WAV_SYNTH_B) % 65536) - 32768
+                    for j in range(WAV_SYNTH_N)
+                ]
+                data = b"".join(st.pack("<h", k) for k in ks)
+                payload = (
+                    b"RIFF"
+                    + st.pack("<I", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + st.pack(
+                        "<IHHIIHH",
+                        16,
+                        1,
+                        1,
+                        WAV_SYNTH_RATE,
+                        WAV_SYNTH_RATE * 2,
+                        2,
+                        16,
+                    )
+                    + b"data"
+                    + st.pack("<I", len(data))
+                    + data
+                )
+                rows.append((d, "audio", payload))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    return docs.select("doc_id").mapInPandas(gen, out_schema)
+
+
 def parse_wav(b: bytes) -> tuple[int, int, int, int, float, float]:
     """REAL codec decode of one narrow format, zero external deps:
     RIFF/WAVE chunk walk + uncompressed PCM (8-bit unsigned /

@@ -483,3 +483,69 @@ def q152_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("click_id_near"), F.lit(-1)).alias("click_id_near"),
         F.coalesce(F.col("click_ts_near"), F.lit("")).alias("click_ts_near"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q202 — REAL audio codec round trip, oracle-checked: per document a
+# genuine RIFF/WAVE PCM payload is SYNTHESIZED (real 44-byte header +
+# struct-packed 16-bit LE samples derived from doc_id), then DECODED
+# by the pure-Python RIFF chunk walker (operators/multimodal.parse_wav
+# — the narrow real codec that replaced the r6 stub). The oracle never
+# sees bytes: it recomputes every decoded stat closed-form from the
+# same modular-arithmetic samples — encode -> container bytes ->
+# decode must land exactly on the closed form, which pins header
+# layout, sample packing, normalization, and stats in one check.
+# Sample geometry keeps all sums exact in double (see
+# multimodal.WAV_SYNTH_N), so rms/peak are bit-identical across
+# engines before rounding. Row-local end to end; Arrow-batched both
+# ways; zero shuffles before the final projection.
+# ---------------------------------------------------------------------------
+
+from whale_sightings_spark.operators.multimodal import (  # noqa: E402
+    WAV_SYNTH_A,
+    WAV_SYNTH_B,
+    WAV_SYNTH_N,
+    WAV_SYNTH_RATE,
+    attach_wav_media,
+    extract_wav_features,
+)
+
+
+@register(
+    "q202_wav_decode_audit",
+    f"""
+    WITH s AS (
+        SELECT doc_id,
+               (((doc_id * {WAV_SYNTH_A} + j.j * {WAV_SYNTH_B}) % 65536)
+                - 32768) / 32768.0 AS x
+        FROM documents,
+             LATERAL (SELECT unnest(range(0, {WAV_SYNTH_N})) AS j) j
+    )
+    SELECT doc_id AS media_id,
+           'audio' AS kind,
+           true AS ok,
+           CAST({WAV_SYNTH_RATE} AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(16 AS INT) AS bits,
+           CAST({WAV_SYNTH_N} AS BIGINT) AS n_samples,
+           1000.0 * {WAV_SYNTH_N} / {WAV_SYNTH_RATE} AS duration_ms,
+           round(sqrt(avg(x * x)), 6) AS rms,
+           round(max(abs(x)), 6) AS peak
+    FROM s
+    GROUP BY doc_id
+    """,
+)
+def q202_wav_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_wav_media(load_table(spark, sf_dir, "documents"))
+    return extract_wav_features(media).select(
+        "media_id",
+        "kind",
+        "ok",
+        "sample_rate",
+        "n_channels",
+        "bits",
+        "n_samples",
+        "duration_ms",
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+    )
