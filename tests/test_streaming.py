@@ -754,3 +754,57 @@ def test_streaming_ivfpq_index_ingest_full_loop(spark, sf_dir, tmp_path_factory)
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cell" in m.group(1), plan
     assert served.count() > 0
+
+
+def test_ivfpq_index_compaction_after_ingest(spark, sf_dir, tmp_path_factory):
+    """Lifecycle completion: build -> ingest (fragmenting appends) ->
+    COMPACT -> serve. Compaction must reduce per-cell file counts,
+    preserve the code rows exactly, and leave the probe's partition
+    pruning intact."""
+    import re
+    import time
+
+    from whale_sightings_spark.operators.similarity import (
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        ivfpq_topk_from_index,
+        read_ivfpq_index,
+    )
+    from whale_sightings_spark.streaming.events import (
+        streaming_ivfpq_index_ingest,
+    )
+
+    split = 400
+    base = tmp_path_factory.mktemp("ivfpq_compact")
+    emb = load_table(spark, sf_dir, "embeddings")
+    index_dir = str(base / "index")
+    build_ivfpq_index(emb.filter(F.col("vec_id") < split), index_dir)
+
+    emb_dir = str(base / "deltas")
+    for lo, hi in ((split, split + 30), (split + 30, split + 60), (split + 60, 10**9)):
+        emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.parquet(emb_dir, mode="append")
+        time.sleep(1.1)
+    streaming_ivfpq_index_ingest(spark, emb_dir, index_dir, str(base / "ckpt"))
+
+    def rows():
+        _c, _r, codes = read_ivfpq_index(spark, index_dir)
+        return sorted(
+            (r["vec_id"], int(r["cell"]), r["s"], r["cid"])
+            for r in codes.collect()
+        )
+
+    want = rows()
+    stats = compact_ivfpq_index(spark, index_dir)
+    assert stats["files_after"] < stats["files_before"], stats
+    assert stats["rows"] == len(want)
+    assert rows() == want
+
+    served = ivfpq_topk_from_index(spark, emb, index_dir)
+    plan = served.sparkSession._jvm.PythonSQLUtils.explainString(
+        served._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+    assert served.count() > 0

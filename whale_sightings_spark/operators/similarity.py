@@ -1327,6 +1327,52 @@ def mmr_topk_sql(n_queries: int = 3, k: int = MMR_K, pool: int = MMR_POOL) -> st
     """
 
 
+def compact_ivfpq_index(spark, index_dir: str) -> dict[str, int]:
+    """Index maintenance after streaming ingest: each
+    ``streaming_ivfpq_index_ingest`` trigger appends one (or more)
+    small files per touched cell, and after enough triggers the
+    inverted lists fragment into many tiny parquet files — the scan
+    then pays per-file open cost instead of sequential reads.
+    Compaction rewrites the code table in the SAME cell-partitioned
+    layout with one file per cell (``spark.sql.files.maxRecordsPerFile``
+    still splits genuinely hot cells), preserving contents exactly.
+
+    The rewrite stages into ``codes__compact`` then swaps directories
+    (write target ≠ read source, so a torn compaction leaves the live
+    codes dir untouched; the stale staging dir is overwritten by the
+    next attempt). Returns {"files_before": n, "files_after": m,
+    "rows": r} so callers can assert the win."""
+    import glob
+    import os
+    import shutil
+
+    _coarse_dir, _rcb_dir, codes_dir = ivfpq_index_paths(index_dir)
+
+    def _nfiles(d: str) -> int:
+        return len(glob.glob(os.path.join(d, "cell=*", "*.parquet")))
+
+    before = _nfiles(codes_dir)
+    codes = spark.read.parquet(codes_dir)
+    rows = codes.count()
+    staging = codes_dir + "__compact"
+    (
+        codes.select(
+            "vec_id", "s", "cid", F.col("cell").cast("long").alias("cell")
+        )
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(staging)
+    )
+    old = codes_dir + "__old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(codes_dir, old)
+    os.rename(staging, codes_dir)
+    shutil.rmtree(old)
+    return {"files_before": before, "files_after": _nfiles(codes_dir), "rows": rows}
+
+
 def ivfpq_stored_cell_stats(spark, index_dir: str) -> DataFrame:
     """Build audit read from the STORED artifact: per inverted list
     (cell), member count, code-row count (must be members x PQ_M),
