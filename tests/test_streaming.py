@@ -808,3 +808,132 @@ def test_ivfpq_index_compaction_after_ingest(spark, sf_dir, tmp_path_factory):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cell" in m.group(1), plan
     assert served.count() > 0
+
+
+def test_streaming_transition_counts_heal_torn_write(
+    spark, sf_dir, tmp_path_factory
+):
+    """ADVICE r6 torn-write fix, pinned by SIMULATING the tear: run the
+    stream, then delete the LAST batch's deltas rows while leaving its
+    frontier rows in place (exactly the state a crash between the two
+    writes leaves, since the frontier is written first). Replay must
+    re-process that batch — the guard keys on deltas — and converge to
+    the batch-exact counts, not silently skip with a stale frontier."""
+    import glob
+    import os
+
+    from whale_sightings_spark.plans.queries import queries
+    from whale_sightings_spark.streaming.events import (
+        streaming_transition_counts,
+        transition_counts_from_state,
+    )
+
+    base = tmp_path_factory.mktemp("trans_tear")
+    ev_dir = str(base / "events")
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ("2024-01-11", "2024-01-21")
+    for p in (
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    ):
+        p.coalesce(1).write.parquet(ev_dir, mode="append")
+
+    state_dir = str(base / "state")
+    streaming_transition_counts(spark, ev_dir, state_dir, str(base / "ckpt1"))
+    deltas_dir = state_dir + "/deltas"
+    dschema = "batch_id long, src_type string, dst_type string, n long"
+    last = (
+        spark.read.schema(dschema)
+        .parquet(deltas_dir)
+        .agg(F.max("batch_id"))
+        .collect()[0][0]
+    )
+    # tear: drop the last batch's deltas, keep its frontier rows
+    keep = (
+        spark.read.schema(dschema)
+        .parquet(deltas_dir)
+        .filter(F.col("batch_id") < last)
+        .collect()
+    )
+    for f in glob.glob(os.path.join(deltas_dir, "*.parquet")):
+        os.remove(f)
+    spark.createDataFrame(keep, dschema).coalesce(1).write.mode(
+        "append"
+    ).parquet(deltas_dir)
+
+    streaming_transition_counts(spark, ev_dir, state_dir, str(base / "ckpt2"))
+    got = sorted(
+        tuple(r) for r in transition_counts_from_state(spark, state_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in queries()["q195_transition_lift"](spark, sf_dir)
+        .select("src_type", "dst_type", "n_trans")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_streaming_ivfpq_encode_heals_torn_codebook_write(
+    spark, sf_dir, tmp_path_factory
+):
+    """The companion tear: coarse codebook persisted, residual write
+    lost (crash between the two writes). The train-once branch keys on
+    the RESIDUAL codebook, so the next run retrains BOTH
+    (overwrite-mode keeps it idempotent) and encodes normally instead
+    of serving permanently empty encodes."""
+    import shutil
+
+    from whale_sightings_spark.operators.similarity import (
+        ivfpq_incremental_encode,
+    )
+    from whale_sightings_spark.streaming.events import streaming_ivfpq_encode
+
+    split = 400
+    base = tmp_path_factory.mktemp("ivfpq_tear")
+    emb_dir = str(base / "emb")
+    emb = load_table(spark, sf_dir, "embeddings")
+    import time
+
+    emb.filter(F.col("vec_id") < split).coalesce(1).write.parquet(
+        emb_dir, mode="append"
+    )
+    time.sleep(1.1)
+    emb.filter(F.col("vec_id") >= split).coalesce(1).write.parquet(
+        emb_dir, mode="append"
+    )
+    state_dir = str(base / "state")
+    streaming_ivfpq_encode(spark, emb_dir, state_dir, str(base / "ckpt1"))
+    # tear: wipe the residual codebook AND the codes (as if the crash
+    # hit before any encode landed), keep the coarse codebook
+    shutil.rmtree(state_dir + "/residual_codebook")
+    shutil.rmtree(state_dir + "/codes")
+    streaming_ivfpq_encode(spark, emb_dir, state_dir, str(base / "ckpt2"))
+
+    state = spark.read.schema(
+        "vec_id long, cell bigint, s int, cid bigint, d2 double"
+    ).parquet(state_dir + "/codes")
+    got = sorted(
+        tuple(r)
+        for r in state.groupBy("vec_id", "cell")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "cid"))),
+                    lambda x: x.cid.cast("string"),
+                ),
+                ",",
+            ).alias("codes"),
+            F.round(F.sqrt(F.sum("d2")), 6).alias("recon"),
+        )
+        .select("vec_id", "cell", "codes", "recon")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ivfpq_incremental_encode(emb, split)
+        .select("vec_id", "cell", "codes", "recon")
+        .collect()
+    )
+    assert got == want and len(got) == emb.count()
