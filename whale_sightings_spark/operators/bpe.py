@@ -329,7 +329,24 @@ def bpe_ctes(rounds: int = BPE_ROUNDS, cap: int = BPE_VOCAB_CAP,
             FROM {prefix}s{r - 1}
         ) WHERE nxt IS NOT NULL GROUP BY 1, 2)""",
             f"{prefix}m{r} AS (SELECT a, b, cnt FROM {prefix}p{r} ORDER BY cnt DESC, a, b LIMIT 1)",
-            f"""{prefix}f{r} AS (
+            *_merge_round_sql(
+                f"{prefix}f{r}", f"{prefix}s{r}",
+                f"{prefix}s{r - 1}", f"{prefix}m{r}",
+            ),
+        ])
+    return ",\n    ".join(parts)
+
+
+def _merge_round_sql(out_f: str, out_s: str, src: str, msrc: str) -> list[str]:
+    """The one-merge-application CTE pair (candidates -> gaps-and-
+    islands -> keep/rename), parameterized over the symbol-frame
+    source and the merge-row source so training (``bpe_ctes``) and
+    serving (``bpe_apply_ctes``) share ONE spec — including the
+    empty-merge pass-through semantics (LEFT JOIN ON true + coalesced
+    candidate flag: an exhausted round leaves the frame unchanged,
+    matching Spark's early break)."""
+    return [
+        f"""{out_f} AS (
         SELECT *, cand AND ((pos - min(pos) OVER (PARTITION BY word, grp)) % 2 = 0) AS mrg
         FROM (
             SELECT *, CASE WHEN cand THEN
@@ -340,19 +357,57 @@ def bpe_ctes(rounds: int = BPE_ROUNDS, cap: int = BPE_VOCAB_CAP,
                        coalesce(s.sym = m.a AND coalesce(
                            lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = m.b,
                            false), false) AS cand
-                FROM {prefix}s{r - 1} s LEFT JOIN {prefix}m{r} m ON true
+                FROM {src} s LEFT JOIN {msrc} m ON true
             )
         ))""",
-            f"""{prefix}s{r} AS (
+        f"""{out_s} AS (
         SELECT word, wcount,
                CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
                CASE WHEN mrg THEN ma || mb ELSE sym END AS sym
         FROM (
             SELECT *, lag(mrg) OVER (PARTITION BY word ORDER BY pos) AS consumed
-            FROM {prefix}f{r}
+            FROM {out_f}
         ) WHERE NOT coalesce(consumed, false))""",
-        ])
+    ]
+
+
+def bpe_apply_ctes(
+    words_src: str, mprefix: str, rounds: int = BPE_ROUNDS, prefix: str = "a"
+) -> str:
+    """CTE chain ENCODING an arbitrary word dictionary with an
+    already-trained merge sequence — the serve path of a shipped
+    tokenizer (no pair counting, no argmax; just K applications of
+    ``{mprefix}m1..m{rounds}``). ``words_src`` must expose
+    (word, wcount). Ends with ``{prefix}s{rounds}`` in scope."""
+    parts = [
+        f"""{prefix}s0 AS (
+        SELECT word, wcount, CAST(d.i AS BIGINT) AS pos,
+               substr(word, CAST(d.i AS INT), 1) AS sym
+        FROM {words_src}, LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) d)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.extend(
+            _merge_round_sql(
+                f"{prefix}f{r}", f"{prefix}s{r}",
+                f"{prefix}s{r - 1}", f"{mprefix}m{r}",
+            )
+        )
     return ",\n    ".join(parts)
+
+
+def bpe_apply_merges(
+    wd: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Spark serve-path twin of ``bpe_apply_ctes``: encode the
+    (word, wcount) dictionary with an already-trained merge list —
+    K bounded ``_apply_merge`` passes over the vocab-scale char frame,
+    zero training jobs. ``merges`` is [(left_sym, right_sym), ...] in
+    round order (collect the K-row stored merge table to get it — a
+    bounded, sanctioned collect)."""
+    syms = _char_rows(wd).localCheckpoint()
+    for a, b in merges:
+        syms = _apply_merge(syms, a, b).localCheckpoint()
+    return syms
 
 
 def bpe_merge_table_sql(rounds: int = BPE_ROUNDS) -> str:

@@ -2408,3 +2408,120 @@ def q200_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.join(runs, ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b", "n_shared", "longest_span_tokens"
     )
+
+
+# ---------------------------------------------------------------------------
+# q203 — tokenizer segmentation drift, in TOKEN terms (completes
+# q188): q188 compares the two MERGE TABLES; this encodes the full
+# corpus dictionary with the shipped HISTORY tokenizer (the real
+# serve path: K stored merges applied, zero training) and with the
+# full-corpus retrain, then prices the difference where it matters —
+# how many word occurrences re-segment, and both fertilities. The
+# Spark side is the stored-artifact pattern end to end: both merge
+# tables come off the cache, the encode is `bpe_apply_merges` (K
+# bounded passes over the vocab-scale char frame, a 8-row collect for
+# the merge list). The oracle encodes the same dictionary with
+# `bpe_apply_ctes` against the h_ chain's merges — training and
+# serving share one CTE spec (`_merge_round_sql`).
+# ---------------------------------------------------------------------------
+
+
+def _q203_oracle() -> str:
+    k = BPE.BPE_ROUNDS
+    return f"""
+    WITH {BPE.bpe_ctes(prefix="h_", where=_DRIFT_HOLD)},
+    {BPE.bpe_ctes(prefix="g_")},
+    {BPE.bpe_apply_ctes("g_wd", "h_", prefix="a_")},
+    segf AS (
+        SELECT word, string_agg(sym, ' ' ORDER BY pos) AS seg,
+               CAST(count(*) AS BIGINT) AS nt
+        FROM g_s{k} GROUP BY word
+    ),
+    segh AS (
+        SELECT word, string_agg(sym, ' ' ORDER BY pos) AS seg,
+               CAST(count(*) AS BIGINT) AS nt
+        FROM a_s{k} GROUP BY word
+    ),
+    dw AS (
+        SELECT source, word FROM (
+            SELECT source,
+                   unnest(regexp_split_to_array(trim(lower(text)), ' +')) AS word
+            FROM documents
+        ) WHERE word <> ''
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(coalesce(sum(CASE WHEN h.seg <> f.seg THEN 1 END), 0)
+                AS BIGINT) AS n_resegmented,
+           round(CAST(coalesce(sum(CASE WHEN h.seg <> f.seg THEN 1 END), 0)
+                      AS DOUBLE) / count(*), 6) AS reseg_share,
+           round(CAST(sum(h.nt) AS DOUBLE) / count(*), 6) AS hist_fertility,
+           round(CAST(sum(f.nt) AS DOUBLE) / count(*), 6) AS full_fertility
+    FROM dw d
+    JOIN segf f ON f.word = d.word
+    JOIN segh h ON h.word = d.word
+    GROUP BY d.source
+    """
+
+
+@register("q203_bpe_segmentation_drift", _q203_oracle())
+def q203_bpe_segmentation_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    full_dir = _bpe_artifact_dir(spark, sf_dir)
+    hist_dir = _bpe_artifact_dir(spark, sf_dir, where=_DRIFT_HOLD, tag="hist")
+    full_syms = BPE.bpe_stored_symbols(spark, full_dir)
+
+    def seg_nt(syms: DataFrame) -> DataFrame:
+        return syms.groupBy("word").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                    lambda x: x.sym,
+                ),
+                " ",
+            ).alias("seg"),
+            F.count("*").cast("bigint").alias("nt"),
+        )
+
+    segf = seg_nt(full_syms)
+    wd_full = full_syms.select("word", "wcount").distinct()
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in BPE.bpe_stored_merge_table(spark, hist_dir)
+        .orderBy("round")
+        .collect()
+    ]
+    segh = seg_nt(BPE.bpe_apply_merges(wd_full, merges))
+    per_word = (
+        segf.select("word", F.col("seg").alias("seg_f"), F.col("nt").alias("nt_f"))
+        .join(
+            segh.select(
+                "word", F.col("seg").alias("seg_h"), F.col("nt").alias("nt_h")
+            ),
+            "word",
+        )
+    )
+    dw = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    return (
+        dw.join(F.broadcast(per_word), "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum((F.col("seg_h") != F.col("seg_f")).cast("long")).alias(
+                "n_resegmented"
+            ),
+            F.round(
+                F.sum((F.col("seg_h") != F.col("seg_f")).cast("double"))
+                / F.count("*"),
+                6,
+            ).alias("reseg_share"),
+            F.round(F.sum("nt_h") / F.count("*"), 6).alias("hist_fertility"),
+            F.round(F.sum("nt_f") / F.count("*"), 6).alias("full_fertility"),
+        )
+    )
