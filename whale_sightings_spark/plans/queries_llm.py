@@ -2250,12 +2250,21 @@ def _ivfpq_index_dir(
 
         if os.path.isdir(sf_root):
             for d in os.listdir(sf_root):
-                if d != leaf and d.startswith(prefix):
+                if d != leaf and d.startswith(prefix) and ".tmp." not in d:
                     shutil.rmtree(os.path.join(sf_root, d), ignore_errors=True)
         emb = load_table(spark, sf_dir, "embeddings")
         if split is not None:
             emb = emb.filter(F.col("vec_id") < split)
-        SIM.build_ivfpq_index(emb, index_dir)
+        # build into a pid-unique staging dir and publish via atomic
+        # rename: two processes racing on the same missing artifact
+        # each build privately; the loser discards (training is
+        # deterministic, the artifacts are identical)
+        staging = f"{index_dir}.tmp.{os.getpid()}"
+        SIM.build_ivfpq_index(emb, staging)
+        try:
+            os.rename(staging, index_dir)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
     return index_dir
 
 

@@ -1384,12 +1384,19 @@ def _bpe_artifact_dir(
 
         if os.path.isdir(sf_root):
             for d in os.listdir(sf_root):
-                if d != leaf and d.startswith(f"bpe_{tag}_"):
+                if d != leaf and d.startswith(f"bpe_{tag}_") and ".tmp." not in d:
                     shutil.rmtree(os.path.join(sf_root, d), ignore_errors=True)
         docs = load_table(spark, sf_dir, "documents")
         if where:
             docs = docs.filter(where)
-        BPE.build_bpe_artifact(docs, artifact_dir)
+        # pid-unique staging + atomic-rename publish (the
+        # _ivfpq_index_dir racing-builders contract)
+        staging = f"{artifact_dir}.tmp.{os.getpid()}"
+        BPE.build_bpe_artifact(docs, staging)
+        try:
+            os.rename(staging, artifact_dir)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
     return artifact_dir
 
 
