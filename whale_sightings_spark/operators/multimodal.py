@@ -110,9 +110,10 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
         # WAV/PCM (decoder="wav", pure stdlib+numpy). Keep "real" as
         # the explicit integration point for the rest.
         raise NotImplementedError(
-            "image/video codecs (PIL / ffmpeg) are not present in this "
-            "environment; audio WAV/PCM decode IS implemented — use "
-            'decoder="wav" (extract_wav_features). Plug other codecs into '
+            "compressed-media codecs (PIL / ffmpeg) are not present in this "
+            "environment; the raw-container paths ARE implemented — "
+            'decoder="wav" (extract_wav_features) for PCM audio and '
+            "resize_pgm_features for P5 images. Plug other codecs into "
             "the same mapInPandas contract"
         )
     if decoder == "wav":
@@ -371,10 +372,149 @@ def extract_wav_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode, schema=out_schema)
 
 
+#: synthetic-PGM constants (q204): deterministic 8-bit pixels from
+#: doc_id so the DuckDB oracle can recompute the resized stats
+#: closed-form. Integer pixel sums are exact in double at any order.
+PGM_SYNTH_W = 16
+PGM_SYNTH_H = 12
+PGM_SYNTH_A = 31
+PGM_SYNTH_B = 7
+PGM_SYNTH_C = 13
+
+
+def attach_pgm_media(docs: DataFrame) -> DataFrame:
+    """Synthesize a GENUINE binary PGM (P5) payload per document —
+    real 'P5\\n{w} {h}\\n255\\n' header + row-major 8-bit pixels.
+    Pixel (r, c) of doc d is ``(d*A + r*B + c*C) mod 256``."""
+    out_schema = "media_id long, kind string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                r = np.arange(PGM_SYNTH_H, dtype=np.int64)[:, None]
+                c = np.arange(PGM_SYNTH_W, dtype=np.int64)[None, :]
+                px = ((d * PGM_SYNTH_A + r * PGM_SYNTH_B + c * PGM_SYNTH_C) % 256).astype(
+                    np.uint8
+                )
+                payload = (
+                    f"P5\n{PGM_SYNTH_W} {PGM_SYNTH_H}\n255\n".encode("ascii")
+                    + px.tobytes()
+                )
+                rows.append((d, "image", payload))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    return docs.select("doc_id").mapInPandas(gen, out_schema)
+
+
+def parse_pgm(b: bytes) -> tuple[int, int, "np.ndarray"]:
+    """REAL image decode for one narrow format, zero external deps:
+    binary PGM (P5, maxval <= 255). Whitespace/comment-tolerant header
+    scan, then a (h, w) uint8 pixel matrix. Raises ValueError on
+    anything that is not well-formed P5."""
+    if not b.startswith(b"P5"):
+        raise ValueError("not a P5 PGM payload")
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3 and i < len(b):
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":  # comment to end of line
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        try:
+            fields.append(int(b[i:j]))
+        except ValueError as e:
+            raise ValueError("bad PGM header field") from e
+        i = j
+    if len(fields) < 3 or fields[2] > 255 or fields[0] < 1 or fields[1] < 1:
+        raise ValueError("bad PGM header")
+    w, h, _maxval = fields
+    i += 1  # single whitespace byte after maxval, per spec
+    data = b[i : i + w * h]
+    if len(data) != w * h:
+        raise ValueError("truncated PGM pixel data")
+    return w, h, np.frombuffer(data, dtype=np.uint8).reshape(h, w)
+
+
+def resize_pgm_nearest(px: "np.ndarray", dst_w: int, dst_h: int) -> "np.ndarray":
+    """Nearest-neighbor resample: out(r, c) = in(floor(r*h/dst_h),
+    floor(c*w/dst_w)) — the classic index map, exact in ints."""
+    h, w = px.shape
+    rows = (np.arange(dst_h, dtype=np.int64) * h) // dst_h
+    cols = (np.arange(dst_w, dtype=np.int64) * w) // dst_w
+    return px[rows[:, None], cols[None, :]]
+
+
+def resize_pgm_features(
+    media: DataFrame, dst_w: int, dst_h: int
+) -> DataFrame:
+    """The REAL image path: decode P5 payloads, nearest-neighbor
+    resize, report the resized frame's stats (checksum + mean) — a
+    decode -> transform -> featurize chain over actual container
+    bytes, in the same Arrow mapInPandas contract as the WAV path.
+    Unparseable payloads yield ok=false rows."""
+    out_schema = (
+        "media_id long, kind string, ok boolean, src_w int, src_h int, "
+        "dst_w int, dst_h int, checksum long, mean_px double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if payload is None:
+                    rows.append((mid, kind, False, None, None, None, None, None, None))
+                    continue
+                try:
+                    w, h, px = parse_pgm(bytes(payload))
+                    out = resize_pgm_nearest(px, dst_w, dst_h)
+                    tot = int(out.astype(np.int64).sum())
+                    rows.append(
+                        (
+                            mid,
+                            kind,
+                            True,
+                            w,
+                            h,
+                            dst_w,
+                            dst_h,
+                            tot,
+                            tot / float(dst_w * dst_h),
+                        )
+                    )
+                except ValueError:
+                    rows.append((mid, kind, False, None, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "kind",
+                    "ok",
+                    "src_w",
+                    "src_h",
+                    "dst_w",
+                    "dst_h",
+                    "checksum",
+                    "mean_px",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=out_schema)
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize operator: stubbed decode, real plumbing — updates
     the metadata struct and passes payload through (a real impl decodes,
-    resizes, re-encodes inside the same mapInPandas contract)."""
+    resizes, re-encodes inside the same mapInPandas contract; for the
+    one in-repo REAL image codec see ``resize_pgm_features``)."""
     images = media.filter(F.col("kind") == "image")
     return images.withColumn(
         "meta",

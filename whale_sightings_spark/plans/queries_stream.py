@@ -549,3 +549,59 @@ def q202_wav_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 6).alias("rms"),
         F.round("peak", 6).alias("peak"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q204 — REAL image codec round trip + transform, oracle-checked: per
+# document a genuine binary PGM (P5) payload is synthesized (real
+# header + row-major pixels from doc_id), DECODED by the pure-Python
+# header-walking parser, nearest-neighbor RESIZED to 8x6, and
+# featurized — the decode -> transform -> stats chain an image
+# pipeline runs, on actual container bytes. The oracle recomputes the
+# resized frame closed-form: NN at a 2x integer scale picks pixel
+# (2r, 2c), so checksum/mean are exact integer sums both engines
+# agree on bit-for-bit. Companion to q202's audio path; row-local,
+# Arrow-batched, zero shuffles.
+# ---------------------------------------------------------------------------
+
+from whale_sightings_spark.operators.multimodal import (  # noqa: E402
+    PGM_SYNTH_A,
+    PGM_SYNTH_B,
+    PGM_SYNTH_C,
+    PGM_SYNTH_H,
+    PGM_SYNTH_W,
+    attach_pgm_media,
+    resize_pgm_features,
+)
+
+_PGM_DST_W = PGM_SYNTH_W // 2
+_PGM_DST_H = PGM_SYNTH_H // 2
+
+
+@register(
+    "q204_pgm_resize_audit",
+    f"""
+    WITH px AS (
+        SELECT doc_id,
+               ((doc_id * {PGM_SYNTH_A} + (2 * r.r) * {PGM_SYNTH_B}
+                 + (2 * c.c) * {PGM_SYNTH_C}) % 256) AS p
+        FROM documents,
+             LATERAL (SELECT unnest(range(0, {_PGM_DST_H})) AS r) r,
+             LATERAL (SELECT unnest(range(0, {_PGM_DST_W})) AS c) c
+    )
+    SELECT doc_id AS media_id,
+           'image' AS kind,
+           true AS ok,
+           CAST({PGM_SYNTH_W} AS INT) AS src_w,
+           CAST({PGM_SYNTH_H} AS INT) AS src_h,
+           CAST({_PGM_DST_W} AS INT) AS dst_w,
+           CAST({_PGM_DST_H} AS INT) AS dst_h,
+           CAST(sum(p) AS BIGINT) AS checksum,
+           CAST(sum(p) AS DOUBLE) / {_PGM_DST_W * _PGM_DST_H} AS mean_px
+    FROM px
+    GROUP BY doc_id
+    """,
+)
+def q204_pgm_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_pgm_media(load_table(spark, sf_dir, "documents"))
+    return resize_pgm_features(media, _PGM_DST_W, _PGM_DST_H)
