@@ -713,3 +713,122 @@ def q196_interarrival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mean_s_raw", 6).alias("mean_gap_s"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q206 — per-event-type daily trend: ordinary-least-squares slope /
+# intercept / r^2 of events-per-day over the observed date range, the
+# capacity-planning readout a pipeline owner wants next to q196's
+# arrival-process fit (is traffic growing, and how linearly?). The
+# types x observed-days grid is zero-filled so missing (type, day)
+# combos count as 0 rather than silently shrinking n. All regression
+# moments (n, Sx, Sy, Sxy, Sxx, Syy) are exact integer sums; the only
+# doubles are the three final divisions, written with identical
+# association in both engines (the q196 round-inputs-first discipline:
+# nothing rounded is a derived difference of raw doubles). Shape: one
+# groupBy over the fact, a bounded types x days grid, output |types|
+# rows; no windows, no per-row Python.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q206_event_trend_ols",
+    """
+    WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events),
+    m AS (SELECT min(d) AS d0 FROM e),
+    days AS (SELECT DISTINCT d FROM e),
+    types AS (SELECT DISTINCT event_type FROM e),
+    daily AS (SELECT event_type, d, count(*) AS y
+              FROM e GROUP BY event_type, d),
+    grid AS (
+        SELECT t.event_type,
+               CAST(date_diff('day', m.d0, dy.d) AS BIGINT) AS x,
+               CAST(coalesce(dl.y, 0) AS BIGINT) AS y
+        FROM types t CROSS JOIN days dy CROSS JOIN m
+        LEFT JOIN daily dl
+               ON dl.event_type = t.event_type AND dl.d = dy.d
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM grid GROUP BY event_type
+    ),
+    c AS (
+        SELECT event_type, n, sx, sy,
+               n * sxy - sx * sy AS num,
+               n * sxx - sx * sx AS d1,
+               n * syy - sy * sy AS d2
+        FROM s
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(sy AS BIGINT) AS n_events,
+           round(CAST(num AS DOUBLE) / CAST(d1 AS DOUBLE), 6)
+               AS slope_per_day,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(num AS DOUBLE) / CAST(d1 AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+               AS intercept,
+           CASE WHEN d1 = 0 OR d2 = 0 THEN NULL
+                ELSE round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+                           / (CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)), 6)
+           END AS r2
+    FROM c
+    """,
+)
+def q206_event_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_type", F.col("ts").cast("date").alias("d"))
+    m = e.agg(F.min("d").alias("d0"))
+    days = e.select("d").distinct()
+    types = e.select("event_type").distinct()
+    daily = e.groupBy("event_type", "d").agg(F.count("*").alias("y"))
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .crossJoin(F.broadcast(m))
+        .join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            F.datediff(F.col("d"), F.col("d0")).cast("bigint").alias("x"),
+            F.coalesce(F.col("y"), F.lit(0)).cast("bigint").alias("y"),
+        )
+    )
+    s = grid.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    c = s.select(
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("d1"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("d2"),
+    )
+    num_d = F.col("num").cast("double")
+    d1_d = F.col("d1").cast("double")
+    d2_d = F.col("d2").cast("double")
+    slope = num_d / d1_d
+    return c.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("sy").alias("n_events"),
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+            6,
+        ).alias("intercept"),
+        F.when((F.col("d1") == 0) | (F.col("d2") == 0), F.lit(None)).otherwise(
+            F.round(num_d * num_d / (d1_d * d2_d), 6)
+        ).alias("r2"),
+    )

@@ -1680,3 +1680,79 @@ def q185_ppl_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q194_kcore_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = DD.simhash_pairs(load_table(spark, sf_dir, "documents"))
     return GR.kcore_peel(pairs)
+
+
+# ---------------------------------------------------------------------------
+# q207 — n-gram novelty by ingestion order: for every document, the
+# share of its distinct 5-gram shingles that are seen for the FIRST
+# time at that document (global first-occurrence = min doc_id over the
+# shingle), rolled up per source. This is the freshness/memorization
+# readout a training-data pipeline tracks while ingesting: a source
+# whose novelty collapses is re-crawling content the corpus already
+# has (q170's Heaps law measures vocab growth; this measures n-gram
+# growth attributed back to the contributing source). Shape: one
+# explode -> distinct (the q14/q15 shingle spine), one unbounded-key
+# window for the per-shingle first doc (no self-join needed), one
+# per-doc agg, one per-source agg. Integer counts all the way; the
+# single division happens once per source row. Docs shorter than 5
+# tokens contribute no shingles and are excluded from n_docs.
+# ---------------------------------------------------------------------------
+
+def _q207_sql() -> str:
+    toks = TX.tokens_sql("text")
+    sh = TX.shingles_from_tokens_sql("toks", 5)
+    return f"""
+    WITH t AS (SELECT doc_id, source, {toks} AS toks FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, source, u.s AS shingle
+        FROM t, UNNEST({sh}) AS u(s)
+    ),
+    fs AS (
+        SELECT source, doc_id, shingle,
+               min(doc_id) OVER (PARTITION BY shingle) AS first_doc
+        FROM sh
+    ),
+    pd AS (
+        SELECT source, doc_id,
+               count(*) AS total,
+               sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS new
+        FROM fs GROUP BY source, doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(total) AS BIGINT) AS n_shingles,
+           CAST(sum(new) AS BIGINT) AS n_first_seen,
+           round(CAST(sum(new) AS DOUBLE) / CAST(sum(total) AS DOUBLE), 6)
+               AS novelty
+    FROM pd GROUP BY source
+    """
+
+
+@register("q207_ngram_novelty", _q207_sql())
+def q207_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", TX.tokens(F.col("text")).alias("toks")
+    )
+    sh = t.select(
+        "doc_id",
+        "source",
+        F.explode(TX.shingles_from_tokens(F.col("toks"), 5)).alias("shingle"),
+    ).distinct()
+    fs = sh.withColumn(
+        "first_doc", F.min("doc_id").over(W.partitionBy("shingle"))
+    )
+    pd = fs.groupBy("source", "doc_id").agg(
+        F.count("*").alias("total"),
+        F.sum(
+            F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+        ).alias("new"),
+    )
+    return pd.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("total").cast("bigint").alias("n_shingles"),
+        F.sum("new").cast("bigint").alias("n_first_seen"),
+        F.round(
+            F.sum("new").cast("double") / F.sum("total").cast("double"), 6
+        ).alias("novelty"),
+    )

@@ -802,3 +802,109 @@ def q171_context_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(lost).cast("bigint").alias("tokens_lost"),
         F.round(F.sum(lost) * 1.0 / F.sum("ntok"), 6).alias("loss_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q205 — two-sample Kolmogorov-Smirnov drift test per source: each
+# source's document-length distribution vs the rest of the corpus.
+# Complements q135's PSI (binned, choice-of-bins sensitive) with the
+# bin-free sup-norm ECDF distance a curation pipeline uses to catch a
+# source whose crawl changed shape. Everything stays in INTEGER
+# arithmetic until the single final division (the q196 lesson: never
+# round a derived difference of raw doubles) — the KS numerator
+# |cum_c*(N-ns) - (cum_g-cum_c)*ns| and its argmax are exact, so the
+# reported ks_at_len tie-break (min length achieving the sup) is
+# deterministic in both engines. Shape: per-(source,len) counts, a
+# sources x distinct-lengths grid (both bounded), one cumulative window
+# per source over the aggregated grid (sanctioned q111 shape), output
+# |sources| rows. At N ~ 1e9+ docs the BIGINT products need DECIMAL(38)
+# or a normalized-double fallback; documented, not needed at any test SF.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q205_ks_source_drift",
+    """
+    WITH d AS (SELECT source, n_chars FROM documents),
+    tot AS (SELECT source, count(*) AS ns FROM d GROUP BY source),
+    grand AS (SELECT count(*) AS n FROM d),
+    gc AS (SELECT n_chars, count(*) AS gc FROM d GROUP BY n_chars),
+    cnt AS (SELECT source, n_chars, count(*) AS c
+            FROM d GROUP BY source, n_chars),
+    grid AS (
+        SELECT t.source, t.ns, g.n_chars, g.gc,
+               coalesce(c.c, 0) AS c
+        FROM tot t CROSS JOIN gc g
+        LEFT JOIN cnt c ON c.source = t.source AND c.n_chars = g.n_chars
+    ),
+    cum AS (
+        SELECT source, ns, n_chars,
+               sum(c)  OVER (PARTITION BY source ORDER BY n_chars)
+                   AS cum_c,
+               sum(gc) OVER (PARTITION BY source ORDER BY n_chars)
+                   AS cum_g
+        FROM grid
+    ),
+    j AS (
+        SELECT source, ns, n_chars,
+               abs(CAST(cum_c AS BIGINT) * (n - ns)
+                   - CAST(cum_g - cum_c AS BIGINT) * ns) AS num,
+               ns * (n - ns) AS den
+        FROM cum CROSS JOIN grand
+    ),
+    k AS (SELECT *, max(num) OVER (PARTITION BY source) AS mx FROM j)
+    SELECT source,
+           CAST(any_value(ns) AS BIGINT) AS n_source,
+           round(CAST(any_value(mx) AS DOUBLE)
+                 / CAST(any_value(den) AS DOUBLE), 6) AS ks_stat,
+           CAST(min(CASE WHEN num = mx THEN n_chars END) AS BIGINT)
+               AS ks_at_len
+    FROM k
+    GROUP BY source
+    """,
+)
+def q205_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("source", "n_chars")
+    tot = d.groupBy("source").agg(F.count("*").alias("ns"))
+    grand = d.agg(F.count("*").alias("n"))
+    gc = d.groupBy("n_chars").agg(F.count("*").alias("gc"))
+    cnt = d.groupBy("source", "n_chars").agg(F.count("*").alias("c"))
+    grid = (
+        tot.crossJoin(F.broadcast(gc))
+        .join(cnt, ["source", "n_chars"], "left")
+        .select(
+            "source",
+            "ns",
+            "n_chars",
+            "gc",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    w = W.partitionBy("source").orderBy("n_chars")
+    cum = grid.select(
+        "source",
+        "ns",
+        "n_chars",
+        F.sum("c").over(w).alias("cum_c"),
+        F.sum("gc").over(w).alias("cum_g"),
+    )
+    j = cum.crossJoin(F.broadcast(grand)).select(
+        "source",
+        "ns",
+        "n_chars",
+        F.abs(
+            F.col("cum_c") * (F.col("n") - F.col("ns"))
+            - (F.col("cum_g") - F.col("cum_c")) * F.col("ns")
+        ).alias("num"),
+        (F.col("ns") * (F.col("n") - F.col("ns"))).alias("den"),
+    )
+    k = j.withColumn("mx", F.max("num").over(W.partitionBy("source")))
+    return k.groupBy("source").agg(
+        F.first("ns").cast("bigint").alias("n_source"),
+        F.round(
+            F.first("mx").cast("double") / F.first("den").cast("double"), 6
+        ).alias("ks_stat"),
+        F.min(F.when(F.col("num") == F.col("mx"), F.col("n_chars")))
+        .cast("bigint")
+        .alias("ks_at_len"),
+    )
