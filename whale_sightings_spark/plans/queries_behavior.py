@@ -832,3 +832,470 @@ def q206_event_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(num_d * num_d / (d1_d * d2_d), 6)
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q208 — t-closeness audit (privacy release gate, the step after
+# q146's k-anonymity): for each quasi-identifier group
+# (nation, market segment), the Earth Mover's Distance between the
+# group's distribution of the ordered sensitive attribute (account
+# balance, 8 fixed buckets) and the global distribution. k-anonymity
+# says a group is big enough to hide in; t-closeness says the group
+# doesn't leak the sensitive value anyway (EMD <= t). For an ordered
+# attribute EMD = sum_k |cumP_k - cumQ_k| / (m-1); here the cumulative
+# difference is kept in scaled INTEGER form D_k = N*cum_g_k - n_g*cum_G_k
+# so the statistic is exact until one final division (q196 discipline).
+# Shape: one fact agg to (group, bucket) counts, a groups x 8-bucket
+# zero-filled grid (bounded: |nations|x|segments|x8), two windows over
+# the aggregated grid (per-group cum, then per-bucket global roll-up),
+# output one row per QI group.
+# ---------------------------------------------------------------------------
+
+_TCLOSE_M = 8          # fixed sensitive-attribute buckets
+_TCLOSE_T = 0.2        # release threshold
+
+_TCLOSE_BKT_SQL = (
+    "least(greatest(CAST(floor((c_acctbal + 1000.0) / 1375.0) AS INT), 0), "
+    f"{_TCLOSE_M - 1})"
+)
+
+
+@register(
+    "q208_t_closeness",
+    f"""
+    WITH b AS (
+        SELECT c_nationkey, c_mktsegment, {_TCLOSE_BKT_SQL} AS bkt
+        FROM customer
+    ),
+    g AS (SELECT c_nationkey, c_mktsegment, count(*) AS ng
+          FROM b GROUP BY c_nationkey, c_mktsegment),
+    grand AS (SELECT count(*) AS n FROM b),
+    gb AS (SELECT c_nationkey, c_mktsegment, bkt, count(*) AS c
+           FROM b GROUP BY c_nationkey, c_mktsegment, bkt),
+    grid AS (
+        SELECT g.c_nationkey, g.c_mktsegment, g.ng, r.bkt,
+               coalesce(gb.c, 0) AS c
+        FROM g CROSS JOIN (SELECT unnest(range({_TCLOSE_M})) AS bkt) r
+        LEFT JOIN gb ON gb.c_nationkey = g.c_nationkey
+                    AND gb.c_mktsegment = g.c_mktsegment
+                    AND gb.bkt = r.bkt
+    ),
+    cum AS (
+        SELECT c_nationkey, c_mktsegment, ng, bkt,
+               CAST(sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment
+                                 ORDER BY bkt) AS BIGINT) AS cum_g
+        FROM grid
+    ),
+    cum2 AS (
+        SELECT *, CAST(sum(cum_g) OVER (PARTITION BY bkt) AS BIGINT)
+                      AS cum_all
+        FROM cum
+    ),
+    d AS (
+        SELECT c_nationkey, c_mktsegment, ng,
+               abs(cum_g * n - ng * cum_all) AS dk,
+               ng * n * {_TCLOSE_M - 1} AS den
+        FROM cum2 CROSS JOIN grand
+    )
+    SELECT c_nationkey AS nation_id, c_mktsegment AS segment,
+           CAST(any_value(ng) AS BIGINT) AS n_rows,
+           round(CAST(sum(dk) AS DOUBLE)
+                 / CAST(any_value(den) AS DOUBLE), 6) AS emd,
+           CAST(CASE WHEN CAST(sum(dk) AS DOUBLE)
+                          / CAST(any_value(den) AS DOUBLE) > {_TCLOSE_T}
+                     THEN 1 ELSE 0 END AS INT) AS leaky
+    FROM d
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def q208_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    bkt = F.least(
+        F.greatest(
+            F.floor((F.col("c_acctbal") + 1000.0) / 1375.0).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(_TCLOSE_M - 1),
+    )
+    b = cust.select("c_nationkey", "c_mktsegment", bkt.alias("bkt"))
+    g = b.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("ng")
+    )
+    grand = b.agg(F.count("*").alias("n"))
+    gb = b.groupBy("c_nationkey", "c_mktsegment", "bkt").agg(
+        F.count("*").alias("c")
+    )
+    buckets = spark.range(_TCLOSE_M).select(
+        F.col("id").cast("int").alias("bkt")
+    )
+    grid = (
+        g.crossJoin(F.broadcast(buckets))
+        .join(gb, ["c_nationkey", "c_mktsegment", "bkt"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "ng",
+            "bkt",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    wg = W.partitionBy("c_nationkey", "c_mktsegment").orderBy("bkt")
+    cum = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "ng",
+        "bkt",
+        F.sum("c").over(wg).cast("bigint").alias("cum_g"),
+    )
+    cum2 = cum.withColumn(
+        "cum_all", F.sum("cum_g").over(W.partitionBy("bkt")).cast("bigint")
+    )
+    d = cum2.crossJoin(F.broadcast(grand)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "ng",
+        F.abs(
+            F.col("cum_g") * F.col("n") - F.col("ng") * F.col("cum_all")
+        ).alias("dk"),
+        (F.col("ng") * F.col("n") * (_TCLOSE_M - 1)).alias("den"),
+    )
+    emd = F.sum("dk").cast("double") / F.first("den").cast("double")
+    return d.groupBy(
+        F.col("c_nationkey").alias("nation_id"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(
+        F.first("ng").cast("bigint").alias("n_rows"),
+        F.round(emd, 6).alias("emd"),
+        F.when(emd > _TCLOSE_T, 1).otherwise(0).cast("int").alias("leaky"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q209 — CUSUM change-point detection on daily event volume, per
+# event type: the day where the cumulative deviation from the overall
+# mean rate peaks (the classic single-change-point estimator), with
+# the normalized CUSUM statistic and the direction of the shift. This
+# is the alerting readout next to q206's trend (drift is gradual;
+# a change point is a deploy, an outage, a bot). The deviation is kept
+# in scaled INTEGER form dev_k = D*cum_k - (k+1)*T (D days, T total
+# events), so the argmax and its min-day tie-break are exact; one
+# division at the end normalizes to [0, 1). Same zero-filled
+# types x observed-days grid as q206; windows run per event type over
+# the aggregated grid (the sanctioned q111 shape); output |types| rows.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q209_changepoint_cusum",
+    """
+    WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events),
+    m AS (SELECT min(d) AS d0 FROM e),
+    days AS (SELECT DISTINCT d FROM e),
+    types AS (SELECT DISTINCT event_type FROM e),
+    daily AS (SELECT event_type, d, count(*) AS y
+              FROM e GROUP BY event_type, d),
+    grid AS (
+        SELECT t.event_type,
+               CAST(date_diff('day', m.d0, dy.d) AS BIGINT) AS x,
+               dy.d,
+               CAST(coalesce(dl.y, 0) AS BIGINT) AS y
+        FROM types t CROSS JOIN days dy CROSS JOIN m
+        LEFT JOIN daily dl
+               ON dl.event_type = t.event_type AND dl.d = dy.d
+    ),
+    cum AS (
+        SELECT event_type, x, d, y,
+               CAST(sum(y) OVER (PARTITION BY event_type ORDER BY x)
+                    AS BIGINT) AS cum_y,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS nd,
+               CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS tot
+        FROM grid
+    ),
+    dev AS (
+        SELECT event_type, x, d, nd, tot,
+               nd * cum_y - (x + 1) * tot AS dv
+        FROM cum
+    ),
+    mx AS (
+        SELECT *, max(abs(dv)) OVER (PARTITION BY event_type) AS peak
+        FROM dev
+    )
+    SELECT event_type,
+           CAST(any_value(nd) AS BIGINT) AS n_days,
+           CAST(any_value(tot) AS BIGINT) AS n_events,
+           CAST(min(CASE WHEN abs(dv) = peak THEN x END) AS BIGINT)
+               AS change_x,
+           strftime(min(CASE WHEN abs(dv) = peak THEN d END),
+                    '%Y-%m-%d') AS change_date,
+           round(CAST(any_value(peak) AS DOUBLE)
+                 / CAST(any_value(nd) * any_value(tot) AS DOUBLE), 6)
+               AS cusum_stat,
+           CAST(any_value(CASE WHEN abs(dv) = peak THEN
+                    CASE WHEN dv >= 0 THEN 1 ELSE -1 END END
+                ORDER BY CASE WHEN abs(dv) = peak THEN x END NULLS LAST)
+               AS INT) AS direction
+    FROM mx
+    GROUP BY event_type
+    """,
+)
+def q209_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_type", F.col("ts").cast("date").alias("d"))
+    m = e.agg(F.min("d").alias("d0"))
+    days = e.select("d").distinct()
+    types = e.select("event_type").distinct()
+    daily = e.groupBy("event_type", "d").agg(F.count("*").alias("y"))
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .crossJoin(F.broadcast(m))
+        .join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            F.datediff(F.col("d"), F.col("d0")).cast("bigint").alias("x"),
+            "d",
+            F.coalesce(F.col("y"), F.lit(0)).cast("bigint").alias("y"),
+        )
+    )
+    wo = W.partitionBy("event_type").orderBy("x")
+    wp = W.partitionBy("event_type")
+    cum = grid.select(
+        "event_type",
+        "x",
+        "d",
+        F.sum("y").over(wo).cast("bigint").alias("cum_y"),
+        F.count("*").over(wp).cast("bigint").alias("nd"),
+        F.sum("y").over(wp).cast("bigint").alias("tot"),
+    )
+    dev = cum.select(
+        "event_type",
+        "x",
+        "d",
+        "nd",
+        "tot",
+        (F.col("nd") * F.col("cum_y") - (F.col("x") + 1) * F.col("tot"))
+        .alias("dv"),
+    )
+    mx = dev.withColumn("peak", F.max(F.abs(F.col("dv"))).over(wp))
+    at_peak = F.abs(F.col("dv")) == F.col("peak")
+    return mx.groupBy("event_type").agg(
+        F.first("nd").alias("n_days"),
+        F.first("tot").alias("n_events"),
+        F.min(F.when(at_peak, F.col("x"))).cast("bigint").alias("change_x"),
+        F.date_format(F.min(F.when(at_peak, F.col("d"))), "yyyy-MM-dd")
+        .alias("change_date"),
+        F.round(
+            F.first("peak").cast("double")
+            / (F.first("nd") * F.first("tot")).cast("double"),
+            6,
+        ).alias("cusum_stat"),
+        F.min_by(
+            F.when(F.col("dv") >= 0, 1).otherwise(-1),
+            F.when(at_peak, F.col("x")),
+        )
+        .cast("int")
+        .alias("direction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q210 — Benford leading-digit audit on order totals: observed vs
+# Benford-expected first-significant-digit shares, with per-digit
+# deviation and chi-square terms. The classic forensic data-quality
+# screen for fabricated or truncated numeric columns (synthetic or
+# capped pipelines flunk it in characteristic ways). Digit extraction
+# never touches log10-of-double (1-ulp-unsafe across engines): prices
+# are cent-valued, so round(x*100) -> BIGINT -> first character of the
+# integer's decimal string is exact and engine-identical, and the
+# leading significant digit of x*100 equals that of x. Expected shares
+# are closed-form Python literals embedded identically in both engines
+# (the q196 bin convention); dev follows round-inputs-first. Shape:
+# one fact agg to 9 digit counts, a zero-filled 9-row grid, output 9
+# rows; one scalar broadcast for n.
+# ---------------------------------------------------------------------------
+
+_BENFORD_P = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+@register(
+    "q210_benford_audit",
+    f"""
+    WITH v AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_totalprice > 0
+    ),
+    dd AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT)
+               AS digit FROM v),
+    c AS (SELECT digit, count(*) AS n_obs FROM dd GROUP BY digit),
+    tot AS (SELECT count(*) AS n FROM dd),
+    grid AS (
+        SELECT r.digit, CAST(coalesce(c.n_obs, 0) AS BIGINT) AS n_obs
+        FROM (SELECT unnest(range(1, 10)) AS digit) r
+        LEFT JOIN c ON c.digit = r.digit
+    )
+    SELECT CAST(digit AS INT) AS digit,
+           n_obs,
+           round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS obs_share,
+           round(CASE {" ".join(
+               f"WHEN digit = {d} THEN CAST({p!r} AS DOUBLE)"
+               for d, p in _BENFORD_P.items()
+           )} END, 6) AS exp_share,
+           round(abs(round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 - round(CASE {" ".join(
+                     f"WHEN digit = {d} THEN CAST({p!r} AS DOUBLE)"
+                     for d, p in _BENFORD_P.items()
+                 )} END, 6)), 6) AS dev,
+           round((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * CASE {" ".join(
+               f"WHEN digit = {d} THEN CAST({p!r} AS DOUBLE)"
+               for d, p in _BENFORD_P.items()
+           )} END) * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * CASE {" ".join(
+               f"WHEN digit = {d} THEN CAST({p!r} AS DOUBLE)"
+               for d, p in _BENFORD_P.items()
+           )} END) / (CAST(n AS DOUBLE) * CASE {" ".join(
+               f"WHEN digit = {d} THEN CAST({p!r} AS DOUBLE)"
+               for d, p in _BENFORD_P.items()
+           )} END), 6) AS chi2_term
+    FROM grid CROSS JOIN tot
+    """,
+)
+def q210_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.filter(F.col("o_totalprice") > 0).select(
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents")
+    )
+    dd = v.select(
+        F.substring(F.col("cents").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    c = dd.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    tot = dd.agg(F.count("*").alias("n"))
+    grid = (
+        spark.range(1, 10)
+        .select(F.col("id").cast("int").alias("digit"))
+        .join(F.broadcast(c), "digit", "left")
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint")
+            .alias("n_obs"),
+        )
+    )
+    expc = None
+    for d, p in _BENFORD_P.items():
+        expc = (
+            F.when(F.col("digit") == d, F.lit(p))
+            if expc is None
+            else expc.when(F.col("digit") == d, F.lit(p))
+        )
+    obs_share = F.col("n_obs").cast("double") / F.col("n").cast("double")
+    diff = F.col("n_obs").cast("double") - F.col("n").cast("double") * expc
+    return grid.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        F.round(obs_share, 6).alias("obs_share"),
+        F.round(expc, 6).alias("exp_share"),
+        F.round(
+            F.abs(F.round(obs_share, 6) - F.round(expc, 6)), 6
+        ).alias("dev"),
+        F.round(
+            diff * diff / (F.col("n").cast("double") * expc), 6
+        ).alias("chi2_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q211 — Markov next-event backtest: train a first-order transition
+# model (argmax next type per previous type) on events BEFORE the
+# q189 temporal cut, score top-1 prediction accuracy on transitions
+# at/after it. q195 mines the transition lift table; this closes the
+# loop by asking the only question that matters about that table —
+# does it predict the future, evaluated leakage-safe on the same
+# temporal split q189 audits. Tie-breaks are exact: the model picks
+# (max count, then lexicographic min next-type) via row_number over
+# the aggregated |types|^2 transition table; unseen previous types
+# predict NULL and score as wrong. One user-keyed lag window over the
+# fact (the q196 shape), one types^2 agg, a broadcast model join onto
+# the test side; output |types| rows, integer counts until the final
+# division.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q211_markov_backtest",
+    f"""
+    WITH p AS (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev,
+               ts
+        FROM events
+    ),
+    pr AS (SELECT prev, event_type AS nxt, ts FROM p
+           WHERE prev IS NOT NULL),
+    tr AS (SELECT prev, nxt, count(*) AS cnt FROM pr
+           WHERE ts < TIMESTAMP '{_TSPLIT_CUT}' GROUP BY prev, nxt),
+    mdl AS (
+        SELECT prev, nxt AS pred FROM (
+            SELECT prev, nxt,
+                   row_number() OVER (PARTITION BY prev
+                                      ORDER BY cnt DESC, nxt) AS rn
+            FROM tr
+        ) WHERE rn = 1
+    ),
+    sc AS (
+        SELECT te.prev, te.nxt, m.pred
+        FROM (SELECT prev, nxt FROM pr
+              WHERE ts >= TIMESTAMP '{_TSPLIT_CUT}') te
+        LEFT JOIN mdl m ON m.prev = te.prev
+    )
+    SELECT prev AS from_type,
+           any_value(pred) AS predicted,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN nxt = pred THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           round(CAST(sum(CASE WHEN nxt = pred THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+               AS accuracy
+    FROM sc
+    GROUP BY prev
+    """,
+)
+def q211_markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.select(
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev"),
+        "ts",
+    )
+    pr = p.filter(F.col("prev").isNotNull()).select(
+        "prev", F.col("event_type").alias("nxt"), "ts"
+    )
+    cut = F.lit(_TSPLIT_CUT).cast("timestamp")
+    tr = (
+        pr.filter(F.col("ts") < cut)
+        .groupBy("prev", "nxt")
+        .agg(F.count("*").alias("cnt"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("prev").orderBy(F.col("cnt").desc(), "nxt")
+    )
+    mdl = (
+        tr.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("prev", F.col("nxt").alias("pred"))
+    )
+    te = pr.filter(F.col("ts") >= cut).select("prev", "nxt")
+    sc = te.join(F.broadcast(mdl), "prev", "left")
+    hit = F.when(F.col("nxt") == F.col("pred"), 1).otherwise(0)
+    return sc.groupBy(F.col("prev").alias("from_type")).agg(
+        F.first("pred").alias("predicted"),
+        F.count("*").cast("bigint").alias("n_test"),
+        F.sum(hit).cast("bigint").alias("n_correct"),
+        F.round(
+            F.sum(hit).cast("double") / F.count("*").cast("double"), 6
+        ).alias("accuracy"),
+    )
