@@ -937,3 +937,117 @@ def test_streaming_ivfpq_encode_heals_torn_codebook_write(
         .collect()
     )
     assert got == want and len(got) == emb.count()
+
+
+def test_streaming_ngram_novelty_matches_batch_and_replays(
+    spark, sf_dir, tmp_path_factory
+):
+    """q207's streaming twin: with doc_id-ordered file deliveries the
+    drained per-doc output aggregates to exactly the batch q207 answer;
+    replaying the whole corpus from a fresh checkpoint changes nothing
+    (out partitions idempotently overwritten, seen-shingles anti-join)."""
+    from whale_sightings_spark.plans.queries import queries
+    from whale_sightings_spark.streaming.events import (
+        ngram_novelty_from_out,
+        streaming_ngram_novelty,
+    )
+
+    base = tmp_path_factory.mktemp("ngram_novelty")
+    docs_dir = str(base / "docs")
+    docs = load_table(spark, sf_dir, "documents")
+    import time
+
+    s1, s2 = 400, 450
+    for lo, hi in [(None, s1), (s1, s2), (s2, None)]:
+        part = docs
+        if lo is not None:
+            part = part.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("doc_id") < hi)
+        part.coalesce(1).write.parquet(docs_dir, mode="append")
+        time.sleep(1.1)
+
+    state_dir = str(base / "state")
+    out_dir = str(base / "out")
+    streaming_ngram_novelty(
+        spark, docs_dir, state_dir, out_dir, str(base / "ckpt1")
+    )
+
+    got = sorted(
+        tuple(r) for r in ngram_novelty_from_out(spark, out_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in queries()["q207_ngram_novelty"](spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # replay from a fresh checkpoint: fully-applied batches are skipped
+    # (or recomputed idempotently), nothing double-counts
+    streaming_ngram_novelty(
+        spark, docs_dir, state_dir, out_dir, str(base / "ckpt2")
+    )
+    after = sorted(
+        tuple(r) for r in ngram_novelty_from_out(spark, out_dir).collect()
+    )
+    assert after == got
+
+
+def test_streaming_ngram_novelty_heals_torn_state_write(
+    spark, sf_dir, tmp_path_factory
+):
+    """Simulate the one tear the write order allows (out partition
+    written, state append lost): drop the last batch's state rows, keep
+    its out partition. Replay must re-process that batch — the guard
+    keys on state, the LAST artifact — overwrite the same out partition
+    idempotently, and converge to the batch-exact q207 answer."""
+    import glob
+    import os
+
+    from whale_sightings_spark.plans.queries import queries
+    from whale_sightings_spark.streaming.events import (
+        ngram_novelty_from_out,
+        streaming_ngram_novelty,
+    )
+
+    base = tmp_path_factory.mktemp("ngram_novelty_tear")
+    docs_dir = str(base / "docs")
+    docs = load_table(spark, sf_dir, "documents")
+    import time
+
+    for lo, hi in [(None, 420), (420, None)]:
+        part = docs
+        if lo is not None:
+            part = part.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("doc_id") < hi)
+        part.coalesce(1).write.parquet(docs_dir, mode="append")
+        time.sleep(1.1)
+
+    state_dir = str(base / "state")
+    out_dir = str(base / "out")
+    streaming_ngram_novelty(
+        spark, docs_dir, state_dir, out_dir, str(base / "ckpt1")
+    )
+
+    sschema = "shingle string, batch_id long"
+    st = spark.read.schema(sschema).parquet(state_dir)
+    last = st.agg(F.max("batch_id")).collect()[0][0]
+    keep = st.filter(F.col("batch_id") < last).collect()
+    for f in glob.glob(os.path.join(state_dir, "*.parquet")):
+        os.remove(f)
+    spark.createDataFrame(keep, sschema).coalesce(1).write.mode(
+        "append"
+    ).parquet(state_dir)
+
+    streaming_ngram_novelty(
+        spark, docs_dir, state_dir, out_dir, str(base / "ckpt2")
+    )
+    got = sorted(
+        tuple(r) for r in ngram_novelty_from_out(spark, out_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in queries()["q207_ngram_novelty"](spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0

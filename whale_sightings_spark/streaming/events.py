@@ -1130,3 +1130,116 @@ def transition_counts_from_state(spark: SparkSession, state_dir: str) -> DataFra
         .groupBy("src_type", "dst_type")
         .agg(F.sum("n").cast("long").alias("n_trans"))
     )
+
+
+def streaming_ngram_novelty(
+    spark: SparkSession,
+    docs_dir: str,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming twin of q207's n-gram novelty: per micro-batch of
+    documents, count each doc's distinct 5-gram shingles and how many
+    are globally first-seen, with the seen-shingle set persisted as
+    parquet state. When files arrive in doc_id order (the ingest
+    contract the batch query's min-doc_id attribution assumes), the
+    drained per-doc output aggregates to exactly the batch q207 answer.
+
+    Probe is O(batch-shingles x state-probe): the batch's distinct
+    shingles are anti-joined against state once; history is never
+    rewritten. Torn-write discipline (the r6 ADVICE convention): the
+    per-doc output partition ``batch_id=N`` is written FIRST with
+    overwrite (idempotent on replay), the state append happens LAST,
+    and the replay guard keys on the LAST artifact — a batch_id already
+    present in state is fully applied and skipped. A torn write (out
+    written, state not) recomputes against the ``batch_id < current``
+    pre-state and overwrites the same out partition. State stores raw
+    shingle strings for exactness; production would hash60 them to
+    fixed-width keys (same plan shape, 8x narrower state).
+    """
+    import os
+
+    from whale_sightings_spark.functions.text import (
+        shingles_from_tokens,
+        tokens,
+    )
+
+    schema = spark.read.parquet(docs_dir).schema
+    state_schema = "shingle string, batch_id long"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        state = sess.read.schema(state_schema).parquet(state_dir)
+        if state.filter(F.col("batch_id") == batch_id).limit(1).count() > 0:
+            return  # replay of a fully-applied batch
+        hist = state.filter(F.col("batch_id") < batch_id).select("shingle")
+        t = batch_df.select(
+            "doc_id", "source", tokens(F.col("text")).alias("toks")
+        )
+        sh = t.select(
+            "doc_id",
+            "source",
+            F.explode(shingles_from_tokens(F.col("toks"), 5)).alias(
+                "shingle"
+            ),
+        ).distinct()
+        fresh = (
+            sh.select("shingle")
+            .distinct()
+            .join(hist, "shingle", "left_anti")
+        )
+        fs = sh.withColumn(
+            "first_doc", F.min("doc_id").over(W.partitionBy("shingle"))
+        ).join(fresh.withColumn("is_fresh", F.lit(True)), "shingle", "left")
+        per_doc = fs.groupBy("doc_id", "source").agg(
+            F.count("*").alias("total"),
+            F.sum(
+                F.when(
+                    (F.col("first_doc") == F.col("doc_id"))
+                    & F.col("is_fresh").isNotNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("new"),
+        )
+        (
+            per_doc.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+        )
+        (
+            fresh.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(state_dir)
+        )
+
+    os.makedirs(state_dir, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def ngram_novelty_from_out(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Aggregate the streaming novelty per-doc output to the q207
+    per-source report (column-compatible with the registered query)."""
+    out = spark.read.schema(
+        "doc_id long, source string, total long, new long, batch_id long"
+    ).parquet(out_dir + "/*")
+    return out.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("total").cast("bigint").alias("n_shingles"),
+        F.sum("new").cast("bigint").alias("n_first_seen"),
+        F.round(
+            F.sum("new").cast("double") / F.sum("total").cast("double"), 6
+        ).alias("novelty"),
+    )
