@@ -1462,3 +1462,107 @@ def ivfpq_encode_from_index(
     coarse, rcb, _codes = read_ivfpq_index(spark, index_dir)
     res, best = ivfpq_assign_encode(embeddings, coarse, rcb)
     return _encode_rows(res, best)
+
+
+#: elbow-curve k grid for the coarse quantizer capacity audit
+ELBOW_KS = (2, 4, 8)
+
+
+def kmeans_elbow(embeddings: DataFrame) -> DataFrame:
+    """Inertia-vs-k elbow report for the full-dim coarse quantizer:
+    train the shared Lloyd trainer at each k in ELBOW_KS (same rounds /
+    train-sample as the production IVF build), assign EVERY vector to
+    its nearest centroid, and report total inertia, mean distortion,
+    and the relative inertia drop vs the previous k. This is the
+    capacity-sizing audit behind IVF_K: the elbow says whether the
+    index's cell count is spending its clusters well (q155 reports the
+    balance of ONE k; this prices the alternatives). Each k is an
+    independent bounded training (dim-sized collects, broadcast
+    codebooks); the union is |ELBOW_KS| rows; the drop-vs-prev join is
+    a 3-row broadcast self-join on a literal k map (no global window).
+    Inertia sums pre-rounded d2 and re-rounds to 4dp — float-addition
+    order error is ~1e-10 at test scale, far inside the rounding grid.
+    """
+    sub = _fulldim_sub(embeddings)
+    out = None
+    for k in ELBOW_KS:
+        cb = _lloyd_codebook(sub, k, IVF_KMEANS_ROUNDS, IVF_TRAIN_MOD)
+        assigned = _pq_assign_to(sub, cb)
+        inert = assigned.groupBy(F.lit(k).alias("k")).agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.round(F.sum(F.round(F.col("d2"), 6)), 4).alias("inertia"),
+            F.round(F.avg(F.round(F.col("d2"), 6)), 6).alias("avg_d2"),
+        )
+        out = inert if out is None else out.unionByName(inert)
+    prev_k = F.when(F.col("k") == ELBOW_KS[1], ELBOW_KS[0])
+    for i in range(2, len(ELBOW_KS)):
+        prev_k = prev_k.when(F.col("k") == ELBOW_KS[i], ELBOW_KS[i - 1])
+    e = out.withColumn("pk", prev_k)
+    p = out.select(
+        F.col("k").alias("pk"), F.col("inertia").alias("prev_inertia")
+    )
+    return e.join(F.broadcast(p), "pk", "left").select(
+        F.col("k").cast("int").alias("k"),
+        "n_vecs",
+        "inertia",
+        "avg_d2",
+        F.round(
+            (F.col("prev_inertia") - F.col("inertia"))
+            / F.col("prev_inertia"),
+            6,
+        ).alias("drop_vs_prev"),
+    )
+
+
+def kmeans_elbow_sql() -> str:
+    """DuckDB twin of :func:`kmeans_elbow` — one codebook CTE chain per
+    k (prefixed), unrolled from the same constants."""
+    l2 = (
+        "list_sum(list_transform(list_zip(t.subvec, c.cvec), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    parts = [
+        """sub AS (
+        SELECT vec_id, 0 AS s,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS subvec
+        FROM embeddings
+    )"""
+    ]
+    for k in ELBOW_KS:
+        parts.append(
+            pq_codebook_ctes(
+                k=k,
+                rounds=IVF_KMEANS_ROUNDS,
+                train_mod=IVF_TRAIN_MOD,
+                dsub=EMBEDDING_DIM,
+                prefix=f"k{k}_",
+            )
+        )
+        parts.append(
+            f"""k{k}_inert AS (
+        SELECT {k} AS k, CAST(count(*) AS BIGINT) AS n_vecs,
+               round(sum(round(d2, 6)), 4) AS inertia,
+               round(avg(round(d2, 6)), 6) AS avg_d2
+        FROM (
+            SELECT vec_id, d2 FROM (
+                SELECT t.vec_id, c.cid, {l2} AS d2,
+                       row_number() OVER (
+                           PARTITION BY t.vec_id ORDER BY {l2}, c.cid) AS rn
+                FROM sub t JOIN k{k}_cb c ON c.s = t.s
+            ) WHERE rn = 1
+        ))"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM k{k}_inert" for k in ELBOW_KS)
+    prev = " ".join(
+        f"WHEN {ELBOW_KS[i]} THEN {ELBOW_KS[i - 1]}"
+        for i in range(1, len(ELBOW_KS))
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes},
+    elbow AS ({union})
+    SELECT CAST(e.k AS INT) AS k, e.n_vecs, e.inertia, e.avg_d2,
+           round((p.inertia - e.inertia) / p.inertia, 6) AS drop_vs_prev
+    FROM elbow e
+    LEFT JOIN elbow p ON p.k = CASE e.k {prev} END
+    """

@@ -2575,3 +2575,18 @@ def q186_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_quality_flips"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q212 — k-means elbow audit for the coarse quantizer: inertia /
+# mean distortion / relative drop at k in {2,4,8}, trained with the
+# SAME Lloyd rounds and train-sample as the production IVF build.
+# q155 reports the balance of the one k the index shipped with; this
+# prices the alternatives before committing an index rebuild.
+# (operators/similarity.kmeans_elbow; twin unrolled per-k from the
+# same constants by kmeans_elbow_sql.)
+# ---------------------------------------------------------------------------
+
+@register("q212_kmeans_elbow", SIM.kmeans_elbow_sql())
+def q212_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.kmeans_elbow(load_table(spark, sf_dir, "embeddings"))
