@@ -2532,3 +2532,158 @@ def q203_bpe_segmentation_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("nt_f") / F.count("*"), 6).alias("full_fertility"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q213/q214 — greedy WordPiece tokenizer family (the second tokenizer
+# next to BPE; operators/wordpiece.py). q213 is the trainer sign-off:
+# vocabulary composition by (piece length, positional form) with the
+# top piece per group. q214 is the deployment audit: per-source
+# fertility / UNK share / bytes-per-piece from greedy longest-match
+# segmentation of the word dictionary (corpus collapses once; the
+# greedy loop is an unrolled F.aggregate struct fold, mirrored in
+# DuckDB by a list_reduce fold — no Python in either loop).
+# ---------------------------------------------------------------------------
+
+from whale_sightings_spark.operators import wordpiece as WP  # noqa: E402
+
+
+@register("q213_wordpiece_vocab", WP.wp_vocab_report_sql())
+def q213_wordpiece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return WP.wp_vocab_report(load_table(spark, sf_dir, "documents"))
+
+
+@register("q214_wordpiece_audit", WP.wp_segment_audit_sql())
+def q214_wordpiece_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return WP.wp_segment_audit(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q215 — tokenizer face-off: BPE vs greedy WordPiece fertility and
+# bytes-per-token per source, trained on the SAME corpus with their
+# own budgets. This is the decision audit a pipeline runs before
+# committing a tokenizer: which family compresses this corpus better,
+# and does the answer flip by source? Deltas subtract the two
+# ALREADY-6dp-rounded fertilities (differences of 1e-6 multiples are
+# exact — the q196 round-inputs-first discipline), so the comparison
+# column can't sit on a rounding boundary. Both trainings are
+# dictionary-scale; the word stream is joined once per tokenizer to
+# its broadcast token-count table.
+# ---------------------------------------------------------------------------
+
+from whale_sightings_spark.operators import bpe as BPE  # noqa: E402
+
+
+def _q215_sql() -> str:
+    return f"""
+    WITH {BPE.bpe_ctes()},
+    {WP.wp_vocab_ctes()},
+    seg AS ({WP.wp_word_stats_sql()}),
+    wt AS (SELECT word, CAST(count(*) AS BIGINT) AS n_tokens
+           FROM s{BPE.BPE_ROUNDS} GROUP BY word),
+    dw AS (
+        SELECT source, word FROM (
+            SELECT source,
+                   unnest(regexp_split_to_array(trim(lower(text)), ' +'))
+                       AS word
+            FROM documents
+        ) WHERE word <> ''
+    ),
+    bpe AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_words,
+               round(CAST(sum(coalesce(t.n_tokens, len(d.word)))
+                          AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                   AS bpe_fertility,
+               round(CAST(sum(len(d.word)) AS DOUBLE)
+                     / CAST(sum(coalesce(t.n_tokens, len(d.word)))
+                            AS DOUBLE), 6) AS bpe_bpt
+        FROM dw d LEFT JOIN wt t ON t.word = d.word
+        GROUP BY source
+    ),
+    wp AS (
+        SELECT source,
+               round(CAST(sum(s.n_pieces) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS wp_fertility,
+               round(CAST(sum(len(d.word)) AS DOUBLE)
+                     / CAST(sum(s.n_pieces) AS DOUBLE), 6) AS wp_bpt
+        FROM dw d JOIN seg s ON s.word = d.word
+        GROUP BY source
+    )
+    SELECT b.source, b.n_words, b.bpe_fertility, w.wp_fertility,
+           round(w.wp_fertility - b.bpe_fertility, 6) AS fert_delta,
+           b.bpe_bpt, w.wp_bpt,
+           CASE WHEN b.bpe_fertility < w.wp_fertility THEN 'bpe'
+                WHEN w.wp_fertility < b.bpe_fertility THEN 'wordpiece'
+                ELSE 'tie' END AS winner
+    FROM bpe b JOIN wp w ON w.source = b.source
+    """
+
+
+@register("q215_tokenizer_faceoff", _q215_sql())
+def q215_tokenizer_faceoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wt = BPE.bpe_word_tokens(docs).select("word", "n_tokens")
+    wd = WP._words(docs)
+    seg = WP.wp_word_stats(wd, WP.wp_vocab(wd)).select("word", "n_pieces")
+    dw = docs.select(
+        "source",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), " +")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    b = (
+        dw.join(F.broadcast(wt), "word", "left")
+        .select(
+            "source",
+            "word",
+            F.coalesce("n_tokens", F.length("word").cast("bigint")).alias(
+                "n_toks"
+            ),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.round(
+                F.sum("n_toks").cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("bpe_fertility"),
+            F.round(
+                F.sum(F.length("word")).cast("double")
+                / F.sum("n_toks").cast("double"),
+                6,
+            ).alias("bpe_bpt"),
+        )
+    )
+    w = (
+        dw.join(F.broadcast(seg), "word")
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.sum("n_pieces").cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("wp_fertility"),
+            F.round(
+                F.sum(F.length("word")).cast("double")
+                / F.sum("n_pieces").cast("double"),
+                6,
+            ).alias("wp_bpt"),
+        )
+    )
+    return b.join(w, "source").select(
+        "source",
+        "n_words",
+        "bpe_fertility",
+        "wp_fertility",
+        F.round(F.col("wp_fertility") - F.col("bpe_fertility"), 6).alias(
+            "fert_delta"
+        ),
+        "bpe_bpt",
+        "wp_bpt",
+        F.when(F.col("bpe_fertility") < F.col("wp_fertility"), "bpe")
+        .when(F.col("wp_fertility") < F.col("bpe_fertility"), "wordpiece")
+        .otherwise("tie")
+        .alias("winner"),
+    )
