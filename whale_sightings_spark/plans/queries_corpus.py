@@ -1756,3 +1756,164 @@ def q207_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new").cast("double") / F.sum("total").cast("double"), 6
         ).alias("novelty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q216 — Kneser-Ney smoothed bigram perplexity on the held-out split:
+# the third LM-smoothing family next to q136 (interpolated) and q185
+# (stupid backoff), and the one production filters actually prefer —
+# absolute discounting with CONTINUATION-count backoff (how many
+# distinct contexts a word completes, not how often it occurs).
+# P(w2|w1) = (max(c12-D,0) + D*nr(w1)*Pcont(w2)) / c1 when w1 has
+# train followers, else Pcont(w2); Pcont(w2) = (nl(w2)+1)/(Nbig+V)
+# with an add-one floor (the q185 convention) so unseen words score
+# finite. All LM tables are vocab-bounded aggregates of the TRAIN
+# bigram table (c1/nr/nl are one-pass marginals); the held-out stream
+# joins them on their keys; per-doc report is one keyed agg. ln-sum
+# rounded at 4dp (order error ~1e-14 at doc scale, the q185 band).
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75
+
+
+@register(
+    "q216_ppl_kneser_ney",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {TX.tokens_sql('text')} AS w FROM documents
+    ),
+    bev AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) r
+        WHERE w[i] <> '' AND w[i + 1] <> ''
+    ),
+    big AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM bev WHERE doc_id % {_SB_HOLD_MOD} <> 0
+        GROUP BY w1, w2
+    ),
+    marg1 AS (
+        SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS nr
+        FROM big GROUP BY w1
+    ),
+    margl AS (
+        SELECT w2, CAST(count(*) AS BIGINT) AS nl FROM big GROUP BY w2
+    ),
+    uni AS (
+        SELECT tok FROM (
+            SELECT doc_id, unnest({TX.tokens_sql('text')}) AS tok
+            FROM documents)
+        WHERE tok <> '' AND doc_id % {_SB_HOLD_MOD} <> 0
+        GROUP BY tok
+    ),
+    tot AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM big) AS nbig,
+               (SELECT CAST(count(*) AS BIGINT) FROM uni) AS v
+    ),
+    scored AS (
+        SELECT e.doc_id,
+               CASE WHEN m1.c1 IS NOT NULL THEN
+                   (CASE WHEN b.c12 IS NULL THEN 0.0
+                         ELSE greatest(CAST(b.c12 AS DOUBLE) - {_KN_D}, 0.0)
+                    END
+                    + {_KN_D} * CAST(m1.nr AS DOUBLE)
+                      * ((CAST(coalesce(ml.nl, 0) AS DOUBLE) + 1.0)
+                         / (CAST(tot.nbig AS DOUBLE)
+                            + CAST(tot.v AS DOUBLE))))
+                   / CAST(m1.c1 AS DOUBLE)
+               ELSE (CAST(coalesce(ml.nl, 0) AS DOUBLE) + 1.0)
+                    / (CAST(tot.nbig AS DOUBLE) + CAST(tot.v AS DOUBLE))
+               END AS p,
+               CASE WHEN m1.c1 IS NULL THEN 1 ELSE 0 END AS bo,
+               CASE WHEN m1.c1 IS NOT NULL AND b.c12 IS NULL THEN 1
+                    ELSE 0 END AS disc
+        FROM bev e
+        LEFT JOIN big b ON b.w1 = e.w1 AND b.w2 = e.w2
+        LEFT JOIN marg1 m1 ON m1.w1 = e.w1
+        LEFT JOIN margl ml ON ml.w2 = e.w2
+        CROSS JOIN tot
+        WHERE e.doc_id % {_SB_HOLD_MOD} = 0
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(bo) AS BIGINT) AS n_ctx_backoff,
+           CAST(sum(disc) AS BIGINT) AS n_unseen_bigram,
+           round(exp(-sum(ln(p)) / count(*)), 4) AS ppl_kn
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def q216_ppl_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("w"))
+    bev = (
+        toks.select("doc_id", "w", F.posexplode("w").alias("i", "w1"))
+        .select(
+            "doc_id",
+            "w1",
+            F.try_element_at("w", F.col("i") + 2).alias("w2"),
+        )
+        .filter(
+            (F.col("w1") != "")
+            & F.col("w2").isNotNull()
+            & (F.col("w2") != "")
+        )
+    )
+    held = F.col("doc_id") % _SB_HOLD_MOD == 0
+    big = (
+        bev.filter(~held)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c12"))
+    )
+    marg1 = big.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count("*").cast("bigint").alias("nr"),
+    )
+    margl = big.groupBy("w2").agg(
+        F.count("*").cast("bigint").alias("nl")
+    )
+    uni = (
+        docs.select(
+            "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+        )
+        .filter((F.col("tok") != "") & ~held)
+        .select("tok")
+        .distinct()
+    )
+    tot = big.agg(F.count("*").cast("bigint").alias("nbig")).crossJoin(
+        uni.agg(F.count("*").cast("bigint").alias("v"))
+    )
+    e = (
+        bev.filter(held)
+        .join(big, ["w1", "w2"], "left")
+        .join(marg1, "w1", "left")
+        .join(margl, "w2", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    denom = F.col("nbig").cast("double") + F.col("v").cast("double")
+    pcont = (F.coalesce(F.col("nl"), F.lit(0)).cast("double") + 1.0) / denom
+    cnum = F.when(F.col("c12").isNull(), 0.0).otherwise(
+        F.greatest(F.col("c12").cast("double") - _KN_D, F.lit(0.0))
+    )
+    p = F.when(
+        F.col("c1").isNotNull(),
+        (cnum + _KN_D * F.col("nr").cast("double") * pcont)
+        / F.col("c1").cast("double"),
+    ).otherwise(pcont)
+    scored = e.select(
+        "doc_id",
+        p.alias("p"),
+        F.when(F.col("c1").isNull(), 1).otherwise(0).alias("bo"),
+        F.when(F.col("c1").isNotNull() & F.col("c12").isNull(), 1)
+        .otherwise(0)
+        .alias("disc"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum("bo").cast("bigint").alias("n_ctx_backoff"),
+        F.sum("disc").cast("bigint").alias("n_unseen_bigram"),
+        F.round(
+            F.exp(-F.sum(F.log("p")) / F.count("*")), 4
+        ).alias("ppl_kn"),
+    )
