@@ -1299,3 +1299,324 @@ def q211_markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(hit).cast("double") / F.count("*").cast("double"), 6
         ).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q217 — Kaplan-Meier survival curves for user churn, per event-type
+# cohort: lifetime = days between a user's first and last activity in
+# that type; a user is a churn EVENT if their last activity predates
+# the censor window (last CENSOR_DAYS of the observed range), else
+# right-CENSORED (still in risk sets, never a death — the textbook KM
+# treatment, and the difference from a naive histogram). S(t) =
+# prod_{s<=t}(1 - d_s/n_s) computed as exp of the cumulative ln-sum
+# over the ORDERED death times (window order fixes the float-addition
+# order, so both engines sum identical doubles identically). Risk
+# sets come from a cumulative-from-above window over the per-type
+# lifetime histogram — every window here runs over aggregated
+# type x lifetime tables (bounded), partitioned by event_type (never
+# single-partition). Output: one row per (type, death time).
+# ---------------------------------------------------------------------------
+
+_KM_CENSOR_DAYS = 4
+
+
+@register(
+    "q217_kaplan_meier",
+    f"""
+    WITH e AS (
+        SELECT event_type, user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    mx AS (SELECT max(d) AS dmax FROM e),
+    u AS (
+        SELECT event_type, user_id,
+               CAST(date_diff('day', min(d), max(d)) AS BIGINT) AS lt,
+               max(d) AS last_d
+        FROM e GROUP BY event_type, user_id
+    ),
+    lab AS (
+        SELECT event_type, lt,
+               CASE WHEN date_diff('day', last_d, mx.dmax)
+                         >= {_KM_CENSOR_DAYS} THEN 1 ELSE 0 END AS died
+        FROM u CROSS JOIN mx
+    ),
+    h AS (
+        SELECT event_type, lt,
+               CAST(count(*) AS BIGINT) AS n_at,
+               CAST(sum(died) AS BIGINT) AS d_at
+        FROM lab GROUP BY event_type, lt
+    ),
+    r AS (
+        SELECT event_type, lt, d_at,
+               CAST(sum(n_at) OVER (PARTITION BY event_type ORDER BY lt
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                    AS BIGINT) AS n_risk
+        FROM h
+    ),
+    s AS (
+        SELECT event_type, lt, d_at, n_risk,
+               sum(ln(1.0 - CAST(d_at AS DOUBLE)
+                          / CAST(n_risk AS DOUBLE)))
+                   OVER (PARTITION BY event_type ORDER BY lt) AS lns
+        FROM r WHERE d_at > 0 AND d_at < n_risk
+    )
+    SELECT event_type, CAST(lt AS BIGINT) AS t_days,
+           n_risk, d_at AS n_events,
+           round(exp(lns), 6) AS survival
+    FROM s
+    """,
+)
+def q217_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", "user_id", F.col("ts").cast("date").alias("d")
+    )
+    mx = e.agg(F.max("d").alias("dmax"))
+    u = e.groupBy("event_type", "user_id").agg(
+        F.datediff(F.max("d"), F.min("d")).cast("bigint").alias("lt"),
+        F.max("d").alias("last_d"),
+    )
+    lab = u.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        "lt",
+        F.when(
+            F.datediff(F.col("dmax"), F.col("last_d")) >= _KM_CENSOR_DAYS, 1
+        )
+        .otherwise(0)
+        .alias("died"),
+    )
+    h = lab.groupBy("event_type", "lt").agg(
+        F.count("*").cast("bigint").alias("n_at"),
+        F.sum("died").cast("bigint").alias("d_at"),
+    )
+    w_up = (
+        W.partitionBy("event_type")
+        .orderBy("lt")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    r = h.select(
+        "event_type",
+        "lt",
+        "d_at",
+        F.sum("n_at").over(w_up).cast("bigint").alias("n_risk"),
+    )
+    w_cum = W.partitionBy("event_type").orderBy("lt")
+    s = r.filter(
+        (F.col("d_at") > 0) & (F.col("d_at") < F.col("n_risk"))
+    ).withColumn(
+        "lns",
+        F.sum(
+            F.log(
+                F.lit(1.0)
+                - F.col("d_at").cast("double")
+                / F.col("n_risk").cast("double")
+            )
+        ).over(w_cum),
+    )
+    return s.select(
+        "event_type",
+        F.col("lt").alias("t_days"),
+        "n_risk",
+        F.col("d_at").alias("n_events"),
+        F.round(F.exp(F.col("lns")), 6).alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q218 — Theil-Sen robust trend per event type: the median of all
+# pairwise day-slopes over the zero-filled daily grid, next to q206's
+# OLS (one bot spike drags OLS; the pairwise median shrugs). The
+# pair set is bounded by construction — observed days only, so
+# D*(D-1)/2 pairs per type regardless of fact size; slopes are exact
+# integer-difference ratios evaluated identically in both engines,
+# and the median picks physical middle elements via row_number (no
+# engine-specific percentile interpolation). Windows run per type
+# over the aggregated pair table.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q218_theil_sen",
+    """
+    WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events),
+    m AS (SELECT min(d) AS d0 FROM e),
+    days AS (SELECT DISTINCT d FROM e),
+    types AS (SELECT DISTINCT event_type FROM e),
+    daily AS (SELECT event_type, d, count(*) AS y
+              FROM e GROUP BY event_type, d),
+    grid AS (
+        SELECT t.event_type,
+               CAST(date_diff('day', m.d0, dy.d) AS BIGINT) AS x,
+               CAST(coalesce(dl.y, 0) AS BIGINT) AS y
+        FROM types t CROSS JOIN days dy CROSS JOIN m
+        LEFT JOIN daily dl
+               ON dl.event_type = t.event_type AND dl.d = dy.d
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+                   AS slope
+        FROM grid a JOIN grid b
+          ON b.event_type = a.event_type AND b.x > a.x
+    ),
+    rk AS (
+        SELECT event_type, slope,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY slope) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS np
+        FROM pairs
+    )
+    SELECT event_type,
+           CAST(any_value(np) AS BIGINT) AS n_pairs,
+           round(avg(slope), 6) AS ts_slope
+    FROM rk
+    WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+    GROUP BY event_type
+    """,
+)
+def q218_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_type", F.col("ts").cast("date").alias("d"))
+    m = e.agg(F.min("d").alias("d0"))
+    days = e.select("d").distinct()
+    types = e.select("event_type").distinct()
+    daily = e.groupBy("event_type", "d").agg(F.count("*").alias("y"))
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .crossJoin(F.broadcast(m))
+        .join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            F.datediff(F.col("d"), F.col("d0")).cast("bigint").alias("x"),
+            F.coalesce(F.col("y"), F.lit(0)).cast("bigint").alias("y"),
+        )
+    )
+    a = grid.select(
+        "event_type", F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = grid.select(
+        "event_type", F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("xb") > F.col("xa"))
+        .select(
+            "event_type",
+            (
+                (F.col("yb") - F.col("ya")).cast("double")
+                / (F.col("xb") - F.col("xa")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    wp = W.partitionBy("event_type")
+    rk = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wp.orderBy("slope")).alias("rn"),
+        F.count("*").over(wp).alias("np"),
+    )
+    lo = F.floor((F.col("np") + 1) / 2)
+    hi = F.floor((F.col("np") + 2) / 2)
+    mid = rk.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+    return mid.groupBy("event_type").agg(
+        F.first("np").cast("bigint").alias("n_pairs"),
+        F.round(F.avg("slope"), 6).alias("ts_slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q219 — daily-volume Pearson correlation matrix across event types:
+# every type pair's correlation of events-per-day over the shared
+# zero-filled day grid (q105 ranks ONE pair; this is the full matrix
+# the capacity planner reads for coupled workloads). The self-join is
+# keyed on the day — |days| x |types|^2 rows, bounded by the
+# calendar, not the fact. All five moments are exact integer sums;
+# r's numerator/denominator are assembled from them with identical
+# association in both engines, one sqrt at the end (q196 discipline:
+# nothing rounded is a derived difference of raw doubles).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q219_type_corr_matrix",
+    """
+    WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events),
+    days AS (SELECT DISTINCT d FROM e),
+    types AS (SELECT DISTINCT event_type FROM e),
+    daily AS (SELECT event_type, d, count(*) AS y
+              FROM e GROUP BY event_type, d),
+    grid AS (
+        SELECT t.event_type, dy.d,
+               CAST(coalesce(dl.y, 0) AS BIGINT) AS y
+        FROM types t CROSS JOIN days dy
+        LEFT JOIN daily dl
+               ON dl.event_type = t.event_type AND dl.d = dy.d
+    ),
+    p AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a.y) AS BIGINT) AS sx,
+               CAST(sum(b.y) AS BIGINT) AS sy,
+               CAST(sum(a.y * b.y) AS BIGINT) AS sxy,
+               CAST(sum(a.y * a.y) AS BIGINT) AS sxx,
+               CAST(sum(b.y * b.y) AS BIGINT) AS syy
+        FROM grid a JOIN grid b
+          ON b.d = a.d AND b.event_type > a.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b, n AS n_days,
+           CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+                THEN NULL
+                ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+           END AS pearson_r
+    FROM p
+    """,
+)
+def q219_type_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_type", F.col("ts").cast("date").alias("d"))
+    days = e.select("d").distinct()
+    types = e.select("event_type").distinct()
+    daily = e.groupBy("event_type", "d").agg(F.count("*").alias("y"))
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            F.coalesce(F.col("y"), F.lit(0)).cast("bigint").alias("y"),
+        )
+    )
+    a = grid.select(
+        F.col("event_type").alias("type_a"), "d", F.col("y").alias("ya")
+    )
+    b = grid.select(
+        F.col("event_type").alias("type_b"), "d", F.col("y").alias("yb")
+    )
+    p = (
+        a.join(b, "d")
+        .filter(F.col("type_b") > F.col("type_a"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("ya").cast("bigint").alias("sx"),
+            F.sum("yb").cast("bigint").alias("sy"),
+            F.sum(F.col("ya") * F.col("yb")).cast("bigint").alias("sxy"),
+            F.sum(F.col("ya") * F.col("ya")).cast("bigint").alias("sxx"),
+            F.sum(F.col("yb") * F.col("yb")).cast("bigint").alias("syy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return p.select(
+        "type_a",
+        "type_b",
+        F.col("n").alias("n_days"),
+        F.when((d1 == 0) | (d2 == 0), F.lit(None)).otherwise(
+            F.round(
+                num / F.sqrt(d1.cast("double") * d2.cast("double")), 6
+            )
+        ).alias("pearson_r"),
+    )
