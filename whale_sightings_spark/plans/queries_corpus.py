@@ -1917,3 +1917,133 @@ def q216_ppl_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp(-F.sum(F.log("p")) / F.count("*")), 4
         ).alias("ppl_kn"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q220 — source-ablation data valuation (leave-one-source-out): what
+# the corpus loses if a source is dropped, computed EXACTLY from one
+# pass of per-source partials rather than |sources| recomputations —
+# token share, the shift in mean document length, and the share of
+# distinct 5-gram shingles EXCLUSIVE to the source (vocabulary the
+# ablation deletes outright). This is the cheap end of data
+# valuation: before influence functions, a pipeline prices sources by
+# what they uniquely contribute (q207 prices novelty by ingestion
+# order; this prices it by counterfactual removal). Shapes: the
+# shingle spine (explode -> distinct -> per-shingle source count) and
+# integer corpus totals broadcast from 1-row aggs; every reported
+# ratio is a single division of exact integers.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q220_source_ablation",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source, {TX.token_count_sql('text')} AS ntok
+        FROM documents
+    ),
+    per_src AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS toks
+        FROM t GROUP BY source
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                   CAST(sum(ntok) AS BIGINT) AS nt FROM t),
+    tk AS (SELECT doc_id, source, {TX.tokens_sql('text')} AS toks
+           FROM documents),
+    sh AS (
+        SELECT DISTINCT source, u.s AS shingle
+        FROM tk, UNNEST({TX.shingles_from_tokens_sql('toks', 5)}) AS u(s)
+    ),
+    shs AS (
+        SELECT shingle, count(*) AS n_sources,
+               min(source) AS only_source
+        FROM sh GROUP BY shingle
+    ),
+    excl AS (
+        SELECT only_source AS source,
+               CAST(count(*) AS BIGINT) AS excl_shingles
+        FROM shs WHERE n_sources = 1 GROUP BY only_source
+    ),
+    shtot AS (SELECT CAST(count(*) AS BIGINT) AS n_shingles FROM shs)
+    SELECT p.source, p.n_docs, p.toks,
+           round(CAST(p.toks AS DOUBLE) / CAST(tot.nt AS DOUBLE), 6)
+               AS token_share,
+           round(round(CAST(tot.nt AS DOUBLE)
+                       / CAST(tot.nd AS DOUBLE), 6)
+                 - round(CAST(tot.nt - p.toks AS DOUBLE)
+                         / CAST(tot.nd - p.n_docs AS DOUBLE), 6), 6)
+               AS mean_len_shift,
+           CAST(coalesce(e.excl_shingles, 0) AS BIGINT) AS excl_shingles,
+           round(CAST(coalesce(e.excl_shingles, 0) AS DOUBLE)
+                 / CAST(st.n_shingles AS DOUBLE), 6) AS excl_share
+    FROM per_src p
+    LEFT JOIN excl e ON e.source = p.source
+    CROSS JOIN tot CROSS JOIN shtot st
+    """,
+)
+def q220_source_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", TX.token_count(F.col("text")).alias("ntok")
+    )
+    per_src = t.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("toks"),
+    )
+    tot = t.agg(
+        F.count("*").cast("bigint").alias("nd"),
+        F.sum("ntok").cast("bigint").alias("nt"),
+    )
+    tk = docs.select(
+        "source", TX.tokens(F.col("text")).alias("toks")
+    )
+    sh = tk.select(
+        "source",
+        F.explode(TX.shingles_from_tokens(F.col("toks"), 5)).alias(
+            "shingle"
+        ),
+    ).distinct()
+    shs = sh.groupBy("shingle").agg(
+        F.count("*").alias("n_sources"),
+        F.min("source").alias("only_source"),
+    )
+    excl = (
+        shs.filter(F.col("n_sources") == 1)
+        .groupBy(F.col("only_source").alias("source"))
+        .agg(F.count("*").cast("bigint").alias("excl_shingles"))
+    )
+    shtot = shs.agg(
+        F.count("*").cast("bigint").alias("n_shingles")
+    )
+    j = (
+        per_src.join(F.broadcast(excl), "source", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(shtot))
+    )
+    return j.select(
+        "source",
+        "n_docs",
+        "toks",
+        F.round(
+            F.col("toks").cast("double") / F.col("nt").cast("double"), 6
+        ).alias("token_share"),
+        F.round(
+            F.round(
+                F.col("nt").cast("double") / F.col("nd").cast("double"), 6
+            )
+            - F.round(
+                (F.col("nt") - F.col("toks")).cast("double")
+                / (F.col("nd") - F.col("n_docs")).cast("double"),
+                6,
+            ),
+            6,
+        ).alias("mean_len_shift"),
+        F.coalesce(F.col("excl_shingles"), F.lit(0))
+        .cast("bigint")
+        .alias("excl_shingles"),
+        F.round(
+            F.coalesce(F.col("excl_shingles"), F.lit(0)).cast("double")
+            / F.col("n_shingles").cast("double"),
+            6,
+        ).alias("excl_share"),
+    )
