@@ -385,3 +385,21 @@ def test_bpe_serving_queries_read_stored_artifact(spark, sf_dir):
     mt0 = os.path.getmtime(os.path.join(merges_dir, "_SUCCESS"))
     queries()["q176_bpe_merge_table"](spark, sf_dir).collect()
     assert os.path.getmtime(os.path.join(merges_dir, "_SUCCESS")) == mt0
+
+
+def test_q211_markov_model_join_is_broadcast(spark, sf_dir):
+    # the trained transition model is |types|^2-bounded: the held-out
+    # transition stream must probe it via BroadcastHashJoin, never a
+    # shuffled join keyed on the raw fact
+    plan = explain_str(queries()["q211_markov_backtest"](spark, sf_dir))
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q214_wordpiece_vocab_rides_as_broadcast_list(spark, sf_dir):
+    # the greedy fold's vocabulary is a 1-row collected list crossed
+    # onto the dictionary — it must be a broadcast, and the fold must
+    # stay native (no Python eval nodes anywhere in the plan)
+    plan = explain_str(queries()["q214_wordpiece_audit"](spark, sf_dir))
+    assert "BroadcastExchange" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
