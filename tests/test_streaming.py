@@ -1051,3 +1051,48 @@ def test_streaming_ngram_novelty_heals_torn_state_write(
         for r in queries()["q207_ngram_novelty"](spark, sf_dir).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_ks_ingest_matches_batch_and_replays(
+    spark, sf_dir, tmp_path_factory
+):
+    """q205's streaming twin: length-histogram evidence is algebraic,
+    so the KS report from the drained state equals the batch query for
+    ANY micro-batch split; replay from a fresh checkpoint appends
+    nothing (doc_id anti-join)."""
+    from whale_sightings_spark.plans.queries import queries
+    from whale_sightings_spark.streaming.events import (
+        ks_from_state,
+        streaming_ks_ingest,
+    )
+
+    base = tmp_path_factory.mktemp("ks_ingest")
+    docs_dir = str(base / "docs")
+    docs = load_table(spark, sf_dir, "documents")
+    import time
+
+    # deliberately NON-prefix split (KS has no order dependence)
+    for pred in (
+        F.col("doc_id") % 3 == 0,
+        F.col("doc_id") % 3 == 1,
+        F.col("doc_id") % 3 == 2,
+    ):
+        docs.filter(pred).coalesce(1).write.parquet(docs_dir, mode="append")
+        time.sleep(1.1)
+
+    state_dir = str(base / "state")
+    streaming_ks_ingest(spark, docs_dir, state_dir, str(base / "ckpt1"))
+    got = sorted(
+        tuple(r) for r in ks_from_state(spark, state_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in queries()["q205_ks_source_drift"](spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
+
+    streaming_ks_ingest(spark, docs_dir, state_dir, str(base / "ckpt2"))
+    after = sorted(
+        tuple(r) for r in ks_from_state(spark, state_dir).collect()
+    )
+    assert after == got

@@ -863,48 +863,7 @@ def q171_context_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q205_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.operators.drift import ks_report
+
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select("source", "n_chars")
-    tot = d.groupBy("source").agg(F.count("*").alias("ns"))
-    grand = d.agg(F.count("*").alias("n"))
-    gc = d.groupBy("n_chars").agg(F.count("*").alias("gc"))
-    cnt = d.groupBy("source", "n_chars").agg(F.count("*").alias("c"))
-    grid = (
-        tot.crossJoin(F.broadcast(gc))
-        .join(cnt, ["source", "n_chars"], "left")
-        .select(
-            "source",
-            "ns",
-            "n_chars",
-            "gc",
-            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
-        )
-    )
-    w = W.partitionBy("source").orderBy("n_chars")
-    cum = grid.select(
-        "source",
-        "ns",
-        "n_chars",
-        F.sum("c").over(w).alias("cum_c"),
-        F.sum("gc").over(w).alias("cum_g"),
-    )
-    j = cum.crossJoin(F.broadcast(grand)).select(
-        "source",
-        "ns",
-        "n_chars",
-        F.abs(
-            F.col("cum_c") * (F.col("n") - F.col("ns"))
-            - (F.col("cum_g") - F.col("cum_c")) * F.col("ns")
-        ).alias("num"),
-        (F.col("ns") * (F.col("n") - F.col("ns"))).alias("den"),
-    )
-    k = j.withColumn("mx", F.max("num").over(W.partitionBy("source")))
-    return k.groupBy("source").agg(
-        F.first("ns").cast("bigint").alias("n_source"),
-        F.round(
-            F.first("mx").cast("double") / F.first("den").cast("double"), 6
-        ).alias("ks_stat"),
-        F.min(F.when(F.col("num") == F.col("mx"), F.col("n_chars")))
-        .cast("bigint")
-        .alias("ks_at_len"),
-    )
+    return ks_report(docs.select("source", "n_chars"))

@@ -1243,3 +1243,75 @@ def ngram_novelty_from_out(spark: SparkSession, out_dir: str) -> DataFrame:
             F.sum("new").cast("double") / F.sum("total").cast("double"), 6
         ).alias("novelty"),
     )
+
+
+def streaming_ks_ingest(
+    spark: SparkSession,
+    docs_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming twin of q205's KS drift monitor: each micro-batch
+    appends its per-doc (doc_id, source, n_chars) projection to the
+    histogram state — length-distribution evidence is ALGEBRAIC (per
+    (source, length) counts sum across batches), so the KS statistic
+    recomputed from the drained state equals the batch query on the
+    delivered prefix exactly, for any micro-batch split (the
+    streaming_bpe_ingest economics). Re-delivery self-heals via the
+    doc_id anti-join; a torn append degrades to duplicate doc rows
+    that ``ks_from_state`` de-duplicates before aggregating.
+    Per-trigger cost: one O(batch) projection + anti-join probe.
+    """
+    import os
+
+    schema = spark.read.parquet(docs_dir).schema
+    hist_dir = state_dir.rstrip("/") + "/lenhist"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        seen = (
+            sess.read.schema("doc_id long, source string, n_chars long")
+            .parquet(hist_dir)
+            .select("doc_id")
+            .distinct()
+        )
+        (
+            batch_df.join(seen, "doc_id", "left_anti")
+            .select("doc_id", "source", F.col("n_chars").cast("long"))
+            .write.mode("append")
+            .parquet(hist_dir)
+        )
+
+    os.makedirs(hist_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def ks_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The q205 per-source KS report computed from the drained
+    streaming state (same operator body — operators/drift.ks_report —
+    so the twin cannot drift from the registered query); duplicate doc
+    rows from torn appends collapse via doc_id dedup first."""
+    from whale_sightings_spark.operators.drift import ks_report
+
+    hist_dir = state_dir.rstrip("/") + "/lenhist"
+    d = (
+        spark.read.schema("doc_id long, source string, n_chars long")
+        .parquet(hist_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.first("n_chars").alias("n_chars"),
+        )
+    )
+    return ks_report(d.select("source", "n_chars"))
