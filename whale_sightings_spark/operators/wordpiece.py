@@ -143,7 +143,7 @@ def wp_vocab(wd: DataFrame) -> DataFrame:
 def _vocab_sql() -> str:
     return f"""
         SELECT piece, cnt,
-               CAST(CASE WHEN piece LIKE '##%%' THEN 1 ELSE 0 END AS INT)
+               CAST(CASE WHEN piece LIKE '##%' THEN 1 ELSE 0 END AS INT)
                    AS is_cont
         FROM (
             SELECT * FROM cand
