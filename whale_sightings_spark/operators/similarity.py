@@ -366,7 +366,12 @@ def _lloyd_codebook(
     actually present instead of silently training a partial codebook.
     """
     spark = sub.sparkSession
-    train = sub.filter(F.col("vec_id") % train_mod == 0)
+    # Materialize the training sample once: every Lloyd round re-reads
+    # it, and for residual trainings its lineage includes a full
+    # coarse-assign join — recomputing THAT per round would dominate
+    # the training cost. (Persisting the sample is what MLlib's KMeans
+    # does with its input via cache().)
+    train = sub.filter(F.col("vec_id") % train_mod == 0).localCheckpoint()
     cb = seed if seed is not None else sub.filter(F.col("vec_id") < k).select(
         "s", F.col("vec_id").alias("cid"), F.col("subvec").alias("cvec")
     )
@@ -737,10 +742,17 @@ def _residual_pq_index(embeddings: DataFrame, split_id: int | None = None):
     tr0 = sub0 if split_id is None else sub0.filter(F.col("vec_id") < split_id)
     coarse = _lloyd_codebook(tr0, IVF_K, IVF_KMEANS_ROUNDS, IVF_TRAIN_MOD)
     assigned = _pq_assign_to(sub0, coarse)
-    res = assigned.join(F.broadcast(coarse), ["s", "cid"]).select(
-        "vec_id",
-        F.col("cid").alias("cell"),
-        F.zip_with("subvec", "cvec", lambda a, b: a - b).alias("rvec"),
+    # res feeds the residual training, the code assignment, AND every
+    # caller's cell/encode joins — materialize the coarse-assign pass
+    # once instead of re-running it per consumer.
+    res = (
+        assigned.join(F.broadcast(coarse), ["s", "cid"])
+        .select(
+            "vec_id",
+            F.col("cid").alias("cell"),
+            F.zip_with("subvec", "cvec", lambda a, b: a - b).alias("rvec"),
+        )
+        .localCheckpoint()
     )
     rsub = _split_subspaces(res, "rvec", "vec_id")
     rtr = rsub if split_id is None else rsub.filter(F.col("vec_id") < split_id)
@@ -1482,18 +1494,35 @@ def kmeans_elbow(embeddings: DataFrame) -> DataFrame:
     a 3-row broadcast self-join on a literal k map (no global window).
     Inertia sums pre-rounded d2 and re-rounds to 4dp — float-addition
     order error is ~1e-10 at test scale, far inside the rounding grid.
+
+    All |ELBOW_KS| trainings run in ONE stacked Lloyd loop: the trainer
+    is keyed by subspace ``s``, so relabeling each k's copy of the
+    corpus as s=k trains every codebook in the SAME rounds — one job
+    per round instead of one per k, and one assign pass at the end
+    instead of |ELBOW_KS|. Per-k results are identical to independent
+    trainings (every agg and argmin is (s, cid)-keyed).
     """
-    sub = _fulldim_sub(embeddings)
-    out = None
+    sub0 = _fulldim_sub(embeddings)
+    stacked = None
+    seed = None
     for k in ELBOW_KS:
-        cb = _lloyd_codebook(sub, k, IVF_KMEANS_ROUNDS, IVF_TRAIN_MOD)
-        assigned = _pq_assign_to(sub, cb)
-        inert = assigned.groupBy(F.lit(k).alias("k")).agg(
-            F.count("*").cast("bigint").alias("n_vecs"),
-            F.round(F.sum(F.round(F.col("d2"), 6)), 4).alias("inertia"),
-            F.round(F.avg(F.round(F.col("d2"), 6)), 6).alias("avg_d2"),
+        sk = sub0.withColumn("s", F.lit(k))
+        sd = sub0.filter(F.col("vec_id") < k).select(
+            F.lit(k).alias("s"),
+            F.col("vec_id").alias("cid"),
+            F.col("subvec").alias("cvec"),
         )
-        out = inert if out is None else out.unionByName(inert)
+        stacked = sk if stacked is None else stacked.unionByName(sk)
+        seed = sd if seed is None else seed.unionByName(sd)
+    cb = _lloyd_codebook(
+        stacked, 0, IVF_KMEANS_ROUNDS, IVF_TRAIN_MOD, seed=seed
+    )
+    assigned = _pq_assign_to(stacked, cb)
+    out = assigned.groupBy(F.col("s").cast("int").alias("k")).agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.round(F.sum(F.round(F.col("d2"), 6)), 4).alias("inertia"),
+        F.round(F.avg(F.round(F.col("d2"), 6)), 6).alias("avg_d2"),
+    )
     prev_k = F.when(F.col("k") == ELBOW_KS[1], ELBOW_KS[0])
     for i in range(2, len(ELBOW_KS)):
         prev_k = prev_k.when(F.col("k") == ELBOW_KS[i], ELBOW_KS[i - 1])

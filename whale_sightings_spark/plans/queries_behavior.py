@@ -1620,3 +1620,77 @@ def q219_type_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pearson_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q221 — ε-DP noisy count release (Laplace mechanism): the third leg of
+# the privacy family (q146 k-anonymity says which groups are too small
+# to release raw; q208 t-closeness says which leak their sensitive
+# distribution; this RELEASES the histogram safely). Per-(source, lang)
+# document counts get Laplace(b = Δf/ε) noise with sensitivity Δf = 1
+# (one document moves one cell) and ε = _DP_EPS; the cells partition
+# the corpus, so the whole release costs ε under parallel composition.
+# The noise is DETERMINISTIC across engines: a hash60-seeded uniform
+# u ∈ (-1/2, 1/2) (never exactly 0 — the +0.5 offset keeps it off the
+# lattice) through the Laplace inverse CDF, -b·sign(u)·ln(1-2|u|) —
+# the standard sampler, with the RNG replaced by the cross-engine hash
+# so the oracle can verify it. The audit view keeps the true count
+# beside the noisy one (a production release would drop it).
+# Scale: one source×lang-sized agg; everything after is row-local.
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 0.25
+_DP_B = 1.0 / _DP_EPS
+
+
+@register(
+    "q221_dp_noisy_counts",
+    f"""
+    WITH g AS (
+        SELECT source, lang, count(*) AS n_docs
+        FROM documents
+        GROUP BY source, lang
+    ),
+    u AS (
+        SELECT source, lang, n_docs,
+               (CAST({hash60_sql("source || '|' || lang")} % 999999
+                     AS DOUBLE) + 0.5) / 1000000.0 - 0.5 AS uu
+        FROM g
+    ),
+    nz AS (
+        SELECT source, lang, n_docs,
+               -{_DP_B} * sign(uu) * ln(1.0 - 2.0 * abs(uu)) AS noise
+        FROM u
+    )
+    SELECT source, lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           round(n_docs + noise, 4) AS noisy_count,
+           round(abs(noise), 4) AS noise_abs,
+           CAST({_DP_B} AS DOUBLE) AS scale_b,
+           CAST({_DP_EPS} AS DOUBLE) AS epsilon
+    FROM nz
+    """,
+)
+def q221_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source", "lang").agg(F.count("*").alias("n_docs"))
+    uu = (
+        (hash60(F.concat_ws("|", F.col("source"), F.col("lang"))) % 999999)
+        .cast("double")
+        + 0.5
+    ) / 1000000.0 - 0.5
+    u = g.select("source", "lang", "n_docs", uu.alias("uu"))
+    noise = (
+        F.lit(-_DP_B)
+        * F.signum(F.col("uu"))
+        * F.log(F.lit(1.0) - 2.0 * F.abs(F.col("uu")))
+    )
+    return u.select(
+        "source",
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(F.col("n_docs") + noise, 4).alias("noisy_count"),
+        F.round(F.abs(noise), 4).alias("noise_abs"),
+        F.lit(_DP_B).cast("double").alias("scale_b"),
+        F.lit(_DP_EPS).cast("double").alias("epsilon"),
+    )

@@ -2029,6 +2029,10 @@ def q191_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whale_sightings_spark.functions.text import shingles_from_tokens
 
     docs = load_table(spark, sf_dir, "documents")
+    # The shingle set feeds FIVE consumers (df agg, size agg, the ranked
+    # window, and both sides of the verify join); localCheckpoint
+    # materializes the explode+distinct once instead of re-running its
+    # shuffle per consumer (the bpe.py/dedup.py reuse convention).
     sh = (
         docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
         .select(
@@ -2036,6 +2040,7 @@ def q191_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(shingles_from_tokens(F.col("t"), 3)).alias("shingle"),
         )
         .distinct()
+        .localCheckpoint()
     )
     dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -2054,7 +2059,13 @@ def q191_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.expr(f"({_PPJ_NUM} * n + {_PPJ_DEN} - 1) div {_PPJ_DEN}")
         + 1
     )
-    pref = ranked.filter(F.col("rk") <= plen).select("doc_id", "shingle")
+    # pref self-joins with itself below — checkpoint so the df-join +
+    # window chain behind it runs once, not twice.
+    pref = (
+        ranked.filter(F.col("rk") <= plen)
+        .select("doc_id", "shingle")
+        .localCheckpoint()
+    )
     a = pref.alias("a")
     b = pref.alias("b")
     cand = (
@@ -2686,4 +2697,141 @@ def q215_tokenizer_faceoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("wp_fertility") < F.col("bpe_fertility"), "wordpiece")
         .otherwise("tie")
         .alias("winner"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q222 — C4-style line-level cleanup (Raffel et al. 2020's cleanup
+# recipe, re-expressed set-oriented): segment each document into
+# fixed-width token lines (the corpus has no newlines, so the line
+# grid is the deterministic q63 slicing — width _C4_LINE_W), then
+# apply the three line screens that fire on this vocabulary, in rule
+# order: (1) too-short lines (< _C4_MIN_TOK tokens — the tail line of
+# most docs), (2) within-document duplicate lines (C4 drops repeats,
+# keep-first by line_idx), (3) repetitive lines (distinct-token ratio
+# < 1/2, integer-compared as 2*n_uniq < n_tok). Per-source report of
+# line counts by drop reason plus the kept token share — the knob
+# that says what the cleanup costs in training tokens.
+# Scale: slicing is row-local (sequence + slice, zero pre-agg
+# shuffles); the dup screen is one (doc_id, line)-keyed window
+# (bounded per key); the report is one source-sized agg.
+# ---------------------------------------------------------------------------
+
+_C4_LINE_W = 8
+_C4_MIN_TOK = 5
+
+
+@register(
+    "q222_c4_line_cleanup",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source, {TX.tokens_sql('text')} AS toks
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, toks,
+               unnest(range(1, greatest(len(toks), 1) + 1, {_C4_LINE_W}))
+                   AS start
+        FROM t
+    ),
+    l AS (
+        SELECT doc_id, source,
+               CAST((start - 1) / {_C4_LINE_W} AS INT) AS line_idx,
+               array_to_string(
+                   list_slice(toks, start, start + {_C4_LINE_W} - 1), ' ')
+                   AS line,
+               len(list_slice(toks, start, start + {_C4_LINE_W} - 1))
+                   AS n_tok,
+               len(list_distinct(
+                   list_slice(toks, start, start + {_C4_LINE_W} - 1)))
+                   AS n_uniq
+        FROM c
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY doc_id, line ORDER BY line_idx) AS rn
+        FROM l
+    ),
+    f AS (
+        SELECT source, n_tok,
+               CASE WHEN n_tok < {_C4_MIN_TOK} THEN 'short'
+                    WHEN rn > 1 THEN 'dup'
+                    WHEN 2 * n_uniq < n_tok THEN 'repetitive'
+                    ELSE 'kept' END AS cls
+        FROM r
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN cls = 'short' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_short,
+           CAST(sum(CASE WHEN cls = 'dup' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup,
+           CAST(sum(CASE WHEN cls = 'repetitive' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repetitive,
+           CAST(sum(CASE WHEN cls = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           round(CAST(sum(CASE WHEN cls = 'kept' THEN n_tok ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(sum(n_tok) AS DOUBLE), 6) AS kept_token_share
+    FROM f
+    GROUP BY source
+    """,
+)
+def q222_c4_line_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", TX.tokens(F.col("text")).alias("toks")
+    )
+    c = t.select(
+        "doc_id",
+        "source",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("toks"), F.lit(1)),
+                F.lit(_C4_LINE_W),
+            )
+        ).alias("start"),
+    )
+    seg = F.slice(F.col("toks"), F.col("start"), _C4_LINE_W)
+    lines = c.select(
+        "doc_id",
+        "source",
+        ((F.col("start") - 1) / _C4_LINE_W).cast("int").alias("line_idx"),
+        F.concat_ws(" ", seg).alias("line"),
+        F.size(seg).alias("n_tok"),
+        F.size(F.array_distinct(seg)).alias("n_uniq"),
+    )
+    r = lines.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("doc_id", "line").orderBy("line_idx")
+        ),
+    )
+    cls = (
+        F.when(F.col("n_tok") < _C4_MIN_TOK, "short")
+        .when(F.col("rn") > 1, "dup")
+        .when(2 * F.col("n_uniq") < F.col("n_tok"), "repetitive")
+        .otherwise("kept")
+    )
+    f = r.select("source", "n_tok", cls.alias("cls"))
+    kept_tok = F.sum(F.when(F.col("cls") == "kept", F.col("n_tok")).otherwise(0))
+    return f.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("cls") == "short", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_short"),
+        F.sum(F.when(F.col("cls") == "dup", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup"),
+        F.sum(F.when(F.col("cls") == "repetitive", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_repetitive"),
+        F.sum(F.when(F.col("cls") == "kept", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.round(
+            kept_tok.cast("double") / F.sum("n_tok").cast("double"), 6
+        ).alias("kept_token_share"),
     )
