@@ -777,3 +777,117 @@ def q201_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "oversample_factor"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q224 — DoReMi-style domain reweighting, one exponential-weights step
+# (Xie et al. 2023's Group-DRO update, with the proxy-model excess
+# loss replaced by a deterministic information-theoretic stand-in):
+# each source's excess loss is KL(p_source || p_corpus) over the
+# unigram distribution — exactly the extra nats/token a corpus-trained
+# unigram LM pays on that source — and the mixture update is
+# w ∝ token_share · exp(η·KL), normalized. Sources that look least
+# like the corpus average get UPWEIGHTED (the DRO direction); η is
+# the step size. q201 prices sources by size (temperature); this
+# prices them by distributional distinctiveness — the two mixing
+# plans a data team actually compares.
+# Scale: one (source, word) agg (vocab x sources bounded), corpus
+# word totals broadcast onto it, then source-sized arithmetic; the
+# normalizer is a 1-row broadcast. No corpus-scale joins.
+# ---------------------------------------------------------------------------
+
+_DOREMI_ETA = 1.0
+
+
+@register(
+    "q224_doremi_reweight",
+    f"""
+    WITH dw AS (
+        SELECT source, word FROM (
+            SELECT source,
+                   unnest(regexp_split_to_array(trim(lower(text)), ' +')) AS word
+            FROM documents
+        ) WHERE word <> ''
+    ),
+    sw AS (
+        SELECT source, word, CAST(count(*) AS BIGINT) AS n_sw
+        FROM dw GROUP BY source, word
+    ),
+    st AS (SELECT source, CAST(sum(n_sw) AS BIGINT) AS n_s
+           FROM sw GROUP BY source),
+    wt AS (SELECT word, CAST(sum(n_sw) AS BIGINT) AS c_w
+           FROM sw GROUP BY word),
+    tot AS (SELECT CAST(sum(n_sw) AS BIGINT) AS n FROM sw),
+    kl AS (
+        SELECT sw.source, st.n_s,
+               sum((CAST(sw.n_sw AS DOUBLE) / st.n_s)
+                   * ln((CAST(sw.n_sw AS DOUBLE) / st.n_s)
+                        / (CAST(wt.c_w AS DOUBLE) / tot.n))) AS kl_excess
+        FROM sw
+        JOIN st ON st.source = sw.source
+        JOIN wt ON wt.word = sw.word
+        CROSS JOIN tot
+        GROUP BY sw.source, st.n_s
+    ),
+    raw AS (
+        SELECT kl.source, kl.n_s, kl.kl_excess,
+               CAST(kl.n_s AS DOUBLE) / tot.n AS share,
+               (CAST(kl.n_s AS DOUBLE) / tot.n)
+                   * exp({_DOREMI_ETA!r} * kl.kl_excess) AS w_raw
+        FROM kl CROSS JOIN tot
+    ),
+    z AS (SELECT sum(w_raw) AS z FROM raw)
+    SELECT source,
+           CAST(n_s AS BIGINT) AS n_tokens,
+           round(share, 6) AS token_share,
+           round(kl_excess, 6) AS kl_excess,
+           round(w_raw / z.z, 6) AS weight
+    FROM raw CROSS JOIN z
+    """,
+)
+def q224_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias(
+            "word"
+        ),
+    ).filter(F.col("word") != "")
+    # sw feeds FOUR consumers (per-source totals, corpus word totals,
+    # the grand total, and the KL join) — materialize the one
+    # corpus-scale agg instead of re-scanning the corpus per consumer.
+    sw = (
+        dw.groupBy("source", "word")
+        .agg(F.count("*").cast("bigint").alias("n_sw"))
+        .localCheckpoint()
+    )
+    st = sw.groupBy("source").agg(F.sum("n_sw").cast("bigint").alias("n_s"))
+    wt = sw.groupBy("word").agg(F.sum("n_sw").cast("bigint").alias("c_w"))
+    tot = sw.agg(F.sum("n_sw").cast("bigint").alias("n"))
+    p_s = F.col("n_sw").cast("double") / F.col("n_s")
+    p_c = F.col("c_w").cast("double") / F.col("n")
+    kl = (
+        sw.join(F.broadcast(st), "source")
+        .join(F.broadcast(wt), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "n_s")
+        .agg(F.sum(p_s * F.log(p_s / p_c)).alias("kl_excess"))
+    )
+    raw = kl.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_s",
+        "kl_excess",
+        (F.col("n_s").cast("double") / F.col("n")).alias("share"),
+        (
+            (F.col("n_s").cast("double") / F.col("n"))
+            * F.exp(F.lit(_DOREMI_ETA) * F.col("kl_excess"))
+        ).alias("w_raw"),
+    ).localCheckpoint()  # source-sized; reused by the normalizer and the output
+    z = raw.agg(F.sum("w_raw").alias("z"))
+    return raw.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.col("n_s").cast("bigint").alias("n_tokens"),
+        F.round(F.col("share"), 6).alias("token_share"),
+        F.round(F.col("kl_excess"), 6).alias("kl_excess"),
+        F.round(F.col("w_raw") / F.col("z"), 6).alias("weight"),
+    )

@@ -2634,7 +2634,12 @@ def _q215_sql() -> str:
 @register("q215_tokenizer_faceoff", _q215_sql())
 def q215_tokenizer_faceoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    wt = BPE.bpe_word_tokens(docs).select("word", "n_tokens")
+    # BPE side served from the persisted artifact (identical rows —
+    # training is deterministic over the same corpus); only the
+    # WordPiece side trains inline, it has no iterative merge loop.
+    wt = BPE.bpe_stored_word_tokens(
+        spark, _bpe_artifact_dir(spark, sf_dir)
+    ).select("word", "n_tokens")
     wd = WP._words(docs)
     seg = WP.wp_word_stats(wd, WP.wp_vocab(wd)).select("word", "n_pieces")
     dw = docs.select(
@@ -2834,4 +2839,98 @@ def q222_c4_line_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             kept_tok.cast("double") / F.sum("n_tok").cast("double"), 6
         ).alias("kept_token_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q223 — vocab-prune audit on the SHIPPED tokenizer: what does serving
+# with only the first K/2 merges cost in fertility, per source? Greedy
+# BPE training is prefix-stable — the first K' merges of a K-round
+# training ARE the K'-round training — so "prune the vocab" is exactly
+# "stop the merge sequence early", and both readouts come from ONE
+# training: Spark re-applies the first _PRUNE_K stored merges to the
+# stored word dictionary (the q203 shipped-tokenizer encode path,
+# bounded merge-list collect); the oracle reads s{_PRUNE_K} and
+# s{BPE_ROUNDS} out of the same CTE chain. The decision readout for
+# vocab sizing: fert_delta is the price (extra tokens per word) of
+# shipping the smaller vocabulary.
+# Scale: corpus collapses once to the dictionary; the prune re-encode
+# is _PRUNE_K vocab-scale passes; the join side is broadcast.
+# ---------------------------------------------------------------------------
+
+_PRUNE_K = BPE.BPE_ROUNDS // 2
+
+
+def _q223_oracle() -> str:
+    return f"""
+    WITH {BPE.bpe_ctes()},
+    wtf AS (SELECT word, CAST(count(*) AS BIGINT) AS ntf
+            FROM s{BPE.BPE_ROUNDS} GROUP BY word),
+    wtp AS (SELECT word, CAST(count(*) AS BIGINT) AS ntp
+            FROM s{_PRUNE_K} GROUP BY word),
+    dw AS (
+        SELECT source, word FROM (
+            SELECT source,
+                   unnest(regexp_split_to_array(trim(lower(text)), ' +')) AS word
+            FROM documents
+        ) WHERE word <> ''
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_words,
+           round(CAST(sum(f.ntf) AS DOUBLE) / count(*), 6) AS fert_full,
+           round(CAST(sum(p.ntp) AS DOUBLE) / count(*), 6) AS fert_pruned,
+           round(CAST(sum(p.ntp) - sum(f.ntf) AS DOUBLE) / count(*), 6)
+               AS fert_delta
+    FROM dw d
+    JOIN wtf f ON f.word = d.word
+    JOIN wtp p ON p.word = d.word
+    GROUP BY d.source
+    """
+
+
+@register("q223_bpe_prune_audit", _q223_oracle())
+def q223_bpe_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    full_dir = _bpe_artifact_dir(spark, sf_dir)
+    full_syms = BPE.bpe_stored_symbols(spark, full_dir)
+    wtf = full_syms.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("ntf")
+    )
+    wd_full = full_syms.select("word", "wcount").distinct()
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in BPE.bpe_stored_merge_table(spark, full_dir)
+        .orderBy("round")
+        .limit(_PRUNE_K)
+        .collect()
+    ]
+    wtp = BPE.bpe_apply_merges(wd_full, merges).groupBy("word").agg(
+        F.count("*").cast("bigint").alias("ntp")
+    )
+    per_word = wtf.join(wtp, "word")
+    dw = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias(
+                "word"
+            ),
+        )
+        .filter(F.col("word") != "")
+    )
+    return (
+        dw.join(F.broadcast(per_word), "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.round(F.sum("ntf").cast("double") / F.count("*"), 6).alias(
+                "fert_full"
+            ),
+            F.round(F.sum("ntp").cast("double") / F.count("*"), 6).alias(
+                "fert_pruned"
+            ),
+            F.round(
+                (F.sum("ntp") - F.sum("ntf")).cast("double") / F.count("*"),
+                6,
+            ).alias("fert_delta"),
+        )
     )
