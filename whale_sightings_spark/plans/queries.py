@@ -421,30 +421,43 @@ _SPLIT_SELECT = ",\n           ".join(
     """,
 )
 def q10_split_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The cascade is a pure function of (l_orderkey % 7, l_shipdate) —
+    # a DATE-bounded key space (7 x distinct shipdates), not a
+    # fact-bounded one. Run the ~40-regex normalization once per
+    # distinct key and broadcast the decoded dim back onto the fact:
+    # at 100 TB that is tens of thousands of cascade evaluations
+    # instead of one per row, for one broadcast hash join.
+    from whale_sightings_spark.schemas import DATE_PARTS_FIELDS
+
     li = load_table(spark, sf_dir, "lineitem")
-    v = F.col("l_orderkey") % 7
+    base = li.select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_no"),
+        (F.col("l_orderkey") % 7).alias("__v"),
+        F.col("l_shipdate").alias("__d"),
+    )
+    dim = base.select("__v", "__d").distinct()
+    v = F.col("__v")
     raw = (
-        F.when(v == 0, F.date_format("l_shipdate", "yyyy-MM-dd"))
-        .when(v == 1, F.date_format("l_shipdate", "yyyy-MM"))
-        .when(v == 2, F.date_format("l_shipdate", "yyyy"))
-        .when(v == 3, F.date_format("l_shipdate", "dd/MM/yyyy"))
-        .when(v == 4, F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss"))
-        .when(v == 5, F.date_format("l_shipdate", "MMMM yyyy"))
+        F.when(v == 0, F.date_format("__d", "yyyy-MM-dd"))
+        .when(v == 1, F.date_format("__d", "yyyy-MM"))
+        .when(v == 2, F.date_format("__d", "yyyy"))
+        .when(v == 3, F.date_format("__d", "dd/MM/yyyy"))
+        .when(v == 4, F.date_format("__d", "yyyy-MM-dd HH:mm:ss"))
+        .when(v == 5, F.date_format("__d", "MMMM yyyy"))
         .otherwise(
             F.concat(
-                F.date_format("l_shipdate", "yyyy"),
+                F.date_format("__d", "yyyy"),
                 F.lit("/"),
-                (F.year("l_shipdate") + 2).cast("string"),
+                (F.year("__d") + 2).cast("string"),
             )
         )
     )
-    return with_date_parts(
-        li.select(
-            F.col("l_orderkey").alias("order_key"),
-            F.col("l_linenumber").alias("line_no"),
-            raw.alias("raw"),
-        ),
-        src="raw",
+    decoded = with_date_parts(
+        dim.select("__v", "__d", raw.alias("raw")), src="raw"
+    )
+    return base.join(F.broadcast(decoded), ["__v", "__d"]).select(
+        "order_key", "line_no", "raw", *DATE_PARTS_FIELDS
     )
 
 
