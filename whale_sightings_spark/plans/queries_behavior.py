@@ -1694,3 +1694,119 @@ def q221_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_DP_B).cast("double").alias("scale_b"),
         F.lit(_DP_EPS).cast("double").alias("epsilon"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q225 — USER-level DP histogram release with contribution bounding:
+# q221 releases counts under event-level adjacency (one record moves);
+# real deployments protect USERS, whose whole event history can move.
+# The standard recipe (Google/LinkedIn DP library shape): bound each
+# user to at most _DPU_L partitions (their top-L event types by count,
+# count-desc/type-asc tie-break — deterministic) and at most _DPU_C
+# events inside each kept partition, so the release's L1 sensitivity
+# to removing one user is C·L; per-type Laplace noise at scale
+# b = C·L/ε then gives ε user-level DP for the whole histogram. The
+# audit view reports what the bounding cost (events clipped away)
+# beside the released value — the utility/privacy readout a data team
+# tunes C and L with. Noise is the q221 hash-seeded inverse-CDF.
+# Scale: one (user, type) agg, one user-keyed top-L window over that
+# bounded table, one type-sized agg; noise is row-local.
+# ---------------------------------------------------------------------------
+
+_DPU_C = 8
+_DPU_L = 3
+_DPU_EPS = 0.5
+_DPU_B = _DPU_C * _DPU_L / _DPU_EPS
+
+
+@register(
+    "q225_dp_user_histogram",
+    f"""
+    WITH ut AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_ut
+        FROM events GROUP BY user_id, event_type
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY n_ut DESC, event_type) AS rk
+        FROM ut
+    ),
+    kept AS (
+        SELECT event_type,
+               least(n_ut, {_DPU_C}) AS contrib,
+               n_ut
+        FROM ranked WHERE rk <= {_DPU_L}
+    ),
+    agg AS (
+        SELECT t.event_type,
+               CAST(t.n_raw AS BIGINT) AS n_raw,
+               CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+        FROM (SELECT event_type, sum(n_ut) AS n_raw
+              FROM ut GROUP BY event_type) t
+        LEFT JOIN (SELECT event_type, sum(contrib) AS n_kept
+                   FROM kept GROUP BY event_type) k
+               ON k.event_type = t.event_type
+    ),
+    nz AS (
+        SELECT event_type, n_raw, n_kept,
+               (CAST({hash60_sql("event_type")} % 999999 AS DOUBLE) + 0.5)
+                   / 1000000.0 - 0.5 AS uu
+        FROM agg
+    )
+    SELECT event_type,
+           n_raw,
+           CAST(n_raw - n_kept AS BIGINT) AS n_clipped_away,
+           round(n_kept + (-{_DPU_B} * sign(uu) * ln(1.0 - 2.0 * abs(uu))),
+                 4) AS released,
+           CAST({_DPU_B} AS DOUBLE) AS scale_b,
+           CAST({_DPU_EPS} AS DOUBLE) AS epsilon
+    FROM nz
+    """,
+)
+def q225_dp_user_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("n_ut")
+    )
+    ranked = ut.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy(
+                F.desc("n_ut"), F.asc("event_type")
+            )
+        ),
+    )
+    kept = ranked.filter(F.col("rk") <= _DPU_L).select(
+        "event_type", F.least(F.col("n_ut"), F.lit(_DPU_C)).alias("contrib")
+    )
+    raw_t = ut.groupBy("event_type").agg(
+        F.sum("n_ut").cast("bigint").alias("n_raw")
+    )
+    kept_t = kept.groupBy("event_type").agg(
+        F.sum("contrib").alias("n_kept")
+    )
+    agg = raw_t.join(kept_t, "event_type", "left").select(
+        "event_type",
+        "n_raw",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+    )
+    uu = (
+        (hash60(F.col("event_type")) % 999999).cast("double") + 0.5
+    ) / 1000000.0 - 0.5
+    nz = agg.withColumn("uu", uu)
+    noise = (
+        F.lit(-_DPU_B)
+        * F.signum(F.col("uu"))
+        * F.log(F.lit(1.0) - 2.0 * F.abs(F.col("uu")))
+    )
+    return nz.select(
+        "event_type",
+        "n_raw",
+        (F.col("n_raw") - F.col("n_kept")).cast("bigint").alias(
+            "n_clipped_away"
+        ),
+        F.round(F.col("n_kept") + noise, 4).alias("released"),
+        F.lit(_DPU_B).cast("double").alias("scale_b"),
+        F.lit(_DPU_EPS).cast("double").alias("epsilon"),
+    )
