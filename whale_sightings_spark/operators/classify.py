@@ -1,0 +1,280 @@
+"""Trained quality classifiers, in-engine (weak-label distillation).
+
+A production curation stack distills its hand rules into a trained
+model and scores the whole corpus with it (the GPT-3 / CCNet recipe:
+cheap heuristic -> weak labels -> linear classifier -> corpus-wide
+score).  The reference engine (jarretjeter/whale-sightings) has no
+trainable operator at all — this family belongs to the net-new
+LLM-pipeline surface the brief asks for, beside dedup / ANN / BPE.
+
+Two trainers, both expressed as DataFrame aggregations so a training
+pass is one map-side-partial agg over the corpus:
+
+- multinomial Naive Bayes over tokens (`nb_heldout_scores`): the
+  per-token class counts ARE the model; scoring is an exploded-token
+  broadcast join + per-doc sum.  Vocabulary is bounded by a min-count
+  floor so the broadcast side never scales with the corpus.
+- logistic regression by full-batch gradient descent
+  (`logreg_fit`): K fixed steps, each one aggregation job; the weight
+  vector (d+1 scalars) is the only thing that ever reaches the driver.
+
+Cross-engine determinism: every float that crosses a step boundary is
+quantized to 6dp first (the round-inputs-first convention), so the
+DuckDB twin consumes bit-identical weights each round and
+summation-order ulps cannot compound across steps.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from whale_sightings_spark.functions import text as TX
+from whale_sightings_spark.functions.hashing import hash60, hash60_sql
+
+#: weak-label threshold on the composite quality score: ~55% positive
+#: at the driver's scale factors, so confusion cells stay non-trivial.
+NB_TAU = 0.75
+#: held-out share: hash60(doc_id) % NB_HOLD_MOD == 0.  NOT the q185
+#: doc_id%10 split — the testdata's source is doc_id%20, so a modular
+#: split confounds held-out with source; the hash split stratifies
+#: evaluation across every source (and is how a real pipeline splits:
+#: content-stable, uncorrelated with ingestion order).
+NB_HOLD_MOD = 10
+
+
+def is_held(doc_id: Column) -> Column:
+    return hash60(doc_id.cast("string")) % NB_HOLD_MOD == 0
+
+
+def is_held_sql(expr: str = "doc_id") -> str:
+    return f"({hash60_sql(f'CAST({expr} AS VARCHAR)')} % {NB_HOLD_MOD} = 0)"
+
+
+#: vocabulary floor — tokens below this train count are folded into
+#: the OOV mass.  At 100 TB this (not the corpus) bounds the broadcast.
+NB_MIN_COUNT = 5
+
+LOGREG_LR = 2.0
+LOGREG_STEPS = 6
+
+
+def weak_label(col: Column) -> Column:
+    """1 when the rule-based quality score clears NB_TAU, else 0."""
+    return (TX.quality_score(col) >= F.lit(NB_TAU)).cast("int")
+
+
+def weak_label_sql(expr: str) -> str:
+    return (
+        f"(CASE WHEN {TX.quality_score_sql(expr)} >= {NB_TAU} "
+        f"THEN 1 ELSE 0 END)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# multinomial Naive Bayes
+# ---------------------------------------------------------------------------
+
+def nb_heldout_scores(docs: DataFrame) -> DataFrame:
+    """Train NB on the weak-labelled train split, score the held-out
+    split.  Returns (doc_id, source, y, score) with score the raw
+    log-odds ln P(y=1|doc) - ln P(y=0|doc).
+
+    Scale shape: one token agg builds the vocabulary (vocab-sized,
+    min-count floored); scoring explodes held-out tokens and joins the
+    BROADCAST vocab, then one per-doc keyed agg.  The corpus is never
+    joined to itself and nothing driver-side scales with the data.
+    """
+    lab = docs.select(
+        "doc_id",
+        "source",
+        TX.tokens(F.col("text")).alias("w"),
+        weak_label(F.col("text")).alias("y"),
+    )
+    train = lab.filter(~is_held(F.col("doc_id")))
+    ttok = (
+        train.select("y", F.explode("w").alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    vocab = (
+        ttok.groupBy("tok")
+        .agg(
+            F.sum("y").cast("double").alias("c1"),
+            F.sum(1 - F.col("y")).cast("double").alias("c0"),
+        )
+        .filter(F.col("c1") + F.col("c0") >= NB_MIN_COUNT)
+    )
+    tot = vocab.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c0").alias("n0"),
+        F.count("*").cast("double").alias("v"),
+    )
+    pri = train.agg(
+        F.log(
+            (F.sum("y") + F.lit(1.0))
+            / (F.count("*") - F.sum("y") + F.lit(1.0))
+        ).alias("prior")
+    )
+    vt = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        (
+            F.log((F.col("c1") + 1.0) / (F.col("n1") + F.col("v")))
+            - F.log((F.col("c0") + 1.0) / (F.col("n0") + F.col("v")))
+        ).alias("llr"),
+    )
+    oov = F.log((F.col("n0") + F.col("v")) / (F.col("n1") + F.col("v")))
+    held = (
+        lab.filter(is_held(F.col("doc_id")))
+        .select("doc_id", "source", "y", F.explode("w").alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    return (
+        held.join(F.broadcast(vt), "tok", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(pri))
+        .groupBy("doc_id", "source", "y")
+        .agg(
+            (F.first("prior") + F.sum(F.coalesce("llr", oov))).alias("score")
+        )
+    )
+
+
+def nb_ctes() -> str:
+    """DuckDB CTE chain mirroring `nb_heldout_scores`; terminal CTE is
+    `nb_scored(doc_id, source, y, score)`."""
+    toks = TX.tokens_sql("text")
+    return f"""
+    lab AS (
+        SELECT doc_id, source, {toks} AS w,
+               {weak_label_sql('text')} AS y
+        FROM documents
+    ),
+    ttok AS (
+        SELECT y, unnest(w) AS tok FROM lab
+        WHERE NOT {is_held_sql()}
+    ),
+    vocab AS (
+        SELECT tok,
+               CAST(sum(y) AS DOUBLE) AS c1,
+               CAST(sum(1 - y) AS DOUBLE) AS c0
+        FROM ttok WHERE tok <> '' GROUP BY tok
+        HAVING sum(y) + sum(1 - y) >= {NB_MIN_COUNT}
+    ),
+    tot AS (
+        SELECT sum(c1) AS n1, sum(c0) AS n0,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM vocab
+    ),
+    pri AS (
+        SELECT ln((sum(y) + 1.0) / (count(*) - sum(y) + 1.0)) AS prior
+        FROM lab WHERE NOT {is_held_sql()}
+    ),
+    vt AS (
+        SELECT tok,
+               ln((c1 + 1.0) / (n1 + v)) - ln((c0 + 1.0) / (n0 + v)) AS llr
+        FROM vocab, tot
+    ),
+    htok AS (
+        SELECT doc_id, source, y, unnest(w) AS tok FROM lab
+        WHERE {is_held_sql()}
+    ),
+    nb_scored AS (
+        SELECT h.doc_id, h.source, h.y,
+               first(p.prior)
+               + sum(coalesce(vt.llr,
+                              ln((t.n0 + t.v) / (t.n1 + t.v)))) AS score
+        FROM htok h
+        LEFT JOIN vt ON vt.tok = h.tok
+        CROSS JOIN tot t
+        CROSS JOIN pri p
+        WHERE h.tok <> ''
+        GROUP BY h.doc_id, h.source, h.y
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# logistic regression (full-batch GD, K fixed steps)
+# ---------------------------------------------------------------------------
+
+def logreg_features(col: Column) -> list[Column]:
+    """[x1, x2, x3] in [0,1]: length term, stopword term, token-length
+    term — the same signals the weak rule reads, so the fit is a
+    genuine distillation.  x0 (intercept) is implicit."""
+    f = TX.quality_features(col)
+    return [
+        F.least(F.lit(1.0), f["n_tokens"] / F.lit(50.0)),
+        F.least(F.lit(1.0), f["stop_ratio"] * 5),
+        F.least(F.lit(1.0), f["avg_token_len"] / F.lit(10.0)),
+    ]
+
+
+def logreg_features_sql(expr: str) -> list[str]:
+    toks = TX.tokens_sql(expr)
+    n_chars = f"length({expr})"
+    n_toks = TX.token_count_sql(expr)
+    all_stop = tuple(w for ws in TX.LANG_PROFILES.values() for w in ws)
+    n_stop = TX._stopword_hits_sql(toks, all_stop)
+    stop_ratio = (
+        f"(CASE WHEN {n_toks} > 0 THEN CAST({n_stop} AS DOUBLE) / {n_toks} "
+        f"ELSE 0.0 END)"
+    )
+    avg_len = (
+        f"(CASE WHEN {n_toks} > 0 THEN CAST({n_chars} AS DOUBLE) / {n_toks} "
+        f"ELSE 0.0 END)"
+    )
+    return [
+        f"least(1.0, CAST({n_toks} AS DOUBLE) / 50.0)",
+        f"least(1.0, {stop_ratio} * 5)",
+        f"least(1.0, {avg_len} / 10.0)",
+    ]
+
+
+def round6(x: float) -> float:
+    """Half-away-from-zero to 6dp — DuckDB's round() tie behavior, so
+    the driver-updated weights match the unrolled-CTE oracle exactly."""
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+
+def logreg_fit(feats: DataFrame) -> list[float]:
+    """K fixed GD steps over (y, x1, x2, x3).  Each step is ONE
+    aggregation job (map-side partial sums); only the 4 gradient
+    scalars reach the driver, and the updated weights are quantized to
+    6dp before they re-enter the plan as literals — so the next step's
+    inputs are bit-identical across engines."""
+    w = [0.0, 0.0, 0.0, 0.0]
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
+    for _ in range(LOGREG_STEPS):
+        z = sum((F.lit(wj) * xj for wj, xj in zip(w, xs)), F.lit(0.0))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        row = feats.agg(
+            *[F.avg((p - F.col("y")) * xj).alias(f"g{j}")
+              for j, xj in enumerate(xs)]
+        ).collect()[0]
+        w = [round6(wj - LOGREG_LR * row[f"g{j}"]) for j, wj in enumerate(w)]
+    return w
+
+
+def logreg_steps_ctes(feat_cte: str) -> str:
+    """Unrolled-GD CTE chain over `feat_cte` (must expose y, x1..x3
+    and a train marker column `is_train`); terminal CTE is
+    `s{LOGREG_STEPS}(w0, w1, w2, w3)` with 6dp-quantized weights."""
+    xs = ["1.0", "x1", "x2", "x3"]
+    parts = [feat_cte]
+    prev_w = ["0.0"] * 4
+    for k in range(1, LOGREG_STEPS + 1):
+        z = " + ".join(f"({w}) * {x}" for w, x in zip(prev_w, xs))
+        p = f"(1.0 / (1.0 + exp(-({z}))))"
+        cols = ", ".join(
+            f"round(({prev_w[j]}) - {LOGREG_LR} * avg(({p} - y) * {xs[j]}), 6)"
+            f" AS w{j}"
+            for j in range(4)
+        )
+        src = "f" if k == 1 else f"f CROSS JOIN s{k - 1}"
+        grp = "" if k == 1 else " GROUP BY w0, w1, w2, w3"
+        parts.append(
+            f"s{k} AS (SELECT {cols} FROM {src} WHERE is_train{grp})"
+        )
+        prev_w = [f"w{j}" for j in range(4)]
+    return ",\n    ".join(parts)

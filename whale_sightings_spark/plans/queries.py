@@ -547,6 +547,7 @@ def _load_extra_registries() -> None:
     size); import at call time to avoid a cycle."""
     import whale_sightings_spark.plans.queries_analytics  # noqa: F401
     import whale_sightings_spark.plans.queries_behavior  # noqa: F401
+    import whale_sightings_spark.plans.queries_classify  # noqa: F401
     import whale_sightings_spark.plans.queries_corpus  # noqa: F401
     import whale_sightings_spark.plans.queries_curation  # noqa: F401
     import whale_sightings_spark.plans.queries_datetime  # noqa: F401

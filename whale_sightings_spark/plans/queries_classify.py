@@ -1,0 +1,287 @@
+"""Registered queries: trained quality classifiers (operators/classify).
+
+The curation surface so far scores documents with FIXED rules (q97
+quality screens, q125 signal ensemble, q185/q216 LM perplexity).  A
+production stack's next move is to DISTILL those rules into a trained
+model and score the corpus with that (the GPT-3 / CCNet recipe): weak
+labels from the heuristic, a cheap linear model, corpus-wide
+inference.  q226-q228 run that loop entirely in-engine:
+
+- q226 trains multinomial Naive Bayes over tokens against the
+  weak labels and reports the held-out confusion per source;
+- q227 evaluates the same scorer threshold-free: histogram ROC-AUC
+  (256 fixed bins, rank comparison via a bin×bin join — no global
+  window, no per-row ranking);
+- q228 trains logistic regression by 6 full-batch GD steps — each
+  step one aggregation job; weights are 6dp-quantized between steps
+  so the unrolled DuckDB twin sees bit-identical state per round.
+
+No reference parity to cite: the reference engine has no trainable
+operator; this extends the net-new LLM-pipeline surface (brief §"text
+analysis").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whale_sightings_spark.operators import classify as CL
+from whale_sightings_spark.plans.queries import register
+from whale_sightings_spark.schemas import load_table
+
+# ---------------------------------------------------------------------------
+# q226 — Naive Bayes weak-label distillation, held-out confusion per
+# source.  Hash-based held-out split (stratified across sources); the
+# per-token class counts are the model (vocab-bounded, min-count
+# floored); scoring = exploded tokens ⋈ BROADCAST vocab + one per-doc
+# keyed agg.  Classification is sign(log-odds) on the raw double —
+# the score is a sum of irrational log terms, so a cross-engine tie
+# at exactly 0 cannot occur.  Scale: 2 corpus-scale token aggs + one
+# per-doc agg; nothing driver-side; broadcast side bounded by the
+# min-count floor, not the corpus.
+# ---------------------------------------------------------------------------
+
+_CONF_CELLS = (
+    ("tp", "y = 1 AND score > 0"),
+    ("fp", "y = 0 AND score > 0"),
+    ("fn", "y = 1 AND score <= 0"),
+    ("tn", "y = 0 AND score <= 0"),
+)
+
+
+@register(
+    "q226_nb_weak_classifier",
+    f"""
+    WITH {CL.nb_ctes()}
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_test,
+           {', '.join(
+               f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+               f" AS {name}" for name, cond in _CONF_CELLS)},
+           round(avg(CASE WHEN (score > 0) = (y = 1)
+                          THEN 1.0 ELSE 0.0 END), 4) AS accuracy
+    FROM nb_scored
+    GROUP BY source
+    """,
+)
+def q226_nb_weak_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = CL.nb_heldout_scores(docs)
+    pos = F.col("score") > 0
+    y1 = F.col("y") == 1
+    cells = {
+        "tp": y1 & pos,
+        "fp": ~y1 & pos,
+        "fn": y1 & ~pos,
+        "tn": ~y1 & ~pos,
+    }
+    return scored.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_test"),
+        *[
+            F.sum(cond.cast("int")).cast("bigint").alias(name)
+            for name, cond in cells.items()
+        ],
+        F.round(
+            F.avg(F.when(pos == y1, F.lit(1.0)).otherwise(F.lit(0.0))), 4
+        ).alias("accuracy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q227 — threshold-free evaluation of the NB scorer: ROC-AUC over a
+# 256-bin score histogram.  The textbook rank-sum AUC needs a global
+# ordering of the corpus (a single-partition window — fatal at
+# scale); binning first makes the rank comparison a bin×bin join over
+# a 256-row aggregate: AUC = (Σ_{{b<b'}} neg_b·pos_b' + ½·Σ_b
+# neg_b·pos_b) / (P·N), exact given the binning.  Scores are rounded
+# 4dp BEFORE binning (round-inputs-first) so both engines bin
+# identical doubles.  Scale: the per-doc scorer is q226's shape; the
+# histogram agg is one shuffle; everything after runs on ≤256 rows.
+# ---------------------------------------------------------------------------
+
+_AUC_LO = -16.0
+_AUC_HI = 16.0
+_AUC_BINS = 256
+_AUC_W = (_AUC_HI - _AUC_LO) / _AUC_BINS
+
+_BIN_SQL = (
+    f"least({_AUC_BINS - 1}, greatest(0, CAST(floor("
+    f"(round(score, 4) - ({_AUC_LO})) / {_AUC_W}) AS INT)))"
+)
+
+
+@register(
+    "q227_auc_weak_classifier",
+    f"""
+    WITH {CL.nb_ctes()},
+    hist AS (
+        SELECT {_BIN_SQL} AS bin,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               CAST(sum(1 - y) AS BIGINT) AS n_neg
+        FROM nb_scored GROUP BY 1
+    ),
+    tot2 AS (
+        SELECT sum(n_pos) AS p, sum(n_neg) AS n,
+               count(*) AS n_bins
+        FROM hist
+    ),
+    below AS (
+        SELECT coalesce(sum(a.n_neg * b.n_pos), 0) AS concordant
+        FROM hist a JOIN hist b ON a.bin < b.bin
+    ),
+    ties AS (SELECT sum(n_pos * n_neg) AS tied FROM hist)
+    SELECT CAST(t.p AS BIGINT) AS n_pos,
+           CAST(t.n AS BIGINT) AS n_neg,
+           CAST(t.n_bins AS BIGINT) AS n_bins_used,
+           round((b.concordant + 0.5 * ti.tied) * 1.0 / (t.p * t.n), 4)
+               AS auc_hist
+    FROM tot2 t, below b, ties ti
+    """,
+)
+def q227_auc_weak_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = CL.nb_heldout_scores(docs)
+    bin_col = F.least(
+        F.lit(_AUC_BINS - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.round(F.col("score"), 4) - F.lit(_AUC_LO)) / F.lit(_AUC_W)
+            ).cast("int"),
+        ),
+    )
+    hist = (
+        scored.select(bin_col.alias("bin"), "y")
+        .groupBy("bin")
+        .agg(
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.sum(1 - F.col("y")).cast("bigint").alias("n_neg"),
+        )
+        .localCheckpoint()  # ≤256 rows; reused by 3 consumers below
+    )
+    tot2 = hist.agg(
+        F.sum("n_pos").alias("p"),
+        F.sum("n_neg").alias("n"),
+        F.count("*").alias("n_bins"),
+    )
+    a = hist.alias("a")
+    b = hist.alias("b")
+    below = (
+        a.join(F.broadcast(b), F.col("a.bin") < F.col("b.bin"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("a.n_neg") * F.col("b.n_pos")), F.lit(0)
+            ).alias("concordant")
+        )
+    )
+    ties = hist.agg(F.sum(F.col("n_pos") * F.col("n_neg")).alias("tied"))
+    return (
+        tot2.crossJoin(F.broadcast(below))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("p").cast("bigint").alias("n_pos"),
+            F.col("n").cast("bigint").alias("n_neg"),
+            F.col("n_bins").cast("bigint").alias("n_bins_used"),
+            F.round(
+                (F.col("concordant") + 0.5 * F.col("tied"))
+                * F.lit(1.0)
+                / (F.col("p") * F.col("n")),
+                4,
+            ).alias("auc_hist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q228 — logistic regression by full-batch gradient descent: 6 fixed
+# steps, lr=2, features = the same bounded [0,1] signals the weak
+# rule reads (length / stopword / token-length terms), so the fit is
+# a genuine rule distillation.  Each step is ONE aggregation job
+# (map-side partial sums of (σ(w·x)−y)·x); only 4 gradient scalars
+# reach the driver per step (the BPE-argmax collect class), and the
+# updated weights re-enter the plan as 6dp-quantized literals — so
+# the unrolled DuckDB twin consumes bit-identical weights per round
+# and summation-order ulps cannot compound.  Output: final weights +
+# held-out accuracy/log-loss.
+# ---------------------------------------------------------------------------
+
+def _feat_cte() -> str:
+    x1, x2, x3 = CL.logreg_features_sql("text")
+    return f"""f AS (
+        SELECT doc_id,
+               {CL.weak_label_sql('text')} AS y,
+               {x1} AS x1, {x2} AS x2, {x3} AS x3,
+               NOT {CL.is_held_sql()} AS is_train
+        FROM documents
+    )"""
+
+
+@register(
+    "q228_logreg_gd",
+    f"""
+    WITH {CL.logreg_steps_ctes(_feat_cte())},
+    scored AS (
+        SELECT f.y,
+               w0 * 1.0 + w1 * x1 + w2 * x2 + w3 * x3 AS z,
+               w0, w1, w2, w3
+        FROM f CROSS JOIN s{CL.LOGREG_STEPS}
+        WHERE NOT is_train
+    )
+    SELECT any_value(w0) AS w0, any_value(w1) AS w1,
+           any_value(w2) AS w2, any_value(w3) AS w3,
+           CAST(count(*) AS BIGINT) AS n_test,
+           round(avg(CASE WHEN (z > 0) = (y = 1)
+                          THEN 1.0 ELSE 0.0 END), 4) AS accuracy,
+           round(avg(-(y * ln(1.0 / (1.0 + exp(-z)))
+                       + (1 - y) * ln(1.0 - 1.0 / (1.0 + exp(-z))))),
+                 4) AS logloss
+    FROM scored
+    """,
+)
+def q228_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    xs = CL.logreg_features(F.col("text"))
+    feats = docs.select(
+        "doc_id",
+        CL.weak_label(F.col("text")).alias("y"),
+        *[x.alias(f"x{j + 1}") for j, x in enumerate(xs)],
+        (~CL.is_held(F.col("doc_id"))).alias("is_train"),
+    ).localCheckpoint()  # consumed by 6 GD steps + the eval pass
+    w = CL.logreg_fit(feats.filter("is_train"))
+    z = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    held = feats.filter(~F.col("is_train")).select("y", z.alias("z"), p.alias("p"))
+    metrics = held.agg(
+        F.count("*").cast("bigint").alias("n_test"),
+        F.round(
+            F.avg(
+                F.when((F.col("z") > 0) == (F.col("y") == 1), F.lit(1.0))
+                .otherwise(F.lit(0.0))
+            ),
+            4,
+        ).alias("accuracy"),
+        F.round(
+            F.avg(
+                -(
+                    F.col("y") * F.log("p")
+                    + (1 - F.col("y")) * F.log(F.lit(1.0) - F.col("p"))
+                )
+            ),
+            4,
+        ).alias("logloss"),
+    )
+    return metrics.select(
+        F.lit(w[0]).alias("w0"),
+        F.lit(w[1]).alias("w1"),
+        F.lit(w[2]).alias("w2"),
+        F.lit(w[3]).alias("w3"),
+        "n_test",
+        "accuracy",
+        "logloss",
+    )
