@@ -77,22 +77,25 @@ def weak_label_sql(expr: str) -> str:
 # multinomial Naive Bayes
 # ---------------------------------------------------------------------------
 
-def nb_heldout_scores(docs: DataFrame) -> DataFrame:
-    """Train NB on the weak-labelled train split, score the held-out
-    split.  Returns (doc_id, source, y, score) with score the raw
-    log-odds ln P(y=1|doc) - ln P(y=0|doc).
-
-    Scale shape: one token agg builds the vocabulary (vocab-sized,
-    min-count floored); scoring explodes held-out tokens and joins the
-    BROADCAST vocab, then one per-doc keyed agg.  The corpus is never
-    joined to itself and nothing driver-side scales with the data.
-    """
-    lab = docs.select(
+def _labelled(docs: DataFrame) -> DataFrame:
+    return docs.select(
         "doc_id",
         "source",
         TX.tokens(F.col("text")).alias("w"),
         weak_label(F.col("text")).alias("y"),
     )
+
+
+def nb_train(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Train NB on the weak-labelled train split.  Returns the two
+    tables that ARE the model: `vt(tok, llr)` (vocab-scale, min-count
+    floored) and a 1-row `meta(prior, oov)` — everything a serving
+    path needs to score any stream of documents.
+
+    Scale shape: one corpus-scale token agg; the model tables are
+    bounded by the vocabulary floor, never by the corpus.
+    """
+    lab = _labelled(docs)
     train = lab.filter(~is_held(F.col("doc_id")))
     ttok = (
         train.select("y", F.explode("w").alias("tok"))
@@ -124,26 +127,60 @@ def nb_heldout_scores(docs: DataFrame) -> DataFrame:
             - F.log((F.col("c0") + 1.0) / (F.col("n0") + F.col("v")))
         ).alias("llr"),
     )
-    oov = F.log((F.col("n0") + F.col("v")) / (F.col("n1") + F.col("v")))
-    held = (
-        lab.filter(is_held(F.col("doc_id")))
+    meta = pri.crossJoin(tot).select(
+        "prior",
+        F.log((F.col("n0") + F.col("v")) / (F.col("n1") + F.col("v"))).alias(
+            "oov"
+        ),
+    )
+    return vt, meta
+
+
+def nb_score(docs: DataFrame, vt: DataFrame, meta: DataFrame) -> DataFrame:
+    """Score documents against an NB model (trained or stored).
+    Returns (doc_id, source, y, score); score is the raw log-odds.
+    Exploded tokens ⋈ BROADCAST model + one per-doc keyed agg."""
+    dtok = (
+        _labelled(docs)
         .select("doc_id", "source", "y", F.explode("w").alias("tok"))
         .filter(F.col("tok") != "")
     )
     return (
-        held.join(F.broadcast(vt), "tok", "left")
-        .crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(pri))
+        dtok.join(F.broadcast(vt), "tok", "left")
+        .crossJoin(F.broadcast(meta))
         .groupBy("doc_id", "source", "y")
         .agg(
-            (F.first("prior") + F.sum(F.coalesce("llr", oov))).alias("score")
+            (
+                F.first("prior")
+                + F.sum(F.coalesce(F.col("llr"), F.col("oov")))
+            ).alias("score")
         )
     )
 
 
-def nb_ctes() -> str:
-    """DuckDB CTE chain mirroring `nb_heldout_scores`; terminal CTE is
-    `nb_scored(doc_id, source, y, score)`."""
+def nb_heldout_scores(docs: DataFrame) -> DataFrame:
+    """Train NB on the weak-labelled train split, score the held-out
+    split.  Returns (doc_id, source, y, score) with score the raw
+    log-odds ln P(y=1|doc) - ln P(y=0|doc).
+
+    Scale shape: one token agg builds the vocabulary (vocab-sized,
+    min-count floored); scoring explodes held-out tokens and joins the
+    BROADCAST vocab, then one per-doc keyed agg.  The corpus is never
+    joined to itself and nothing driver-side scales with the data.
+    """
+    vt, meta = nb_train(docs)
+    return nb_score(docs.filter(is_held(F.col("doc_id"))), vt, meta)
+
+
+def nb_ctes(score: str = "held") -> str:
+    """DuckDB CTE chain mirroring `nb_heldout_scores` (score="held")
+    or the serve-from-store full-corpus scoring (score="all" — the
+    stored model is bit-identical to retraining, so the oracle just
+    retrains); terminal CTE is `nb_scored(doc_id, source, y, score)`.
+    """
+    scored_where = (
+        f"WHERE {is_held_sql()}" if score == "held" else ""
+    )
     toks = TX.tokens_sql("text")
     return f"""
     lab AS (
@@ -178,7 +215,7 @@ def nb_ctes() -> str:
     ),
     htok AS (
         SELECT doc_id, source, y, unnest(w) AS tok FROM lab
-        WHERE {is_held_sql()}
+        {scored_where}
     ),
     nb_scored AS (
         SELECT h.doc_id, h.source, h.y,
@@ -192,6 +229,59 @@ def nb_ctes() -> str:
         WHERE h.tok <> ''
         GROUP BY h.doc_id, h.source, h.y
     )"""
+
+
+# ---------------------------------------------------------------------------
+# Persisted classifier artifact — the q172/q176 build-once/serve-many
+# convention applied to the THIRD artifact a real pipeline ships
+# (after the ANN index and the tokenizer): the trained quality model.
+# Training is cheap and rare; scoring runs over the whole 100 TB
+# corpus — so the model tables persist and every serving consumer
+# broadcast-joins the store instead of re-deriving the counts.
+# ---------------------------------------------------------------------------
+
+#: bump to invalidate persisted NB models when training constants
+#: (tau / split / vocab floor / smoothing) change
+NB_FORMAT_VERSION = 1
+
+_VT_SCHEMA = "tok string, llr double"
+_META_SCHEMA = "prior double, oov double"
+
+
+def nb_artifact_paths(artifact_dir: str) -> tuple[str, str]:
+    """(vocab_dir, meta_dir) under ``artifact_dir``.  Vocab is written
+    FIRST and meta LAST: build-if-absent guards key on the meta
+    ``_SUCCESS`` marker, so a torn build is invisible (guard missing →
+    rebuild) — the bpe_artifact_paths torn-write contract."""
+    base = artifact_dir.rstrip("/")
+    return base + "/vocab", base + "/meta"
+
+
+def build_nb_artifact(docs: DataFrame, artifact_dir: str) -> str:
+    """Train once, persist both model tables.  Both are vocab-bounded
+    (never corpus-scale), so single-file writes; overwrite mode keeps
+    a retried build idempotent."""
+    vt, meta = nb_train(docs)
+    vocab_dir, meta_dir = nb_artifact_paths(artifact_dir)
+    vt.coalesce(1).write.mode("overwrite").parquet(vocab_dir)
+    meta.coalesce(1).write.mode("overwrite").parquet(meta_dir)
+    return artifact_dir
+
+
+def nb_stored_model(spark, artifact_dir: str) -> tuple[DataFrame, DataFrame]:
+    vocab_dir, meta_dir = nb_artifact_paths(artifact_dir)
+    return (
+        spark.read.schema(_VT_SCHEMA).parquet(vocab_dir),
+        spark.read.schema(_META_SCHEMA).parquet(meta_dir),
+    )
+
+
+def nb_score_from_store(docs: DataFrame, spark, artifact_dir: str) -> DataFrame:
+    """Full-corpus scoring served from the persisted model: the only
+    corpus-scale work is the token stream ⋈ broadcast stored vocab —
+    no training aggregations in the serving plan."""
+    vt, meta = nb_stored_model(spark, artifact_dir)
+    return nb_score(docs, vt, meta)
 
 
 # ---------------------------------------------------------------------------

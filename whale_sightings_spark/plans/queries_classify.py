@@ -285,3 +285,179 @@ def q228_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "accuracy",
         "logloss",
     )
+
+
+# ---------------------------------------------------------------------------
+# q229 — the trained classifier as a PERSISTED ARTIFACT (the
+# q172/q176 build-once/serve-many convention, third shipped artifact):
+# build-if-absent, then score the WHOLE corpus from the stored model
+# tables — the production shape, where training is rare and cheap but
+# inference runs over all 100 TB.  The serving plan's only
+# corpus-scale work is token-stream ⋈ broadcast stored vocab (a
+# pytest asserts it scans the artifact and contains no training
+# aggregations).  Oracle retrains in SQL — training is deterministic,
+# so the stored model is bit-identical to a fresh fit.
+# ---------------------------------------------------------------------------
+
+
+def _nb_artifact_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-absent cache of the trained-NB artifact for
+    ``sf_dir`` — the `_bpe_artifact_dir` convention, keyed by the
+    documents file's (size, mtime) fingerprint and the model format
+    version; eviction scoped to the ``nb_`` prefix."""
+    import os
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(doc_path)
+    fp = f"{st.st_size}_{int(st.st_mtime)}"
+    root = os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".index_cache"),
+    )
+    sf_root = os.path.join(root, os.path.basename(os.path.normpath(sf_dir)))
+    leaf = f"nb_v{CL.NB_FORMAT_VERSION}_{fp}"
+    artifact_dir = os.path.join(sf_root, leaf)
+    _vocab_dir, meta_dir = CL.nb_artifact_paths(artifact_dir)
+    if not os.path.exists(os.path.join(meta_dir, "_SUCCESS")):
+        import shutil
+
+        if os.path.isdir(sf_root):
+            for d in os.listdir(sf_root):
+                if d != leaf and d.startswith("nb_") and ".tmp." not in d:
+                    shutil.rmtree(os.path.join(sf_root, d), ignore_errors=True)
+        docs = load_table(spark, sf_dir, "documents")
+        # pid-unique staging + atomic-rename publish (the
+        # _ivfpq_index_dir racing-builders contract)
+        staging = f"{artifact_dir}.tmp.{os.getpid()}"
+        CL.build_nb_artifact(docs, staging)
+        try:
+            os.rename(staging, artifact_dir)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    return artifact_dir
+
+
+@register(
+    "q229_nb_model_serve",
+    f"""
+    WITH {CL.nb_ctes(score="all")}
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pred_pos,
+           round(avg(CASE WHEN score > 0 THEN 1.0 ELSE 0.0 END), 4)
+               AS pred_pos_share,
+           round(avg(CASE WHEN (score > 0) = (y = 1)
+                          THEN 1.0 ELSE 0.0 END), 4) AS agree_weak_rule
+    FROM nb_scored
+    GROUP BY source
+    """,
+)
+def q229_nb_model_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = CL.nb_score_from_store(docs, spark, _nb_artifact_dir(spark, sf_dir))
+    pos = F.col("score") > 0
+    return scored.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(pos.cast("int")).cast("bigint").alias("n_pred_pos"),
+        F.round(
+            F.avg(F.when(pos, F.lit(1.0)).otherwise(F.lit(0.0))), 4
+        ).alias("pred_pos_share"),
+        F.round(
+            F.avg(
+                F.when(pos == (F.col("y") == 1), F.lit(1.0)).otherwise(
+                    F.lit(0.0)
+                )
+            ),
+            4,
+        ).alias("agree_weak_rule"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q230 — calibration audit (reliability diagram + ECE): a classifier
+# that gates 100 TB of training data must be CALIBRATED, not just
+# accurate — a 0.9-confidence bucket should be right ~90% of the
+# time.  p̂ = σ(log-odds) on the held-out split, binned on a fixed
+# 10-cell probability grid (row-local; the log-odds is rounded 4dp
+# BEFORE σ and p̂ rounded 4dp before binning — round-inputs-first, so
+# both engines bin identical doubles).  Per bin: confidence vs
+# observed rate and the |gap|; ECE (the n-weighted gap sum) rides
+# along via a broadcast 1-row join.  Scale: q226's scorer + one
+# 10-key agg; everything after runs on ≤10 rows.
+# ---------------------------------------------------------------------------
+
+_CAL_BINS = 10
+
+_CAL_P_SQL = "round(1.0 / (1.0 + exp(-round(score, 4))), 4)"
+_CAL_BIN_SQL = (
+    f"least({_CAL_BINS - 1}, CAST(floor({_CAL_P_SQL} * {_CAL_BINS}) AS INT))"
+)
+
+
+@register(
+    "q230_nb_calibration",
+    f"""
+    WITH {CL.nb_ctes()},
+    binned AS (
+        SELECT {_CAL_BIN_SQL} AS bin, {_CAL_P_SQL} AS p, y
+        FROM nb_scored
+    ),
+    cells AS (
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(p), 4) AS confidence,
+               round(avg(CAST(y AS DOUBLE)), 4) AS observed_rate
+        FROM binned GROUP BY bin
+    ),
+    ece AS (
+        SELECT round(sum(n * abs(confidence - observed_rate))
+                     / sum(n), 4) AS ece
+        FROM cells
+    )
+    SELECT c.bin, c.n, c.confidence, c.observed_rate,
+           round(abs(c.confidence - c.observed_rate), 4) AS gap,
+           e.ece
+    FROM cells c CROSS JOIN ece e
+    """,
+)
+def q230_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = CL.nb_heldout_scores(docs)
+    p = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.round(F.col("score"), 4))), 4
+    )
+    binned = scored.select(
+        F.least(
+            F.lit(_CAL_BINS - 1),
+            F.floor(p * _CAL_BINS).cast("int"),
+        ).alias("bin"),
+        p.alias("p"),
+        "y",
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("p"), 4).alias("confidence"),
+        F.round(F.avg(F.col("y").cast("double")), 4).alias("observed_rate"),
+    ).localCheckpoint()  # ≤10 rows; reused by the ECE side
+    ece = cells.agg(
+        F.round(
+            F.sum(
+                F.col("n")
+                * F.abs(F.col("confidence") - F.col("observed_rate"))
+            )
+            / F.sum("n"),
+            4,
+        ).alias("ece")
+    )
+    return cells.crossJoin(F.broadcast(ece)).select(
+        "bin",
+        "n",
+        "confidence",
+        "observed_rate",
+        F.round(F.abs(F.col("confidence") - F.col("observed_rate")), 4).alias(
+            "gap"
+        ),
+        "ece",
+    )
