@@ -94,6 +94,50 @@ def test_logreg_learns(spark, sf_dir):
     assert w[1] > 0
 
 
+def test_streaming_nb_score_matches_batch_and_replays(
+    spark, sf_dir, tmp_path_factory
+):
+    """The foreachBatch classifier-serving twin: scoring arriving doc
+    files against the STORED model must aggregate to exactly the q229
+    batch answer for ANY micro-batch split (inference is stateless),
+    pinned with a 3-file delta; replay from a fresh checkpoint
+    overwrites identical partitions — a no-op."""
+    from whale_sightings_spark.plans.queries import queries
+    from whale_sightings_spark.plans.queries_classify import _nb_artifact_dir
+    from whale_sightings_spark.schemas import load_table as lt
+    from whale_sightings_spark.streaming.events import (
+        nb_scores_from_out,
+        streaming_nb_score,
+    )
+
+    base = tmp_path_factory.mktemp("nb_score_stream")
+    docs_dir = str(base / "docs")
+    docs = lt(spark, sf_dir, "documents")
+    for lo, hi in ((0, 15), (15, 35), (35, 10**9)):
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.parquet(docs_dir, mode="append")
+
+    artifact = _nb_artifact_dir(spark, sf_dir)
+    out_dir = str(base / "out")
+    streaming_nb_score(spark, docs_dir, artifact, out_dir, str(base / "ck1"))
+
+    def key(rows):
+        return sorted(
+            (r.source, r.n_docs, r.n_pred_pos, r.pred_pos_share,
+             r.agree_weak_rule)
+            for r in rows
+        )
+
+    want = key(queries()["q229_nb_model_serve"](spark, sf_dir).collect())
+    got = key(nb_scores_from_out(spark, out_dir).collect())
+    assert got == want
+
+    # replay: same files, fresh checkpoint — identical partitions
+    streaming_nb_score(spark, docs_dir, artifact, out_dir, str(base / "ck2"))
+    assert key(nb_scores_from_out(spark, out_dir).collect()) == want
+
+
 def test_nb_serving_reads_stored_artifact(spark, sf_dir):
     """q229 SERVES from the persisted model: its DAG scans the stored
     vocab/meta parquet and contains no training aggregations over

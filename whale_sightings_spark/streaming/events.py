@@ -977,6 +977,80 @@ def bpe_train_from_state(spark: SparkSession, state_dir: str, rounds: int | None
     return bpe_train_from_dict(wd, BPE_ROUNDS if rounds is None else rounds)
 
 
+def streaming_nb_score(
+    spark: SparkSession,
+    docs_dir: str,
+    artifact_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming twin of q229's classifier SERVE path: each
+    micro-batch of arriving documents is scored against the STORED NB
+    model (`operators.classify.build_nb_artifact` output) — inference
+    only, no training in the stream, exactly how a deployed quality
+    gate consumes new crawl data.  Per-trigger cost is O(batch tokens)
+    ⋈ broadcast stored vocab.
+
+    The operator is stateless (the model is a read-only artifact), so
+    idempotence needs no replay guard: each batch overwrites its own
+    ``batch_id=N`` output partition — a re-delivered batch rewrites
+    identical rows.  Production swaps out_dir for the scored-corpus
+    table the downstream mixer reads.
+    """
+    import os
+
+    from whale_sightings_spark.operators.classify import nb_score_from_store
+
+    schema = spark.read.parquet(docs_dir).schema
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        scored = nb_score_from_store(batch_df, sess, artifact_dir)
+        (
+            scored.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def nb_scores_from_out(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Aggregate the streamed per-doc scores to the q229 per-source
+    report (column-compatible with the registered query)."""
+    out = spark.read.schema(
+        "doc_id long, source string, y int, score double, batch_id long"
+    ).parquet(out_dir + "/*")
+    pos = F.col("score") > 0
+    return out.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(pos.cast("int")).cast("bigint").alias("n_pred_pos"),
+        F.round(
+            F.avg(F.when(pos, F.lit(1.0)).otherwise(F.lit(0.0))), 4
+        ).alias("pred_pos_share"),
+        F.round(
+            F.avg(
+                F.when(pos == (F.col("y") == 1), F.lit(1.0)).otherwise(
+                    F.lit(0.0)
+                )
+            ),
+            4,
+        ).alias("agree_weak_rule"),
+    )
+
+
 def streaming_transition_counts(
     spark: SparkSession,
     events_dir: str,
