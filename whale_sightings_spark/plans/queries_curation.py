@@ -891,3 +891,196 @@ def q224_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("kl_excess"), 6).alias("kl_excess"),
         F.round(F.col("w_raw") / F.col("z"), 6).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q231 — mojibake / encoding-noise screen: double-encoded UTF-8 read
+# as Latin-1 leaves the telltale 'Ã'/'Â' lead bytes, and lossy
+# decodes leave U+FFFD replacement chars — the single most common
+# text-corruption class in web crawl. The synthetic corpus is clean,
+# so (the q48 planted-payload convention) deterministic mojibake is
+# planted from doc_id identically in both engines, then the screen —
+# which is the operator under test — counts the artifacts per doc.
+# Row-local regexp in codegen, zero shuffles before the per-source
+# agg; at 100 TB this is a map-only pass.
+# ---------------------------------------------------------------------------
+
+_MOJI_SUFFIX_SQL = (
+    "CASE WHEN doc_id % 6 = 0 THEN ' cafÃ© menÃº'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' data�dump' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' priceÂ 100'"
+    " ELSE '' END"
+)
+
+_MOJI_LEAD_RE = "[ÃÂ]"
+_REPL_RE = "�"
+
+
+def _with_synthetic_mojibake(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    moji = F.when(
+        did % 6 == 0, F.lit(" cafÃ© menÃº")
+    ).otherwise(F.lit(""))
+    repl = F.when(did % 7 == 0, F.lit(" data�dump")).otherwise(F.lit(""))
+    nbsp = F.when(
+        did % 11 == 0, F.lit(" priceÂ 100")
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.concat(F.col("text"), moji, repl, nbsp).alias("text"),
+    )
+
+
+@register(
+    "q231_mojibake_screen",
+    f"""
+    WITH planted AS (
+        SELECT doc_id, source, text || {_MOJI_SUFFIX_SQL} AS text
+        FROM documents
+    ),
+    scanned AS (
+        SELECT source,
+               len(regexp_extract_all(text, '{_MOJI_LEAD_RE}'))
+                   AS n_moji,
+               len(regexp_extract_all(text, '{_REPL_RE}')) AS n_repl
+        FROM planted
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_moji + n_repl > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST(sum(n_moji) AS BIGINT) AS n_mojibake_chars,
+           CAST(sum(n_repl) AS BIGINT) AS n_replacement_chars,
+           round(avg(CASE WHEN n_moji + n_repl > 0 THEN 1.0 ELSE 0.0 END),
+                 4) AS flag_share
+    FROM scanned
+    GROUP BY source
+    """,
+)
+def q231_mojibake_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_synthetic_mojibake(load_table(spark, sf_dir, "documents"))
+    n_moji = F.regexp_count(F.col("text"), F.lit(_MOJI_LEAD_RE))
+    n_repl = F.regexp_count(F.col("text"), F.lit(_REPL_RE))
+    scanned = docs.select(
+        "source", n_moji.alias("n_moji"), n_repl.alias("n_repl")
+    )
+    flagged = F.col("n_moji") + F.col("n_repl") > 0
+    return scanned.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(flagged.cast("int")).cast("bigint").alias("n_flagged"),
+        F.sum("n_moji").cast("bigint").alias("n_mojibake_chars"),
+        F.sum("n_repl").cast("bigint").alias("n_replacement_chars"),
+        F.round(
+            F.avg(F.when(flagged, F.lit(1.0)).otherwise(F.lit(0.0))), 4
+        ).alias("flag_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q232 — code-vs-prose screen: a pretraining mixer needs to ROUTE
+# code (to the code pipeline, with its own dedup/quality rules)
+# rather than let prose screens junk it. Deterministic code fragments
+# are planted from doc_id (q48 convention); the screen scores symbol
+# density + code-keyword hits, both row-local regexps in codegen —
+# zero shuffles before the per-source agg.
+# ---------------------------------------------------------------------------
+
+_CODE_SUFFIX_SQL = (
+    "CASE WHEN doc_id % 5 = 0 THEN ' def fn_' || CAST(doc_id AS VARCHAR)"
+    " || '(x): return x * 2' ELSE '' END"
+    " || CASE WHEN doc_id % 9 = 0 THEN ' config = " + "{" + "\"k\": '"
+    " || CAST(doc_id % 10 AS VARCHAR) || '" + "}" + ";' ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0 THEN"
+    " ' for (i = 0; i < 10; i++) " + "{" + " total += i; " + "}" + "'"
+    " ELSE '' END"
+)
+
+_CODE_SYM_RE = r"[{}();=+*<>\[\]]"
+_CODE_KW_RE = r"\b(def|return|for|while|var|function|config)\b"
+_CODE_SYM_TAU = 0.02
+
+
+def _with_synthetic_code(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    pydef = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" def fn_"), did.cast("string"), F.lit("(x): return x * 2")
+        ),
+    ).otherwise(F.lit(""))
+    js = F.when(
+        did % 9 == 0,
+        F.concat(
+            F.lit(' config = {"k": '),
+            (did % 10).cast("string"),
+            F.lit("};"),
+        ),
+    ).otherwise(F.lit(""))
+    loop = F.when(
+        did % 13 == 0, F.lit(" for (i = 0; i < 10; i++) { total += i; }")
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.concat(F.col("text"), pydef, js, loop).alias("text"),
+    )
+
+
+@register(
+    "q232_code_prose_screen",
+    f"""
+    WITH planted AS (
+        SELECT doc_id, source, text || {_CODE_SUFFIX_SQL} AS text
+        FROM documents
+    ),
+    scanned AS (
+        SELECT source,
+               len(regexp_extract_all(text, '{_CODE_SYM_RE}'))
+                   AS n_sym,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '{_CODE_KW_RE}')) AS n_kw
+        FROM planted
+    ),
+    scored AS (
+        SELECT source,
+               CAST(n_sym AS DOUBLE) / n_chars AS sym_density,
+               (CAST(n_sym AS DOUBLE) / n_chars >= {_CODE_SYM_TAU}
+                OR n_kw > 0) AS is_code
+        FROM scanned
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN is_code THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_code,
+           round(avg(CASE WHEN is_code THEN 1.0 ELSE 0.0 END), 4)
+               AS code_share,
+           round(avg(sym_density), 6) AS avg_sym_density
+    FROM scored
+    GROUP BY source
+    """,
+)
+def q232_code_prose_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_synthetic_code(load_table(spark, sf_dir, "documents"))
+    n_sym = F.regexp_count(F.col("text"), F.lit(_CODE_SYM_RE))
+    n_kw = F.regexp_count(F.col("text"), F.lit(_CODE_KW_RE))
+    sym_density = n_sym.cast("double") / F.length("text")
+    scored = docs.select(
+        "source",
+        sym_density.alias("sym_density"),
+        (
+            (sym_density >= F.lit(_CODE_SYM_TAU)) | (n_kw > 0)
+        ).alias("is_code"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("is_code").cast("int")).cast("bigint").alias("n_code"),
+        F.round(
+            F.avg(
+                F.when(F.col("is_code"), F.lit(1.0)).otherwise(F.lit(0.0))
+            ),
+            4,
+        ).alias("code_share"),
+        F.round(F.avg("sym_density"), 6).alias("avg_sym_density"),
+    )
