@@ -2599,3 +2599,93 @@ def q186_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q212_kmeans_elbow", SIM.kmeans_elbow_sql())
 def q212_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.kmeans_elbow(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# q233 — density-based pruning served FROM the persisted index (the
+# D4/SSL-prototypes recipe beside q132's SemDeDup): dense embedding
+# cells are dominated by templated near-duplicates, so each cell is
+# capped to ~sqrt(|cell|) survivors via a per-cell keep RATE applied
+# as a row-local content-stable hash test. Rate-based (not ranked):
+# no per-cell window ever touches row-scale data — the decision per
+# vector is one broadcast-joined ppm threshold against hash60(id).
+# The cell assignment comes off the q172 STORED code table (s=0 rows
+# of the partition-pruned inverted lists), so the prune never touches
+# the embedding vectors at all; the oracle retrains the deterministic
+# coarse quantizer and reproduces the same cells.
+# ---------------------------------------------------------------------------
+
+_D4_PPM = 1_000_000
+
+
+@register(
+    "q233_density_prune",
+    f"""
+    WITH {_IVF_TRAINED_CTES},
+    counts AS (
+        SELECT cell, CAST(count(*) AS BIGINT) AS n_c
+        FROM assign GROUP BY cell
+    ),
+    rates AS (
+        SELECT cell, n_c,
+               least(CAST({_D4_PPM} AS BIGINT),
+                     CAST(floor({_D4_PPM}.0 * ceil(sqrt(n_c)) / n_c)
+                          AS BIGINT)) AS keep_ppm
+        FROM counts
+    ),
+    decided AS (
+        SELECT a.cell, r.n_c, r.keep_ppm,
+               ({hash60_sql("CAST(a.vec_id AS VARCHAR)")} % {_D4_PPM})
+                   < r.keep_ppm AS keep
+        FROM assign a JOIN rates r ON r.cell = a.cell
+    )
+    SELECT cell,
+           max(n_c) AS n_vecs,
+           max(keep_ppm) AS keep_ppm,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           round(avg(CASE WHEN keep THEN 1.0 ELSE 0.0 END), 4)
+               AS kept_share
+    FROM decided
+    GROUP BY cell
+    """,
+)
+def q233_density_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.functions.hashing import hash60
+
+    index_dir = _ivfpq_index_dir(spark, sf_dir)
+    _coarse, _rcb, codes = SIM.read_ivfpq_index(spark, index_dir)
+    assign = codes.filter(F.col("s") == 0).select(
+        "vec_id", F.col("cell").cast("bigint").alias("cell")
+    )
+    counts = assign.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n_c")
+    )
+    rates = counts.select(
+        "cell",
+        "n_c",
+        F.least(
+            F.lit(_D4_PPM).cast("bigint"),
+            F.floor(
+                F.lit(float(_D4_PPM)) * F.ceil(F.sqrt("n_c")) / F.col("n_c")
+            ).cast("bigint"),
+        ).alias("keep_ppm"),
+    )
+    decided = assign.join(F.broadcast(rates), "cell").select(
+        "cell",
+        "n_c",
+        "keep_ppm",
+        (
+            (hash60(F.col("vec_id").cast("string")) % _D4_PPM)
+            < F.col("keep_ppm")
+        ).alias("keep"),
+    )
+    return decided.groupBy("cell").agg(
+        F.max("n_c").alias("n_vecs"),
+        F.max("keep_ppm").alias("keep_ppm"),
+        F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+        F.round(
+            F.avg(F.when(F.col("keep"), F.lit(1.0)).otherwise(F.lit(0.0))),
+            4,
+        ).alias("kept_share"),
+    )
