@@ -461,3 +461,86 @@ def q230_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "ece",
     )
+
+
+# ---------------------------------------------------------------------------
+# q235 — classifier-gated mixing plan (capstone): the quality gate
+# (q229's stored model) composed with token accounting (q119's
+# counter) into the sampling plan the trainer actually consumes —
+# docs failing the gate drop, surviving per-source token masses get
+# q201-style temperature flattening (α=0.7).  One corpus pass for
+# scores, one for token counts, joined per-doc then collapsed to the
+# source-sized plan; the normalizer is a 1-row broadcast.
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.7
+
+from whale_sightings_spark.functions.text import token_count_sql as _tc_sql  # noqa: E402
+
+
+@register(
+    "q235_gated_mixing_plan",
+    f"""
+    WITH {CL.nb_ctes(score="all")},
+    toks AS (
+        SELECT doc_id, CAST({_tc_sql('text')} AS BIGINT)
+                   AS n_toks
+        FROM documents
+    ),
+    gated AS (
+        SELECT s.source, s.score > 0 AS kept, t.n_toks
+        FROM nb_scored s JOIN toks t ON t.doc_id = s.doc_id
+    ),
+    per_src AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(sum(n_toks) AS BIGINT) AS tok_total,
+               CAST(sum(CASE WHEN kept THEN n_toks ELSE 0 END) AS BIGINT)
+                   AS tok_kept
+        FROM gated GROUP BY source
+    ),
+    z AS (SELECT sum(power(tok_kept, {_MIX_ALPHA})) AS z FROM per_src)
+    SELECT p.source, p.n_docs, p.n_kept, p.tok_kept,
+           round(p.tok_kept * 1.0 / p.tok_total, 6) AS kept_token_share,
+           round(power(p.tok_kept, {_MIX_ALPHA}) / z.z, 6) AS weight
+    FROM per_src p CROSS JOIN z
+    """,
+)
+def q235_gated_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = CL.nb_score_from_store(
+        docs, spark, _nb_artifact_dir(spark, sf_dir)
+    )
+    toks = docs.select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_toks")
+    )
+    gated = scored.join(toks, "doc_id").select(
+        "source", (F.col("score") > 0).alias("kept"), "n_toks"
+    )
+    per_src = gated.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+        F.sum("n_toks").cast("bigint").alias("tok_total"),
+        F.sum(F.when(F.col("kept"), F.col("n_toks")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("tok_kept"),
+    ).localCheckpoint()  # source-sized; normalizer + output consumers
+    z = per_src.agg(
+        F.sum(F.pow(F.col("tok_kept"), F.lit(_MIX_ALPHA))).alias("z")
+    )
+    return per_src.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_kept",
+        "tok_kept",
+        F.round(
+            F.col("tok_kept") * F.lit(1.0) / F.col("tok_total"), 6
+        ).alias("kept_token_share"),
+        F.round(
+            F.pow(F.col("tok_kept"), F.lit(_MIX_ALPHA)) / F.col("z"), 6
+        ).alias("weight"),
+    )

@@ -2689,3 +2689,99 @@ def q233_density_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("kept_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q234 — cross-source contamination matrix: for every source pair,
+# how many distinct 5-gram shingles they SHARE (and the Jaccard over
+# their shingle sets) — the diagnostic a mixer reads before q220's
+# ablation or q224's reweighting, because two "different" crawls that
+# share half their shingles are one source wearing two names. Scale
+# key: the corpus first collapses to DISTINCT (shingle, source), so
+# the shingle-keyed self-join is bounded per key by |sources| (≤190
+# pairs per shingle at 20 sources) — hot shingles can never quadratic
+# on document count, only on the bounded source dictionary.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q234_source_overlap_matrix",
+    f"""
+    WITH sh AS (
+        SELECT DISTINCT source, unnest({TX.word_shingles_sql('text', 5)})
+                   AS shingle
+        FROM documents
+    ),
+    per_src AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_shingles
+        FROM sh GROUP BY source
+    ),
+    shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT s.source_a, s.source_b, s.n_shared,
+           pa.n_shingles AS n_a, pb.n_shingles AS n_b,
+           round(s.n_shared * 1.0
+                 / (pa.n_shingles + pb.n_shingles - s.n_shared), 6)
+               AS jaccard
+    FROM shared s
+    JOIN per_src pa ON pa.source = s.source_a
+    JOIN per_src pb ON pb.source = s.source_b
+    """,
+)
+def q234_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "source",
+            F.explode(TX.word_shingles(F.col("text"), 5)).alias("shingle"),
+        )
+        .distinct()
+        .localCheckpoint()  # (shingle, source) set; 3 consumers below
+    )
+    per_src = sh.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_shingles")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    pa = per_src.alias("pa")
+    pb = per_src.alias("pb")
+    return (
+        shared.join(
+            F.broadcast(pa), F.col("source_a") == F.col("pa.source")
+        )
+        .join(F.broadcast(pb), F.col("source_b") == F.col("pb.source"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.col("pa.n_shingles").alias("n_a"),
+            F.col("pb.n_shingles").alias("n_b"),
+            F.round(
+                F.col("n_shared")
+                * F.lit(1.0)
+                / (
+                    F.col("pa.n_shingles")
+                    + F.col("pb.n_shingles")
+                    - F.col("n_shared")
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
