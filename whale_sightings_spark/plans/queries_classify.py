@@ -140,8 +140,16 @@ _BIN_SQL = (
     """,
 )
 def q227_auc_weak_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scorer served from the q229 stored model (training is
+    # deterministic, so stored == fresh fit — pinned by
+    # test_nb_stored_model_matches_fresh_fit); q226 keeps the inline
+    # trainer as the contrast/sign-off case (the q161-vs-q173 shape)
     docs = load_table(spark, sf_dir, "documents")
-    scored = CL.nb_heldout_scores(docs)
+    scored = CL.nb_score_from_store(
+        docs.filter(CL.is_held(F.col("doc_id"))),
+        spark,
+        _nb_artifact_dir(spark, sf_dir),
+    )
     bin_col = F.least(
         F.lit(_AUC_BINS - 1),
         F.greatest(
@@ -423,8 +431,13 @@ _CAL_BIN_SQL = (
     """,
 )
 def q230_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # served from the q229 stored model (see q227)
     docs = load_table(spark, sf_dir, "documents")
-    scored = CL.nb_heldout_scores(docs)
+    scored = CL.nb_score_from_store(
+        docs.filter(CL.is_held(F.col("doc_id"))),
+        spark,
+        _nb_artifact_dir(spark, sf_dir),
+    )
     p = F.round(
         F.lit(1.0) / (F.lit(1.0) + F.exp(-F.round(F.col("score"), 4))), 4
     )
