@@ -167,6 +167,19 @@ def test_nb_serving_reads_stored_artifact(spark, sf_dir):
     assert os.path.getmtime(os.path.join(meta_dir, "_SUCCESS")) == mt0
 
 
+def test_q233_density_prune_reads_stored_codes(spark, sf_dir):
+    """q233 must serve cell assignments from the persisted code table
+    (partition-pruned inverted lists), never re-run Lloyd training or
+    touch the embedding vectors."""
+    from tests.test_plans import explain_str
+    from whale_sightings_spark.plans.queries import queries
+
+    plan = explain_str(queries()["q233_density_prune"](spark, sf_dir))
+    assert "codes" in plan, f"does not scan the stored code table:\n{plan}"
+    assert "embeddings.parquet" not in plan, "re-read the vectors"
+    assert "LocalTableScan" not in plan, "a codebook was retrained inline"
+
+
 def test_nb_stored_model_matches_fresh_fit(spark, sf_dir):
     """Training is deterministic, so the stored model must score
     identically to a fresh in-memory fit (the q229 oracle's premise)."""
