@@ -380,3 +380,88 @@ def q47_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.col("l_linestatus") == "O", F.col("l_quantity"))), 6
         ).alias("avg_open_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q236 — TPC-H Q5-shape local-supplier revenue: the canonical 6-table
+# star join (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈
+# region with the local-supplier predicate s_nationkey = c_nationkey)
+# — the join-ordering showcase the OLAP surface lacked. Plan shape at
+# 100 TB: region/nation broadcast into customer (no fact shuffle for
+# the dim cascade); orders is date-filtered AT THE SCAN (pushed
+# predicate) before its custkey shuffle; lineitem shuffles once on
+# orderkey and once on suppkey for the supplier probe — supplier
+# scales with the corpus in TPC-H, so it is a real shuffle join, not
+# a broadcast. Revenue uses the module's 2-decimal sum convention.
+# ---------------------------------------------------------------------------
+
+_Q5_REGION = "ASIA"
+_Q5_YEAR = 1996
+
+
+@register(
+    "q236_local_supplier_revenue",
+    f"""
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = '{_Q5_REGION}'
+      AND o.o_orderdate >= TIMESTAMP '{_Q5_YEAR}-01-01'
+      AND o.o_orderdate < TIMESTAMP '{_Q5_YEAR + 1}-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q236_local_supplier_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == _Q5_REGION
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    customer = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(nation),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_nationkey", "n_name")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate")
+             >= F.to_timestamp(F.lit(f"{_Q5_YEAR}-01-01")))
+            & (F.col("o_orderdate")
+               < F.to_timestamp(F.lit(f"{_Q5_YEAR + 1}-01-01")))
+        )  # range form (not year()=) so the predicate pushes to parquet
+        .select("o_orderkey", "o_custkey")
+    )
+    co = orders.join(
+        customer, F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "c_nationkey", "n_name")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    col_ = lineitem.join(
+        co, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    j = col_.join(
+        supplier,
+        (F.col("s_suppkey") == F.col("l_suppkey"))
+        & (F.col("s_nationkey") == F.col("c_nationkey")),
+    )
+    return j.groupBy("n_name").agg(
+        F.count("*").cast("bigint").alias("n_lineitems"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
