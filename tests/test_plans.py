@@ -396,6 +396,20 @@ def test_q211_markov_model_join_is_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_q236_star_join_pushes_date_range_and_broadcasts_dims(spark, sf_dir):
+    # the Q5-shape star join must (a) push the o_orderdate range to the
+    # parquet scan (the reason it is written in range form, not
+    # year()=), and (b) never fall back to a cartesian; dims ride
+    # broadcasts (at bench SF AQE folds every join to BHJ)
+    plan = explain_str(
+        queries()["q236_local_supplier_revenue"](spark, sf_dir)
+    )
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(o_orderdate", plan), plan
+    assert re.search(r"PushedFilters:.*LessThan\(o_orderdate", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_q214_wordpiece_vocab_rides_as_broadcast_list(spark, sf_dir):
     # the greedy fold's vocabulary is a 1-row collected list crossed
     # onto the dictionary — it must be a broadcast, and the fold must
