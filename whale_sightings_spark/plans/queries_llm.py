@@ -2785,3 +2785,77 @@ def q234_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q237 — hard-negative mining from the stored index: dense-retrieval
+# training wants, per query, near neighbors with a DIFFERENT label
+# (the "hard negatives" that actually move a contrastive loss; random
+# negatives are too easy). Serve path: the q173 partition-pruned
+# stored-index search, labels broadcast-joined onto both sides, same-
+# label hits dropped, survivors re-ranked per query. The rank window
+# runs over ≤ |Q|·k rows (the q161 family's sanctioned shape). Beside
+# q169's text-side contrastive pairs, this is the embedding-side miner.
+# ---------------------------------------------------------------------------
+
+_HARDNEG_K = 3
+
+
+@register(
+    "q237_hard_negative_mining",
+    f"""
+    WITH base AS ({_IVFPQ_SEARCH_ORACLE}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    flagged AS (
+        SELECT b.query_id, b.neighbor_id, b.adc_d2,
+               ql.label AS query_label, nl.label AS neighbor_label
+        FROM base b
+        JOIN lab ql ON ql.vec_id = b.query_id
+        JOIN lab nl ON nl.vec_id = b.neighbor_id
+        WHERE ql.label <> nl.label
+    )
+    SELECT query_id, neighbor_id, query_label, neighbor_label, adc_d2,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY adc_d2, neighbor_id
+           ) AS INT) AS hard_rank
+    FROM flagged
+    QUALIFY hard_rank <= {_HARDNEG_K}
+    """,
+)
+def q237_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = SIM.ivfpq_topk_from_index(
+        spark, emb, _ivfpq_index_dir(spark, sf_dir)
+    )
+    lab = emb.select("vec_id", "label")
+    ql = lab.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "query_label"
+    )
+    nl = lab.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+        "label", "neighbor_label"
+    )
+    flagged = (
+        topk.join(F.broadcast(ql), "query_id")
+        .join(F.broadcast(nl), "neighbor_id")
+        .filter(F.col("query_label") != F.col("neighbor_label"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "query_label",
+            "neighbor_label",
+            "adc_d2",
+        )
+    )
+    ranked = flagged.withColumn(
+        "hard_rank",
+        F.row_number()
+        .over(
+            W.partitionBy("query_id").orderBy(
+                F.asc("adc_d2"), F.asc("neighbor_id")
+            )
+        )
+        .cast("int"),
+    )
+    return ranked.filter(F.col("hard_rank") <= _HARDNEG_K)
