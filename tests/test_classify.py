@@ -14,6 +14,25 @@ from whale_sightings_spark.operators import classify as CL
 from whale_sightings_spark.schemas import load_table
 
 
+def test_round6_matches_duckdb_on_random_floats():
+    # the q228 oracle contract: the driver-side weight quantizer must
+    # agree with DuckDB's round(x, 6) on arbitrary doubles, not just
+    # hand-picked ties — property-checked across the GD weight range
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.floats(-50, 50, allow_nan=False, allow_infinity=False))
+    def check(x):
+        want = con.execute("SELECT round(CAST(? AS DOUBLE), 6)", [x]).fetchone()[0]
+        assert CL.round6(x) == want, (x, CL.round6(x), want)
+
+    check()
+
+
 def test_round6_is_half_away_from_zero():
     # DuckDB round() ties go away from zero; Python's built-in round()
     # (half-even) would desynchronize the unrolled oracle on exact .5s.
