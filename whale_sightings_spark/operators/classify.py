@@ -172,6 +172,49 @@ def nb_heldout_scores(docs: DataFrame) -> DataFrame:
     return nb_score(docs.filter(is_held(F.col("doc_id"))), vt, meta)
 
 
+def nb_model_ctes(prefix: str = "", where: str = "") -> str:
+    """DuckDB CTE chain for the trained model only (mirrors
+    `nb_train`): `{prefix}lab` → `{prefix}vt(tok, llr)` (+ `{prefix}tot`,
+    `{prefix}pri`).  ``where`` further restricts the TRAIN corpus (the
+    q188-drift convention for history-slice retrains)."""
+    toks = TX.tokens_sql("text")
+    train_where = f"NOT {is_held_sql()}"
+    if where:
+        train_where += f" AND ({where})"
+    p = prefix
+    return f"""
+    {p}lab AS (
+        SELECT doc_id, source, {toks} AS w,
+               {weak_label_sql('text')} AS y
+        FROM documents
+    ),
+    {p}ttok AS (
+        SELECT y, unnest(w) AS tok FROM {p}lab
+        WHERE {train_where}
+    ),
+    {p}vocab AS (
+        SELECT tok,
+               CAST(sum(y) AS DOUBLE) AS c1,
+               CAST(sum(1 - y) AS DOUBLE) AS c0
+        FROM {p}ttok WHERE tok <> '' GROUP BY tok
+        HAVING sum(y) + sum(1 - y) >= {NB_MIN_COUNT}
+    ),
+    {p}tot AS (
+        SELECT sum(c1) AS n1, sum(c0) AS n0,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM {p}vocab
+    ),
+    {p}pri AS (
+        SELECT ln((sum(y) + 1.0) / (count(*) - sum(y) + 1.0)) AS prior
+        FROM {p}lab WHERE {train_where}
+    ),
+    {p}vt AS (
+        SELECT tok,
+               ln((c1 + 1.0) / (n1 + v)) - ln((c0 + 1.0) / (n0 + v)) AS llr
+        FROM {p}vocab, {p}tot
+    )"""
+
+
 def nb_ctes(score: str = "held") -> str:
     """DuckDB CTE chain mirroring `nb_heldout_scores` (score="held")
     or the serve-from-store full-corpus scoring (score="all" — the
@@ -181,38 +224,7 @@ def nb_ctes(score: str = "held") -> str:
     scored_where = (
         f"WHERE {is_held_sql()}" if score == "held" else ""
     )
-    toks = TX.tokens_sql("text")
-    return f"""
-    lab AS (
-        SELECT doc_id, source, {toks} AS w,
-               {weak_label_sql('text')} AS y
-        FROM documents
-    ),
-    ttok AS (
-        SELECT y, unnest(w) AS tok FROM lab
-        WHERE NOT {is_held_sql()}
-    ),
-    vocab AS (
-        SELECT tok,
-               CAST(sum(y) AS DOUBLE) AS c1,
-               CAST(sum(1 - y) AS DOUBLE) AS c0
-        FROM ttok WHERE tok <> '' GROUP BY tok
-        HAVING sum(y) + sum(1 - y) >= {NB_MIN_COUNT}
-    ),
-    tot AS (
-        SELECT sum(c1) AS n1, sum(c0) AS n0,
-               CAST(count(*) AS DOUBLE) AS v
-        FROM vocab
-    ),
-    pri AS (
-        SELECT ln((sum(y) + 1.0) / (count(*) - sum(y) + 1.0)) AS prior
-        FROM lab WHERE NOT {is_held_sql()}
-    ),
-    vt AS (
-        SELECT tok,
-               ln((c1 + 1.0) / (n1 + v)) - ln((c0 + 1.0) / (n0 + v)) AS llr
-        FROM vocab, tot
-    ),
+    return f"""{nb_model_ctes()},
     htok AS (
         SELECT doc_id, source, y, unnest(w) AS tok FROM lab
         {scored_where}

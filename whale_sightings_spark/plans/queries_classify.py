@@ -557,3 +557,86 @@ def q235_gated_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(F.col("tok_kept"), F.lit(_MIX_ALPHA)) / F.col("z"), 6
         ).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q238 — classifier retrain-drift audit (the q188/q160 lifecycle step
+# for the THIRD artifact): train the NB model on the history slice
+# (doc_id < _NBD_SPLIT — in production, a snapshot timestamp) and on
+# the full corpus, then report the top-K tokens whose log-likelihood
+# ratio moved most, plus vocab growth — the diff a team reviews
+# before promoting a retrained quality model.  Drift is computed from
+# the 6dp-ROUNDED llrs in both engines (round-inputs-first: the
+# q196-class guard), ranked drift-desc/tok-asc via TakeOrdered.
+# Scale: two vocab-bounded trainings + a vocab-keyed join; the
+# summary is three broadcast scalars.
+# ---------------------------------------------------------------------------
+
+_NBD_SPLIT = 250
+_NBD_TOPK = 10
+
+
+@register(
+    "q238_nb_retrain_drift",
+    f"""
+    WITH {CL.nb_model_ctes(prefix="h_", where=f"doc_id < {_NBD_SPLIT}")},
+    {CL.nb_model_ctes(prefix="g_")},
+    joined AS (
+        SELECT g.tok,
+               round(h.llr, 6) AS llr_hist,
+               round(g.llr, 6) AS llr_full,
+               round(abs(round(g.llr, 6) - round(h.llr, 6)), 6) AS drift
+        FROM g_vt g JOIN h_vt h ON h.tok = g.tok
+    ),
+    summary AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM h_vt) AS n_vocab_hist,
+               (SELECT CAST(count(*) AS BIGINT) FROM g_vt) AS n_vocab_full,
+               (SELECT CAST(count(*) AS BIGINT) FROM g_vt
+                WHERE tok NOT IN (SELECT tok FROM h_vt)) AS n_new_tokens
+    )
+    SELECT j.tok, j.llr_hist, j.llr_full, j.drift,
+           s.n_vocab_hist, s.n_vocab_full, s.n_new_tokens
+    FROM joined j CROSS JOIN summary s
+    ORDER BY j.drift DESC, j.tok
+    LIMIT {_NBD_TOPK}
+    """,
+)
+def q238_nb_retrain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hist_vt, _hm = CL.nb_train(docs.filter(F.col("doc_id") < _NBD_SPLIT))
+    full_vt, _gm = CL.nb_train(docs)
+    h = hist_vt.select(
+        "tok", F.round("llr", 6).alias("llr_hist")
+    ).localCheckpoint()  # vocab-sized; joined + counted + anti-joined
+    g = full_vt.select(
+        "tok", F.round("llr", 6).alias("llr_full")
+    ).localCheckpoint()
+    joined = g.join(h, "tok").select(
+        "tok",
+        "llr_hist",
+        "llr_full",
+        F.round(F.abs(F.col("llr_full") - F.col("llr_hist")), 6).alias(
+            "drift"
+        ),
+    )
+    nh = h.agg(F.count("*").cast("bigint").alias("n_vocab_hist"))
+    ng = g.agg(F.count("*").cast("bigint").alias("n_vocab_full"))
+    nn = (
+        g.join(h, "tok", "left_anti")
+        .agg(F.count("*").cast("bigint").alias("n_new_tokens"))
+    )
+    top = joined.orderBy(F.desc("drift"), F.asc("tok")).limit(_NBD_TOPK)
+    return (
+        top.crossJoin(F.broadcast(nh))
+        .crossJoin(F.broadcast(ng))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "tok",
+            "llr_hist",
+            "llr_full",
+            "drift",
+            "n_vocab_hist",
+            "n_vocab_full",
+            "n_new_tokens",
+        )
+    )
