@@ -640,3 +640,148 @@ def q238_nb_retrain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_new_tokens",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q239 — temperature scaling (the calibration FIX after q230's
+# audit): fit a single temperature T by grid-search argmin of the
+# held-out NLL of σ(score/T), then report ECE before (T=1) and after
+# (T*) on the q230 probability grid.  The grid is a fixed 8-value
+# literal array exploded row-local (8× the held-out rows, map-side,
+# no shuffle) into one (T)-keyed agg; the argmin is a driver pick
+# over 8 scalars (the BPE-argmax collect class) with NLL rounded 6dp
+# + smaller-T tie-break so both engines choose the same T.  Scores
+# come from the stored model (q229's serve path).
+# ---------------------------------------------------------------------------
+
+_TEMP_GRID = (0.5, 0.75, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0)
+
+
+def _cal_p_sql(t_expr: str) -> str:
+    return f"round(1.0 / (1.0 + exp(-round(score, 4) / ({t_expr}))), 4)"
+
+
+def _ece_cte_sql(name: str, t_expr: str) -> str:
+    p = _cal_p_sql(t_expr)
+    b = f"least(9, CAST(floor({p} * 10) AS INT))"
+    return f"""{name}_bins AS (
+        SELECT {b} AS bin, {p} AS p, y FROM nb_scored
+    ),
+    {name}_cells AS (
+        SELECT bin, count(*) AS n, avg(p) AS conf,
+               avg(CAST(y AS DOUBLE)) AS acc
+        FROM {name}_bins GROUP BY bin
+    ),
+    {name} AS (
+        SELECT round(sum(n * abs(conf - acc)) / sum(n), 4) AS ece
+        FROM {name}_cells
+    )"""
+
+
+@register(
+    "q239_temperature_scaling",
+    f"""
+    WITH {CL.nb_ctes()},
+    grid AS (SELECT CAST(unnest([{', '.join(str(t) for t in _TEMP_GRID)}])
+                     AS DOUBLE) AS t),
+    nlls AS (
+        SELECT g.t,
+               round(avg(-(y * ln({_cal_p_sql('g.t')})
+                           + (1 - y) * ln(1.0 - {_cal_p_sql('g.t')}))),
+                     6) AS nll
+        FROM nb_scored CROSS JOIN grid g
+        GROUP BY g.t
+    ),
+    best AS (SELECT t, nll FROM nlls ORDER BY nll, t LIMIT 1),
+    {_ece_cte_sql('ece_raw', '1.0')},
+    {_ece_cte_sql('ece_cal', '(SELECT t FROM best)')}
+    SELECT b.t AS best_t, b.nll AS nll_best,
+           (SELECT CAST(count(*) AS BIGINT) FROM nb_scored) AS n_test,
+           r.ece AS ece_before, c.ece AS ece_after
+    FROM best b, ece_raw r, ece_cal c
+    """,
+)
+def q239_temperature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = CL.nb_score_from_store(
+        docs.filter(CL.is_held(F.col("doc_id"))),
+        spark,
+        _nb_artifact_dir(spark, sf_dir),
+    ).select("y", F.round("score", 4).alias("s4")).localCheckpoint()
+
+    def p_at(t):
+        return F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("s4") / F.lit(t))), 4
+        )
+
+    def nll_at(t):
+        p = p_at(t)
+        return F.avg(
+            -(
+                F.col("y") * F.log(p)
+                + (1 - F.col("y")) * F.log(F.lit(1.0) - p)
+            )
+        )
+
+    gridded = scored.select(
+        "y",
+        "s4",
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in _TEMP_GRID])
+        ).alias("t"),
+    )
+    pg = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("s4") / F.col("t"))), 4
+    )
+    nlls = gridded.groupBy("t").agg(
+        F.round(
+            F.avg(
+                -(
+                    F.col("y") * F.log(pg)
+                    + (1 - F.col("y")) * F.log(F.lit(1.0) - pg)
+                )
+            ),
+            6,
+        ).alias("nll")
+    )
+    rows = nlls.collect()  # 8 scalars — the BPE-argmax collect class
+    best_nll, best_t = min((r["nll"], r["t"]) for r in rows)
+
+    def ece_at(t):
+        p = p_at(t)
+        cells = (
+            scored.select(
+                F.least(
+                    F.lit(9), F.floor(p * 10).cast("int")
+                ).alias("bin"),
+                p.alias("p"),
+                "y",
+            )
+            .groupBy("bin")
+            .agg(
+                F.count("*").alias("n"),
+                F.avg("p").alias("conf"),
+                F.avg(F.col("y").cast("double")).alias("acc"),
+            )
+        )
+        return cells.agg(
+            F.round(
+                F.sum(F.col("n") * F.abs(F.col("conf") - F.col("acc")))
+                / F.sum("n"),
+                4,
+            ).alias("ece")
+        )
+    n_test = scored.agg(F.count("*").cast("bigint").alias("n_test"))
+    return (
+        ece_at(1.0)
+        .withColumnRenamed("ece", "ece_before")
+        .crossJoin(F.broadcast(ece_at(best_t).withColumnRenamed("ece", "ece_after")))
+        .crossJoin(F.broadcast(n_test))
+        .select(
+            F.lit(best_t).alias("best_t"),
+            F.lit(best_nll).alias("nll_best"),
+            "n_test",
+            "ece_before",
+            "ece_after",
+        )
+    )
