@@ -488,7 +488,10 @@ def q230_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MIX_ALPHA = 0.7
 
-from whale_sightings_spark.functions.text import token_count_sql as _tc_sql  # noqa: E402
+from whale_sightings_spark.functions.text import (  # noqa: E402
+    token_count_sql as _tc_sql,
+    tokens_sql as _tok_sql,
+)
 
 
 @register(
@@ -784,4 +787,148 @@ def q239_temperature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ece_before",
             "ece_after",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q240 — split-balance audit for the classifier's held-out split:
+# symmetric KL between the train and held-out unigram distributions
+# (add-one smoothing over the union vocabulary).  A hash split is
+# only *exchangeable*, not automatically *distributionally tight* at
+# small n — this audit prices the actual divergence the q226/q227
+# metrics inherit.  Scale: two token aggs collapsing to the bounded
+# union vocabulary, a vocab-keyed full join, one scalar agg.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q240_split_balance_audit",
+    f"""
+    WITH toks AS (
+        SELECT {CL.is_held_sql()} AS held,
+               unnest({_tok_sql('text')}) AS tok
+        FROM documents
+    ),
+    counts AS (
+        SELECT tok,
+               CAST(sum(CASE WHEN held THEN 0 ELSE 1 END) AS BIGINT) AS c_tr,
+               CAST(sum(CASE WHEN held THEN 1 ELSE 0 END) AS BIGINT) AS c_he
+        FROM toks WHERE tok <> '' GROUP BY tok
+    ),
+    tot AS (
+        SELECT sum(c_tr) AS n_tr, sum(c_he) AS n_he,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM counts
+    ),
+    p AS (
+        SELECT (c.c_tr + 1.0) / (t.n_tr + t.v) AS p_tr,
+               (c.c_he + 1.0) / (t.n_he + t.v) AS p_he,
+               t.n_tr, t.n_he, t.v
+        FROM counts c CROSS JOIN tot t
+    )
+    SELECT CAST(max(n_tr) AS BIGINT) AS n_train_tokens,
+           CAST(max(n_he) AS BIGINT) AS n_held_tokens,
+           CAST(max(v) AS BIGINT) AS vocab_union,
+           round(sum(p_he * ln(p_he / p_tr)), 6) AS kl_held_train,
+           round(sum(p_tr * ln(p_tr / p_he)), 6) AS kl_train_held,
+           round(0.5 * sum(p_he * ln(p_he / p_tr))
+                 + 0.5 * sum(p_tr * ln(p_tr / p_he)), 6) AS sym_kl
+    FROM p
+    """,
+)
+def q240_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        CL.is_held(F.col("doc_id")).alias("held"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("held"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("c_tr"),
+        F.sum(F.when(F.col("held"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_he"),
+    )
+    tot = counts.agg(
+        F.sum("c_tr").alias("n_tr"),
+        F.sum("c_he").alias("n_he"),
+        F.count("*").cast("double").alias("v"),
+    )
+    p = counts.crossJoin(F.broadcast(tot)).select(
+        ((F.col("c_tr") + 1.0) / (F.col("n_tr") + F.col("v"))).alias("p_tr"),
+        ((F.col("c_he") + 1.0) / (F.col("n_he") + F.col("v"))).alias("p_he"),
+        "n_tr",
+        "n_he",
+        "v",
+    )
+    kl_ht = F.sum(F.col("p_he") * F.log(F.col("p_he") / F.col("p_tr")))
+    kl_th = F.sum(F.col("p_tr") * F.log(F.col("p_tr") / F.col("p_he")))
+    return p.agg(
+        F.max("n_tr").cast("bigint").alias("n_train_tokens"),
+        F.max("n_he").cast("bigint").alias("n_held_tokens"),
+        F.max("v").cast("bigint").alias("vocab_union"),
+        F.round(kl_ht, 6).alias("kl_held_train"),
+        F.round(kl_th, 6).alias("kl_train_held"),
+        F.round(0.5 * kl_ht + 0.5 * kl_th, 6).alias("sym_kl"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q241 — Good-Turing missing mass per source: the share of the NEXT
+# token expected to be previously unseen, estimated by the singleton
+# share N1/N (the Good-Turing first moment).  The coverage diagnostic
+# behind OOV-rate planning (q141's OOV audit measures against a fixed
+# vocab; this estimates the open-vocabulary tail itself).  Scale: one
+# (source, tok) agg, one count-of-counts agg per source.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q241_good_turing_mass",
+    f"""
+    WITH tc AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        FROM (
+            SELECT source,
+                   unnest({_tok_sql('text')}) AS tok
+            FROM documents
+        )
+        WHERE tok <> '' GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_singletons,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_doubletons,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / sum(c), 6)
+               AS missing_mass
+    FROM tc
+    GROUP BY source
+    """,
+)
+def q241_good_turing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "source", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    ones = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    twos = F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+    return tc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        ones.cast("bigint").alias("n_singletons"),
+        twos.cast("bigint").alias("n_doubletons"),
+        F.round(ones * F.lit(1.0) / F.sum("c"), 6).alias("missing_mass"),
     )
