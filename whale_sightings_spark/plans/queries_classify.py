@@ -932,3 +932,84 @@ def q241_good_turing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         twos.cast("bigint").alias("n_doubletons"),
         F.round(ones * F.lit(1.0) / F.sum("c"), 6).alias("missing_mass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q242 — selective-classification curve: a production gate can
+# ABSTAIN on low-confidence docs (route to a bigger model or a human)
+# — this prices that option: at each |log-odds| threshold on a fixed
+# grid, the held-out coverage (share decided) and the accuracy on the
+# decided subset.  Monotone confidence→accuracy is exactly what q230
+# calibration promises; this is the operating table a gate owner
+# actually reads.  Same scale shape as q239: row-local grid explode
+# (map-side Generate, no shuffle) into one threshold-keyed agg.
+# ---------------------------------------------------------------------------
+
+_SEL_GRID = (0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0)
+
+
+@register(
+    "q242_selective_accuracy_curve",
+    f"""
+    WITH {CL.nb_ctes()},
+    grid AS (SELECT CAST(unnest([{', '.join(str(t) for t in _SEL_GRID)}])
+                     AS DOUBLE) AS tau),
+    decided AS (
+        SELECT g.tau,
+               abs(round(score, 4)) >= g.tau AS dec,
+               (score > 0) = (y = 1) AS correct
+        FROM nb_scored CROSS JOIN grid g
+    )
+    SELECT tau,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN dec THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_decided,
+           round(avg(CASE WHEN dec THEN 1.0 ELSE 0.0 END), 4) AS coverage,
+           round(CASE WHEN sum(CASE WHEN dec THEN 1 ELSE 0 END) > 0
+                      THEN sum(CASE WHEN dec AND correct THEN 1.0
+                               ELSE 0.0 END)
+                           / sum(CASE WHEN dec THEN 1 ELSE 0 END)
+                      ELSE 0.0 END, 4) AS selective_accuracy
+    FROM decided
+    GROUP BY tau
+    """,
+)
+def q242_selective_accuracy_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = CL.nb_score_from_store(
+        docs.filter(CL.is_held(F.col("doc_id"))),
+        spark,
+        _nb_artifact_dir(spark, sf_dir),
+    )
+    gridded = scored.select(
+        "y",
+        "score",
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in _SEL_GRID])
+        ).alias("tau"),
+    ).select(
+        "tau",
+        (F.abs(F.round(F.col("score"), 4)) >= F.col("tau")).alias("dec"),
+        ((F.col("score") > 0) == (F.col("y") == 1)).alias("correct"),
+    )
+    n_dec = F.sum(F.when(F.col("dec"), 1).otherwise(0))
+    return gridded.groupBy("tau").agg(
+        F.count("*").cast("bigint").alias("n_test"),
+        n_dec.cast("bigint").alias("n_decided"),
+        F.round(
+            F.avg(F.when(F.col("dec"), F.lit(1.0)).otherwise(F.lit(0.0))), 4
+        ).alias("coverage"),
+        F.round(
+            F.when(
+                n_dec > 0,
+                F.sum(
+                    F.when(F.col("dec") & F.col("correct"), F.lit(1.0))
+                    .otherwise(F.lit(0.0))
+                )
+                / n_dec,
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("selective_accuracy"),
+    )
