@@ -664,6 +664,16 @@ def _cal_p_sql(t_expr: str) -> str:
     return f"round(1.0 / (1.0 + exp(-round(score, 4) / ({t_expr}))), 4)"
 
 
+def _cal_p_nll_sql(t_expr: str) -> str:
+    # NLL-only clamp: the 4dp rounding can reach exactly 0.0/1.0 once
+    # |score|/T >= ~4.95, and ln(0) crashes DuckDB while Spark's
+    # F.log(0) returns NULL and silently drops the row from avg —
+    # a data-dependent oracle crash + cross-engine divergence.  Clamp
+    # identically in both engines before the logs; ECE paths take no
+    # logarithm and stay unclamped.
+    return f"least(1.0 - 1e-4, greatest(1e-4, {_cal_p_sql(t_expr)}))"
+
+
 def _ece_cte_sql(name: str, t_expr: str) -> str:
     p = _cal_p_sql(t_expr)
     b = f"least(9, CAST(floor({p} * 10) AS INT))"
@@ -689,8 +699,8 @@ def _ece_cte_sql(name: str, t_expr: str) -> str:
                      AS DOUBLE) AS t),
     nlls AS (
         SELECT g.t,
-               round(avg(-(y * ln({_cal_p_sql('g.t')})
-                           + (1 - y) * ln(1.0 - {_cal_p_sql('g.t')}))),
+               round(avg(-(y * ln({_cal_p_nll_sql('g.t')})
+                           + (1 - y) * ln(1.0 - {_cal_p_nll_sql('g.t')}))),
                      6) AS nll
         FROM nb_scored CROSS JOIN grid g
         GROUP BY g.t
@@ -717,15 +727,6 @@ def q239_temperature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("s4") / F.lit(t))), 4
         )
 
-    def nll_at(t):
-        p = p_at(t)
-        return F.avg(
-            -(
-                F.col("y") * F.log(p)
-                + (1 - F.col("y")) * F.log(F.lit(1.0) - p)
-            )
-        )
-
     gridded = scored.select(
         "y",
         "s4",
@@ -733,8 +734,16 @@ def q239_temperature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.lit(float(t)) for t in _TEMP_GRID])
         ).alias("t"),
     )
-    pg = F.round(
-        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("s4") / F.col("t"))), 4
+    pg = F.least(
+        F.lit(1.0 - 1e-4),
+        F.greatest(
+            F.lit(1e-4),
+            F.round(
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-F.col("s4") / F.col("t"))),
+                4,
+            ),
+        ),
     )
     nlls = gridded.groupBy("t").agg(
         F.round(

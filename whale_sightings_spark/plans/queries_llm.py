@@ -2829,12 +2829,29 @@ def q237_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = SIM.ivfpq_topk_from_index(
         spark, emb, _ivfpq_index_dir(spark, sf_dir)
     )
+    # topk is bounded (|Q|·k rows) but the label table is corpus-scale:
+    # semi-join each label side down to the ids topk actually touches
+    # (|Q| and |Q|·k respectively) BEFORE broadcasting, so the broadcast
+    # payload stays query-bounded no matter how large `embeddings` grows.
+    topk = topk.localCheckpoint(eager=False)
     lab = emb.select("vec_id", "label")
-    ql = lab.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
-        "label", "query_label"
+    ql = (
+        lab.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "query_label")
+        .join(
+            F.broadcast(topk.select("query_id").distinct()),
+            "query_id",
+            "left_semi",
+        )
     )
-    nl = lab.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
-        "label", "neighbor_label"
+    nl = (
+        lab.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("label", "neighbor_label")
+        .join(
+            F.broadcast(topk.select("neighbor_id").distinct()),
+            "neighbor_id",
+            "left_semi",
+        )
     )
     flagged = (
         topk.join(F.broadcast(ql), "query_id")
