@@ -32,14 +32,28 @@ LOADAVG_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_LOADAVG_GATE", "2.0"))
 LOADAVG_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_LOADAVG_WAIT", "600"))
 
 
+#: mid-run sentinel: re-check loadavg every N queries and flag the
+#: artifact if contention arrives AFTER the start gate passed (the r7
+#: artifact passed a 1-min gate while the 5-min average was 8.25 and
+#: steal returned mid-run, inverting steady vs cold on q51)
+SENTINEL_EVERY = int(os.environ.get("SPARK_GRAFT_BENCH_SENTINEL_EVERY", "25"))
+
+
+def _gate_load() -> float:
+    """Gate metric: max of the 1- and 5-min averages, so a host that was
+    busy moments ago (high 5-min, momentarily idle 1-min) still trips."""
+    one, five, _ = os.getloadavg()
+    return max(one, five)
+
+
 def _wait_for_quiet_host() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_NO_GATE"):
         return
     deadline = time.monotonic() + LOADAVG_WAIT_S
-    while os.getloadavg()[0] > LOADAVG_GATE:
+    while _gate_load() > LOADAVG_GATE:
         if time.monotonic() > deadline:
             print(
-                f"bench: loadavg {os.getloadavg()[0]:.1f} still > "
+                f"bench: loadavg max(1m,5m) {_gate_load():.1f} still > "
                 f"{LOADAVG_GATE} after {LOADAVG_WAIT_S}s — proceeding; "
                 "treat this artifact as contended",
                 file=sys.stderr,
@@ -68,7 +82,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, fn in sorted(QUERIES.items()):
+    loadavg_series: list[list[float]] = []
+    for i, (name, fn) in enumerate(sorted(QUERIES.items())):
+        if i % SENTINEL_EVERY == 0:
+            # mid-run contention record: loadavg here includes our own
+            # local[32] work, so the series is context (read alongside
+            # the inversion detector below), not a hard gate
+            loadavg_series.append([round(x, 2) for x in os.getloadavg()])
         start = time.perf_counter()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -102,6 +122,18 @@ def main() -> None:
         # their isolated time)
         gc.collect()
 
+    # contention verdict: steady is the MIN of two reruns of an
+    # already-JITed identical plan, so steady > cold is physically
+    # impossible without CPU steal. A handful of inversions beyond
+    # noise tolerance marks the whole artifact contended (the r7
+    # artifact had q51 steady 8.05 s vs cold 4.16 s).
+    inversions = sorted(
+        k
+        for k in steady
+        if k in timings and steady[k] > timings[k] * 1.25 + 0.2
+    )
+    contended = len(inversions) >= 3
+
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
 
     def _qnum(name: str) -> int:
@@ -130,6 +162,8 @@ def main() -> None:
     if errors:
         payload["n_errors"] = len(errors)
         payload["errors"] = dict(sorted(errors.items())[:3])
+    if contended:
+        payload["contended"] = True
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_detail.json"), "w") as f:
         json.dump(
@@ -140,6 +174,9 @@ def main() -> None:
                 # per-query spikes are suspect
                 "loadavg_start": [round(x, 2) for x in loadavg_start],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                "loadavg_series": loadavg_series,
+                "contended": contended,
+                "steady_gt_cold": inversions,
                 "queries": timings,
                 "steady_queries": steady,
                 "errors": errors,

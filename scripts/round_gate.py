@@ -3,7 +3,18 @@ differential at BOTH sf0.001 and sf0.01, then the full pytest suite.
 Rounding-boundary bugs are data-dependent — q196 shipped green at
 sf0.01 and red at sf0.001 — so a single-scale gate is not a gate.
 
-Usage: python scripts/round_gate.py   (exit 0 = shippable)
+``--full`` adds a third tier: the strict sweep at sf0.1 (VERDICT r7
+#2 — data-dependent contracts like hot-bucket caps, min-count floors
+and 6dp rounding boundaries can diverge only above sf0.01; sf0.1 is
+the scale the driver benches at, so it must also be the scale the
+oracle has signed off on at least once per round). The sweep writes
+its JSON verdict to STRICT_SF01.json at the repo root so the round
+has a committed artifact covering every query at the bench scale.
+
+Usage:
+  python scripts/round_gate.py           (two-scale gate + pytest)
+  python scripts/round_gate.py --full    (adds the sf0.1 strict tier)
+Exit 0 = shippable.
 """
 from __future__ import annotations
 
@@ -16,13 +27,17 @@ REPO = os.path.dirname(HERE)
 
 
 def main() -> int:
+    full = "--full" in sys.argv[1:]
     rc = 0
-    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    tiers = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    if full:
+        tiers.append("/root/testdata/sf0.1")
+    for sf_dir in tiers:
         print(f"=== strict oracle @ {sf_dir}", flush=True)
-        r = subprocess.run(
-            [sys.executable, os.path.join(HERE, "strict_oracle_check.py"), sf_dir],
-            cwd=REPO,
-        )
+        cmd = [sys.executable, os.path.join(HERE, "strict_oracle_check.py")]
+        if sf_dir.endswith("sf0.1"):
+            cmd += ["--out", os.path.join(REPO, "STRICT_SF01.json")]
+        r = subprocess.run(cmd + [sf_dir], cwd=REPO)
         rc = rc or r.returncode
     print("=== pytest tests/", flush=True)
     r = subprocess.run(

@@ -32,8 +32,14 @@ def _norm(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("strict-oracle-check")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
@@ -43,6 +49,7 @@ def main() -> int:
 
     qs, os_sql = queries(), oracle_sql()
     bad = {}
+    detail = {}
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
@@ -52,6 +59,7 @@ def main() -> int:
             s_rows = _norm(sdf.columns, [tuple(r) for r in sdf.collect()])
             if name not in os_sql:
                 print(f"{name}: NO-ORACLE rows={len(s_rows)}")
+                detail[name] = {"status": "no-oracle", "rows": len(s_rows)}
                 continue
             d = con.execute(os_sql[name])
             d_cols = sorted(c[0] for c in d.description)
@@ -69,13 +77,29 @@ def main() -> int:
                 status.append("VACUOUS (0 rows)")
             if status:
                 bad[name] = status
+                detail[name] = {"status": "MISMATCH", "detail": status}
                 print(f"{name}: MISMATCH: {'; '.join(status)}")
             else:
+                detail[name] = {"status": "ok", "rows": len(s_rows)}
                 print(f"{name}: ok rows={len(s_rows)}")
         except Exception as e:  # noqa: BLE001
             bad[name] = [f"error: {e}"]
+            detail[name] = {"status": "ERROR", "detail": str(e)[:300]}
             print(f"{name}: ERROR: {e}")
     print(json.dumps({"bad": sorted(bad)}, indent=0))
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(detail),
+                    "n_bad": len(bad),
+                    "bad": sorted(bad),
+                    "queries": detail,
+                },
+                f,
+                indent=1,
+            )
     return 1 if bad else 0
 
 

@@ -1,0 +1,204 @@
+"""Persisted shingle inverted index — the fourth build-once/serve-many
+artifact (after the IVF-PQ index, the BPE tokenizer and the NB model).
+
+The contamination / overlap / novelty query family (q51, q119, q139,
+q141, q184, q191, q234) all start from the same corpus-scale step:
+tokenize ``documents.text`` and explode word n-grams into a DISTINCT
+(doc_id, shingle) posting table. Recomputing that per query costs
+~25-30 s per bench run at sf0.1 and, at the 100 TB target, nine full
+tokenize-the-corpus passes where one would do. This module persists
+the posting table once, plus the three derived tables every consumer
+re-aggregates (per-shingle document frequency, per-doc shingle counts,
+and the width-5 per-source shingle set q234 needs), so serving plans
+are parquet scans + joins with **zero** Generate-over-text nodes.
+
+Reference behavior: the reference engine has no tokenizer at all — its
+dedup is the keep-first subset-key drop (`/root/reference/cleaner.py`);
+this family is part of the training-data-pipeline surface the brief
+adds on top. The build mirrors `operators/dedup.py:_shingle_docs`
+(same tokenizer, same explode_outer + not-null + distinct shape) WITHOUT
+the df-cap — the cap is a per-consumer policy and is applied at serve
+time from the stored `df` table, so one artifact serves both capped
+(q139/q141) and uncapped (q51/q119/q184/q191) consumers.
+
+On-disk layout (all parquet):
+
+- ``postings/``  distinct (doc_id, source, shingle) at n=3, written
+  partitioned by ``bucket = pmod(hash(shingle), N_POSTING_BUCKETS)``:
+  shingle-keyed probes prune to their buckets, and two stores built
+  with the same bucketing co-locate for bucket-wise joins.
+- ``df/``        (shingle, df) — distinct-doc frequency; the serve-side
+  df-cap filter and q191's rarest-first prefix ordering read this
+  instead of re-aggregating the postings.
+- ``doc_stats/`` (doc_id, n_shingles) — per-doc distinct shingle count
+  (uncapped), q51's denominators and q191's set sizes.
+- ``src5/``      distinct (source, shingle) at n=5 — q234's
+  source-overlap base (a second, coarser width; stored because it
+  needs its own corpus pass, the exact thing the artifact kills).
+
+Write order: postings -> df -> doc_stats -> src5 LAST, so the
+build-if-absent cache can key on ``src5/_SUCCESS`` and a torn build is
+invisible (the `bpe_artifact_paths` torn-write contract).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from whale_sightings_spark.functions.text import shingles_from_tokens, tokens
+
+#: artifact layout version — bump to invalidate caches on format change
+SHINGLE_FORMAT_VERSION = 1
+
+#: primary shingle width (the q51/q119/q139/q141/q184/q191 family)
+SHINGLE_N = 3
+
+#: q234's per-source width
+SRC_SHINGLE_N = 5
+
+#: file-layout partitions of the posting table; shingle-keyed probes
+#: prune to their buckets, and at 100 TB each bucket is still a
+#: splittable parquet directory (many files), not one giant file
+N_POSTING_BUCKETS = 16
+
+_POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("shingle", T.StringType()),
+        T.StructField("bucket", T.IntegerType()),
+    ]
+)
+_DF_SCHEMA = T.StructType(
+    [
+        T.StructField("shingle", T.StringType()),
+        T.StructField("df", T.LongType()),
+    ]
+)
+_DOC_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_shingles", T.LongType()),
+    ]
+)
+_SRC5_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("shingle", T.StringType()),
+    ]
+)
+
+
+def shingle_artifact_paths(artifact_dir: str) -> tuple[str, str, str, str]:
+    """(postings_dir, df_dir, doc_stats_dir, src5_dir); ``src5`` is
+    written LAST and carries the build-complete marker."""
+    base = artifact_dir.rstrip("/")
+    return (
+        base + "/postings",
+        base + "/df",
+        base + "/doc_stats",
+        base + "/src5",
+    )
+
+
+def _distinct_postings(docs: DataFrame, n: int) -> DataFrame:
+    """DISTINCT (doc_id, source, shingle) at width ``n`` — the
+    `_shingle_docs` staging discipline (tokens materialized into a
+    column; explode_outer so Catalyst cannot push a size() filter that
+    re-inlines the shingle lambda into the scan)."""
+    return (
+        docs.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode_outer(shingles_from_tokens(F.col("toks"), n)).alias(
+                "shingle"
+            ),
+        )
+        .filter(F.col("shingle").isNotNull())
+        .distinct()
+    )
+
+
+def build_shingle_artifact(docs: DataFrame, artifact_dir: str) -> str:
+    """One corpus pass per width, then derived tables from the posting
+    shuffle output — never from the corpus again. ``doc_id -> source``
+    is functional (doc_id is the PK), so carrying ``source`` in the
+    posting rows adds no cardinality."""
+    postings_dir, df_dir, stats_dir, src5_dir = shingle_artifact_paths(
+        artifact_dir
+    )
+    post = _distinct_postings(docs, SHINGLE_N).withColumn(
+        "bucket", F.pmod(F.hash("shingle"), F.lit(N_POSTING_BUCKETS)).cast("int")
+    )
+    # one shuffle keyed by bucket lays the files out for partition-
+    # pruned probes; the distinct above already shuffled by the full
+    # row, so this is the only extra exchange the layout costs
+    (
+        post.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(postings_dir)
+    )
+    spark = docs.sparkSession
+    stored = spark.read.schema(_POSTINGS_SCHEMA).parquet(postings_dir)
+    (
+        stored.groupBy("shingle")
+        .agg(F.count("*").cast("bigint").alias("df"))
+        .write.mode("overwrite")
+        .parquet(df_dir)
+    )
+    (
+        stored.groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_shingles"))
+        .write.mode("overwrite")
+        .parquet(stats_dir)
+    )
+    (
+        _distinct_postings(docs, SRC_SHINGLE_N)
+        .select("source", "shingle")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(src5_dir)
+    )
+    return artifact_dir
+
+
+def stored_postings(spark: SparkSession, artifact_dir: str) -> DataFrame:
+    """(doc_id, source, shingle, bucket) — the n=3 posting table."""
+    postings_dir, _, _, _ = shingle_artifact_paths(artifact_dir)
+    return spark.read.schema(_POSTINGS_SCHEMA).parquet(postings_dir)
+
+
+def stored_df(spark: SparkSession, artifact_dir: str) -> DataFrame:
+    """(shingle, df) — distinct-document frequency per shingle."""
+    _, df_dir, _, _ = shingle_artifact_paths(artifact_dir)
+    return spark.read.schema(_DF_SCHEMA).parquet(df_dir)
+
+
+def stored_doc_stats(spark: SparkSession, artifact_dir: str) -> DataFrame:
+    """(doc_id, n_shingles) — per-doc distinct shingle count."""
+    _, _, stats_dir, _ = shingle_artifact_paths(artifact_dir)
+    return spark.read.schema(_DOC_STATS_SCHEMA).parquet(stats_dir)
+
+
+def stored_src5(spark: SparkSession, artifact_dir: str) -> DataFrame:
+    """distinct (source, shingle) at n=5 — q234's overlap base."""
+    _, _, _, src5_dir = shingle_artifact_paths(artifact_dir)
+    return spark.read.schema(_SRC5_SCHEMA).parquet(src5_dir)
+
+
+def capped_postings(
+    spark: SparkSession, artifact_dir: str, max_df: int
+) -> DataFrame:
+    """(doc_id, shingle) with hot shingles dropped — the
+    `dedup._shingle_docs` contract served from the store: the df-cap
+    is a semi-join against the (vocab-scale) stored df table instead
+    of a fresh corpus-wide re-aggregation."""
+    return stored_postings(spark, artifact_dir).join(
+        stored_df(spark, artifact_dir)
+        .filter(F.col("df") <= max_df)
+        .select("shingle"),
+        "shingle",
+    )

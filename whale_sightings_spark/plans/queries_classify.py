@@ -339,6 +339,11 @@ def _nb_artifact_dir(spark: SparkSession, sf_dir: str) -> str:
         # _ivfpq_index_dir racing-builders contract)
         staging = f"{artifact_dir}.tmp.{os.getpid()}"
         CL.build_nb_artifact(docs, staging)
+        # clear a TORN remain (dir present, marker absent) or the
+        # rename fails and the heal silently no-ops; a racing builder
+        # that completed meanwhile re-shows its marker and wins
+        if not os.path.exists(os.path.join(meta_dir, "_SUCCESS")):
+            shutil.rmtree(artifact_dir, ignore_errors=True)
         try:
             os.rename(staging, artifact_dir)
         except OSError:

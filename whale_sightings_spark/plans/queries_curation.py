@@ -202,22 +202,29 @@ _BENCH_MAX_ID = 25
     """,
 )
 def q51_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
-        .select(
-            "doc_id",
-            F.explode_outer(
-                F.array_distinct(TX.shingles_from_tokens(F.col("t"), SHINGLE_N))
-            ).alias("shingle"),
-        )
-        .filter(F.col("shingle").isNotNull())
-    )
+    # SERVED FROM THE STORE (round 8): the distinct (doc_id, shingle)
+    # pairs come off the persisted shingle index — identical rows to
+    # the inline explode+distinct (the build is deterministic), but
+    # the serving plan is a parquet scan + two joins, zero
+    # Generate-over-text (plan-asserted in tests/test_plans.py).
+    from whale_sightings_spark.operators import shingles as SHI
+    from whale_sightings_spark.plans.shingle_store import shingle_artifact_dir
+
+    sh = SHI.stored_postings(
+        spark, shingle_artifact_dir(spark, sf_dir)
+    ).select("doc_id", "shingle")
     bench = (
         sh.filter(F.col("doc_id") < _BENCH_MAX_ID).select("shingle").distinct()
     )
     cand = sh.filter(F.col("doc_id") >= _BENCH_MAX_ID)
-    totals = cand.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    # per-doc denominators come off the stored doc_stats table (counts
+    # over ALL docs == counts over the doc_id-filtered subset, the
+    # filter key being the group key) — no counting shuffle at all
+    totals = (
+        SHI.stored_doc_stats(spark, shingle_artifact_dir(spark, sf_dir))
+        .filter(F.col("doc_id") >= _BENCH_MAX_ID)
+        .select("doc_id", "n_shingles")
+    )
     hits = (
         cand.join(bench, "shingle", "left_semi")
         .groupBy("doc_id")

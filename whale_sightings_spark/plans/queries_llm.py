@@ -1788,23 +1788,17 @@ def q134_neardup_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def q139_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sp = (
-        docs.select(
-            "doc_id",
-            "source",
-            F.explode_outer(
-                TX.word_shingles(F.col("text"), DD.SHINGLE_N)
-            ).alias("shingle"),
-        )
-        .filter(F.col("shingle").isNotNull())
-        .distinct()
-    )
+    # SERVED FROM THE STORE (round 8): the distinct (doc_id, source,
+    # shingle) postings and the per-shingle df table both come off the
+    # persisted shingle index — the df-cap is a vocab-scale filter on
+    # the stored aggregate, not a fresh corpus-wide re-count.
+    from whale_sightings_spark.operators import shingles as SHI
+    from whale_sightings_spark.plans.shingle_store import shingle_artifact_dir
+
+    art = shingle_artifact_dir(spark, sf_dir)
+    sp = SHI.stored_postings(spark, art)
     keep = (
-        sp.select("doc_id", "shingle")
-        .distinct()
-        .groupBy("shingle")
-        .agg(F.count("*").alias("df"))
+        SHI.stored_df(spark, art)
         .filter(F.col("df") <= DD.MAX_SHINGLE_DF)
         .select("shingle")
     )
@@ -1859,8 +1853,14 @@ def q139_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q141_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = DD._shingle_docs(docs)
+    # SERVED FROM THE STORE (round 8): `_shingle_docs`'s df-capped
+    # distinct pairs served as stored postings ⋈ stored-df filter.
+    from whale_sightings_spark.operators import shingles as SHI
+    from whale_sightings_spark.plans.shingle_store import shingle_artifact_dir
+
+    pairs = SHI.capped_postings(
+        spark, shingle_artifact_dir(spark, sf_dir), DD.MAX_SHINGLE_DF
+    ).select("doc_id", "shingle")
     sizes = pairs.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     inter = (
         DD._bucket_candidate_pairs(
@@ -2270,6 +2270,11 @@ def _ivfpq_index_dir(
         # deterministic, the artifacts are identical)
         staging = f"{index_dir}.tmp.{os.getpid()}"
         SIM.build_ivfpq_index(emb, staging)
+        # clear a TORN remain (dir present, marker absent) or the
+        # rename fails and the heal silently no-ops; a racing builder
+        # that completed meanwhile re-shows its marker and wins
+        if not os.path.exists(os.path.join(codes_dir, "_SUCCESS")):
+            shutil.rmtree(index_dir, ignore_errors=True)
         try:
             os.rename(staging, index_dir)
         except OSError:
@@ -2734,15 +2739,13 @@ def q233_density_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q234_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        docs.select(
-            "source",
-            F.explode(TX.word_shingles(F.col("text"), 5)).alias("shingle"),
-        )
-        .distinct()
-        .localCheckpoint()  # (shingle, source) set; 3 consumers below
-    )
+    # SERVED FROM THE STORE (round 8): the distinct (source, shingle)
+    # width-5 set is the artifact's src5 table — the former
+    # localCheckpoint becomes a plain parquet re-scan per consumer.
+    from whale_sightings_spark.operators import shingles as SHI
+    from whale_sightings_spark.plans.shingle_store import shingle_artifact_dir
+
+    sh = SHI.stored_src5(spark, shingle_artifact_dir(spark, sf_dir))
     per_src = sh.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_shingles")
     )

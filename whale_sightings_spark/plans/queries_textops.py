@@ -653,13 +653,19 @@ _CONTAM_T = 2
     """,
 )
 def q119_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
-    g = t.select(
-        "doc_id", F.explode(TX.shingles_from_tokens(F.col("t"), 3)).alias("gram")
-    )
+    # SERVED FROM THE STORE (round 8): distinct (doc_id, gram) pairs
+    # come off the persisted shingle index — distinct-of-a-subset ==
+    # subset-of-distinct, so the eval dictionary and the training
+    # stream are exact projections of the stored postings. Zero
+    # Generate-over-text in the serving plan.
+    from whale_sightings_spark.operators import shingles as SHI
+    from whale_sightings_spark.plans.shingle_store import shingle_artifact_dir
+
+    g = SHI.stored_postings(
+        spark, shingle_artifact_dir(spark, sf_dir)
+    ).select("doc_id", F.col("shingle").alias("gram"))
     ev = g.filter(F.col("doc_id") < 5).select("gram").distinct()
-    tr = g.filter(F.col("doc_id") >= 10).distinct()
+    tr = g.filter(F.col("doc_id") >= 10)
     return (
         tr.join(F.broadcast(ev), "gram")
         .groupBy("doc_id")
@@ -1393,6 +1399,11 @@ def _bpe_artifact_dir(
         # _ivfpq_index_dir racing-builders contract)
         staging = f"{artifact_dir}.tmp.{os.getpid()}"
         BPE.build_bpe_artifact(docs, staging)
+        # clear a TORN remain (dir present, marker absent) or the
+        # rename fails and the heal silently no-ops; a racing builder
+        # that completed meanwhile re-shows its marker and wins
+        if not os.path.exists(os.path.join(merges_dir, "_SUCCESS")):
+            shutil.rmtree(artifact_dir, ignore_errors=True)
         try:
             os.rename(staging, artifact_dir)
         except OSError:
@@ -1669,13 +1680,19 @@ _BLOOM_BUILD = f"""
     """,
 )
 def q184_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SERVED FROM THE STORE (round 8): same stored-postings projections
+    # as q119 — the only documents scan left is the 2-column
+    # (doc_id, source) rollup join at the end (column-pruned, no
+    # tokenization anywhere in the plan).
+    from whale_sightings_spark.operators import shingles as SHI
+    from whale_sightings_spark.plans.shingle_store import shingle_artifact_dir
+
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
-    g = t.select(
-        "doc_id", F.explode(TX.shingles_from_tokens(F.col("t"), 3)).alias("gram")
-    )
+    g = SHI.stored_postings(
+        spark, shingle_artifact_dir(spark, sf_dir)
+    ).select("doc_id", F.col("shingle").alias("gram"))
     ev = g.filter(F.col("doc_id") < 5).select("gram").distinct()
-    tr = g.filter(F.col("doc_id") >= 10).distinct()
+    tr = g.filter(F.col("doc_id") >= 10)
 
     def positions(frame: DataFrame) -> DataFrame:
         return frame.select(
@@ -2026,24 +2043,21 @@ _PPJ_DEN = 5
 )
 def q191_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
-    from whale_sightings_spark.functions.text import shingles_from_tokens
 
-    docs = load_table(spark, sf_dir, "documents")
-    # The shingle set feeds FIVE consumers (df agg, size agg, the ranked
-    # window, and both sides of the verify join); localCheckpoint
-    # materializes the explode+distinct once instead of re-running its
-    # shuffle per consumer (the bpe.py/dedup.py reuse convention).
-    sh = (
-        docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
-        .select(
-            "doc_id",
-            F.explode(shingles_from_tokens(F.col("t"), 3)).alias("shingle"),
-        )
-        .distinct()
-        .localCheckpoint()
+    # SERVED FROM THE STORE (round 8): the shingle set used to feed
+    # five consumers through a localCheckpoint; now every consumer
+    # re-scans the persisted posting parquet directly (cheaper than a
+    # checkpoint — the materialization already happened at build time),
+    # and the df / size tables come off their stored aggregates.
+    from whale_sightings_spark.operators import shingles as SHI
+    from whale_sightings_spark.plans.shingle_store import shingle_artifact_dir
+
+    art = shingle_artifact_dir(spark, sf_dir)
+    sh = SHI.stored_postings(spark, art).select("doc_id", "shingle")
+    dfc = SHI.stored_df(spark, art).select("shingle", "df")
+    sz = SHI.stored_doc_stats(spark, art).select(
+        "doc_id", F.col("n_shingles").alias("n")
     )
-    dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     ranked = (
         sh.join(dfc, "shingle")
         .join(sz, "doc_id")
