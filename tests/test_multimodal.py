@@ -36,11 +36,77 @@ def test_feature_extraction_histogram(media):
     assert sum(hist) == 32  # 16 payload bytes -> 32 nibbles
 
 
-def test_real_decoder_is_stubbed(media):
-    with pytest.raises(NotImplementedError, match="codec"):
-        extract_features(media, decoder="real")
+def test_real_decoder_sniffs_and_raises_only_on_unknown(media):
+    """Round-8 (VERDICT r7 #5): decoder='real' now content-sniffs and
+    dispatches to the real WAV/PGM codecs; the NotImplementedError is
+    narrowed to genuinely unknown containers (the fixture's payloads
+    are md5 bytes — no known magic), surfacing at execution from the
+    worker."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError), match="no codec"):
+        extract_features(media, decoder="real").collect()
     with pytest.raises(ValueError):
         extract_features(media, decoder="bogus")
+
+
+def test_real_decoder_dispatches_both_formats(spark):
+    """Both real codecs are reachable THROUGH the generic path: one
+    WAV and one PGM payload in the same frame dispatch by magic and
+    produce their format's stats; with on_unknown='flag' an alien
+    payload degrades to an ok=false row instead of raising."""
+    import numpy as np
+
+    from whale_sightings_spark.operators.multimodal import (
+        SNIFF_DST_H,
+        SNIFF_DST_W,
+        parse_pgm,
+        resize_pgm_nearest,
+        sniff_media_features,
+    )
+
+    s16 = [0, 16384, -16384, 32767]
+    pgm = b"P5\n4 3\n255\n" + bytes(range(12))
+    rows = [
+        (1, "audio", _wav_bytes(16000, 1, 16, s16), None),
+        (2, "image", pgm, None),
+        (3, "blob", b"GIF89a-not-supported", None),
+        (4, "blob", None, None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, meta struct<width:int>",
+    )
+    got = {
+        r["media_id"]: r
+        for r in sniff_media_features(media, on_unknown="flag").collect()
+    }
+    w = got[1]
+    assert (w["detected"], w["ok"], w["sample_rate"], w["n_samples"]) == (
+        "wav", True, 16000, len(s16),
+    )
+    x = np.array(s16, dtype=np.float64) / 32768.0
+    assert abs(w["rms"] - float(np.sqrt(np.mean(x * x)))) < 1e-12
+    p = got[2]
+    assert (p["detected"], p["ok"], p["width"], p["height"]) == (
+        "pgm", True, 4, 3,
+    )
+    _, _, px = parse_pgm(pgm)
+    want_sum = int(
+        resize_pgm_nearest(px, SNIFF_DST_W, SNIFF_DST_H).astype("int64").sum()
+    )
+    assert p["px_sum"] == want_sum
+    assert got[3]["detected"] == "unknown" and got[3]["ok"] is False
+    assert got[4]["ok"] is False and got[4]["detected"] is None
+    # and the generic entry point routes here
+    routed = {
+        r["media_id"]: r["detected"]
+        for r in extract_features(
+            media.filter("media_id <= 2"), decoder="real"
+        ).collect()
+    }
+    assert routed == {1: "wav", 2: "pgm"}
 
 
 def test_resize_updates_meta_only(media):

