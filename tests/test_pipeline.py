@@ -332,3 +332,86 @@ def test_spatial_join_accepts_driver_side_polygons(spark):
     got_list = {r["id"]: r["waterBody"] for r in from_list.collect()}
     assert got_df == expect
     assert got_list == expect
+
+
+def _shp_bytes(rings):
+    """Synthesize a minimal polygon shapefile (one outer ring per
+    record) — the fixture for the pure-Python .shp reader."""
+    import struct
+
+    recs = b""
+    for i, ring in enumerate(rings):
+        xs, ys = [p[0] for p in ring], [p[1] for p in ring]
+        content = struct.pack("<i", 5)
+        content += struct.pack("<4d", min(xs), min(ys), max(xs), max(ys))
+        content += struct.pack("<ii", 1, len(ring))  # 1 part
+        content += struct.pack("<i", 0)  # part offset
+        for x, y in ring:
+            content += struct.pack("<2d", x, y)
+        recs += struct.pack(">ii", i + 1, len(content) // 2) + content
+    total_words = (100 + len(recs)) // 2
+    hdr = struct.pack(">i", 9994) + b"\x00" * 20 + struct.pack(">i", total_words)
+    hdr += struct.pack("<ii", 1000, 5) + struct.pack("<8d", *([0.0] * 8))
+    assert len(hdr) == 100
+    return hdr + recs
+
+
+def _dbf_bytes(names, field="NAME", width=32):
+    import struct
+
+    hdr_len = 32 + 32 + 1
+    rec_len = 1 + width
+    hdr = struct.pack(
+        "<B3BIHH", 0x03, 26, 8, 15, len(names), hdr_len, rec_len
+    ) + b"\x00" * 20
+    fld = field.encode("ascii").ljust(11, b"\x00") + b"C" + b"\x00" * 4
+    fld += struct.pack("<B", width) + b"\x00" * 15
+    body = b""
+    for n in names:
+        body += b" " + n.encode("latin-1").ljust(width)
+    return hdr + fld + b"\x0d" + body + b"\x1a"
+
+
+def test_shp_reader_round_trips_against_wkt_twin(spark, tmp_path):
+    """Round-8 (VERDICT r7 #6): S10 from the reference's actual on-disk
+    format — a synthesized 2-polygon .shp (+ .dbf names) must load into
+    the same dim table as the WKT form and drive an identical spatial
+    join."""
+    from whale_sightings_spark.operators.spatial import (
+        oceans_from_shp,
+        parse_wkt_polygon,
+        read_dbf_strings,
+        read_shp_polygons,
+        spatial_join_water_body,
+    )
+
+    wkt = [
+        ("West Box", "POLYGON ((-10 -10, 0 -10, 0 10, -10 10, -10 -10))"),
+        ("East Box", "POLYGON ((0 -10, 10 -10, 10 10, 0 10, 0 -10))"),
+    ]
+    rings = [parse_wkt_polygon(w) for _n, w in wkt]
+    shp = tmp_path / "oceans.shp"
+    shp.write_bytes(_shp_bytes(rings))
+    (tmp_path / "oceans.dbf").write_bytes(_dbf_bytes([n for n, _w in wkt]))
+
+    assert read_shp_polygons(str(shp)) == rings
+    assert read_dbf_strings(str(tmp_path / "oceans.dbf")) == [
+        "West Box",
+        "East Box",
+    ]
+    from_shp = oceans_from_shp(spark, str(shp))
+    from_wkt = oceans_from_wkt(spark, wkt)
+    assert sorted(map(tuple, from_shp.collect())) == sorted(
+        map(tuple, from_wkt.collect())
+    )
+    pts = spark.createDataFrame(
+        [(1, -5.0, 0.0), (2, 5.0, 0.0), (3, 55.0, 55.0)],
+        "id int, lon double, lat double",
+    )
+    got = {
+        r["id"]: r["waterBody"]
+        for r in spatial_join_water_body(
+            pts, from_shp, lon_col="lon", lat_col="lat"
+        ).collect()
+    }
+    assert got == {1: "West Box", 2: "East Box", 3: None}

@@ -63,6 +63,109 @@ def oceans_from_wkt(
     return spark.createDataFrame(rows, OCEAN_POLYGON_SCHEMA)
 
 
+def read_shp_polygons(path: str) -> list[list[tuple[float, float]]]:
+    """Minimal pure-Python ESRI shapefile reader for POLYGON (type 5)
+    records — the missing native path for the reference's
+    ``gpd.read_file('goas_v01.shp')`` (cleaner.py:18-27), built from
+    the public ESRI shapefile whitepaper. Returns each record's OUTER
+    ring (the first part; ESRI ring order puts holes after it) as
+    (lon, lat) tuples — exactly `parse_wkt_polygon`'s output form, so
+    both loaders feed the same dim-table builder. Raises ValueError on
+    anything that is not a well-formed polygon shapefile."""
+    import struct
+
+    with open(path, "rb") as f:
+        b = f.read()
+    if len(b) < 100 or struct.unpack(">i", b[0:4])[0] != 9994:
+        raise ValueError("not a shapefile (bad file code)")
+    shape_type = struct.unpack("<i", b[32:36])[0]
+    if shape_type != 5:
+        raise ValueError(f"not a polygon shapefile (type {shape_type})")
+    rings: list[list[tuple[float, float]]] = []
+    pos = 100
+    while pos + 8 <= len(b):
+        _recno, clen = struct.unpack(">ii", b[pos : pos + 8])
+        content = b[pos + 8 : pos + 8 + 2 * clen]
+        pos += 8 + 2 * clen
+        st = struct.unpack("<i", content[0:4])[0]
+        if st == 0:  # null shape — legal placeholder record
+            continue
+        if st != 5:
+            raise ValueError(f"mixed shape type {st} in polygon file")
+        num_parts, num_points = struct.unpack("<ii", content[36:44])
+        parts = struct.unpack(
+            f"<{num_parts}i", content[44 : 44 + 4 * num_parts]
+        )
+        off = 44 + 4 * num_parts
+        xy = struct.unpack(
+            f"<{2 * num_points}d", content[off : off + 16 * num_points]
+        )
+        pts = list(zip(xy[0::2], xy[1::2]))
+        end = parts[1] if num_parts > 1 else num_points
+        rings.append(pts[parts[0] : end])
+    return rings
+
+
+def read_dbf_strings(path: str, field: str | None = None) -> list[str]:
+    """Minimal dBASE III (.dbf) reader for ONE character column — the
+    attribute sidecar where a shapefile keeps its polygon names (GOaS:
+    the ocean name field). ``field=None`` takes the first character
+    field. Deleted rows (flag ``*``) are skipped, values are
+    right-trimmed, bytes decode latin-1 (dBASE's 8-bit legacy)."""
+    import struct
+
+    with open(path, "rb") as f:
+        b = f.read()
+    n_rec, hdr_len, rec_len = struct.unpack("<IHH", b[4:12])
+    fields = []  # (name, type, offset_in_record, length)
+    off, rec_off = 32, 1  # record byte 0 is the deletion flag
+    while off < hdr_len - 1 and b[off] != 0x0D:
+        name = b[off : off + 11].split(b"\x00")[0].decode("latin-1")
+        ftype = chr(b[off + 11])
+        flen = b[off + 16]
+        fields.append((name, ftype, rec_off, flen))
+        rec_off += flen
+        off += 32
+    want = [
+        f for f in fields if f[1] == "C" and (field is None or f[0] == field)
+    ]
+    if not want:
+        raise ValueError(f"no character field {field!r} in {path}")
+    name, _t, foff, flen = want[0]
+    out = []
+    for i in range(n_rec):
+        rec = b[hdr_len + i * rec_len : hdr_len + (i + 1) * rec_len]
+        if len(rec) < rec_len or rec[0:1] == b"*":
+            continue
+        out.append(rec[foff : foff + flen].decode("latin-1").rstrip())
+    return out
+
+
+def oceans_from_shp(
+    spark: SparkSession,
+    shp_path: str,
+    names: list[str] | None = None,
+    dbf_field: str | None = None,
+) -> DataFrame:
+    """S10 from the reference's ACTUAL on-disk format: polygon rings
+    off the .shp, names off the sibling .dbf (or passed explicitly) —
+    the same dim table `oceans_from_wkt` builds from WKT."""
+    rings = read_shp_polygons(shp_path)
+    if names is None:
+        names = read_dbf_strings(
+            re.sub(r"\.shp$", ".dbf", shp_path), dbf_field
+        )
+    if len(names) != len(rings):
+        raise ValueError(
+            f"{len(names)} names for {len(rings)} polygon records"
+        )
+    rows = [
+        (name, [{"lon": x, "lat": y} for x, y in ring])
+        for name, ring in zip(names, rings)
+    ]
+    return spark.createDataFrame(rows, OCEAN_POLYGON_SCHEMA)
+
+
 def _ray_cast(lon: np.ndarray, lat: np.ndarray, ring: np.ndarray) -> np.ndarray:
     """Vectorized even-odd ray casting: inside-test for all points at
     once against one polygon ring. Boundary points count as inside on
