@@ -471,6 +471,46 @@ def test_shingle_postings_probe_is_bucket_partitioned(spark, sf_dir):
     assert 0 < n_parts <= N_POSTING_BUCKETS
 
 
+def test_cluster_family_serves_from_stored_labels(spark, sf_dir):
+    """Round-8 (VERDICT r7 #7): the cluster consumers serve converged
+    component labels off the persisted cluster artifact — no pair
+    generation and no propagation loop in their DAGs. The inline loop
+    would show as Scan ExistingRDD (localCheckpoint rounds); the
+    store-served plans must scan the labels parquet instead. q243 is
+    the drift audit and legitimately runs the history convergence
+    inline, so it is excluded."""
+    import os
+
+    from whale_sightings_spark.operators.dedup import cluster_artifact_paths
+    from whale_sightings_spark.plans.cluster_store import (
+        embed_cluster_dir,
+        text_cluster_dir,
+    )
+
+    text_art = text_cluster_dir(spark, sf_dir)  # build once if absent
+    embed_cluster_dir(spark, sf_dir)
+    for name in (
+        "q100_components_converged",
+        "q126_leakage_safe_split",
+        "q186_quality_survivors",
+        "q132_semantic_dedup",
+        "q175_semantic_dedup_stored",
+    ):
+        plan = explain_str(queries()[name](spark, sf_dir))
+        assert "ExistingRDD" not in plan, (
+            f"{name} ran the propagation loop inline:\n{plan}"
+        )
+        assert "labels" in plan, f"{name} does not scan the store:\n{plan}"
+    # q100 is the pure build sign-off: labels only, no corpus rescan
+    plan = explain_str(queries()["q100_components_converged"](spark, sf_dir))
+    assert "documents.parquet" not in plan, plan
+    # build-if-absent is a cache: a second call must not rebuild
+    marker = os.path.join(cluster_artifact_paths(text_art), "_SUCCESS")
+    mt0 = os.path.getmtime(marker)
+    queries()["q126_leakage_safe_split"](spark, sf_dir).collect()
+    assert os.path.getmtime(marker) == mt0
+
+
 def test_q211_markov_model_join_is_broadcast(spark, sf_dir):
     # the trained transition model is |types|^2-bounded: the held-out
     # transition stream must probe it via BroadcastHashJoin, never a

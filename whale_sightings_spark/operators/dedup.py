@@ -549,3 +549,53 @@ def dedup_components_converged(
     edges.unpersist()
     directed.unpersist()
     return labels
+
+
+# ---------------------------------------------------------------------------
+# Persisted near-dup cluster artifact — the FIFTH build-once/serve-many
+# artifact (round 8, VERDICT r7 #7). The converged component labels
+# over a near-dup pair graph are exactly the table three downstream
+# consumers (leakage-safe splitting, quality-aware survivor selection,
+# semantic-dedup pressure audits) each recompute per query: the pair
+# generator + an iterative propagation loop. Persist (doc_id, label)
+# once per corpus fingerprint and those consumers collapse to a parquet
+# scan + one keyed join — no propagation loop (no ExistingRDD scans) in
+# any serving DAG.
+# ---------------------------------------------------------------------------
+
+#: bump to invalidate persisted cluster labels when the pair-generator
+#: constants (simhash bits / bands / thresholds) change
+CLUSTER_FORMAT_VERSION = 1
+
+_CLUSTER_SCHEMA = "doc_id bigint, label bigint"
+
+
+def cluster_artifact_paths(artifact_dir: str) -> str:
+    """labels dir under ``artifact_dir`` (single table; its _SUCCESS is
+    the completeness marker)."""
+    return artifact_dir.rstrip("/") + "/labels"
+
+
+def build_cluster_artifact(pairs: DataFrame, artifact_dir: str) -> str:
+    """Run min-label propagation to convergence over the pair graph and
+    persist the (doc_id, label) table. Only nodes that appear in a pair
+    are stored (singletons are implicit — consumers coalesce(label,
+    doc_id), exactly as they did against the inline propagation)."""
+    labels = dedup_components_converged(pairs)
+    labels_dir = cluster_artifact_paths(artifact_dir)
+    (
+        labels.select(
+            F.col("doc_id").cast("bigint"), F.col("label").cast("bigint")
+        )
+        .coalesce(1)  # edge-set-bounded, not corpus-scale
+        .write.mode("overwrite")
+        .parquet(labels_dir)
+    )
+    return artifact_dir
+
+
+def stored_cluster_labels(spark, artifact_dir: str) -> DataFrame:
+    """(doc_id, label) — the converged component labels."""
+    return spark.read.schema(_CLUSTER_SCHEMA).parquet(
+        cluster_artifact_paths(artifact_dir)
+    )

@@ -1,0 +1,76 @@
+"""Build-if-absent caches of the persisted near-dup cluster artifact
+(`operators/dedup.py: build_cluster_artifact`) — one per pair graph:
+``text`` (SimHash near-dup pairs over documents, keyed by the
+documents fingerprint) and ``embed`` (LSH+cosine embedding near-dup
+pairs, keyed by the embeddings fingerprint). The `shingle_store`
+convention: fingerprint + format-version key, prefix-scoped eviction,
+pid staging + atomic rename with torn-remain clearing."""
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+from whale_sightings_spark.operators import dedup as DD
+from whale_sightings_spark.schemas import load_table
+
+
+def _dir_for(
+    spark: SparkSession, sf_dir: str, kind: str, src_file: str, build
+) -> str:
+    st = os.stat(os.path.join(sf_dir, src_file))
+    fp = f"{st.st_size}_{int(st.st_mtime)}"
+    root = os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            ".index_cache",
+        ),
+    )
+    sf_root = os.path.join(root, os.path.basename(os.path.normpath(sf_dir)))
+    prefix = f"clusters_{kind}_"
+    leaf = f"{prefix}v{DD.CLUSTER_FORMAT_VERSION}_{fp}"
+    artifact_dir = os.path.join(sf_root, leaf)
+    labels_dir = DD.cluster_artifact_paths(artifact_dir)
+    marker = os.path.join(labels_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        if os.path.isdir(sf_root):
+            for d in os.listdir(sf_root):
+                if d != leaf and d.startswith(prefix) and ".tmp." not in d:
+                    shutil.rmtree(os.path.join(sf_root, d), ignore_errors=True)
+        staging = f"{artifact_dir}.tmp.{os.getpid()}"
+        DD.build_cluster_artifact(build(spark, sf_dir), staging)
+        if not os.path.exists(marker):
+            shutil.rmtree(artifact_dir, ignore_errors=True)
+        try:
+            os.rename(staging, artifact_dir)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    return artifact_dir
+
+
+def text_cluster_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Converged components over SimHash near-dup pairs of documents."""
+    return _dir_for(
+        spark,
+        sf_dir,
+        "text",
+        "documents.parquet",
+        lambda s, d: DD.simhash_pairs(load_table(s, d, "documents")),
+    )
+
+
+def embed_cluster_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Converged components over embedding near-dup pairs (vec ids)."""
+    from pyspark.sql import functions as F
+
+    from whale_sightings_spark.operators import similarity as SIM
+
+    def _pairs(s, d):
+        return SIM.embedding_neardup_pairs(
+            load_table(s, d, "embeddings")
+        ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+
+    return _dir_for(spark, sf_dir, "embed", "embeddings.parquet", _pairs)

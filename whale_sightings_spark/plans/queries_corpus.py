@@ -415,26 +415,16 @@ def q99_stratified_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _components_converged_sql(pairs_sql: str) -> str:
-    body = pairs_sql.strip()
-    assert body.upper().startswith("WITH")
-    head, final = body[4:].rsplit("SELECT", 1)
-    return f"""
-    WITH RECURSIVE {head}, pairs AS (SELECT {final}),
-    edges AS (
-        SELECT doc_a AS src, doc_b AS dst FROM pairs
-        UNION ALL
-        SELECT doc_b AS src, doc_a AS dst FROM pairs
-    ),
-    reach(v, l) AS (
-        SELECT DISTINCT src, src FROM edges
-        UNION
-        SELECT e.src, r.l FROM edges e JOIN reach r ON r.v = e.dst
-    ),
-    labels AS (SELECT v AS doc_id, min(l) AS label FROM reach GROUP BY v)
+    from whale_sightings_spark.plans.queries_llm import _converged_labels_ctes
+
+    return (
+        _converged_labels_ctes(pairs_sql)
+        + """
     SELECT label AS component, count(*) AS n_docs, min(doc_id) AS rep
     FROM labels
     GROUP BY 1
     """
+    )
 
 
 def _simhash_pairs_sql() -> str:
@@ -448,8 +438,15 @@ def _simhash_pairs_sql() -> str:
     _components_converged_sql(_simhash_pairs_sql()),
 )
 def q100_components_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = DD.simhash_pairs(load_table(spark, sf_dir, "documents"))
-    labels = DD.dedup_components_converged(pairs)
+    # round 8: q100 is now the BUILD sign-off of the persisted cluster
+    # artifact (the q176/q229 convention) — build-if-absent, then the
+    # rollup reads the STORED labels back (training is deterministic,
+    # so the stored table equals a fresh convergence run).
+    from whale_sightings_spark.plans.cluster_store import text_cluster_dir
+
+    labels = DD.stored_cluster_labels(
+        spark, text_cluster_dir(spark, sf_dir)
+    )
     return labels.groupBy(F.col("label").alias("component")).agg(
         F.count("*").alias("n_docs"), F.min("doc_id").alias("rep")
     )
@@ -729,36 +726,19 @@ def q107_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _curation_pipeline_sql() -> str:
-    from whale_sightings_spark.plans.queries_llm import _SIMHASH_PAIRS_SQL
+    from whale_sightings_spark.plans.queries_llm import (
+        _SIMHASH_PAIRS_SQL,
+        _converged_labels_ctes,
+    )
 
-    body = _SIMHASH_PAIRS_SQL.strip()
-    head, final = body[4:].rsplit("SELECT", 1)
-    out = f"""
-    WITH {head}, pairs AS (SELECT {final}),
-    edges AS (
-        SELECT doc_a AS src, doc_b AS dst FROM pairs
-        UNION ALL
-        SELECT doc_b AS src, doc_a AS dst FROM pairs
-    ),
-    l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges)
-    """
-    for k in range(1, 4):
-        out += f"""
-    , l{k} AS (
-        SELECT l.doc_id,
-               least(l.label, coalesce(min(n.label), l.label)) AS label
-        FROM l{k-1} l
-        LEFT JOIN edges e ON e.src = l.doc_id
-        LEFT JOIN l{k-1} n ON n.doc_id = e.dst
-        GROUP BY l.doc_id, l.label
-    )"""
+    out = _converged_labels_ctes(_SIMHASH_PAIRS_SQL)
     out += """
     , reps AS (
-        SELECT label, min(doc_id) AS rep FROM l3 GROUP BY label
+        SELECT label, min(doc_id) AS rep FROM labels GROUP BY label
     ),
     near_keep AS (
-        SELECT l3.doc_id FROM l3 JOIN reps ON reps.label = l3.label
-        WHERE l3.doc_id = reps.rep
+        SELECT labels.doc_id FROM labels JOIN reps ON reps.label = labels.label
+        WHERE labels.doc_id = reps.rep
     ),
     screened AS (
         SELECT d.doc_id, d.lang,
@@ -767,9 +747,9 @@ def _curation_pipeline_sql() -> str:
                    AS q_ok,
                d.doc_id = min(d.doc_id) OVER (
                    PARTITION BY md5(lower(d.text))) AS e_ok,
-               (l3.doc_id IS NULL OR nk.doc_id IS NOT NULL) AS n_ok
+               (lbl.doc_id IS NULL OR nk.doc_id IS NOT NULL) AS n_ok
         FROM documents d
-        LEFT JOIN l3 ON l3.doc_id = d.doc_id
+        LEFT JOIN labels lbl ON lbl.doc_id = d.doc_id
         LEFT JOIN near_keep nk ON nk.doc_id = d.doc_id
     )
     SELECT lang,
@@ -787,9 +767,11 @@ def _curation_pipeline_sql() -> str:
 
 @register("q108_curation_pipeline", _curation_pipeline_sql())
 def q108_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 8: near-dup stage served from the persisted cluster labels
+    from whale_sightings_spark.plans.cluster_store import text_cluster_dir
+
     docs = load_table(spark, sf_dir, "documents")
-    pairs = DD.simhash_pairs(docs)
-    labels = DD.dedup_components(pairs)  # fixed-k, oracle-identical
+    labels = DD.stored_cluster_labels(spark, text_cluster_dir(spark, sf_dir))
     reps = labels.groupBy("label").agg(F.min("doc_id").alias("rep"))
     near_keep = (
         labels.join(reps, "label")

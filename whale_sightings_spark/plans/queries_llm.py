@@ -289,30 +289,41 @@ _SIMHASH_BANDS_SQL = ", ".join(
 )
 
 
-_SIMHASH_PAIRS_SQL = f"""
-    WITH th AS (
-        SELECT doc_id, {_TOKEN_HASHES} AS hashes FROM documents
+def _simhash_pairs_sql_p(prefix: str = "", where: str = "") -> str:
+    """The SimHash pair query with optionally prefixed CTE names and a
+    corpus restriction — the prefix form lets two chains (history vs
+    full, q243) coexist in one oracle statement."""
+    p = prefix
+    w = f"WHERE {where}" if where else ""
+    return f"""
+    WITH {p}th AS (
+        SELECT doc_id, {_TOKEN_HASHES} AS hashes FROM documents {w}
     ),
-    sig AS (
-        SELECT doc_id, {simhash_sql('hashes')} AS sh FROM th WHERE len(hashes) > 0
+    {p}sig AS (
+        SELECT doc_id, {simhash_sql('hashes')} AS sh FROM {p}th
+        WHERE len(hashes) > 0
     ),
-    banded AS (
-        SELECT doc_id, sh, unnest([{_SIMHASH_BANDS_SQL}]) AS band FROM sig
+    {p}banded AS (
+        SELECT doc_id, sh, unnest([{_SIMHASH_BANDS_SQL}]) AS band FROM {p}sig
     ),
-    kept_bands AS (
-        SELECT band FROM banded GROUP BY band
+    {p}kept_bands AS (
+        SELECT band FROM {p}banded GROUP BY band
         HAVING count(*) > 1 AND count(*) <= {DD.MAX_BAND_BUCKET}
     ),
-    cands AS (
+    {p}cands AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                         a.sh AS sh_a, b.sh AS sh_b
-        FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
-        JOIN kept_bands k ON k.band = a.band
+        FROM {p}banded a
+        JOIN {p}banded b ON a.band = b.band AND a.doc_id < b.doc_id
+        JOIN {p}kept_bands k ON k.band = a.band
     )
     SELECT doc_a, doc_b, {hamming60_sql('sh_a', 'sh_b')} AS hamming
-    FROM cands
+    FROM {p}cands
     WHERE {hamming60_sql('sh_a', 'sh_b')} <= {DD.HAMMING_THRESHOLD}
     """
+
+
+_SIMHASH_PAIRS_SQL = _simhash_pairs_sql_p()
 
 
 @register("q16_dedup_simhash", _SIMHASH_PAIRS_SQL)
@@ -1325,6 +1336,39 @@ def _label_prop_ctes(pairs_sql: str, iterations: int) -> str:
     return out
 
 
+def _converged_labels_chain(pairs_sql: str, prefix: str = "") -> str:
+    """Transitive-closure CTE chain (no leading WITH) ending in
+    ``{prefix}labels(doc_id, label)`` — label = min doc_id of the TRUE
+    component; the oracle twin of the persisted cluster artifact
+    (`dedup.build_cluster_artifact`). Prefixed so q243 can run the
+    history and full chains in one statement."""
+    body = pairs_sql.strip()
+    assert body.upper().startswith("WITH")
+    head, final = body[4:].rsplit("SELECT", 1)
+    p = prefix
+    return f"""{head}, {p}pairs AS (SELECT {final}),
+    {p}edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM {p}pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM {p}pairs
+    ),
+    {p}reach(v, l) AS (
+        SELECT DISTINCT src, src FROM {p}edges
+        UNION
+        SELECT e.src, r.l FROM {p}edges e JOIN {p}reach r ON r.v = e.dst
+    ),
+    {p}labels AS (
+        SELECT v AS doc_id, min(l) AS label FROM {p}reach GROUP BY v
+    )"""
+
+
+def _converged_labels_ctes(pairs_sql: str) -> str:
+    """WITH RECURSIVE + :func:`_converged_labels_chain` — the one-chain
+    form every store-served cluster consumer (q100/q126/q132/q186)
+    opens its oracle with."""
+    return "WITH RECURSIVE " + _converged_labels_chain(pairs_sql)
+
+
 def _label_prop_sql(pairs_sql: str, iterations: int) -> str:
     return (
         _label_prop_ctes(pairs_sql, iterations)
@@ -1359,19 +1403,18 @@ def q29_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _q132_oracle() -> str:
-    k = DD.COMPONENT_ITERATIONS
     pairs_sql = (
         f"WITH P AS ({_EMB_NEARDUP_SQL})\n"
         "    SELECT vec_a AS doc_a, vec_b AS doc_b FROM P"
     )
     return (
-        _label_prop_ctes(pairs_sql, k)
-        + f"""
+        _converged_labels_ctes(pairs_sql)
+        + """
     , surv AS (
-        SELECT label, min(doc_id) AS survivor FROM l{k} GROUP BY label
+        SELECT label, min(doc_id) AS survivor FROM labels GROUP BY label
     ),
     dropped AS (
-        SELECT l.doc_id FROM l{k} l
+        SELECT l.doc_id FROM labels l
         JOIN surv s ON s.label = l.label
         WHERE l.doc_id <> s.survivor
     )
@@ -1389,11 +1432,12 @@ def _q132_oracle() -> str:
 
 @register("q132_semantic_dedup", _q132_oracle())
 def q132_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 8: converged embedding-cluster labels off the persisted
+    # artifact (pair generation + propagation happen once, at build)
+    from whale_sightings_spark.plans.cluster_store import embed_cluster_dir
+
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = SIM.embedding_neardup_pairs(emb).select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
-    )
-    labels = DD.dedup_components(pairs)
+    labels = DD.stored_cluster_labels(spark, embed_cluster_dir(spark, sf_dir))
     surv = labels.groupBy("label").agg(F.min("doc_id").alias("survivor"))
     dropped = (
         labels.join(surv, "label")
@@ -1419,11 +1463,13 @@ def q132_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # split keyed by the near-dup CLUSTER instead of the document, so every
 # member of a near-dup cluster lands in the same split — the guard that
 # keeps eval sets from leaking into training via near-duplicates that
-# doc-keyed splitting cannot provide. Cluster labels come from the q29
-# fixed-k propagation over the SimHash pair graph; docs in no pair are
-# their own singleton cluster (coalesce(label, doc_id)). The label
-# table is edge-set-sized and joins onto the corpus by doc_id (one
-# keyed shuffle); the split decision is then row-local. Invariant
+# doc-keyed splitting cannot provide. Cluster labels are the TRUE
+# converged components read off the persisted cluster artifact (round
+# 8 — fixed-k propagation could leak a >k-diameter chain across
+# splits); docs in no pair are their own singleton cluster
+# (coalesce(label, doc_id)). The label table is edge-set-sized and
+# joins onto the corpus by doc_id (one keyed shuffle); the split
+# decision is then row-local. Invariant
 # (asserted in tests/test_similarity.py): no cluster spans splits —
 # true by construction since split = f(cluster).
 # ---------------------------------------------------------------------------
@@ -1435,13 +1481,12 @@ def _q126_oracle() -> str:
     )
 
     key = hash60_sql("CAST(cluster AS VARCHAR) || ':csplit'")
-    k = DD.COMPONENT_ITERATIONS
     return (
-        _label_prop_ctes(_SIMHASH_PAIRS_SQL, k)
+        _converged_labels_ctes(_SIMHASH_PAIRS_SQL)
         + f"""
     , clusters AS (
         SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster
-        FROM documents d LEFT JOIN l{k} l ON l.doc_id = d.doc_id
+        FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
     ),
     s AS (
         SELECT doc_id, cluster,
@@ -1468,9 +1513,14 @@ def q126_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         SPLIT_VAL_UPTO,
     )
 
+    # round 8: the cluster labels come off the PERSISTED artifact —
+    # true converged components (the fixed-k propagation could leak a
+    # >k-diameter chain across splits; leakage-safety wants the real
+    # transitive closure), no propagation loop in the serving DAG.
+    from whale_sightings_spark.plans.cluster_store import text_cluster_dir
+
     docs = load_table(spark, sf_dir, "documents")
-    pairs = DD.simhash_pairs(docs)
-    labels = DD.dedup_components(pairs)
+    labels = DD.stored_cluster_labels(spark, text_cluster_dir(spark, sf_dir))
     clusters = (
         docs.select("doc_id")
         .join(labels, "doc_id", "left")
@@ -2425,19 +2475,18 @@ def q174_ivfpq_incremental_encode(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _q175_oracle() -> str:
-    k = DD.COMPONENT_ITERATIONS
     pairs_sql = (
         f"WITH P AS ({_EMB_NEARDUP_SQL})\n"
         "    SELECT vec_a AS doc_a, vec_b AS doc_b FROM P"
     )
     return (
-        _label_prop_ctes(pairs_sql, k)
+        _converged_labels_ctes(pairs_sql)
         + f"""
     , surv AS (
-        SELECT label, min(doc_id) AS survivor FROM l{k} GROUP BY label
+        SELECT label, min(doc_id) AS survivor FROM labels GROUP BY label
     ),
     dropped AS (
-        SELECT l.doc_id FROM l{k} l
+        SELECT l.doc_id FROM labels l
         JOIN surv s ON s.label = l.label
         WHERE l.doc_id <> s.survivor
     ),
@@ -2462,10 +2511,11 @@ def q175_semantic_dedup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = codes.select(
         "vec_id", F.col("cell").cast("long").alias("cell")
     ).distinct()
-    pairs = SIM.embedding_neardup_pairs(emb).select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
-    )
-    labels = DD.dedup_components(pairs)
+    # round 8: the drop set serves from the SECOND store too — the
+    # persisted embed-cluster labels (two artifacts, one serving DAG)
+    from whale_sightings_spark.plans.cluster_store import embed_cluster_dir
+
+    labels = DD.stored_cluster_labels(spark, embed_cluster_dir(spark, sf_dir))
     surv = labels.groupBy("label").agg(F.min("doc_id").alias("survivor"))
     dropped = (
         labels.join(surv, "label")
@@ -2505,16 +2555,21 @@ def q175_semantic_dedup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q186_oracle() -> str:
-    k = DD.COMPONENT_ITERATIONS
+    # tokens_kept / kept_token_share COALESCE to 0: a source whose
+    # every doc loses its cluster's quality contest has no rk=1 rows,
+    # and DuckDB's FILTER-with-no-rows sum is NULL while Spark's
+    # sum(when) is 0 — first observed at sf0.1 (the r8 sweep), where
+    # source density makes zero-survivor sources possible. 0 is the
+    # informative value; both engines now pin it.
     return (
-        _label_prop_ctes(_SIMHASH_PAIRS_SQL, k)
+        _converged_labels_ctes(_SIMHASH_PAIRS_SQL)
         + f"""
     , clusters AS (
         SELECT d.doc_id, d.source,
                coalesce(l.label, d.doc_id) AS cluster,
                round({TX.quality_score_sql('d.text')}, 6) AS q,
                {TX.token_count_sql('d.text')} AS n_tokens
-        FROM documents d LEFT JOIN l{k} l ON l.doc_id = d.doc_id
+        FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
     ),
     ranked AS (
         SELECT *,
@@ -2528,8 +2583,9 @@ def _q186_oracle() -> str:
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(count(*) FILTER (rk = 1) AS BIGINT) AS n_survivors,
            CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
-           CAST(sum(n_tokens) FILTER (rk = 1) AS BIGINT) AS tokens_kept,
-           round(CAST(sum(n_tokens) FILTER (rk = 1) AS DOUBLE)
+           CAST(coalesce(sum(n_tokens) FILTER (rk = 1), 0) AS BIGINT)
+               AS tokens_kept,
+           round(CAST(coalesce(sum(n_tokens) FILTER (rk = 1), 0) AS DOUBLE)
                  / sum(n_tokens), 6) AS kept_token_share,
            CAST(count(*) FILTER (rk = 1 AND doc_id <> min_id) AS BIGINT)
                AS n_quality_flips
@@ -2543,9 +2599,12 @@ def _q186_oracle() -> str:
 def q186_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    # round 8: converged cluster labels served from the persisted
+    # artifact (no pair generation or propagation loop in this DAG)
+    from whale_sightings_spark.plans.cluster_store import text_cluster_dir
+
     docs = load_table(spark, sf_dir, "documents")
-    pairs = DD.simhash_pairs(docs)
-    labels = DD.dedup_components(pairs)
+    labels = DD.stored_cluster_labels(spark, text_cluster_dir(spark, sf_dir))
     clusters = (
         docs.select(
             "doc_id",
@@ -2879,3 +2938,112 @@ def q237_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int"),
     )
     return ranked.filter(F.col("hard_rank") <= _HARDNEG_K)
+
+
+# ---------------------------------------------------------------------------
+# q243 — cluster-artifact rebuild drift audit (the q188/q238 pattern
+# applied to the FIFTH artifact): converge the near-dup components on
+# the HISTORY slice (doc_id % 5 <> 4, the q188 hold) inline, read the
+# FULL corpus labels off the persisted cluster store, and compare the
+# two clusterings over the docs both saw. New data can both CLUSTER
+# previously-singleton docs (new edges) and DE-cluster old members
+# (a band pushed over MAX_BAND_BUCKET drops its pairs — the hot-bucket
+# cap is part of the operator contract, so its drift is real and worth
+# pricing). Scale shape: one inline history convergence (edge-set-
+# bounded rounds), one store scan, one full-outer join of two
+# label tables — never corpus-scale joins.
+# ---------------------------------------------------------------------------
+
+_CDRIFT_HOLD = "doc_id % 5 <> 4"
+
+
+@register(
+    "q243_cluster_rebuild_drift",
+    "WITH RECURSIVE "
+    + _converged_labels_chain(
+        _simhash_pairs_sql_p("h_", _CDRIFT_HOLD), "h_"
+    )
+    + ",\n    "
+    + _converged_labels_chain(_simhash_pairs_sql_p(), "")
+    + f"""
+    , old_full AS (
+        SELECT doc_id, label FROM labels WHERE {_CDRIFT_HOLD}
+    ),
+    j AS (
+        SELECT coalesce(h.doc_id, f.doc_id) AS doc_id,
+               h.label AS l_hist, f.label AS l_full
+        FROM h_labels h FULL OUTER JOIN old_full f ON f.doc_id = h.doc_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM h_labels) AS n_docs_hist,
+           (SELECT CAST(count(*) AS BIGINT) FROM old_full) AS n_docs_full_old,
+           CAST(sum(CASE WHEN l_hist IS NOT NULL AND l_full IS NOT NULL
+                              AND l_hist = l_full THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stable,
+           CAST(sum(CASE WHEN l_hist IS NOT NULL AND l_full IS NOT NULL
+                              AND l_hist <> l_full THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_label_changed,
+           CAST(sum(CASE WHEN l_hist IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_newly_clustered,
+           CAST(sum(CASE WHEN l_full IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_declustered,
+           (SELECT CAST(count(DISTINCT label) AS BIGINT) FROM h_labels)
+               AS n_clusters_hist,
+           (SELECT CAST(count(DISTINCT label) AS BIGINT) FROM labels)
+               AS n_clusters_full
+    FROM j
+    """,
+)
+def q243_cluster_rebuild_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from whale_sightings_spark.plans.cluster_store import text_cluster_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    hold = (F.col("doc_id") % 5) != 4
+    hist = DD.dedup_components_converged(
+        DD.simhash_pairs(docs.filter(hold))
+    ).select("doc_id", F.col("label").alias("l_hist"))
+    full = DD.stored_cluster_labels(spark, text_cluster_dir(spark, sf_dir))
+    old_full = full.filter(hold).select(
+        "doc_id", F.col("label").alias("l_full")
+    )
+    j = hist.join(old_full, "doc_id", "full_outer")
+    nh = hist.agg(F.count("*").cast("bigint").alias("n_docs_hist"))
+    nf = old_full.agg(F.count("*").cast("bigint").alias("n_docs_full_old"))
+    ch = hist.agg(
+        F.countDistinct("l_hist").cast("bigint").alias("n_clusters_hist")
+    )
+    cf = full.agg(
+        F.countDistinct("label").cast("bigint").alias("n_clusters_full")
+    )
+    both = F.col("l_hist").isNotNull() & F.col("l_full").isNotNull()
+    agg = j.agg(
+        F.sum((both & (F.col("l_hist") == F.col("l_full"))).cast("long"))
+        .cast("bigint")
+        .alias("n_stable"),
+        F.sum((both & (F.col("l_hist") != F.col("l_full"))).cast("long"))
+        .cast("bigint")
+        .alias("n_label_changed"),
+        F.sum(F.col("l_hist").isNull().cast("long"))
+        .cast("bigint")
+        .alias("n_newly_clustered"),
+        F.sum(F.col("l_full").isNull().cast("long"))
+        .cast("bigint")
+        .alias("n_declustered"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(nh))
+        .crossJoin(F.broadcast(nf))
+        .crossJoin(F.broadcast(ch))
+        .crossJoin(F.broadcast(cf))
+        .select(
+            "n_docs_hist",
+            "n_docs_full_old",
+            "n_stable",
+            "n_label_changed",
+            "n_newly_clustered",
+            "n_declustered",
+            "n_clusters_hist",
+            "n_clusters_full",
+        )
+    )
