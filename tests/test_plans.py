@@ -404,6 +404,7 @@ def test_shingle_family_serves_from_stored_index(spark, sf_dir):
 
     art = shingle_artifact_dir(spark, sf_dir)  # build once if absent
     served = (
+        "q14_dedup_ngram_jaccard",
         "q51_contamination",
         "q119_contamination_screen",
         "q139_source_overlap",
@@ -414,13 +415,17 @@ def test_shingle_family_serves_from_stored_index(spark, sf_dir):
     )
     for name in served:
         plan = explain_str(queries()[name](spark, sf_dir))
-        # q141's one Generate is the band-bucket pair expansion over
-        # STORED postings (dedup._bucket_candidate_pairs) and q184's is
-        # the 3-element bloom-position explode per stored gram — both
-        # row-local fan-outs of store rows, not re-shingles (and both
-        # plans are corpus-text-free per the scan asserts below); every
-        # other plan must be Generate-free entirely
-        if name not in ("q141_jaccard_histogram", "q184_bloom_prescreen"):
+        # q14/q141's one Generate is the band-bucket pair expansion
+        # over STORED postings (dedup._bucket_candidate_pairs) and
+        # q184's is the 3-element bloom-position explode per stored
+        # gram — row-local fan-outs of store rows, not re-shingles
+        # (and all three plans are corpus-text-free per the scan
+        # asserts below); every other plan must be Generate-free
+        if name not in (
+            "q14_dedup_ngram_jaccard",
+            "q141_jaccard_histogram",
+            "q184_bloom_prescreen",
+        ):
             assert "Generate" not in plan, f"{name} re-shingled inline:\n{plan}"
         assert "postings" in plan or "src5" in plan, (
             f"{name} does not scan the store:\n{plan}"

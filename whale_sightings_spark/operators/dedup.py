@@ -140,14 +140,21 @@ def _shingle_docs(docs: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
     """Near-dup candidate pairs by exact n-gram Jaccard >= threshold.
 
     Inverted-index self-join on shingles: |A ∩ B| per pair from the
     index, |A| / |B| from per-doc distinct counts. The df cap bounds
     per-shingle fan-out, keeping the join linear-ish at scale.
+
+    ``pairs`` overrides the inline `_shingle_docs` computation with a
+    pre-built df-capped (doc_id, shingle) posting table — the persisted
+    shingle index's `capped_postings` serve path (round 8).
     """
-    pairs = _shingle_docs(docs)
+    if pairs is None:
+        pairs = _shingle_docs(docs)
     sizes = pairs.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
 
     # the shingle inverted index is a banded table: group each shingle's

