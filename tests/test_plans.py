@@ -516,6 +516,18 @@ def test_cluster_family_serves_from_stored_labels(spark, sf_dir):
     assert os.path.getmtime(marker) == mt0
 
 
+def test_q244_eval_probe_is_partition_pruned(spark, sf_dir):
+    """q244's probe of the stored posting table must carry a
+    PartitionFilter on the eval set's bucket ids — the index is read
+    |eval buckets|/N_POSTING_BUCKETS at rest, never fully (the q173
+    pruned-probe pattern on the text index)."""
+    plan = explain_str(queries()["q244_pruned_eval_probe"](spark, sf_dir))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan
+    assert "Generate" not in plan, f"re-shingled inline:\n{plan}"
+    assert "documents.parquet" not in plan, plan
+
+
 def test_q211_markov_model_join_is_broadcast(spark, sf_dir):
     # the trained transition model is |types|^2-bounded: the held-out
     # transition stream must probe it via BroadcastHashJoin, never a

@@ -1091,3 +1091,80 @@ def q232_code_prose_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("code_share"),
         F.round(F.avg("sym_density"), 6).alias("avg_sym_density"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q244 — PARTITION-PRUNED eval-set probe of the stored shingle index:
+# the production contamination check against a SMALL eval set should
+# read only the posting buckets that can contain the eval shingles —
+# not the whole index. The eval dictionary (docs < 5 here, benchmarks
+# are small by construction) collapses to its ≤N_POSTING_BUCKETS
+# distinct bucket ids (one bounded collect, the BPE-argmax class);
+# the probe scan then carries a PartitionFilter on those buckets
+# (plan-asserted), so at 100 TB the check reads |eval buckets| /
+# N_POSTING_BUCKETS of the index at rest — the q173 pruned-probe
+# pattern applied to the text index. Per-source hit accounting mirrors
+# q119's contract at source grain.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q244_pruned_eval_probe",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source, {TX.tokens_sql('text')} AS t FROM documents
+    ),
+    g AS (
+        SELECT doc_id, source,
+               unnest(list_distinct({TX.shingles_from_tokens_sql('t', SHINGLE_N)}))
+                   AS shingle
+        FROM t
+    ),
+    e AS (SELECT DISTINCT shingle FROM g WHERE doc_id < 5),
+    tr AS (SELECT doc_id, source, shingle FROM g WHERE doc_id >= 10),
+    hits AS (
+        SELECT tr.source, tr.doc_id, count(*) AS n_hit
+        FROM tr JOIN e USING (shingle)
+        GROUP BY tr.source, tr.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs_hit,
+           CAST(sum(n_hit) AS BIGINT) AS n_gram_hits,
+           CAST(max(n_hit) AS BIGINT) AS max_hits_one_doc
+    FROM hits
+    GROUP BY source
+    """,
+)
+def q244_pruned_eval_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.operators import shingles as SHI
+    from whale_sightings_spark.plans.shingle_store import shingle_artifact_dir
+
+    art = shingle_artifact_dir(spark, sf_dir)
+    post = SHI.stored_postings(spark, art)
+    ev = (
+        post.filter(F.col("doc_id") < 5)
+        .select("shingle", "bucket")
+        .distinct()
+        .localCheckpoint()  # eval-set-bounded; feeds the probe twice
+    )
+    # bounded collect: the DISTINCT bucket ids the eval set occupies
+    # (≤ N_POSTING_BUCKETS scalars) become a literal IN-filter, which
+    # is the only way a static partition prune can reach the scan
+    buckets = [
+        r["bucket"] for r in ev.select("bucket").distinct().collect()
+    ]
+    probe = post.filter(
+        (F.col("doc_id") >= 10) & F.col("bucket").isin(buckets)
+    )
+    hits = (
+        probe.join(
+            F.broadcast(ev.select("shingle").distinct()), "shingle"
+        )
+        .groupBy("source", "doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return hits.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs_hit"),
+        F.sum("n_hit").cast("bigint").alias("n_gram_hits"),
+        F.max("n_hit").cast("bigint").alias("max_hits_one_doc"),
+    )
