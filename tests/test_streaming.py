@@ -1096,3 +1096,74 @@ def test_streaming_ks_ingest_matches_batch_and_replays(
         tuple(r) for r in ks_from_state(spark, state_dir).collect()
     )
     assert after == got
+
+
+def test_streaming_shingle_index_ingest_full_loop(spark, sf_dir, tmp_path_factory):
+    """Round-8: the shingle index gets the IVF-PQ lifecycle — build
+    over history -> stream-ingest delta docs into the stored bucket
+    layout -> serve. (a) Every stored table equals a fresh full-corpus
+    build (postings/doc_stats exactly; df via sum-at-read; src5 via
+    distinct-at-read); (b) replay from a fresh checkpoint appends
+    nothing; (c) the grown store still serves a bucket-pruned probe."""
+    import re
+    import time
+
+    from whale_sightings_spark.operators import shingles as SH
+    from whale_sightings_spark.streaming.events import (
+        streaming_shingle_index_ingest,
+    )
+
+    split = 700
+    base = tmp_path_factory.mktemp("shingle_ingest")
+    docs = load_table(spark, sf_dir, "documents")
+    art = str(base / "index")
+    SH.build_shingle_artifact(docs.filter(F.col("doc_id") < split), art)
+
+    docs_dir = str(base / "deltas")
+    mid = split + 100
+    docs.filter(
+        (F.col("doc_id") >= split) & (F.col("doc_id") < mid)
+    ).coalesce(1).write.parquet(docs_dir, mode="append")
+    time.sleep(1.1)
+    docs.filter(F.col("doc_id") >= mid).coalesce(1).write.parquet(
+        docs_dir, mode="append"
+    )
+
+    streaming_shingle_index_ingest(spark, docs_dir, art, str(base / "ck1"))
+
+    full = str(base / "full")
+    SH.build_shingle_artifact(docs, full)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    got_post = rows(
+        SH.stored_postings(spark, art).select("doc_id", "source", "shingle")
+    )
+    want_post = rows(
+        SH.stored_postings(spark, full).select("doc_id", "source", "shingle")
+    )
+    assert got_post == want_post and len(got_post) > 0
+    assert rows(SH.stored_df(spark, art)) == rows(SH.stored_df(spark, full))
+    assert rows(SH.stored_doc_stats(spark, art)) == rows(
+        SH.stored_doc_stats(spark, full)
+    )
+    assert rows(SH.stored_src5(spark, art)) == rows(
+        SH.stored_src5(spark, full)
+    )
+
+    # replay: fresh checkpoint, same files — anti-join appends nothing
+    streaming_shingle_index_ingest(spark, docs_dir, art, str(base / "ck2"))
+    assert (
+        SH.stored_postings(spark, art).count() == len(got_post)
+    )
+
+    # the grown store still serves the partition-pruned probe shape
+    probe = SH.stored_postings(spark, art).filter(
+        F.col("bucket").isin([0, 1, 2])
+    )
+    plan = probe.sparkSession._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan

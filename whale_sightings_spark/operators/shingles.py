@@ -172,21 +172,37 @@ def stored_postings(spark: SparkSession, artifact_dir: str) -> DataFrame:
 
 
 def stored_df(spark: SparkSession, artifact_dir: str) -> DataFrame:
-    """(shingle, df) — distinct-document frequency per shingle."""
+    """(shingle, df) — distinct-document frequency per shingle.
+
+    The on-disk table holds PARTIAL counts (one row per shingle from
+    the initial build, plus one per streaming-ingest batch that saw
+    the shingle — new docs only, so partials are disjoint doc sets and
+    SUM is exact). Summing at read keeps ingest O(batch): the
+    alternative, merging the full df table per trigger, is
+    O(shingle types) — near corpus scale for word n-grams."""
     _, df_dir, _, _ = shingle_artifact_paths(artifact_dir)
-    return spark.read.schema(_DF_SCHEMA).parquet(df_dir)
+    return (
+        spark.read.schema(_DF_SCHEMA)
+        .parquet(df_dir)
+        .groupBy("shingle")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+    )
 
 
 def stored_doc_stats(spark: SparkSession, artifact_dir: str) -> DataFrame:
-    """(doc_id, n_shingles) — per-doc distinct shingle count."""
+    """(doc_id, n_shingles) — per-doc distinct shingle count. Plain
+    read stays exact under streaming ingest: batches are anti-joined
+    to new doc_ids, so appended rows never collide with stored ones."""
     _, _, stats_dir, _ = shingle_artifact_paths(artifact_dir)
     return spark.read.schema(_DOC_STATS_SCHEMA).parquet(stats_dir)
 
 
 def stored_src5(spark: SparkSession, artifact_dir: str) -> DataFrame:
-    """distinct (source, shingle) at n=5 — q234's overlap base."""
+    """distinct (source, shingle) at n=5 — q234's overlap base.
+    Distinct at read: streaming-ingest batches append their own
+    distinct sets, which may repeat (source, shingle) across batches."""
     _, _, _, src5_dir = shingle_artifact_paths(artifact_dir)
-    return spark.read.schema(_SRC5_SCHEMA).parquet(src5_dir)
+    return spark.read.schema(_SRC5_SCHEMA).parquet(src5_dir).distinct()
 
 
 def capped_postings(

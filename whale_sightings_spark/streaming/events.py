@@ -1389,3 +1389,100 @@ def ks_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
         )
     )
     return ks_report(d.select("source", "n_chars"))
+
+
+def streaming_shingle_index_ingest(
+    spark: SparkSession,
+    docs_dir: str,
+    artifact_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Delta ingest INTO the persisted shingle inverted index (round 8
+    — the fourth artifact gets the same lifecycle the IVF-PQ index
+    has: build -> serve -> STREAM-INGEST -> serve). Each micro-batch's
+    NEW documents (already-indexed doc_ids anti-join away — the
+    q95-twin idempotence pattern, so replays and torn appends are
+    no-ops) contribute:
+
+    - distinct (doc_id, source, shingle) postings, appended INTO the
+      stored bucket-partitioned layout (the pruned probe keeps working
+      over the grown index without re-layout),
+    - per-doc shingle counts (doc-disjoint by the anti-join: plain
+      append stays exact),
+    - per-shingle df PARTIALS (disjoint doc sets per batch, so
+      `stored_df`'s sum-at-read is exact; merging the full df table
+      per trigger would be O(shingle types) — near corpus scale),
+    - the batch's distinct width-5 (source, shingle) rows
+      (`stored_src5` dedups at read).
+
+    Per-trigger cost: O(batch tokens) + one batch-sized distinct, one
+    bucket-keyed append. Drained store equals a fresh full-corpus
+    build up to df/src5 partial layout — pinned in
+    tests/test_streaming.py.
+    """
+    from whale_sightings_spark.operators import shingles as SH
+
+    schema = spark.read.parquet(docs_dir).schema
+    postings_dir, df_dir, stats_dir, src5_dir = SH.shingle_artifact_paths(
+        artifact_dir
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        seen = (
+            sess.read.schema(SH._POSTINGS_SCHEMA)
+            .parquet(postings_dir)
+            .select("doc_id")
+            .distinct()
+        )
+        batch = batch_df.join(seen, "doc_id", "left_anti")
+        if batch.limit(1).isEmpty():
+            return
+        post = (
+            SH._distinct_postings(batch, SH.SHINGLE_N)
+            .withColumn(
+                "bucket",
+                F.pmod(F.hash("shingle"), F.lit(SH.N_POSTING_BUCKETS)).cast(
+                    "int"
+                ),
+            )
+            .localCheckpoint()  # 4 consumers below; batch-bounded
+        )
+        (
+            post.repartition("bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(postings_dir)
+        )
+        (
+            post.groupBy("shingle")
+            .agg(F.count("*").cast("bigint").alias("df"))
+            .write.mode("append")
+            .parquet(df_dir)
+        )
+        (
+            post.groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_shingles"))
+            .write.mode("append")
+            .parquet(stats_dir)
+        )
+        (
+            SH._distinct_postings(batch, SH.SRC_SHINGLE_N)
+            .select("source", "shingle")
+            .distinct()
+            .write.mode("append")
+            .parquet(src5_dir)
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
