@@ -78,6 +78,40 @@ def main() -> None:
     spark.range(int(cpus)).repartition(int(cpus)).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+    # build-if-absent the five persisted artifacts BEFORE the timing
+    # loop: they are one-time per corpus fingerprint (a long-running
+    # cluster has them built), and letting the first consumer query
+    # absorb a build would bill minutes of one-time setup to one
+    # query's cold number — poisoning round-over-round comparison the
+    # same way CPU steal does. Cached runs make these calls no-ops.
+    t_art = time.perf_counter()
+    from whale_sightings_spark.plans.cluster_store import (  # noqa: E402
+        embed_cluster_dir,
+        text_cluster_dir,
+    )
+    from whale_sightings_spark.plans.queries_classify import (  # noqa: E402
+        _nb_artifact_dir,
+    )
+    from whale_sightings_spark.plans.queries_llm import (  # noqa: E402
+        _ivfpq_index_dir,
+    )
+    from whale_sightings_spark.plans.queries_textops import (  # noqa: E402
+        _bpe_artifact_dir,
+    )
+    from whale_sightings_spark.plans.shingle_store import (  # noqa: E402
+        shingle_artifact_dir,
+    )
+
+    for build in (
+        _ivfpq_index_dir,
+        _bpe_artifact_dir,
+        _nb_artifact_dir,
+        shingle_artifact_dir,
+        text_cluster_dir,
+        embed_cluster_dir,
+    ):
+        build(spark, sf_dir)
+    artifact_warm_s = round(time.perf_counter() - t_art, 4)
 
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
@@ -174,6 +208,7 @@ def main() -> None:
                 # per-query spikes are suspect
                 "loadavg_start": [round(x, 2) for x in loadavg_start],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                "artifact_warm_s": artifact_warm_s,
                 "loadavg_series": loadavg_series,
                 "contended": contended,
                 "steady_gt_cold": inversions,

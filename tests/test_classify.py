@@ -156,6 +156,27 @@ def test_streaming_nb_score_matches_batch_and_replays(
     streaming_nb_score(spark, docs_dir, artifact, out_dir, str(base / "ck2"))
     assert key(nb_scores_from_out(spark, out_dir).collect()) == want
 
+    # round 8: every streamed row carries the CALIBRATED probability
+    # computed from the stored temperature
+    import math
+
+    from whale_sightings_spark.operators.classify import nb_stored_model
+
+    t = nb_stored_model(spark, artifact)[1].collect()[0]["temperature"]
+    rows = (
+        spark.read.schema(
+            "doc_id long, source string, y int, score double, "
+            "p_cal double, batch_id long"
+        )
+        .parquet(out_dir + "/*")
+        .select("score", "p_cal")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        want_p = round(1.0 / (1.0 + math.exp(-round(r["score"], 4) / t)), 4)
+        assert abs(r["p_cal"] - want_p) < 1e-12, (r, want_p, t)
+
 
 def test_nb_serving_reads_stored_artifact(spark, sf_dir):
     """q229 SERVES from the persisted model: its DAG scans the stored

@@ -999,13 +999,20 @@ def streaming_nb_score(
     """
     import os
 
-    from whale_sightings_spark.operators.classify import nb_score_from_store
+    from whale_sightings_spark.operators.classify import (
+        nb_calibrated_scores_from_store,
+    )
 
     schema = spark.read.parquet(docs_dir).schema
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        scored = nb_score_from_store(batch_df, sess, artifact_dir)
+        # round 8: the served rows carry the CALIBRATED probability
+        # (sigma(score/T) with T off the stored meta row) beside the
+        # raw log-odds — the gate downstream consumes p_cal directly
+        scored = nb_calibrated_scores_from_store(
+            batch_df, sess, artifact_dir
+        )
         (
             scored.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
@@ -1031,7 +1038,8 @@ def nb_scores_from_out(spark: SparkSession, out_dir: str) -> DataFrame:
     """Aggregate the streamed per-doc scores to the q229 per-source
     report (column-compatible with the registered query)."""
     out = spark.read.schema(
-        "doc_id long, source string, y int, score double, batch_id long"
+        "doc_id long, source string, y int, score double, p_cal double, "
+        "batch_id long"
     ).parquet(out_dir + "/*")
     pos = F.col("score") > 0
     return out.groupBy("source").agg(
