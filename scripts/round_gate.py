@@ -7,9 +7,10 @@ sf0.01 and red at sf0.001 — so a single-scale gate is not a gate.
 #2 — data-dependent contracts like hot-bucket caps, min-count floors
 and 6dp rounding boundaries can diverge only above sf0.01; sf0.1 is
 the scale the driver benches at, so it must also be the scale the
-oracle has signed off on at least once per round). The sweep writes
-its JSON verdict to STRICT_SF01.json at the repo root so the round
-has a committed artifact covering every query at the bench scale.
+oracle has signed off on at least once per round — the r8 sweep
+caught q186's FILTER-over-no-rows NULL divergence there). Every tier
+writes its JSON verdict to STRICT_<sf>.json at the repo root so the
+round has committed per-query artifacts at each gated scale.
 
 Usage:
   python scripts/round_gate.py           (two-scale gate + pytest)
@@ -34,9 +35,14 @@ def main() -> int:
         tiers.append("/root/testdata/sf0.1")
     for sf_dir in tiers:
         print(f"=== strict oracle @ {sf_dir}", flush=True)
-        cmd = [sys.executable, os.path.join(HERE, "strict_oracle_check.py")]
-        if sf_dir.endswith("sf0.1"):
-            cmd += ["--out", os.path.join(REPO, "STRICT_SF01.json")]
+        base = os.path.basename(os.path.normpath(sf_dir))  # e.g. sf0.1
+        out = os.path.join(REPO, f"STRICT_{base}.json")
+        cmd = [
+            sys.executable,
+            os.path.join(HERE, "strict_oracle_check.py"),
+            "--out",
+            out,
+        ]
         r = subprocess.run(cmd + [sf_dir], cwd=REPO)
         rc = rc or r.returncode
     print("=== pytest tests/", flush=True)
