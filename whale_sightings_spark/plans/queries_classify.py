@@ -1078,3 +1078,84 @@ def q242_selective_accuracy_curve(
             "ece_after",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q245 — weak-rule vs trained-model agreement (Cohen's kappa) per
+# source: observed agreement corrected for chance agreement between
+# the rule-based weak label and the STORED NB model's prediction —
+# the audit that tells a pipeline owner where the distilled model
+# genuinely disagrees with its teacher (kappa near 0 = agreement is
+# luck; near 1 = the model reproduces the rule).  Serve shape: q229's
+# stored-model scoring (token stream ⋈ broadcast vocab) followed by
+# one source-keyed agg of four cell counts — kappa is row-local
+# algebra over the confusion marginals.  pe == 1 (both raters
+# constant) is pinned to kappa = 0.0 in both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q245_weak_label_agreement",
+    f"""
+    WITH {CL.nb_ctes(score="all")},
+    cells AS (
+        SELECT source,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CASE WHEN y = 1 AND score > 0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS a11,
+               CAST(sum(CASE WHEN y = 0 AND score <= 0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS a00,
+               CAST(sum(y) AS DOUBLE) AS y1,
+               CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS p1
+        FROM nb_scored
+        GROUP BY source
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           round((a11 + a00) / n, 6) AS observed_agreement,
+           round((y1 * p1 + (n - y1) * (n - p1)) / (n * n), 6)
+               AS chance_agreement,
+           CASE WHEN (y1 * p1 + (n - y1) * (n - p1)) / (n * n) >= 1.0
+                THEN 0.0
+                ELSE round(((a11 + a00) / n
+                            - (y1 * p1 + (n - y1) * (n - p1)) / (n * n))
+                           / (1.0 - (y1 * p1 + (n - y1) * (n - p1))
+                                    / (n * n)), 6)
+           END AS kappa
+    FROM cells
+    """,
+)
+def q245_weak_label_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = CL.nb_score_from_store(
+        docs, spark, _nb_artifact_dir(spark, sf_dir)
+    )
+    pos = (F.col("score") > 0).cast("int")
+    cells = scored.groupBy("source").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(((F.col("y") == 1) & (F.col("score") > 0)).cast("int"))
+        .cast("double")
+        .alias("a11"),
+        F.sum(((F.col("y") == 0) & (F.col("score") <= 0)).cast("int"))
+        .cast("double")
+        .alias("a00"),
+        F.sum("y").cast("double").alias("y1"),
+        F.sum(pos).cast("double").alias("p1"),
+    )
+    po = (F.col("a11") + F.col("a00")) / F.col("n")
+    pe = (
+        F.col("y1") * F.col("p1")
+        + (F.col("n") - F.col("y1")) * (F.col("n") - F.col("p1"))
+    ) / (F.col("n") * F.col("n"))
+    return cells.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("chance_agreement"),
+        F.when(pe >= 1.0, F.lit(0.0))
+        .otherwise(F.round((po - pe) / (F.lit(1.0) - pe), 6))
+        .alias("kappa"),
+    )
