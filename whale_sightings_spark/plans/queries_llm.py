@@ -3058,3 +3058,85 @@ def q243_cluster_rebuild_drift(
             "n_clusters_full",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q246 — leakage-safe split for the EMBEDDING corpus: q126's guard on
+# the vector side — every member of an embedding near-dup cluster
+# (the stored embed-cluster labels) lands in the same train/val/test
+# split, so retrieval eval vectors cannot leak into training via
+# near-duplicate embeddings. Labels come off the persisted artifact
+# (one parquet scan); the split decision is a row-local hash of the
+# cluster id; the report pins the exact survivor sets via sum_ids.
+# ---------------------------------------------------------------------------
+
+
+def _q246_oracle() -> str:
+    from whale_sightings_spark.plans.queries_quality import (
+        SPLIT_TRAIN_UPTO,
+        SPLIT_VAL_UPTO,
+    )
+
+    pairs_sql = (
+        f"WITH P AS ({_EMB_NEARDUP_SQL})\n"
+        "    SELECT vec_a AS doc_a, vec_b AS doc_b FROM P"
+    )
+    key = hash60_sql("CAST(cluster AS VARCHAR) || ':esplit'")
+    return (
+        _converged_labels_ctes(pairs_sql)
+        + f"""
+    , clusters AS (
+        SELECT e.vec_id, coalesce(l.label, e.vec_id) AS cluster
+        FROM embeddings e LEFT JOIN labels l ON l.doc_id = e.vec_id
+    ),
+    s AS (
+        SELECT vec_id, cluster,
+               CASE WHEN ({key}) % 100 < {SPLIT_TRAIN_UPTO} THEN 'train'
+                    WHEN ({key}) % 100 < {SPLIT_VAL_UPTO} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM clusters
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+           CAST(sum(vec_id) AS BIGINT) AS sum_ids
+    FROM s
+    GROUP BY split
+    """
+    )
+
+
+@register("q246_embed_leakage_split", _q246_oracle())
+def q246_embed_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.functions.hashing import hash60
+    from whale_sightings_spark.plans.cluster_store import embed_cluster_dir
+    from whale_sightings_spark.plans.queries_quality import (
+        SPLIT_TRAIN_UPTO,
+        SPLIT_VAL_UPTO,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = DD.stored_cluster_labels(spark, embed_cluster_dir(spark, sf_dir))
+    clusters = (
+        emb.select("vec_id")
+        .join(
+            labels.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            F.coalesce(F.col("label"), F.col("vec_id")).alias("cluster"),
+        )
+    )
+    bucket = hash60(
+        F.concat(F.col("cluster").cast("string"), F.lit(":esplit"))
+    ) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_UPTO, "train")
+        .when(bucket < SPLIT_VAL_UPTO, "val")
+        .otherwise("test")
+    )
+    return clusters.withColumn("split", split).groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.countDistinct("cluster").cast("bigint").alias("n_clusters"),
+        F.sum("vec_id").cast("bigint").alias("sum_ids"),
+    )
