@@ -500,6 +500,7 @@ def test_cluster_family_serves_from_stored_labels(spark, sf_dir):
         "q186_quality_survivors",
         "q132_semantic_dedup",
         "q175_semantic_dedup_stored",
+        "q246_embed_leakage_split",
     ):
         plan = explain_str(queries()[name](spark, sf_dir))
         assert "ExistingRDD" not in plan, (
