@@ -78,7 +78,7 @@ def main() -> None:
     spark.range(int(cpus)).repartition(int(cpus)).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
-    # build-if-absent the five persisted artifacts BEFORE the timing
+    # build-if-absent the six persisted artifacts BEFORE the timing
     # loop: they are one-time per corpus fingerprint (a long-running
     # cluster has them built), and letting the first consumer query
     # absorb a build would bill minutes of one-time setup to one
@@ -98,6 +98,9 @@ def main() -> None:
     from whale_sightings_spark.plans.queries_textops import (  # noqa: E402
         _bpe_artifact_dir,
     )
+    from whale_sightings_spark.plans.lm_store import (  # noqa: E402
+        lm_artifact_dir,
+    )
     from whale_sightings_spark.plans.shingle_store import (  # noqa: E402
         shingle_artifact_dir,
     )
@@ -109,6 +112,7 @@ def main() -> None:
         shingle_artifact_dir,
         text_cluster_dir,
         embed_cluster_dir,
+        lm_artifact_dir,
     ):
         build(spark, sf_dir)
     artifact_warm_s = round(time.perf_counter() - t_art, 4)

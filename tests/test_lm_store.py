@@ -1,0 +1,187 @@
+"""Persisted n-gram LM store (operators/ngram_lm.py): event-extraction
+equivalence vs the inline shapes it replaces (including the empty /
+single-token / repeated-whitespace edge cases), derived-table
+consistency, weighted-fold equivalence, and the build-if-absent cache
+contract. The end-to-end value checks live in the oracle suite
+(q97/q120/q121/q136/q185/q216/q241 twins); this file pins the
+artifact's own invariants on a corpus crafted to hit the edges."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from whale_sightings_spark.operators import ngram_lm as LM
+
+_ROWS = [
+    # (doc_id, source, text) — edge-heavy corpus: empty text, spaces
+    # only, one token, exactly two, exactly three, repeats, multi-space
+    (0, "a", "the whale swims the whale swims"),
+    (1, "a", ""),
+    (2, "a", "   "),
+    (3, "b", "whale"),
+    (4, "b", "the whale"),
+    (5, "b", "the  whale   swims"),
+    (6, "c", "a b a b a"),
+    (7, "c", "the whale swims far away from the whale"),
+    # doc_id 10 lands in the held-out split (doc_id % 10 == 0 is doc 0
+    # and 10) — both splits are populated
+    (10, "c", "the whale swims"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(_ROWS, "doc_id long, source string, text string")
+
+
+@pytest.fixture(scope="module")
+def built(spark, docs, tmp_path_factory):
+    art = str(tmp_path_factory.mktemp("lm_art"))
+    LM.build_lm_artifact(docs, art)
+    return art
+
+
+def _inline_bigram_events(docs):
+    from whale_sightings_spark.functions.text import tokens
+
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("w"))
+    return (
+        toks.select("doc_id", "w", F.posexplode("w").alias("i", "w1"))
+        .select(
+            "doc_id", "w1", F.try_element_at("w", F.col("i") + 2).alias("w2")
+        )
+        .filter(
+            (F.col("w1") != "")
+            & F.col("w2").isNotNull()
+            & (F.col("w2") != "")
+        )
+    )
+
+
+def test_doc_bigrams_match_inline_events(spark, docs, built):
+    inline = {
+        (r["doc_id"], r["w1"], r["w2"]): r["n"]
+        for r in _inline_bigram_events(docs)
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    stored = {
+        (r["doc_id"], r["w1"], r["w2"]): r["n"]
+        for r in LM.stored_doc_big(spark, built).collect()
+    }
+    assert stored == inline and len(stored) > 0
+    # known values: doc 0 has "the whale" twice and "swims the" once
+    assert stored[(0, "the", "whale")] == 2
+    assert stored[(0, "swims", "the")] == 1
+    # empty / whitespace-only / single-token docs contribute nothing
+    assert not any(d in (1, 2, 3) for d, _, _ in stored)
+
+
+def test_doc_unigrams_and_trigrams_known_values(spark, built):
+    uni = {
+        (r["doc_id"], r["tok"]): r["n"]
+        for r in LM.stored_doc_uni(spark, built).collect()
+    }
+    # multi-space tokenization collapses runs: doc 5 has 3 tokens
+    assert uni[(5, "the")] == 1 and uni[(5, "whale")] == 1
+    # whitespace-only doc 2 has no tokens at all
+    assert not any(d == 2 for d, _ in uni)
+    tri = {
+        (r["doc_id"], r["w1"], r["w2"], r["w3"]): r["n"]
+        for r in LM.stored_doc_tri(spark, built).collect()
+    }
+    assert tri[(0, "the", "whale", "swims")] == 2
+    # two-token doc 4 has no trigrams
+    assert not any(d == 4 for d, _, _, _ in tri)
+
+
+def test_aggregated_tables_are_exact_rollups(spark, built):
+    big = LM.stored_doc_big(spark, built)
+    pairs = {
+        (r["w1"], r["w2"]): r["pair_n"]
+        for r in LM.stored_pairs(spark, built).collect()
+    }
+    recomputed = {
+        (r["w1"], r["w2"]): r["s"]
+        for r in big.groupBy("w1", "w2").agg(F.sum("n").alias("s")).collect()
+    }
+    assert pairs == recomputed
+    # first_n is the w1-marginal of pair_n
+    firsts = {
+        r["w1"]: r["first_n"]
+        for r in LM.stored_pairs(spark, built).collect()
+    }
+    marg = {
+        r["w1"]: r["s"]
+        for r in big.groupBy("w1").agg(F.sum("n").alias("s")).collect()
+    }
+    assert firsts == marg
+    # train tables exclude exactly the held-out docs
+    train_pairs = {
+        (r["w1"], r["w2"]): r["c12"]
+        for r in LM.stored_pairs_train(spark, built).collect()
+    }
+    rec_train = {
+        (r["w1"], r["w2"]): r["s"]
+        for r in big.filter(F.col("doc_id") % LM.HOLD_MOD != 0)
+        .groupBy("w1", "w2")
+        .agg(F.sum("n").alias("s"))
+        .collect()
+    }
+    assert train_pairs == rec_train
+
+
+def test_weighted_fold_equals_per_event_fold(spark, docs, built):
+    """The serve-side identity the q120/q136/q185/q216 rewrites rely
+    on: sum over events of ln p == sum over (event-type, n) of n*ln p,
+    and count(*) == sum(n)."""
+    ev = _inline_bigram_events(docs)
+    lm = LM.stored_pairs(spark, built)
+    per_event = {
+        r["doc_id"]: (r["c"], r["lp"])
+        for r in ev.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.log(F.col("pair_n") * 1.0 / F.col("first_n"))).alias("lp"),
+        )
+        .collect()
+    }
+    weighted = {
+        r["doc_id"]: (r["c"], r["lp"])
+        for r in LM.stored_doc_big(spark, built)
+        .join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("c"),
+            F.sum(
+                F.col("n") * F.log(F.col("pair_n") * 1.0 / F.col("first_n"))
+            ).alias("lp"),
+        )
+        .collect()
+    }
+    assert set(per_event) == set(weighted)
+    for d, (c, lp) in per_event.items():
+        wc, wlp = weighted[d]
+        assert wc == c
+        assert math.isclose(wlp, lp, rel_tol=1e-12)
+
+
+def test_torn_build_is_invisible_to_the_cache_key(spark, docs, tmp_path):
+    """pairs/ is written LAST: a build killed before it lands leaves no
+    _SUCCESS marker, so the build-if-absent cache treats the artifact
+    as absent (the shingle-store torn-write contract)."""
+    import shutil
+
+    art = str(tmp_path / "lm_torn")
+    LM.build_lm_artifact(docs, art)
+    paths = LM.lm_artifact_paths(art)
+    marker = os.path.join(paths["pairs"], "_SUCCESS")
+    assert os.path.exists(marker)
+    shutil.rmtree(paths["pairs"])
+    assert not os.path.exists(marker)

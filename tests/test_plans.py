@@ -559,3 +559,67 @@ def test_q214_wordpiece_vocab_rides_as_broadcast_list(spark, sf_dir):
     plan = explain_str(queries()["q214_wordpiece_audit"](spark, sf_dir))
     assert "BroadcastExchange" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_lm_family_serves_from_stored_ngram_store(spark, sf_dir):
+    """Round-8: the perplexity/LM family serves from the persisted
+    n-gram LM store — their DAGs contain no Generate node (no
+    posexplode-of-tokens, i.e. no re-tokenization of the corpus) and
+    never rescan documents at all. Build-if-absent must also behave
+    as a cache (no rebuild on the second call)."""
+    import os
+
+    from whale_sightings_spark.operators.ngram_lm import lm_artifact_paths
+    from whale_sightings_spark.plans.lm_store import lm_artifact_dir
+
+    art = lm_artifact_dir(spark, sf_dir)  # build once if absent
+    served = (
+        "q97_bigram_condprob",
+        "q120_perplexity_filter",
+        "q121_oov_rate",
+        "q136_ppl_interpolated",
+        "q185_ppl_stupid_backoff",
+        "q216_ppl_kneser_ney",
+        "q241_good_turing_mass",
+    )
+    for name in served:
+        plan = explain_str(queries()[name](spark, sf_dir))
+        assert "Generate" not in plan, f"{name} re-tokenized inline:\n{plan}"
+        assert "documents.parquet" not in plan, (
+            f"{name} rescans the corpus:\n{plan}"
+        )
+        assert "doc_uni" in plan or "doc_big" in plan or "doc_tri" in plan or (
+            "pairs" in plan
+        ), f"{name} does not scan the store:\n{plan}"
+    # build-if-absent is a cache: a second call must not rebuild
+    marker = os.path.join(lm_artifact_paths(art)["pairs"], "_SUCCESS")
+    mt0 = os.path.getmtime(marker)
+    queries()["q97_bigram_condprob"](spark, sf_dir).collect()
+    assert os.path.getmtime(marker) == mt0
+
+
+def test_lm_doc_tables_probe_is_bucket_partitioned(spark, sf_dir):
+    """The stored per-doc bigram table is laid out by n-gram-hash
+    bucket — the partition column must be visible to the scan so a
+    known-bigram probe can prune (the shingle-postings layout claim,
+    asserted for the LM store)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from whale_sightings_spark.operators.ngram_lm import (
+        N_LM_BUCKETS,
+        stored_doc_big,
+    )
+    from whale_sightings_spark.plans.lm_store import lm_artifact_dir
+
+    art = lm_artifact_dir(spark, sf_dir)
+    pruned = stored_doc_big(spark, art).filter(F.col("bucket").isin([0, 1]))
+    plan = explain_str(pruned)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan
+    big_dir = art.rstrip("/") + "/doc_big"
+    n_parts = len(
+        [d for d in os.listdir(big_dir) if d.startswith("bucket=")]
+    )
+    assert 0 < n_parts <= N_LM_BUCKETS

@@ -1167,3 +1167,84 @@ def test_streaming_shingle_index_ingest_full_loop(spark, sf_dir, tmp_path_factor
     )
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "bucket" in m.group(1), plan
+
+
+def test_streaming_lm_ingest_full_loop(spark, sf_dir, tmp_path_factory):
+    """Round-8: the n-gram LM store gets the shingle-index lifecycle —
+    build over history -> stream-ingest delta docs -> serve. (a) Every
+    stored table equals a fresh full-corpus build (per-doc tables
+    exactly; aggregated tables via sum-at-read — counts are additive,
+    so partial stacking is exact); (b) replay from a fresh checkpoint
+    appends nothing; (c) the grown store still serves a bucket-pruned
+    probe."""
+    import re
+    import time
+
+    from whale_sightings_spark.operators import ngram_lm as LM
+    from whale_sightings_spark.streaming.events import streaming_lm_ingest
+
+    split = 700
+    base = tmp_path_factory.mktemp("lm_ingest")
+    docs = load_table(spark, sf_dir, "documents")
+    art = str(base / "lm")
+    LM.build_lm_artifact(docs.filter(F.col("doc_id") < split), art)
+
+    docs_dir = str(base / "deltas")
+    mid = split + 100
+    docs.filter(
+        (F.col("doc_id") >= split) & (F.col("doc_id") < mid)
+    ).coalesce(1).write.parquet(docs_dir, mode="append")
+    time.sleep(1.1)
+    docs.filter(F.col("doc_id") >= mid).coalesce(1).write.parquet(
+        docs_dir, mode="append"
+    )
+
+    streaming_lm_ingest(spark, docs_dir, art, str(base / "ck1"))
+
+    full = str(base / "full")
+    LM.build_lm_artifact(docs, full)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    got_big = rows(
+        LM.stored_doc_big(spark, art).select("doc_id", "w1", "w2", "n")
+    )
+    want_big = rows(
+        LM.stored_doc_big(spark, full).select("doc_id", "w1", "w2", "n")
+    )
+    assert got_big == want_big and len(got_big) > 0
+    assert rows(
+        LM.stored_doc_uni(spark, art).select("doc_id", "source", "tok", "n")
+    ) == rows(
+        LM.stored_doc_uni(spark, full).select("doc_id", "source", "tok", "n")
+    )
+    assert rows(
+        LM.stored_doc_tri(spark, art).select("doc_id", "w1", "w2", "w3", "n")
+    ) == rows(
+        LM.stored_doc_tri(spark, full).select("doc_id", "w1", "w2", "w3", "n")
+    )
+    for reader in (
+        LM.stored_uni,
+        LM.stored_uni_train,
+        LM.stored_pairs,
+        LM.stored_pairs_train,
+        LM.stored_tri_train,
+    ):
+        assert rows(reader(spark, art)) == rows(reader(spark, full)), (
+            reader.__name__
+        )
+
+    # replay: fresh checkpoint, same files — anti-join appends nothing
+    streaming_lm_ingest(spark, docs_dir, art, str(base / "ck2"))
+    assert LM.stored_doc_big(spark, art).count() == len(got_big)
+
+    # the grown store still serves the partition-pruned probe shape
+    probe = LM.stored_doc_big(spark, art).filter(
+        F.col("bucket").isin([0, 1, 2])
+    )
+    plan = probe.sparkSession._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan

@@ -1,0 +1,372 @@
+"""Persisted n-gram language-model store — the sixth build-once/
+serve-many artifact (after the IVF-PQ index, the BPE tokenizer, the
+NB model, the shingle inverted index and the near-dup cluster labels).
+
+The LM / perplexity query family (q97 bigram table, q120 perplexity
+filter, q121 OOV rate, q136 interpolated backoff, q185 trigram stupid
+backoff, q216 Kneser-Ney, q241 Good-Turing) all start from the same
+corpus-scale step: tokenize ``documents.text`` and explode unigram /
+bigram / trigram events. That is six-plus full corpus passes per bench
+run (~12 s at sf0.1) and, at the 100 TB target, six tokenize-the-corpus
+jobs where one would do. This module persists the per-document n-gram
+COUNT tables once — counts are additive, so every consumer is an exact
+aggregate of the stored partials and streaming ingest is a plain
+append of per-batch counts (new doc_ids never collide with stored
+ones; see ``streaming/events.py:streaming_lm_ingest``).
+
+Reference behavior: the reference engine has no tokenizer at all
+(`/root/reference/cleaner.py` is date/dedup/spatial cleaning); the LM
+family is part of the training-data-pipeline surface the brief adds.
+
+On-disk layout (all parquet):
+
+- ``doc_uni/``   (doc_id, source, tok, n) — per-doc token occurrence
+  counts, ``tok <> ''``; partitioned by ``bucket = pmod(hash(tok))``.
+- ``doc_big/``   (doc_id, w1, w2, n) — per-doc adjacent-pair counts,
+  both words non-empty; partitioned by hash(w1, w2) bucket.
+- ``doc_tri/``   (doc_id, w1, w2, w3, n) — per-doc trigram counts,
+  all three words non-empty; partitioned by hash(w1, w2, w3) bucket.
+- ``uni/``       (tok, n) corpus unigram counts (partials; SUM at read).
+- ``uni_train/`` (tok, n) over the ``doc_id % HOLD_MOD <> 0`` train
+  split — the held-out-evaluation convention q185/q216 score with.
+- ``pairs_train/`` (w1, w2, c12) train-split bigram counts (partials).
+- ``tri_train/`` (w1, w2, w3, c123) train-split trigram counts.
+- ``pairs/``     (w1, w2, pair_n) full-corpus bigram counts — written
+  LAST, so the build-if-absent cache keys on ``pairs/_SUCCESS`` and a
+  torn build is invisible (the `shingles.py` torn-write contract).
+
+Aggregated tables hold PARTIAL counts: one row per key from the build
+plus one per streaming-ingest batch. Readers SUM on the way in, which
+keeps ingest O(batch) instead of O(vocab) per trigger. Derived
+marginals (bigram-head totals ``first_n``, KN continuation counts) are
+windows/aggs over the vocab-bounded aggregated tables, never over the
+corpus.
+
+``HOLD_MOD`` is part of the artifact format: the train-split tables
+are materialized under it, so changing the split requires a format-
+version bump (rebuilding the cache), not a silent reinterpretation.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from whale_sightings_spark.functions.text import tokens
+
+#: artifact layout version — bump to invalidate caches on format change
+NGRAM_LM_FORMAT_VERSION = 1
+
+#: held-out split modulus (docs with doc_id % HOLD_MOD == 0 are held
+#: out; the rest train) — the q185/q216 evaluation convention
+HOLD_MOD = 10
+
+#: file-layout partitions of the per-doc event tables; n-gram-keyed
+#: probes prune to their buckets, and at 100 TB each bucket is still a
+#: splittable parquet directory, not one giant file
+N_LM_BUCKETS = 16
+
+_DOC_UNI_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("tok", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("bucket", T.IntegerType()),
+    ]
+)
+_DOC_BIG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("w1", T.StringType()),
+        T.StructField("w2", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("bucket", T.IntegerType()),
+    ]
+)
+_DOC_TRI_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("w1", T.StringType()),
+        T.StructField("w2", T.StringType()),
+        T.StructField("w3", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("bucket", T.IntegerType()),
+    ]
+)
+_UNI_SCHEMA = T.StructType(
+    [
+        T.StructField("tok", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+_PAIRS_SCHEMA = T.StructType(
+    [
+        T.StructField("w1", T.StringType()),
+        T.StructField("w2", T.StringType()),
+        T.StructField("pair_n", T.LongType()),
+    ]
+)
+_TRI_SCHEMA = T.StructType(
+    [
+        T.StructField("w1", T.StringType()),
+        T.StructField("w2", T.StringType()),
+        T.StructField("w3", T.StringType()),
+        T.StructField("c123", T.LongType()),
+    ]
+)
+
+
+def lm_artifact_paths(artifact_dir: str) -> dict[str, str]:
+    """Name -> directory map; ``pairs`` is written LAST and carries the
+    build-complete marker."""
+    base = artifact_dir.rstrip("/")
+    return {
+        "doc_uni": base + "/doc_uni",
+        "doc_big": base + "/doc_big",
+        "doc_tri": base + "/doc_tri",
+        "uni": base + "/uni",
+        "uni_train": base + "/uni_train",
+        "pairs_train": base + "/pairs_train",
+        "tri_train": base + "/tri_train",
+        "pairs": base + "/pairs",
+    }
+
+
+# ---------------------------------------------------------------------------
+# event extraction — EXACTLY the inline q120/q185/q216 shapes (postion
+# windows over the raw token array with per-event empty filters), so
+# the stored counts are a drop-in replacement for the corpus streams
+# ---------------------------------------------------------------------------
+
+
+def doc_unigram_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, tok, n): per-doc occurrence counts of non-empty
+    whitespace tokens — the q121/q136/q241 unigram event stream,
+    collapsed per document."""
+    return (
+        docs.select(
+            "doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "source", "tok")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def doc_bigram_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2, n): per-doc adjacent-pair counts, both words
+    non-empty — the q97/q120/q136/q216 bigram event stream."""
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("w"))
+    return (
+        toks.select("doc_id", "w", F.posexplode("w").alias("i", "w1"))
+        .select(
+            "doc_id", "w1", F.try_element_at("w", F.col("i") + 2).alias("w2")
+        )
+        .filter(
+            (F.col("w1") != "")
+            & F.col("w2").isNotNull()
+            & (F.col("w2") != "")
+        )
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def doc_trigram_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2, w3, n): per-doc trigram counts, all three words
+    non-empty — the q185 trigram event stream."""
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("w"))
+    return (
+        toks.select("doc_id", "w", F.posexplode("w").alias("i", "w1"))
+        .select(
+            "doc_id",
+            "w1",
+            F.try_element_at("w", F.col("i") + 2).alias("w2"),
+            F.try_element_at("w", F.col("i") + 3).alias("w3"),
+        )
+        .filter(
+            (F.col("w1") != "")
+            & F.col("w2").isNotNull()
+            & (F.col("w2") != "")
+            & F.col("w3").isNotNull()
+            & (F.col("w3") != "")
+        )
+        .groupBy("doc_id", "w1", "w2", "w3")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def _train(col_doc_id):
+    return col_doc_id % HOLD_MOD != 0
+
+
+def build_lm_artifact(docs: DataFrame, artifact_dir: str) -> str:
+    """One corpus tokenize pass per n-gram order, then every aggregated
+    table derives from the WRITTEN per-doc tables — the corpus text is
+    never re-read. One repartition per event table keyed by its bucket
+    lays the files out for partition-pruned probes."""
+    paths = lm_artifact_paths(artifact_dir)
+    spark = docs.sparkSession
+
+    du = doc_unigram_counts(docs).withColumn(
+        "bucket", F.pmod(F.hash("tok"), F.lit(N_LM_BUCKETS)).cast("int")
+    )
+    (
+        du.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(paths["doc_uni"])
+    )
+    db = doc_bigram_counts(docs).withColumn(
+        "bucket", F.pmod(F.hash("w1", "w2"), F.lit(N_LM_BUCKETS)).cast("int")
+    )
+    (
+        db.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(paths["doc_big"])
+    )
+    dt = doc_trigram_counts(docs).withColumn(
+        "bucket",
+        F.pmod(F.hash("w1", "w2", "w3"), F.lit(N_LM_BUCKETS)).cast("int"),
+    )
+    (
+        dt.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(paths["doc_tri"])
+    )
+
+    s_du = spark.read.schema(_DOC_UNI_SCHEMA).parquet(paths["doc_uni"])
+    (
+        s_du.groupBy("tok")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .write.mode("overwrite")
+        .parquet(paths["uni"])
+    )
+    (
+        s_du.filter(_train(F.col("doc_id")))
+        .groupBy("tok")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .write.mode("overwrite")
+        .parquet(paths["uni_train"])
+    )
+    s_db = spark.read.schema(_DOC_BIG_SCHEMA).parquet(paths["doc_big"])
+    (
+        s_db.filter(_train(F.col("doc_id")))
+        .groupBy("w1", "w2")
+        .agg(F.sum("n").cast("bigint").alias("c12"))
+        .write.mode("overwrite")
+        .parquet(paths["pairs_train"])
+    )
+    s_dt = spark.read.schema(_DOC_TRI_SCHEMA).parquet(paths["doc_tri"])
+    (
+        s_dt.filter(_train(F.col("doc_id")))
+        .groupBy("w1", "w2", "w3")
+        .agg(F.sum("n").cast("bigint").alias("c123"))
+        .write.mode("overwrite")
+        .parquet(paths["tri_train"])
+    )
+    # full-corpus pair counts LAST — the completeness marker
+    (
+        s_db.groupBy("w1", "w2")
+        .agg(F.sum("n").cast("bigint").alias("pair_n"))
+        .write.mode("overwrite")
+        .parquet(paths["pairs"])
+    )
+    return artifact_dir
+
+
+# ---------------------------------------------------------------------------
+# readers — aggregated tables SUM their on-disk partials so streaming
+# ingest appends stay exact; per-doc tables are plain reads (batches
+# are anti-joined to new doc_ids, so rows never collide)
+# ---------------------------------------------------------------------------
+
+
+def stored_doc_uni(spark: SparkSession, artifact_dir: str) -> DataFrame:
+    """(doc_id, source, tok, n, bucket) per-doc token counts."""
+    return spark.read.schema(_DOC_UNI_SCHEMA).parquet(
+        lm_artifact_paths(artifact_dir)["doc_uni"]
+    )
+
+
+def stored_doc_big(spark: SparkSession, artifact_dir: str) -> DataFrame:
+    """(doc_id, w1, w2, n, bucket) per-doc bigram counts."""
+    return spark.read.schema(_DOC_BIG_SCHEMA).parquet(
+        lm_artifact_paths(artifact_dir)["doc_big"]
+    )
+
+
+def stored_doc_tri(spark: SparkSession, artifact_dir: str) -> DataFrame:
+    """(doc_id, w1, w2, w3, n, bucket) per-doc trigram counts."""
+    return spark.read.schema(_DOC_TRI_SCHEMA).parquet(
+        lm_artifact_paths(artifact_dir)["doc_tri"]
+    )
+
+
+def stored_uni(spark: SparkSession, artifact_dir: str) -> DataFrame:
+    """(tok, n) corpus unigram counts (partials summed at read)."""
+    return (
+        spark.read.schema(_UNI_SCHEMA)
+        .parquet(lm_artifact_paths(artifact_dir)["uni"])
+        .groupBy("tok")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+
+
+def stored_uni_train(spark: SparkSession, artifact_dir: str) -> DataFrame:
+    """(tok, n) train-split unigram counts (partials summed at read)."""
+    return (
+        spark.read.schema(_UNI_SCHEMA)
+        .parquet(lm_artifact_paths(artifact_dir)["uni_train"])
+        .groupBy("tok")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+
+
+def stored_pairs(spark: SparkSession, artifact_dir: str) -> DataFrame:
+    """(w1, w2, pair_n, first_n) — the full-corpus bigram LM. The
+    ``first_n`` head total is a w1-keyed window over the vocab-bounded
+    aggregated table (the inline q97/q120 shape, minus the corpus
+    pass that used to precede it)."""
+    from pyspark.sql import Window as W
+
+    pc = (
+        spark.read.schema(_PAIRS_SCHEMA)
+        .parquet(lm_artifact_paths(artifact_dir)["pairs"])
+        .groupBy("w1", "w2")
+        .agg(F.sum("pair_n").cast("bigint").alias("pair_n"))
+    )
+    return pc.withColumn(
+        "first_n", F.sum("pair_n").over(W.partitionBy("w1"))
+    )
+
+
+def stored_pairs_train(spark: SparkSession, artifact_dir: str) -> DataFrame:
+    """(w1, w2, c12) train-split bigram counts (partials summed)."""
+    return (
+        spark.read.schema(
+            T.StructType(
+                [
+                    T.StructField("w1", T.StringType()),
+                    T.StructField("w2", T.StringType()),
+                    T.StructField("c12", T.LongType()),
+                ]
+            )
+        )
+        .parquet(lm_artifact_paths(artifact_dir)["pairs_train"])
+        .groupBy("w1", "w2")
+        .agg(F.sum("c12").cast("bigint").alias("c12"))
+    )
+
+
+def stored_tri_train(spark: SparkSession, artifact_dir: str) -> DataFrame:
+    """(w1, w2, w3, c123) train-split trigram counts (partials summed)."""
+    return (
+        spark.read.schema(_TRI_SCHEMA)
+        .parquet(lm_artifact_paths(artifact_dir)["tri_train"])
+        .groupBy("w1", "w2", "w3")
+        .agg(F.sum("c123").cast("bigint").alias("c123"))
+    )

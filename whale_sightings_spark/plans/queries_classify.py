@@ -897,16 +897,16 @@ def q240_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q241_good_turing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from whale_sightings_spark.functions.text import tokens
+    # round 8: (source, tok) counts are an exact roll-up of the
+    # persisted n-gram LM store's per-doc unigram counts — no
+    # tokenize pass in this DAG (plans/lm_store.py).
+    from whale_sightings_spark.operators import ngram_lm as LM
+    from whale_sightings_spark.plans.lm_store import lm_artifact_dir
 
-    docs = load_table(spark, sf_dir, "documents")
     tc = (
-        docs.select(
-            "source", F.explode(tokens(F.col("text"))).alias("tok")
-        )
-        .filter(F.col("tok") != "")
+        LM.stored_doc_uni(spark, lm_artifact_dir(spark, sf_dir))
         .groupBy("source", "tok")
-        .agg(F.count("*").cast("bigint").alias("c"))
+        .agg(F.sum("n").cast("bigint").alias("c"))
     )
     ones = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
     twos = F.sum(F.when(F.col("c") == 2, 1).otherwise(0))

@@ -272,19 +272,12 @@ _BIGRAM_TOP = 25
     """,
 )
 def q97_bigram_condprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("w"))
-    e = toks.select(
-        "w", F.posexplode("w").alias("i", "w1")
-    ).select(
-        "w1", F.try_element_at("w", F.col("i") + 2).alias("w2")
-    )
-    pc = (
-        e.filter((F.col("w1") != "") & F.col("w2").isNotNull() & (F.col("w2") != ""))
-        .groupBy("w1", "w2")
-        .agg(F.count("*").alias("pair_n"))
-    )
-    tot = pc.withColumn("first_n", F.sum("pair_n").over(W.partitionBy("w1")))
+    # round 8: the LM table serves from the persisted n-gram store —
+    # no tokenize pass in this DAG (plans/lm_store.py)
+    from whale_sightings_spark.operators import ngram_lm as LM
+    from whale_sightings_spark.plans.lm_store import lm_artifact_dir
+
+    tot = LM.stored_pairs(spark, lm_artifact_dir(spark, sf_dir))
     return (
         tot.select(
             "w1",
@@ -1131,21 +1124,24 @@ _PPL_FLAG_T = 31.0
     """,
 )
 def q120_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("w"))
-    b = (
-        toks.select("doc_id", "w", F.posexplode("w").alias("i", "w1"))
-        .select("doc_id", "w1", F.try_element_at("w", F.col("i") + 2).alias("w2"))
-        .filter((F.col("w1") != "") & F.col("w2").isNotNull() & (F.col("w2") != ""))
-    )
-    pc = b.groupBy("w1", "w2").agg(F.count("*").alias("pair_n"))
-    lm = pc.withColumn("first_n", F.sum("pair_n").over(W.partitionBy("w1")))
+    # round 8: served from the persisted n-gram LM store — the scoring
+    # stream is the stored per-doc bigram COUNT table (lp folds as
+    # n * ln p, count(*) as sum(n)); the LM side is the stored
+    # aggregated pair table. No tokenize pass in this DAG.
+    from whale_sightings_spark.operators import ngram_lm as LM
+    from whale_sightings_spark.plans.lm_store import lm_artifact_dir
+
+    art = lm_artifact_dir(spark, sf_dir)
+    b = LM.stored_doc_big(spark, art).select("doc_id", "w1", "w2", "n")
+    lm = LM.stored_pairs(spark, art)
     s = (
         b.join(lm, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.sum(F.log(F.col("pair_n") * 1.0 / F.col("first_n"))).alias("lp"),
+            F.sum("n").alias("n_bigrams"),
+            F.sum(
+                F.col("n") * F.log(F.col("pair_n") * 1.0 / F.col("first_n"))
+            ).alias("lp"),
         )
     )
     ppl = F.exp(-F.col("lp") / F.col("n_bigrams"))
@@ -1198,18 +1194,25 @@ _OOV_FLAG_T = 0.4
     """,
 )
 def q121_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.filter(F.trim("text") != "").select(
-        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
-    )
-    f = t.groupBy("tok").agg(F.count("*").alias("n"))
+    # round 8: served from the persisted n-gram LM store. A non-empty
+    # trimmed doc has only non-empty tokens, so the stored tok<>''
+    # per-doc counts reproduce the inline stream exactly, and empty
+    # docs are absent from both (the oracle's trim(text)<>'' filter).
+    from whale_sightings_spark.operators import ngram_lm as LM
+    from whale_sightings_spark.plans.lm_store import lm_artifact_dir
+
+    art = lm_artifact_dir(spark, sf_dir)
+    t = LM.stored_doc_uni(spark, art).select("doc_id", "tok", "n")
+    f = LM.stored_uni(spark, art)
     v = f.orderBy(F.desc("n"), "tok").limit(_OOV_VOCAB_K).select("tok")
     marked = t.join(
         F.broadcast(v.withColumn("in_vocab", F.lit(1))), "tok", "left"
     )
     s = marked.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.sum("n").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("in_vocab").isNull(), F.col("n")).otherwise(0)
+        ).alias("n_oov"),
     )
     frac = F.col("n_oov") * 1.0 / F.col("n_tokens")
     return s.select(
@@ -1282,21 +1285,16 @@ _INTERP_LAMBDA = 0.7
     """,
 )
 def q136_ppl_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("w"))
-    b = (
-        toks.select("doc_id", "w", F.posexplode("w").alias("i", "w1"))
-        .select("doc_id", "w1", F.try_element_at("w", F.col("i") + 2).alias("w2"))
-        .filter((F.col("w1") != "") & F.col("w2").isNotNull() & (F.col("w2") != ""))
-    )
-    pc = b.groupBy("w1", "w2").agg(F.count("*").alias("pair_n"))
-    lm = pc.withColumn("first_n", F.sum("pair_n").over(W.partitionBy("w1")))
-    un = (
-        toks.select(F.explode("w").alias("tok"))
-        .filter(F.col("tok") != "")
-        .groupBy("tok")
-        .agg(F.count("*").alias("u_n"))
-    )
+    # round 8: served from the persisted n-gram LM store — stored
+    # per-doc bigram counts as the scoring stream (weighted folds),
+    # stored pair/unigram tables as the LM sides.
+    from whale_sightings_spark.operators import ngram_lm as LM
+    from whale_sightings_spark.plans.lm_store import lm_artifact_dir
+
+    art = lm_artifact_dir(spark, sf_dir)
+    b = LM.stored_doc_big(spark, art).select("doc_id", "w1", "w2", "n")
+    lm = LM.stored_pairs(spark, art)
+    un = LM.stored_uni(spark, art).select("tok", F.col("n").alias("u_n"))
     ut = un.agg(F.sum("u_n").alias("tot"))
     lam = F.lit(_INTERP_LAMBDA).cast("double")
     p = lam * (F.col("pair_n") * F.lit(1.0) / F.col("first_n")) + (
@@ -1308,8 +1306,8 @@ def q136_ppl_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ut))
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.sum(F.log(p)).alias("lp"),
+            F.sum("n").alias("n_bigrams"),
+            F.sum(F.col("n") * F.log(p)).alias("lp"),
         )
     )
     return s.select(
@@ -1495,7 +1493,9 @@ def q169_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SB_ALPHA = 0.4
-_SB_HOLD_MOD = 10
+# the held-out split modulus is part of the persisted LM-store format
+# (its train tables are materialized under it) — single-source it
+from whale_sightings_spark.operators.ngram_lm import HOLD_MOD as _SB_HOLD_MOD
 
 
 @register(
@@ -1563,60 +1563,45 @@ _SB_HOLD_MOD = 10
     """,
 )
 def q185_ppl_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("w"))
-    ev = (
-        toks.select("doc_id", "w", F.posexplode("w").alias("i", "w1"))
-        .select(
-            "doc_id",
-            "w1",
-            F.try_element_at("w", F.col("i") + 2).alias("w2"),
-            F.try_element_at("w", F.col("i") + 3).alias("w3"),
-        )
-        .filter(
-            (F.col("w1") != "")
-            & F.col("w2").isNotNull() & (F.col("w2") != "")
-            & F.col("w3").isNotNull() & (F.col("w3") != "")
-        )
-    )
-    bev = (
-        toks.select("doc_id", "w", F.posexplode("w").alias("i", "wa"))
-        .select("doc_id", "wa", F.try_element_at("w", F.col("i") + 2).alias("wb"))
-        .filter((F.col("wa") != "") & F.col("wb").isNotNull() & (F.col("wb") != ""))
-    )
+    # round 8: served from the persisted n-gram LM store. The three
+    # train-split LM tables are the stored vocab-bounded aggregates;
+    # the held-out scoring stream is the stored per-doc trigram COUNT
+    # table (every fold weighted by n). No tokenize pass in this DAG.
+    from whale_sightings_spark.operators import ngram_lm as LM
+    from whale_sightings_spark.plans.lm_store import lm_artifact_dir
+
+    art = lm_artifact_dir(spark, sf_dir)
     held = F.col("doc_id") % _SB_HOLD_MOD == 0
-    tri = (
-        ev.filter(~held)
-        .groupBy("w1", "w2", "w3")
-        .agg(F.count("*").alias("c123"))
-        .withColumn("c12", F.sum("c123").over(W.partitionBy("w1", "w2")))
+    ev_held = LM.stored_doc_tri(spark, art).filter(held).select(
+        "doc_id", "w1", "w2", "w3", "n"
+    )
+    tri = LM.stored_tri_train(spark, art).withColumn(
+        "c12", F.sum("c123").over(W.partitionBy("w1", "w2"))
     )
     big = (
-        bev.filter(~held)
-        .groupBy("wa", "wb")
-        .agg(F.count("*").alias("c23"))
+        LM.stored_pairs_train(spark, art)
+        .select(
+            F.col("w1").alias("wa"),
+            F.col("w2").alias("wb"),
+            F.col("c12").alias("c23"),
+        )
         .withColumn("c2", F.sum("c23").over(W.partitionBy("wa")))
     )
-    uni = (
-        toks.filter(~held)
-        .select(F.explode("w").alias("tok"))
-        .filter(F.col("tok") != "")
-        .groupBy("tok")
-        .agg(F.count("*").alias("c3"))
+    uni = LM.stored_uni_train(spark, art).select(
+        "tok", F.col("n").alias("c3")
     )
-    tot = uni.agg(F.sum("c3").alias("n"), F.count("*").alias("v"))
+    tot = uni.agg(F.sum("c3").alias("n_tot"), F.count("*").alias("v"))
     a = F.lit(_SB_ALPHA)
     p = (
         F.when(F.col("c123").isNotNull(), F.col("c123") * F.lit(1.0) / F.col("c12"))
         .when(F.col("c23").isNotNull(), a * F.col("c23") / F.col("c2"))
         .otherwise(
             a * a * (F.coalesce("c3", F.lit(0)) + F.lit(1.0))
-            / (F.col("n") + F.col("v"))
+            / (F.col("n_tot") + F.col("v"))
         )
     )
     scored = (
-        ev.filter(held)
-        .join(tri, ["w1", "w2", "w3"], "left")
+        ev_held.join(tri, ["w1", "w2", "w3"], "left")
         .join(
             big,
             (F.col("wa") == F.col("w2")) & (F.col("wb") == F.col("w3")),
@@ -1626,6 +1611,7 @@ def q185_ppl_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
+            F.col("n").alias("wt"),
             p.alias("p"),
             (F.col("c123").isNull() & F.col("c23").isNotNull())
             .cast("int")
@@ -1636,10 +1622,12 @@ def q185_ppl_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_trigrams"),
-        F.sum("bo2").cast("long").alias("n_bo2"),
-        F.sum("bo1").cast("long").alias("n_bo1"),
-        F.round(F.exp(-F.sum(F.log("p")) / F.count("*")), 4).alias("ppl_sb"),
+        F.sum("wt").alias("n_trigrams"),
+        F.sum(F.col("wt") * F.col("bo2")).cast("long").alias("n_bo2"),
+        F.sum(F.col("wt") * F.col("bo1")).cast("long").alias("n_bo1"),
+        F.round(
+            F.exp(-F.sum(F.col("wt") * F.log("p")) / F.sum("wt")), 4
+        ).alias("ppl_sb"),
     )
 
 
@@ -1827,27 +1815,19 @@ _KN_D = 0.75
     """,
 )
 def q216_ppl_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("w"))
-    bev = (
-        toks.select("doc_id", "w", F.posexplode("w").alias("i", "w1"))
-        .select(
-            "doc_id",
-            "w1",
-            F.try_element_at("w", F.col("i") + 2).alias("w2"),
-        )
-        .filter(
-            (F.col("w1") != "")
-            & F.col("w2").isNotNull()
-            & (F.col("w2") != "")
-        )
-    )
+    # round 8: served from the persisted n-gram LM store. The train
+    # bigram table and its KN marginals (c1/nr/nl) come from the
+    # stored vocab-bounded aggregate; the held-out scoring stream is
+    # the stored per-doc bigram COUNT table (folds weighted by n).
+    from whale_sightings_spark.operators import ngram_lm as LM
+    from whale_sightings_spark.plans.lm_store import lm_artifact_dir
+
+    art = lm_artifact_dir(spark, sf_dir)
     held = F.col("doc_id") % _SB_HOLD_MOD == 0
-    big = (
-        bev.filter(~held)
-        .groupBy("w1", "w2")
-        .agg(F.count("*").cast("bigint").alias("c12"))
+    bev_held = LM.stored_doc_big(spark, art).filter(held).select(
+        "doc_id", "w1", "w2", "n"
     )
+    big = LM.stored_pairs_train(spark, art)
     marg1 = big.groupBy("w1").agg(
         F.sum("c12").cast("bigint").alias("c1"),
         F.count("*").cast("bigint").alias("nr"),
@@ -1855,20 +1835,12 @@ def q216_ppl_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     margl = big.groupBy("w2").agg(
         F.count("*").cast("bigint").alias("nl")
     )
-    uni = (
-        docs.select(
-            "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
-        )
-        .filter((F.col("tok") != "") & ~held)
-        .select("tok")
-        .distinct()
-    )
+    uni = LM.stored_uni_train(spark, art).select("tok")
     tot = big.agg(F.count("*").cast("bigint").alias("nbig")).crossJoin(
         uni.agg(F.count("*").cast("bigint").alias("v"))
     )
     e = (
-        bev.filter(held)
-        .join(big, ["w1", "w2"], "left")
+        bev_held.join(big, ["w1", "w2"], "left")
         .join(marg1, "w1", "left")
         .join(margl, "w2", "left")
         .crossJoin(F.broadcast(tot))
@@ -1885,6 +1857,7 @@ def q216_ppl_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(pcont)
     scored = e.select(
         "doc_id",
+        F.col("n").alias("wt"),
         p.alias("p"),
         F.when(F.col("c1").isNull(), 1).otherwise(0).alias("bo"),
         F.when(F.col("c1").isNotNull() & F.col("c12").isNull(), 1)
@@ -1892,11 +1865,13 @@ def q216_ppl_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("disc"),
     )
     return scored.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_bigrams"),
-        F.sum("bo").cast("bigint").alias("n_ctx_backoff"),
-        F.sum("disc").cast("bigint").alias("n_unseen_bigram"),
+        F.sum("wt").cast("bigint").alias("n_bigrams"),
+        F.sum(F.col("wt") * F.col("bo")).cast("bigint").alias("n_ctx_backoff"),
+        F.sum(F.col("wt") * F.col("disc"))
+        .cast("bigint")
+        .alias("n_unseen_bigram"),
         F.round(
-            F.exp(-F.sum(F.log("p")) / F.count("*")), 4
+            F.exp(-F.sum(F.col("wt") * F.log("p")) / F.sum("wt")), 4
         ).alias("ppl_kn"),
     )
 
@@ -2028,4 +2003,168 @@ def q220_source_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_shingles").cast("double"),
             6,
         ).alias("excl_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q247 — bigram Zipf coverage curve from the stored LM: for each k in
+# a fixed grid, the share of ALL corpus bigram occurrences covered by
+# the top-k most frequent bigrams (ties broken by w1, w2). The
+# cache-/vocab-sizing audit a pipeline runs before committing a
+# tokenizer or LM table budget: a steep curve means a tiny hot set
+# serves most of the stream (broadcastable), a flat one means the
+# long tail dominates and per-key state must shard. Spark serves from
+# the persisted n-gram store (plans/lm_store.py) and computes each
+# top-k by distributed TakeOrdered (orderBy + limit — never a
+# single-partition global window); the oracle recomputes the pair
+# table from text and ranks it.
+# ---------------------------------------------------------------------------
+
+_ZIPF_KS = (10, 100, 1000)
+
+
+def _q247_sql() -> str:
+    toks = TX.tokens_sql("text")
+    ks = ", ".join(f"({k})" for k in _ZIPF_KS)
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS w FROM documents),
+    e AS (
+        SELECT w[i] AS w1, w[i + 1] AS w2
+        FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS i) r
+    ),
+    pc AS (
+        SELECT w1, w2, count(*) AS pair_n FROM e
+        WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2
+    ),
+    ranked AS (
+        SELECT pair_n,
+               row_number() OVER (ORDER BY pair_n DESC, w1, w2) AS rn
+        FROM pc
+    ),
+    tot AS (SELECT sum(pair_n) AS t_occ, count(*) AS v FROM pc)
+    SELECT k,
+           CAST(least(k, tot.v) AS BIGINT) AS n_top_pairs,
+           CAST((SELECT sum(pair_n) FROM ranked WHERE rn <= k) AS BIGINT)
+               AS top_mass,
+           round(CAST((SELECT sum(pair_n) FROM ranked WHERE rn <= k)
+                      AS DOUBLE) / tot.t_occ, 6) AS coverage
+    FROM (VALUES {ks}) ks(k) CROSS JOIN tot
+    ORDER BY k
+    """
+
+
+@register("q247_lm_zipf_coverage", _q247_sql())
+def q247_lm_zipf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.operators import ngram_lm as LM
+    from whale_sightings_spark.plans.lm_store import lm_artifact_dir
+
+    pairs = LM.stored_pairs(spark, lm_artifact_dir(spark, sf_dir)).select(
+        "w1", "w2", "pair_n"
+    )
+    tot = pairs.agg(
+        F.sum("pair_n").alias("t_occ"), F.count("*").alias("v")
+    )
+    per_k = []
+    for k in _ZIPF_KS:
+        topk = (
+            pairs.orderBy(F.desc("pair_n"), "w1", "w2")
+            .limit(k)
+            .agg(
+                F.count("*").alias("n_top"),
+                F.sum("pair_n").alias("top_mass"),
+            )
+            .withColumn("k", F.lit(k))
+        )
+        per_k.append(topk)
+    curve = per_k[0]
+    for nxt in per_k[1:]:
+        curve = curve.unionByName(nxt)
+    return (
+        curve.crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            F.least(F.col("k").cast("bigint"), F.col("v").cast("bigint"))
+            .alias("n_top_pairs"),
+            F.col("top_mass").cast("bigint").alias("top_mass"),
+            F.round(
+                F.col("top_mass").cast("double") / F.col("t_occ"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q248 — per-source unigram KL divergence from the corpus: how far
+# each source's token distribution sits from the corpus-wide one,
+# KL(P_src || P_corpus) in nats. The source-drift audit that catches
+# a feed going off-domain (machine text, template spam, language
+# shift) BEFORE it moves downstream models — q240 prices train/val
+# splits against each other; this prices every source against the
+# pooled corpus. No smoothing is needed: every source token is by
+# construction in the corpus, so p_corpus > 0 wherever p_src > 0.
+# Scale shape: (source, tok) and (tok) aggregates of the STORED
+# per-doc unigram counts (vocab-bounded join, never the corpus), one
+# source-sized final agg. The oracle recomputes both from text.
+# ---------------------------------------------------------------------------
+
+
+def _q248_sql() -> str:
+    toks = TX.tokens_sql("text")
+    return f"""
+    WITH t AS (
+        SELECT source, unnest({toks}) AS tok FROM documents
+    ),
+    st AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        FROM t WHERE tok <> '' GROUP BY source, tok
+    ),
+    stot AS (SELECT source, sum(c) AS sn FROM st GROUP BY source),
+    ct AS (SELECT tok, sum(c) AS cc FROM st GROUP BY tok),
+    ctot AS (SELECT sum(cc) AS cn FROM ct)
+    SELECT st.source,
+           CAST(stot.sn AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(sum((st.c * 1.0 / stot.sn)
+                     * ln((st.c * 1.0 / stot.sn)
+                          / (ct.cc * 1.0 / ctot.cn))), 6) AS kl_nats
+    FROM st
+    JOIN stot USING (source)
+    JOIN ct USING (tok)
+    CROSS JOIN ctot
+    GROUP BY st.source, stot.sn
+    """
+
+
+@register("q248_source_unigram_kl", _q248_sql())
+def q248_source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.operators import ngram_lm as LM
+    from whale_sightings_spark.plans.lm_store import lm_artifact_dir
+
+    art = lm_artifact_dir(spark, sf_dir)
+    st = (
+        LM.stored_doc_uni(spark, art)
+        .groupBy("source", "tok")
+        .agg(F.sum("n").cast("bigint").alias("c"))
+    )
+    stot = st.groupBy("source").agg(F.sum("c").alias("sn"))
+    ct = LM.stored_uni(spark, art).select("tok", F.col("n").alias("cc"))
+    ctot = ct.agg(F.sum("cc").alias("cn"))
+    ps = F.col("c") * 1.0 / F.col("sn")
+    pc = F.col("cc") * 1.0 / F.col("cn")
+    return (
+        st.join(stot, "source")
+        .join(ct, "tok")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("source", "sn")
+        .agg(
+            F.count("*").cast("bigint").alias("n_types"),
+            F.round(F.sum(ps * F.log(ps / pc)), 6).alias("kl_nats"),
+        )
+        .select(
+            "source",
+            F.col("sn").cast("bigint").alias("n_tokens"),
+            "n_types",
+            "kl_nats",
+        )
     )

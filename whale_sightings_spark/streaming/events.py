@@ -1494,3 +1494,141 @@ def streaming_shingle_index_ingest(
         .start()
         .awaitTermination()
     )
+
+
+def streaming_lm_ingest(
+    spark: SparkSession,
+    docs_dir: str,
+    artifact_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Delta ingest INTO the persisted n-gram LM store (round 8 — the
+    sixth artifact gets the shingle-index lifecycle: build -> serve ->
+    STREAM-INGEST -> serve). n-gram counts are ADDITIVE, so ingest is
+    the cleanest of the artifact family: each micro-batch's NEW
+    documents (already-ingested doc_ids anti-join away against the
+    stored per-doc unigram table — a doc with no tokens contributes
+    zero rows everywhere, so replaying it is vacuously idempotent)
+    append
+
+    - their per-doc unigram / bigram / trigram COUNT rows into the
+      stored bucket-partitioned layouts (doc-disjoint by the
+      anti-join: plain append stays exact), and
+    - batch-local PARTIALS of every aggregated table (uni, uni_train,
+      pairs_train, tri_train, pairs) — the readers SUM partials, so a
+      drained store serves results identical to a fresh full-corpus
+      build (pinned in tests/test_streaming.py).
+
+    Per-trigger cost: O(batch tokens) — three batch-sized tokenize
+    passes and five batch-bounded aggregates; never O(vocab) and never
+    a rewrite of stored files.
+    """
+    from whale_sightings_spark.operators import ngram_lm as LM
+
+    schema = spark.read.parquet(docs_dir).schema
+    paths = LM.lm_artifact_paths(artifact_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        seen = (
+            sess.read.schema(LM._DOC_UNI_SCHEMA)
+            .parquet(paths["doc_uni"])
+            .select("doc_id")
+            .distinct()
+        )
+        batch = batch_df.join(seen, "doc_id", "left_anti")
+        if batch.limit(1).isEmpty():
+            return
+        du = (
+            LM.doc_unigram_counts(batch)
+            .withColumn(
+                "bucket",
+                F.pmod(F.hash("tok"), F.lit(LM.N_LM_BUCKETS)).cast("int"),
+            )
+            .localCheckpoint()  # 3 consumers below; batch-bounded
+        )
+        db = (
+            LM.doc_bigram_counts(batch)
+            .withColumn(
+                "bucket",
+                F.pmod(F.hash("w1", "w2"), F.lit(LM.N_LM_BUCKETS)).cast(
+                    "int"
+                ),
+            )
+            .localCheckpoint()
+        )
+        dt = (
+            LM.doc_trigram_counts(batch)
+            .withColumn(
+                "bucket",
+                F.pmod(
+                    F.hash("w1", "w2", "w3"), F.lit(LM.N_LM_BUCKETS)
+                ).cast("int"),
+            )
+            .localCheckpoint()
+        )
+        train = F.col("doc_id") % LM.HOLD_MOD != 0
+        (
+            du.repartition("bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(paths["doc_uni"])
+        )
+        (
+            db.repartition("bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(paths["doc_big"])
+        )
+        (
+            dt.repartition("bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(paths["doc_tri"])
+        )
+        (
+            du.groupBy("tok")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+            .write.mode("append")
+            .parquet(paths["uni"])
+        )
+        (
+            du.filter(train)
+            .groupBy("tok")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+            .write.mode("append")
+            .parquet(paths["uni_train"])
+        )
+        (
+            db.filter(train)
+            .groupBy("w1", "w2")
+            .agg(F.sum("n").cast("bigint").alias("c12"))
+            .write.mode("append")
+            .parquet(paths["pairs_train"])
+        )
+        (
+            dt.filter(train)
+            .groupBy("w1", "w2", "w3")
+            .agg(F.sum("n").cast("bigint").alias("c123"))
+            .write.mode("append")
+            .parquet(paths["tri_train"])
+        )
+        (
+            db.groupBy("w1", "w2")
+            .agg(F.sum("n").cast("bigint").alias("pair_n"))
+            .write.mode("append")
+            .parquet(paths["pairs"])
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
