@@ -623,3 +623,29 @@ def test_lm_doc_tables_probe_is_bucket_partitioned(spark, sf_dir):
         [d for d in os.listdir(big_dir) if d.startswith("bucket=")]
     )
     assert 0 < n_parts <= N_LM_BUCKETS
+
+
+def test_q250_lm_eval_probe_is_partition_pruned(spark, sf_dir):
+    """q250's probe of the stored per-doc bigram table must carry a
+    PartitionFilter on the eval set's bucket ids (the q244 pattern on
+    the LM store), never re-tokenize, and touch documents only for
+    the 2-column source rollup (no text)."""
+    plan = explain_str(queries()["q250_pruned_lm_eval_probe"](spark, sf_dir))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan
+    assert "Generate" not in plan, f"re-tokenized inline:\n{plan}"
+    m2 = re.search(r"documents\.parquet.*?ReadSchema: ([^\n]*)", plan, re.S)
+    assert m2 and "text" not in m2.group(1), m2.group(1) if m2 else plan
+
+
+def test_q249_agreement_serves_ppl_from_store(spark, sf_dir):
+    """q249's perplexity side must come from the stored LM (no
+    Generate — the one corpus scan is the row-local quality side,
+    which needs text but never explodes it)."""
+    plan = explain_str(
+        queries()["q249_ppl_quality_agreement"](spark, sf_dir)
+    )
+    assert "Generate" not in plan, f"re-tokenized inline:\n{plan}"
+    assert "doc_big" in plan or "pairs" in plan, (
+        f"ppl side does not scan the store:\n{plan}"
+    )

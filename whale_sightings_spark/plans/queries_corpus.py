@@ -2168,3 +2168,207 @@ def q248_source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_nats",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q249 — signal-agreement audit: does the trained LM agree with the
+# heuristic quality score? Per source, the Pearson correlation between
+# each document's corpus-LM perplexity (q120's statistic, served from
+# the stored n-gram LM) and its row-local heuristic quality score. A
+# healthy corpus shows NEGATIVE correlation (surprising text scores
+# low on the heuristic too); a source where the signals decouple is
+# where exactly one of the two filters is wrong — the first thing a
+# curation owner triages. Inputs are pinned identically in both
+# engines BEFORE the moments (ppl rounded 4dp — q120's own output
+# contract — and quality rounded 6dp), so cross-engine drift is only
+# summation order on identical finite values. Scale shape: q120's
+# store-served scoring join + one 2-column corpus scan for the
+# quality side + a source-sized moment agg.
+# ---------------------------------------------------------------------------
+
+
+def _q249_sql() -> str:
+    q = TX.quality_score_sql("d.text")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {TX.tokens_sql('text')} AS w FROM documents
+    ),
+    e AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) r
+    ),
+    b AS (SELECT doc_id, w1, w2 FROM e WHERE w1 <> '' AND w2 <> ''),
+    pc AS (SELECT w1, w2, count(*) AS pair_n FROM b GROUP BY w1, w2),
+    lm AS (
+        SELECT w1, w2, pair_n,
+               sum(pair_n) OVER (PARTITION BY w1) AS first_n
+        FROM pc
+    ),
+    s AS (
+        SELECT b.doc_id,
+               round(exp(-sum(ln(lm.pair_n * 1.0 / lm.first_n))
+                         / count(*)), 4) AS x
+        FROM b JOIN lm USING (w1, w2)
+        GROUP BY b.doc_id
+    ),
+    xy AS (
+        SELECT d.source, s.x, {q} AS y
+        FROM s JOIN documents d USING (doc_id)
+    ),
+    m AS (
+        SELECT source,
+               count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(y * y) AS syy,
+               sum(x * y) AS sxy
+        FROM xy GROUP BY source
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0
+                THEN NULL
+                ELSE round((n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx)
+                                  * (n * syy - sy * sy)), 6)
+           END AS r_ppl_quality
+    FROM m
+    """
+
+
+@register("q249_ppl_quality_agreement", _q249_sql())
+def q249_ppl_quality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.operators import ngram_lm as LM
+    from whale_sightings_spark.plans.lm_store import lm_artifact_dir
+
+    art = lm_artifact_dir(spark, sf_dir)
+    b = LM.stored_doc_big(spark, art).select("doc_id", "w1", "w2", "n")
+    lm = LM.stored_pairs(spark, art)
+    s = (
+        b.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.exp(
+                    -F.sum(
+                        F.col("n")
+                        * F.log(F.col("pair_n") * 1.0 / F.col("first_n"))
+                    )
+                    / F.sum("n")
+                ),
+                4,
+            ).alias("x")
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    xy = s.join(
+        docs.select(
+            "doc_id",
+            "source",
+            TX.quality_score(F.col("text")).alias("y"),
+        ),
+        "doc_id",
+    )
+    m = xy.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.when(varx * vary <= 0, F.lit(None).cast("double"))
+        .otherwise(F.round(num / F.sqrt(varx * vary), 6))
+        .alias("r_ppl_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q250 — PARTITION-PRUNED eval-set probe of the stored n-gram LM: the
+# q244 pattern applied to the sixth artifact. A small eval set's
+# bigrams (docs < 5 here) collapse to their ≤N_LM_BUCKETS distinct
+# bucket ids (one bounded collect, the BPE-argmax class); the
+# contamination probe over the stored per-doc bigram table then
+# carries a literal PartitionFilter on those buckets, so at 100 TB it
+# reads |eval buckets| / N_LM_BUCKETS of the store at rest. Source
+# attribution joins a 2-column pruned documents read (the q184
+# convention — never the text column). Both TYPE hits (distinct
+# shared bigrams) and OCCURRENCE hits (the stored counts) reported.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q250_pruned_lm_eval_probe",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {TX.tokens_sql('text')} AS w FROM documents
+    ),
+    e AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) r
+    ),
+    b AS (
+        SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS n
+        FROM e WHERE w1 <> '' AND w2 <> ''
+        GROUP BY doc_id, w1, w2
+    ),
+    ev AS (SELECT DISTINCT w1, w2 FROM b WHERE doc_id < 5),
+    hits AS (
+        SELECT d.source, b.doc_id,
+               count(*) AS n_types,
+               sum(b.n) AS n_occ
+        FROM b
+        JOIN ev USING (w1, w2)
+        JOIN documents d USING (doc_id)
+        WHERE b.doc_id >= 10
+        GROUP BY d.source, b.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs_hit,
+           CAST(sum(n_types) AS BIGINT) AS n_type_hits,
+           CAST(sum(n_occ) AS BIGINT) AS n_occ_hits,
+           CAST(max(n_types) AS BIGINT) AS max_types_one_doc
+    FROM hits
+    GROUP BY source
+    """,
+)
+def q250_pruned_lm_eval_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.operators import ngram_lm as LM
+    from whale_sightings_spark.plans.lm_store import lm_artifact_dir
+
+    art = lm_artifact_dir(spark, sf_dir)
+    big = LM.stored_doc_big(spark, art)
+    ev = (
+        big.filter(F.col("doc_id") < 5)
+        .select("w1", "w2", "bucket")
+        .distinct()
+        .localCheckpoint()  # eval-set-bounded; feeds the probe twice
+    )
+    # bounded collect: the DISTINCT bucket ids the eval set occupies
+    # (≤ N_LM_BUCKETS scalars) become a literal IN-filter — the only
+    # form a static partition prune can reach the scan in
+    buckets = [r["bucket"] for r in ev.select("bucket").distinct().collect()]
+    probe = big.filter(
+        (F.col("doc_id") >= 10) & F.col("bucket").isin(buckets)
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    hits = (
+        probe.join(F.broadcast(ev.select("w1", "w2").distinct()), ["w1", "w2"])
+        .join(docs, "doc_id")
+        .groupBy("source", "doc_id")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.sum("n").alias("n_occ"),
+        )
+    )
+    return hits.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs_hit"),
+        F.sum("n_types").cast("bigint").alias("n_type_hits"),
+        F.sum("n_occ").cast("bigint").alias("n_occ_hits"),
+        F.max("n_types").cast("bigint").alias("max_types_one_doc"),
+    )
