@@ -185,3 +185,74 @@ def test_torn_build_is_invisible_to_the_cache_key(spark, docs, tmp_path):
     assert os.path.exists(marker)
     shutil.rmtree(paths["pairs"])
     assert not os.path.exists(marker)
+
+
+def test_compaction_preserves_every_reader_and_defrags(
+    spark, docs, tmp_path_factory
+):
+    """build -> stream-ingest -> COMPACT -> serve: compaction must be
+    semantically invisible (per-doc rows identical; aggregated readers
+    identical because pre-summing partials does not change sums),
+    collapse the aggregated tables to one row per key, reduce file
+    count, and preserve the bucket-partitioned pruned-probe layout."""
+    import re
+    import time
+
+    from pyspark.sql import functions as F
+
+    from whale_sightings_spark.streaming.events import streaming_lm_ingest
+
+    base = tmp_path_factory.mktemp("lm_compact")
+    art = str(base / "lm")
+    LM.build_lm_artifact(docs.filter(F.col("doc_id") < 5), art)
+    delta_dir = str(base / "deltas")
+    docs.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 7)).coalesce(
+        1
+    ).write.parquet(delta_dir, mode="append")
+    time.sleep(1.1)
+    docs.filter(F.col("doc_id") >= 7).coalesce(1).write.parquet(
+        delta_dir, mode="append"
+    )
+    streaming_lm_ingest(spark, delta_dir, art, str(base / "ck"))
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    readers = (
+        lambda: LM.stored_doc_uni(spark, art).select(
+            "doc_id", "source", "tok", "n"
+        ),
+        lambda: LM.stored_doc_big(spark, art).select(
+            "doc_id", "w1", "w2", "n"
+        ),
+        lambda: LM.stored_doc_tri(spark, art).select(
+            "doc_id", "w1", "w2", "w3", "n"
+        ),
+        lambda: LM.stored_uni(spark, art),
+        lambda: LM.stored_uni_train(spark, art),
+        lambda: LM.stored_pairs(spark, art),
+        lambda: LM.stored_pairs_train(spark, art),
+        lambda: LM.stored_tri_train(spark, art),
+    )
+    before = [rows(r()) for r in readers]
+    stats = LM.compact_lm_store(spark, art)
+    after = [rows(r()) for r in readers]
+    assert after == before
+    assert stats["files_after"] < stats["files_before"]
+    # aggregated tables now hold ONE row per key on disk
+    raw_pairs = spark.read.parquet(
+        LM.lm_artifact_paths(art)["pairs"]
+    )
+    assert (
+        raw_pairs.groupBy("w1", "w2").count().filter("count > 1").count()
+        == 0
+    )
+    # the pruned-probe layout survived
+    probe = LM.stored_doc_big(spark, art).filter(
+        F.col("bucket").isin([0, 1])
+    )
+    plan = probe.sparkSession._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan

@@ -370,3 +370,83 @@ def stored_tri_train(spark: SparkSession, artifact_dir: str) -> DataFrame:
         .groupBy("w1", "w2", "w3")
         .agg(F.sum("c123").cast("bigint").alias("c123"))
     )
+
+
+def compact_lm_store(spark: SparkSession, artifact_dir: str) -> dict[str, int]:
+    """Store maintenance after streaming ingest (the
+    `compact_ivfpq_index` convention for the sixth artifact): each
+    ``streaming_lm_ingest`` trigger appends small files to the per-doc
+    tables and one PARTIAL-count row set per aggregated table; after
+    enough triggers the per-doc scans pay per-file open cost and the
+    sum-at-read readers fold ever-taller partial stacks. Compaction
+    rewrites (a) each per-doc table in the SAME bucket-partitioned
+    layout with one file per bucket, and (b) each aggregated table
+    down to ONE row per key — both semantically invisible, since every
+    reader either reads per-doc rows (disjoint, unchanged) or sums
+    partials (sums are unchanged by pre-summing).
+
+    Each table stages into ``<dir>__compact`` then swaps (write target
+    ≠ read source, so a torn compaction leaves every live table
+    intact; tables are also individually consistent, so a crash
+    between swaps leaves a valid, merely partially-compacted store).
+    Returns {"files_before": n, "files_after": m}."""
+    import glob
+    import os
+    import shutil
+
+    paths = lm_artifact_paths(artifact_dir)
+
+    def _nfiles() -> int:
+        return sum(
+            len(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
+            for d in paths.values()
+        )
+
+    def _swap(live: str, write) -> None:
+        staging = live + "__compact"
+        write(staging)
+        old = live + "__old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(live, old)
+        os.rename(staging, live)
+        shutil.rmtree(old)
+
+    before = _nfiles()
+    # per-doc tables: defrag within the preserved bucket layout
+    for key, schema in (
+        ("doc_uni", _DOC_UNI_SCHEMA),
+        ("doc_big", _DOC_BIG_SCHEMA),
+        ("doc_tri", _DOC_TRI_SCHEMA),
+    ):
+        live = paths[key]
+        df = spark.read.schema(schema).parquet(live).localCheckpoint()
+        _swap(
+            live,
+            lambda staging, df=df: (
+                df.repartition("bucket")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(staging)
+            ),
+        )
+    # aggregated tables: collapse partials to one row per key
+    for key, keys, val in (
+        ("uni", ["tok"], "n"),
+        ("uni_train", ["tok"], "n"),
+        ("pairs_train", ["w1", "w2"], "c12"),
+        ("tri_train", ["w1", "w2", "w3"], "c123"),
+        ("pairs", ["w1", "w2"], "pair_n"),
+    ):
+        live = paths[key]
+        df = spark.read.parquet(live).localCheckpoint()
+        merged = df.groupBy(*keys).agg(
+            F.sum(val).cast("bigint").alias(val)
+        )
+        _swap(
+            live,
+            lambda staging, m=merged: m.write.mode("overwrite").parquet(
+                staging
+            ),
+        )
+    return {"files_before": before, "files_after": _nfiles()}
