@@ -1248,3 +1248,94 @@ def test_streaming_lm_ingest_full_loop(spark, sf_dir, tmp_path_factory):
     )
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "bucket" in m.group(1), plan
+
+
+def test_streaming_source_kl_matches_batch_and_reports_oov(
+    spark, tmp_path_factory
+):
+    """Per-batch source-KL against the STORED LM: (a) every streamed
+    batch_id partition equals the batch operator applied to that
+    file's documents (stateless ⇒ stream==batch by construction,
+    asserted anyway); (b) OOV tokens reduce in_vocab_share instead of
+    crashing the KL; (c) an all-OOV source reports NULL kl_nats."""
+    import time
+
+    from whale_sightings_spark.operators import ngram_lm as LM
+    from whale_sightings_spark.streaming.events import streaming_source_kl
+
+    base = tmp_path_factory.mktemp("src_kl")
+    hist = spark.createDataFrame(
+        [
+            (0, "a", "the whale swims the whale swims"),
+            (1, "a", "the whale rests"),
+            (2, "b", "a whale swims far away"),
+            (3, "b", "the far whale"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    art = str(base / "lm")
+    LM.build_lm_artifact(hist, art)
+
+    batch1 = [
+        (10, "a", "the whale swims"),          # fully in-vocab
+        (11, "b", "the whale zzz qqq"),        # half OOV
+    ]
+    batch2 = [
+        (12, "c", "xxxx yyyy zzzz"),           # all OOV -> NULL kl
+        (13, "a", "far away the whale rests"),
+    ]
+    docs_dir = str(base / "deltas")
+    spark.createDataFrame(
+        batch1, "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(docs_dir, mode="append")
+    time.sleep(1.1)
+    spark.createDataFrame(
+        batch2, "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(docs_dir, mode="append")
+
+    out = str(base / "out")
+    streaming_source_kl(spark, docs_dir, art, out, str(base / "ck"))
+
+    import glob
+    import os
+
+    parts = sorted(glob.glob(os.path.join(out, "batch_id=*")))
+    assert len(parts) == 2
+
+    def rows(df):
+        return sorted(
+            (r["source"], r["n_tokens"], r["in_vocab_share"], r["kl_nats"])
+            for r in df.collect()
+        )
+
+    streamed_all = []
+    for p in parts:
+        streamed_all.append(
+            rows(
+                spark.read.parquet(p).select(
+                    "source", "n_tokens", "in_vocab_share", "kl_nats"
+                )
+            )
+        )
+    # batches may arrive in either file order — compare as a set of
+    # per-batch reports against both direct computations
+    direct = [
+        rows(
+            LM.source_kl_vs_stored(
+                spark.createDataFrame(
+                    b, "doc_id long, source string, text string"
+                ),
+                spark,
+                art,
+            )
+        )
+        for b in (batch1, batch2)
+    ]
+    assert sorted(map(str, streamed_all)) == sorted(map(str, direct))
+    # the all-OOV source reports NULL kl and zero in-vocab share
+    flat = [t for b in streamed_all for t in b]
+    c_row = [t for t in flat if t[0] == "c"]
+    assert c_row and c_row[0][2] == 0.0 and c_row[0][3] is None
+    # the half-OOV source keeps a finite KL on reduced support
+    b_row = [t for t in flat if t[0] == "b"]
+    assert b_row and 0.0 < b_row[0][2] < 1.0 and b_row[0][3] is not None

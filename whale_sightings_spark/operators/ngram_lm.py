@@ -450,3 +450,53 @@ def compact_lm_store(spark: SparkSession, artifact_dir: str) -> dict[str, int]:
             ),
         )
     return {"files_before": before, "files_after": _nfiles()}
+
+
+def source_kl_vs_stored(
+    batch_docs: DataFrame, spark: SparkSession, artifact_dir: str
+) -> DataFrame:
+    """Per-source unigram KL of a (possibly out-of-corpus) document
+    batch against the STORED corpus distribution — q248's statistic
+    generalized to arriving data. Unlike q248, batch tokens may be
+    absent from the reference, so the KL is computed over the
+    IN-VOCABULARY support with the batch distribution renormalized to
+    it, and the out-of-vocabulary token mass is reported beside it
+    (the standard restrict-support + report-oov treatment; smoothing
+    the reference would make the number depend on an arbitrary
+    epsilon). Columns: source, n_tokens, in_vocab_share, kl_nats
+    (NULL when a source has no in-vocab tokens). Deterministic given
+    (batch, store) — the streaming twin's per-batch outputs equal
+    this applied to each batch's documents."""
+    bc = doc_unigram_counts(batch_docs).groupBy("source", "tok").agg(
+        F.sum("n").cast("bigint").alias("c")
+    )
+    ref = stored_uni(spark, artifact_dir).select(
+        "tok", F.col("n").alias("cc")
+    )
+    cn = ref.agg(F.sum("cc").alias("cn"))
+    j = bc.join(ref, "tok", "left").crossJoin(F.broadcast(cn))
+    iv = F.col("cc").isNotNull()
+    per_src = j.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(iv, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_in_vocab"),
+        # sum of c*ln(c / (cc/cn)) over in-vocab rows; the sn_in
+        # normalization enters outside the sum:
+        #   KL = (1/sn_in) * sum_c c*ln c  - ln(sn_in)
+        #        - (1/sn_in) * sum_c c*ln(cc/cn)
+        F.sum(F.when(iv, F.col("c") * F.log(F.col("c")))).alias("s_clnc"),
+        F.sum(
+            F.when(iv, F.col("c") * F.log(F.col("cc") / F.col("cn")))
+        ).alias("s_clnq"),
+    )
+    sn_in = F.col("n_in_vocab").cast("double")
+    kl = (
+        (F.col("s_clnc") - F.col("s_clnq")) / sn_in - F.log(sn_in)
+    )
+    return per_src.select(
+        "source",
+        "n_tokens",
+        F.round(sn_in / F.col("n_tokens"), 6).alias("in_vocab_share"),
+        F.when(F.col("n_in_vocab") > 0, F.round(kl, 6)).alias("kl_nats"),
+    )

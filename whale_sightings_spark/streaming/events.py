@@ -1632,3 +1632,53 @@ def streaming_lm_ingest(
         .start()
         .awaitTermination()
     )
+
+
+def streaming_source_kl(
+    spark: SparkSession,
+    docs_dir: str,
+    artifact_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming drift monitor over the stored n-gram LM: each
+    micro-batch of arriving documents is scored per source against the
+    STORED corpus unigram distribution (`ngram_lm.source_kl_vs_stored`
+    — q248's statistic on arriving data, with OOV mass reported
+    because new crawl text need not be in-vocabulary). Inference only:
+    the store is read-only here, so the operator is stateless and each
+    batch overwrites its own ``batch_id=N`` output partition (the
+    `streaming_nb_score` idempotence convention — a re-delivered
+    batch rewrites identical rows). Per-trigger cost is O(batch
+    tokens) + one broadcast-scalar join against the vocab-scale
+    stored unigram table."""
+    import os
+
+    from whale_sightings_spark.operators.ngram_lm import (
+        source_kl_vs_stored,
+    )
+
+    schema = spark.read.parquet(docs_dir).schema
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        report = source_kl_vs_stored(batch_df, sess, artifact_dir)
+        (
+            report.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
