@@ -114,3 +114,60 @@ def test_orient_by_degree_sqrt_m_bound_on_hub_heavy_graph(spark):
     assert max_out <= math.isqrt(2 * m) + 1, (max_out, m)
     # the hub absorbs its star edges: they all point INTO node 0
     assert e.filter((F.col("a") == 0)).count() == 0
+
+
+def test_cluster_pair_table_matches_fresh_derive(spark, sf_dir):
+    """Round-9 seventh-artifact contract: the persisted pair/edge table
+    is row-equal to re-running the SimHash pair generator on the same
+    corpus (the build is deterministic), and the stored labels are
+    exactly the convergence of the stored pairs — so every graph-family
+    query served from the store returns what the inline derive would."""
+    from whale_sightings_spark.operators import dedup as DD
+    from whale_sightings_spark.plans.cluster_store import (
+        stored_text_pairs,
+        text_cluster_dir,
+    )
+    from whale_sightings_spark.schemas import load_table
+
+    art = text_cluster_dir(spark, sf_dir)
+    stored = stored_text_pairs(spark, sf_dir)
+    fresh = DD.simhash_pairs(load_table(spark, sf_dir, "documents"))
+    key = lambda r: (r["doc_a"], r["doc_b"], r["hamming"])  # noqa: E731
+    assert sorted(map(key, stored.collect())) == sorted(
+        map(key, fresh.collect())
+    )
+    labels_stored = {
+        (r["doc_id"], r["label"])
+        for r in DD.stored_cluster_labels(spark, art).collect()
+    }
+    labels_fresh = {
+        (r["doc_id"], r["label"])
+        for r in DD.dedup_components_converged(stored).collect()
+    }
+    assert labels_stored == labels_fresh
+
+
+def test_cluster_artifact_torn_build_reads_as_absent(spark, sf_dir, monkeypatch, tmp_path):
+    """Crash contract: pairs are written FIRST, labels (the _SUCCESS
+    carrier) LAST — an artifact torn between the two tables must read
+    as absent and trigger a full rebuild, never serve pairs without
+    labels."""
+    import os
+    import shutil
+
+    from whale_sightings_spark.operators.dedup import (
+        cluster_artifact_paths,
+        cluster_pairs_path,
+    )
+    from whale_sightings_spark.plans.cluster_store import text_cluster_dir
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    art = text_cluster_dir(spark, sf_dir)
+    marker = os.path.join(cluster_artifact_paths(art), "_SUCCESS")
+    assert os.path.exists(marker)
+    assert os.path.exists(os.path.join(cluster_pairs_path(art), "_SUCCESS"))
+    # tear the build: pairs present, labels missing
+    shutil.rmtree(cluster_artifact_paths(art))
+    art2 = text_cluster_dir(spark, sf_dir)
+    assert art2 == art
+    assert os.path.exists(marker)

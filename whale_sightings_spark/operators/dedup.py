@@ -571,24 +571,59 @@ def dedup_components_converged(
 # ---------------------------------------------------------------------------
 
 #: bump to invalidate persisted cluster labels when the pair-generator
-#: constants (simhash bits / bands / thresholds) change
-CLUSTER_FORMAT_VERSION = 1
+#: constants (simhash bits / bands / thresholds) change.
+#: v2 (round 9): the artifact also persists the pair/edge table the
+#: labels were converged over, bucketed by hash(doc_a).
+CLUSTER_FORMAT_VERSION = 2
 
 _CLUSTER_SCHEMA = "doc_id bigint, label bigint"
 
+#: pair-table layout buckets — hash(doc_a) % N partition column so a
+#: keyed edge probe prunes and the write parallelizes; at 100 TB the
+#: edge set is the big table here, the labels are cluster-count-bounded
+N_PAIR_BUCKETS = 16
+
 
 def cluster_artifact_paths(artifact_dir: str) -> str:
-    """labels dir under ``artifact_dir`` (single table; its _SUCCESS is
-    the completeness marker)."""
+    """labels dir under ``artifact_dir`` (its _SUCCESS — written LAST —
+    is the completeness marker for the whole artifact)."""
     return artifact_dir.rstrip("/") + "/labels"
 
 
+def cluster_pairs_path(artifact_dir: str) -> str:
+    """pairs dir under ``artifact_dir`` — the near-dup edge table the
+    labels were converged over (round 9, the SEVENTH persisted
+    artifact surface: the graph family serves from it instead of
+    re-deriving SimHash pairs from the raw corpus per query)."""
+    return artifact_dir.rstrip("/") + "/pairs"
+
+
 def build_cluster_artifact(pairs: DataFrame, artifact_dir: str) -> str:
-    """Run min-label propagation to convergence over the pair graph and
-    persist the (doc_id, label) table. Only nodes that appear in a pair
-    are stored (singletons are implicit — consumers coalesce(label,
-    doc_id), exactly as they did against the inline propagation)."""
-    labels = dedup_components_converged(pairs)
+    """Persist the pair/edge table, then run min-label propagation to
+    convergence over the STORED pairs and persist the (doc_id, label)
+    table. Only nodes that appear in a pair are stored (singletons are
+    implicit — consumers coalesce(label, doc_id), exactly as they did
+    against the inline propagation).
+
+    Write order is part of the crash contract: pairs first, labels
+    last — labels/_SUCCESS marks the artifact complete, so a build torn
+    between the two tables reads as absent and rebuilds. Converging
+    over the written pairs (not the incoming lineage) also truncates
+    the expensive band-join lineage before the propagation rounds.
+    """
+    spark = pairs.sparkSession
+    pairs_dir = cluster_pairs_path(artifact_dir)
+    (
+        pairs.withColumn(
+            "pbucket", F.pmod(F.hash(F.col("doc_a")), F.lit(N_PAIR_BUCKETS))
+        )
+        .repartition("pbucket")
+        .write.mode("overwrite")
+        .partitionBy("pbucket")
+        .parquet(pairs_dir)
+    )
+    stored_pairs = spark.read.parquet(pairs_dir).drop("pbucket")
+    labels = dedup_components_converged(stored_pairs)
     labels_dir = cluster_artifact_paths(artifact_dir)
     (
         labels.select(
@@ -599,6 +634,14 @@ def build_cluster_artifact(pairs: DataFrame, artifact_dir: str) -> str:
         .parquet(labels_dir)
     )
     return artifact_dir
+
+
+def stored_cluster_pairs(spark, artifact_dir: str) -> DataFrame:
+    """The near-dup edge table the stored labels were converged over —
+    (doc_a, doc_b[, hamming]) for the text graph, (doc_a, doc_b) for
+    the embedding graph. Build is deterministic, so this is row-equal
+    to re-running the pair generator on the same corpus fingerprint."""
+    return spark.read.parquet(cluster_pairs_path(artifact_dir)).drop("pbucket")
 
 
 def stored_cluster_labels(spark, artifact_dir: str) -> DataFrame:

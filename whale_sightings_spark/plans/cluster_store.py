@@ -10,7 +10,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from whale_sightings_spark.operators import dedup as DD
 from whale_sightings_spark.schemas import load_table
@@ -41,7 +41,13 @@ def _dir_for(
                 if d != leaf and d.startswith(prefix) and ".tmp." not in d:
                     shutil.rmtree(os.path.join(sf_root, d), ignore_errors=True)
         staging = f"{artifact_dir}.tmp.{os.getpid()}"
-        DD.build_cluster_artifact(build(spark, sf_dir), staging)
+        try:
+            DD.build_cluster_artifact(build(spark, sf_dir), staging)
+        except BaseException:
+            # a failed build must not leak a near-full-size staging dir
+            # under the cache root (the eviction sweep skips .tmp.)
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         if not os.path.exists(marker):
             shutil.rmtree(artifact_dir, ignore_errors=True)
         try:
@@ -60,6 +66,14 @@ def text_cluster_dir(spark: SparkSession, sf_dir: str) -> str:
         "documents.parquet",
         lambda s, d: DD.simhash_pairs(load_table(s, d, "documents")),
     )
+
+
+def stored_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, hamming) — the SimHash near-dup edge table off
+    the persisted text-cluster artifact (round 9: the graph family's
+    serve path — PageRank/triangles/k-core/components read this table
+    instead of re-deriving pairs from the raw corpus per query)."""
+    return DD.stored_cluster_pairs(spark, text_cluster_dir(spark, sf_dir))
 
 
 def embed_cluster_dir(spark: SparkSession, sf_dir: str) -> str:

