@@ -353,6 +353,42 @@ def test_q173_stored_index_probe_is_partition_pruned(spark, sf_dir):
     assert "LocalTableScan" not in plan, "a codebook was retrained inline"
 
 
+def test_ann_family_serves_from_stored_index(spark, sf_dir):
+    """Round-9 (VERDICT r8 #1): the IVF/PQ search-and-recall family
+    serves codebooks, code tables, and trained-cell assignments off
+    the persisted q172 artifact — no Lloyd training (which would show
+    as a createDataFrame-backed LocalTableScan codebook and an
+    ExistingRDD training sample) and no encode pass in any serving
+    DAG. q155/q172 remain the inline build/audit queries."""
+    from whale_sightings_spark.plans.queries_llm import _ivfpq_index_dir
+
+    _ivfpq_index_dir(spark, sf_dir)  # build once if absent
+    for name in (
+        "q127_pq_encode",
+        "q137_pq_adc_search",
+        "q153_ivf_adc_search",
+        "q154_ivf_adc_recall",
+        "q156_ivf_trained_recall",
+        "q161_ivfpq_search",
+        "q165_probe_recall_curve",
+    ):
+        plan = explain_str(queries()[name](spark, sf_dir))
+        assert "LocalTableScan" not in plan, (
+            f"{name} retrained a codebook inline:\n{plan}"
+        )
+        assert "ExistingRDD" not in plan, (
+            f"{name} materialized a training sample inline:\n{plan}"
+        )
+    # the pure code-table reads scan the stored artifact directly
+    for name in ("q127_pq_encode", "q137_pq_adc_search", "q153_ivf_adc_search"):
+        plan = explain_str(queries()[name](spark, sf_dir))
+        assert "pq_code" in plan, f"{name} does not scan the store:\n{plan}"
+    # q153's probe of the label-cell inverted lists is partition-pruned
+    plan = explain_str(queries()["q153_ivf_adc_search"](spark, sf_dir))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+
+
 def test_bpe_serving_queries_read_stored_artifact(spark, sf_dir):
     """Round-7 (VERDICT r6 #2): q177-q180 + q188 SERVE from the
     persisted tokenizer artifact — their DAGs scan the stored parquet

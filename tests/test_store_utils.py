@@ -1,0 +1,54 @@
+"""Cache-root maintenance: dead-builder staging reap (ADVICE r8 —
+failed/killed builds must not accumulate near-full-size partial stores
+under `.index_cache/`)."""
+from __future__ import annotations
+
+import os
+
+from whale_sightings_spark.plans.store_utils import reap_dead_staging
+
+
+def test_reap_removes_dead_pid_staging_only(tmp_path):
+    live = tmp_path / f"ivfpq_v2_123.tmp.{os.getpid()}"
+    dead = tmp_path / "ivfpq_v2_123.tmp.999999999"
+    published = tmp_path / "ivfpq_v2_123"
+    notpid = tmp_path / "shingle_v3_9.tmp.abc"
+    for d in (live, dead, published, notpid):
+        d.mkdir()
+        (d / "part-0.parquet").write_bytes(b"x")
+    reaped = reap_dead_staging(str(tmp_path))
+    assert reaped == [dead.name]
+    assert live.is_dir() and published.is_dir() and notpid.is_dir()
+    assert not dead.exists()
+
+
+def test_reap_missing_root_is_noop(tmp_path):
+    assert reap_dead_staging(str(tmp_path / "absent")) == []
+
+
+def test_failed_build_cleans_its_staging(spark, sf_dir, tmp_path, monkeypatch):
+    """An in-process build failure must rmtree its own staging dir (the
+    try/except guard on every builder), leaving the cache root free of
+    `.tmp.` debris."""
+    from whale_sightings_spark.operators import dedup as DD
+    from whale_sightings_spark.plans import cluster_store as CS
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+
+    def boom(pairs, artifact_dir):
+        # simulate an OOM mid-build AFTER the staging dir exists
+        os.makedirs(artifact_dir, exist_ok=True)
+        raise RuntimeError("simulated build crash")
+
+    monkeypatch.setattr(DD, "build_cluster_artifact", boom)
+    try:
+        CS.text_cluster_dir(spark, sf_dir)
+    except RuntimeError:
+        pass
+    else:  # pragma: no cover
+        raise AssertionError("build was expected to raise")
+    sf_root = os.path.join(str(tmp_path), os.path.basename(sf_dir.rstrip("/")))
+    leftovers = [
+        d for d in os.listdir(sf_root) if ".tmp." in d
+    ] if os.path.isdir(sf_root) else []
+    assert leftovers == []

@@ -414,7 +414,7 @@ def _pq_assign(embeddings: DataFrame) -> DataFrame:
     return _pq_assign_to(sub, _pq_codebook(sub)).select("vec_id", "s", "cid", "d2")
 
 
-def pq_encode(embeddings: DataFrame) -> DataFrame:
+def pq_encode(embeddings: DataFrame, best: DataFrame | None = None) -> DataFrame:
     """Product-quantization encoding: each vector compressed to PQ_M
     small codes (the memory layout ANN indexes use to hold billions of
     vectors in RAM — 64 floats -> 8 codes here). The codebook is
@@ -432,7 +432,11 @@ def pq_encode(embeddings: DataFrame) -> DataFrame:
     Returns (vec_id, codes array, recon = sqrt of total squared
     quantization error, rounded 6dp).
     """
-    best = _pq_assign(embeddings)
+    # ``best`` overrides the inline train+encode with the stored
+    # (vec_id, s, cid, d2) code table (read_pq_index — round 9): the
+    # encode audit then contains no Lloyd jobs and no encode pass.
+    if best is None:
+        best = _pq_assign(embeddings)
     return best.groupBy("vec_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("s", "cid"))), lambda x: x.cid
@@ -441,7 +445,13 @@ def pq_encode(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def pq_adc_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
+def pq_adc_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    cb: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes — the production
     PQ query path: the corpus is touched only through its PQ_M small
     codes, while the query stays full-precision. Per query, a lookup
@@ -454,9 +464,14 @@ def pq_adc_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5) -> DataFr
     neighbor id. WindowGroupLimit keeps top-k per query ahead of the
     final exchange.
     """
-    sub = _pq_subvectors(embeddings)
-    cb = _pq_codebook(sub)  # trained once; codes and LUT share it
-    codes = _pq_assign_to(sub, cb).select("vec_id", "s", "cid")
+    # ``cb``/``codes`` override inline training+encode with the stored
+    # plain-PQ artifact (read_pq_index — round 9): the serving DAG is
+    # then a broadcast-LUT join over the stored code table only.
+    if cb is None or codes is None:
+        sub = _pq_subvectors(embeddings)
+        cb = _pq_codebook(sub)  # trained once; codes and LUT share it
+        codes = _pq_assign_to(sub, cb)
+    codes = codes.select("vec_id", "s", "cid")
     qsub = _pq_subvectors(embeddings.filter(F.col("vec_id") < n_queries)).select(
         F.col("vec_id").alias("query_id"), "s", F.col("subvec").alias("qsub")
     )
@@ -478,7 +493,12 @@ def pq_adc_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5) -> DataFr
 
 
 def ivf_adc_topk(
-    embeddings: DataFrame, n_queries: int = 5, k: int = 5, n_probe: int = 2
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    n_probe: int = 2,
+    cb: DataFrame | None = None,
+    cell_codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF + ADC: the billion-scale serving path, composing the
     multi-probe coarse quantizer (``ann_multiprobe_topk``'s probe
@@ -499,13 +519,18 @@ def ivf_adc_topk(
     6dp BEFORE ranking, rank ties break by neighbor id (the q17
     convention).
     """
-    sub = _pq_subvectors(embeddings)
-    cb = _pq_codebook(sub)
-    cell_codes = (
-        _pq_assign_to(sub, cb)
-        .select("vec_id", "s", "cid")
-        .join(embeddings.select("vec_id", F.col("label").alias("cell")), "vec_id")
-    )
+    # ``cb``/``cell_codes`` override inline training+encode with the
+    # stored plain-PQ artifact (read_pq_index — round 9); the stored
+    # code table already carries the label cell, partition-pruned.
+    if cb is None or cell_codes is None:
+        sub = _pq_subvectors(embeddings)
+        cb = _pq_codebook(sub)
+        cell_codes = (
+            _pq_assign_to(sub, cb)
+            .select("vec_id", "s", "cid")
+            .join(embeddings.select("vec_id", F.col("label").alias("cell")), "vec_id")
+        )
+    cell_codes = cell_codes.select("vec_id", "s", "cid", "cell")
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -539,7 +564,12 @@ def ivf_adc_topk(
 
 
 def ivf_adc_recall(
-    embeddings: DataFrame, n_queries: int = 5, k: int = 5, n_probe: int = 2
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    n_probe: int = 2,
+    cb: DataFrame | None = None,
+    cell_codes: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of the IVF+ADC path vs exact brute-force top-k — the
     audit that quantifies TOTAL loss of the compressed serving path
@@ -550,7 +580,7 @@ def ivf_adc_recall(
     exact = ann_bruteforce_topk(embeddings, n_queries, k).select(
         "query_id", "neighbor_id"
     )
-    approx = ivf_adc_topk(embeddings, n_queries, k, n_probe).select(
+    approx = ivf_adc_topk(embeddings, n_queries, k, n_probe, cb, cell_codes).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
     return (
@@ -617,14 +647,20 @@ def ivf_trained_cell_stats(embeddings: DataFrame) -> DataFrame:
 
 
 def ivf_trained_recall(
-    embeddings: DataFrame, n_queries: int = 5, k: int = 5
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of a single-probe IVF over TRAINED cells vs exact
     top-k — q116's audit with the trained quantizer substituted for the
     label stand-in, quantifying what training buys. Candidates are the
     query's own trained cell, ranked by full-precision cosine with the
     q17 tie-break."""
-    assign = ivf_trained_assign(embeddings).select("vec_id", "cell")
+    # ``assign`` overrides inline training with the stored trained-cell
+    # assignment (trained_assign_from_index — round 9)
+    if assign is None:
+        assign = ivf_trained_assign(embeddings).select("vec_id", "cell")
     q = (
         embeddings.filter(F.col("vec_id") < n_queries)
         .join(assign, "vec_id")
@@ -828,7 +864,11 @@ PROBE_BUDGETS = (1, 2, 4)
 
 
 def ann_trained_probe_curve(
-    embeddings: DataFrame, n_queries: int = 5, k: int = 5
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    cb: DataFrame | None = None,
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k as a function of probe budget over the TRAINED
     quantizer — the tuning curve that prices the IVF recall knob
@@ -840,10 +880,16 @@ def ann_trained_probe_curve(
     only, and the report is a budget-cardinality agg. Returns
     (n_probe, avg_recall, min_recall)."""
     sub = _fulldim_sub(embeddings)
-    cb = _lloyd_codebook(sub, IVF_K, IVF_KMEANS_ROUNDS, IVF_TRAIN_MOD)
-    assign = _pq_assign_to(sub, cb).select(
-        "vec_id", F.col("cid").alias("cell")
-    )
+    # ``cb``/``assign`` override inline training with the stored coarse
+    # codebook + trained-cell assignment (round 9): the tuning curve
+    # then prices probe budgets against the SERVING index, zero Lloyd
+    # jobs in the DAG.
+    if cb is None:
+        cb = _lloyd_codebook(sub, IVF_K, IVF_KMEANS_ROUNDS, IVF_TRAIN_MOD)
+    if assign is None:
+        assign = _pq_assign_to(sub, cb).select(
+            "vec_id", F.col("cid").alias("cell")
+        )
     qd = (
         sub.filter(F.col("vec_id") < n_queries)
         .join(F.broadcast(cb), "s")
@@ -887,8 +933,17 @@ def ann_trained_probe_curve(
     exact = ann_bruteforce_topk(embeddings, n_queries, k).select(
         "query_id", "neighbor_id"
     )
-    budgets = embeddings.sparkSession.createDataFrame(
-        [(b,) for b in PROBE_BUDGETS], "n_probe int"
+    # a literal-array explode, not createDataFrame: keeps the 3-row
+    # budget frame out of ExistingRDD so the no-inline-training plan
+    # assert (ExistingRDD = materialized Lloyd sample) stays exact
+    budgets = (
+        embeddings.sparkSession.range(1)
+        .select(
+            F.explode(F.array(*[F.lit(int(b)) for b in PROBE_BUDGETS])).alias(
+                "nb"
+            )
+        )
+        .select(F.col("nb").cast("int").alias("n_probe"))
     )
     per_q = (
         exact.crossJoin(F.broadcast(budgets))
@@ -1034,7 +1089,11 @@ def embedding_neardup_pairs(embeddings: DataFrame) -> DataFrame:
 
 #: bump when codebook geometry/constants change — the cached index
 #: path embeds it so stale artifacts are never served
-INDEX_FORMAT_VERSION = 1
+#: v2 (round 9): the artifact also stores the plain (non-residual) PQ
+#: codebook and the label-cell PQ code table, so the whole ADC family
+#: (q127/q137/q153/q154) serves with zero Lloyd jobs and zero encode
+#: passes in its DAGs
+INDEX_FORMAT_VERSION = 2
 
 
 def ivfpq_index_paths(index_dir: str) -> tuple[str, str, str]:
@@ -1044,6 +1103,14 @@ def ivfpq_index_paths(index_dir: str) -> tuple[str, str, str]:
         base + "/residual_codebook",
         base + "/codes",
     )
+
+
+def ivfpq_index_extra_paths(index_dir: str) -> tuple[str, str]:
+    """(pq_codebook, pq_codes) dirs — the plain-PQ half of the v2
+    artifact. ``codes`` (written LAST) still carries the completeness
+    marker for the whole index."""
+    base = index_dir.rstrip("/")
+    return (base + "/pq_codebook", base + "/pq_codes")
 
 
 def build_ivfpq_index(embeddings: DataFrame, index_dir: str) -> None:
@@ -1066,9 +1133,28 @@ def build_ivfpq_index(embeddings: DataFrame, index_dir: str) -> None:
     ``ivfpq_topk`` result, which is how the q173 oracle checks it.
     """
     coarse_dir, rcb_dir, codes_dir = ivfpq_index_paths(index_dir)
+    pqcb_dir, pq_codes_dir = ivfpq_index_extra_paths(index_dir)
     coarse, rcb, res, best = _residual_pq_index(embeddings)
     coarse.write.mode("overwrite").parquet(coarse_dir)
     rcb.write.mode("overwrite").parquet(rcb_dir)
+    # v2: the plain (non-residual) PQ half — codebook + full-corpus
+    # (vec_id, s, cid, d2) codes keyed by the LABEL cell, the inverted
+    # lists the label-cell ADC family (q137/q153/q154) probes; d2 rides
+    # along so the encode audit (q127's recon) is a stored read too
+    sub = _pq_subvectors(embeddings)
+    pqcb = _pq_codebook(sub)
+    pqcb.write.mode("overwrite").parquet(pqcb_dir)
+    pq_codes = (
+        _pq_assign_to(sub, pqcb)
+        .select("vec_id", "s", "cid", "d2")
+        .join(embeddings.select("vec_id", F.col("label").alias("cell")), "vec_id")
+    )
+    (
+        pq_codes.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(pq_codes_dir)
+    )
     codes = best.select("vec_id", "s", "cid").join(
         res.select("vec_id", "cell"), "vec_id"
     )
@@ -1090,6 +1176,34 @@ def read_ivfpq_index(spark, index_dir: str):
     rcb = spark.read.schema(cb_schema).parquet(rcb_dir)
     codes = spark.read.parquet(codes_dir)
     return coarse, rcb, codes
+
+
+def read_pq_index(spark, index_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(pq_codebook, pq_codes) off the v2 artifact — the plain-PQ
+    codebook (s, cid, cvec) and the label-cell code table
+    (vec_id, s, cid, d2, cell). ``cell`` is a partition directory
+    column; it is cast AFTER the scan so partition pruning still sees
+    the raw column (the read_ivfpq_index convention)."""
+    pqcb_dir, pq_codes_dir = ivfpq_index_extra_paths(index_dir)
+    pqcb = spark.read.schema("s int, cid bigint, cvec array<double>").parquet(
+        pqcb_dir
+    )
+    pq_codes = spark.read.parquet(pq_codes_dir).select(
+        "vec_id", "s", "cid", "d2", F.col("cell").cast("int").alias("cell")
+    )
+    return pqcb, pq_codes
+
+
+def trained_assign_from_index(spark, index_dir: str) -> DataFrame:
+    """(vec_id, cell) — every vector's TRAINED coarse cell read off the
+    stored code table. The residual code rows are one per (vector,
+    subspace); filtering to s=0 yields exactly one row per vector with
+    no distinct shuffle. Row-equal to ``ivf_trained_assign``'s
+    (vec_id, cell) (same trainer, same constants — deterministic)."""
+    _coarse, _rcb, codes = read_ivfpq_index(spark, index_dir)
+    return codes.filter(F.col("s") == 0).select(
+        "vec_id", F.col("cell").cast("long").alias("cell")
+    )
 
 
 def ivfpq_topk_from_index(
@@ -1349,40 +1463,57 @@ def compact_ivfpq_index(spark, index_dir: str) -> dict[str, int]:
     layout with one file per cell (``spark.sql.files.maxRecordsPerFile``
     still splits genuinely hot cells), preserving contents exactly.
 
-    The rewrite stages into ``codes__compact`` then swaps directories
+    The rewrite stages into ``<table>__compact`` then swaps directories
     (write target ≠ read source, so a torn compaction leaves the live
-    codes dir untouched; the stale staging dir is overwritten by the
-    next attempt). Returns {"files_before": n, "files_after": m,
-    "rows": r} so callers can assert the win."""
+    dir untouched; the stale staging dir is overwritten by the next
+    attempt). The v2 plain-PQ code table compacts the same way under
+    its own keys. Returns {"files_before": n, "files_after": m,
+    "rows": r, "pq_files_before": ..., "pq_files_after": ...,
+    "pq_rows": ...} so callers can assert the win."""
     import glob
     import os
     import shutil
 
     _coarse_dir, _rcb_dir, codes_dir = ivfpq_index_paths(index_dir)
+    _pqcb_dir, pq_codes_dir = ivfpq_index_extra_paths(index_dir)
 
     def _nfiles(d: str) -> int:
         return len(glob.glob(os.path.join(d, "cell=*", "*.parquet")))
 
-    before = _nfiles(codes_dir)
-    codes = spark.read.parquet(codes_dir)
-    rows = codes.count()
-    staging = codes_dir + "__compact"
-    (
-        codes.select(
-            "vec_id", "s", "cid", F.col("cell").cast("long").alias("cell")
+    def _compact(d: str, cols) -> tuple[int, int, int]:
+        before = _nfiles(d)
+        t = spark.read.parquet(d)
+        rows = t.count()
+        staging = d + "__compact"
+        (
+            t.select(*cols)
+            .repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(staging)
         )
-        .repartition("cell")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(staging)
-    )
-    old = codes_dir + "__old"
-    if os.path.isdir(old):
+        old = d + "__old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(d, old)
+        os.rename(staging, d)
         shutil.rmtree(old)
-    os.rename(codes_dir, old)
-    os.rename(staging, codes_dir)
-    shutil.rmtree(old)
-    return {"files_before": before, "files_after": _nfiles(codes_dir), "rows": rows}
+        return before, _nfiles(d), rows
+
+    b, a, r = _compact(
+        codes_dir,
+        ("vec_id", "s", "cid", F.col("cell").cast("long").alias("cell")),
+    )
+    out = {"files_before": b, "files_after": a, "rows": r}
+    if os.path.isdir(pq_codes_dir):
+        pb, pa, pr = _compact(
+            pq_codes_dir,
+            ("vec_id", "s", "cid", "d2", F.col("cell").cast("int").alias("cell")),
+        )
+        out.update(
+            {"pq_files_before": pb, "pq_files_after": pa, "pq_rows": pr}
+        )
+    return out
 
 
 def ivfpq_stored_cell_stats(spark, index_dir: str) -> DataFrame:

@@ -36,6 +36,9 @@ def _dir_for(
     labels_dir = DD.cluster_artifact_paths(artifact_dir)
     marker = os.path.join(labels_dir, "_SUCCESS")
     if not os.path.exists(marker):
+        from whale_sightings_spark.plans.store_utils import reap_dead_staging
+
+        reap_dead_staging(sf_root)  # dead builders' .tmp leftovers
         if os.path.isdir(sf_root):
             for d in os.listdir(sf_root):
                 if d != leaf and d.startswith(prefix) and ".tmp." not in d:

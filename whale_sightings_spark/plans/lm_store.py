@@ -36,13 +36,22 @@ def lm_artifact_dir(spark: SparkSession, sf_dir: str) -> str:
         LM.lm_artifact_paths(artifact_dir)["pairs"], "_SUCCESS"
     )
     if not os.path.exists(marker):
+        from whale_sightings_spark.plans.store_utils import reap_dead_staging
+
+        reap_dead_staging(sf_root)  # dead builders' .tmp leftovers
         if os.path.isdir(sf_root):
             for d in os.listdir(sf_root):
                 if d != leaf and d.startswith("ngramlm_") and ".tmp." not in d:
                     shutil.rmtree(os.path.join(sf_root, d), ignore_errors=True)
         docs = load_table(spark, sf_dir, "documents")
         staging = f"{artifact_dir}.tmp.{os.getpid()}"
-        LM.build_lm_artifact(docs, staging)
+        try:
+            LM.build_lm_artifact(docs, staging)
+        except BaseException:
+            # a failed build must not leak a near-full-size staging dir
+            # under the cache root (the eviction sweep skips .tmp.)
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         # clear a TORN remain (dir present, marker absent) so the
         # rename lands; a racing builder's completed marker wins and
         # we just lose our staging

@@ -330,6 +330,9 @@ def _nb_artifact_dir(spark: SparkSession, sf_dir: str) -> str:
     if not os.path.exists(os.path.join(meta_dir, "_SUCCESS")):
         import shutil
 
+        from whale_sightings_spark.plans.store_utils import reap_dead_staging
+
+        reap_dead_staging(sf_root)  # dead builders' .tmp leftovers
         if os.path.isdir(sf_root):
             for d in os.listdir(sf_root):
                 if d != leaf and d.startswith("nb_") and ".tmp." not in d:
@@ -338,7 +341,13 @@ def _nb_artifact_dir(spark: SparkSession, sf_dir: str) -> str:
         # pid-unique staging + atomic-rename publish (the
         # _ivfpq_index_dir racing-builders contract)
         staging = f"{artifact_dir}.tmp.{os.getpid()}"
-        CL.build_nb_artifact(docs, staging)
+        try:
+            CL.build_nb_artifact(docs, staging)
+        except BaseException:
+            # a failed build must not leak a near-full-size staging dir
+            # under the cache root (the eviction sweep skips .tmp.)
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         # clear a TORN remain (dir present, marker absent) or the
         # rename fails and the heal silently no-ops; a racing builder
         # that completed meanwhile re-shows its marker and wins

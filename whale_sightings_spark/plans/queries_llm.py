@@ -559,7 +559,14 @@ _PQ_ENCODE_SQL = f"""
     f" FROM ({_PQ_ENCODE_SQL})",
 )
 def q127_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    enc = SIM.pq_encode(load_table(spark, sf_dir, "embeddings"))
+    # round 9: served from the stored plain-PQ code table — no Lloyd
+    # training, no encode pass (build is deterministic; q155/q172 stay
+    # the inline build/audit queries)
+    _pqcb, pq_codes = SIM.read_pq_index(spark, _ivfpq_index_dir(spark, sf_dir))
+    enc = SIM.pq_encode(
+        load_table(spark, sf_dir, "embeddings"),
+        best=pq_codes.select("vec_id", "s", "cid", "d2"),
+    )
     return enc.withColumn(
         "codes", F.array_join(F.col("codes").cast("array<string>"), ",")
     )
@@ -619,7 +626,11 @@ _SUBVEC = (
     """,
 )
 def q137_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.pq_adc_topk(load_table(spark, sf_dir, "embeddings"))
+    # round 9: codebook + code table served from the stored artifact
+    pqcb, pq_codes = SIM.read_pq_index(spark, _ivfpq_index_dir(spark, sf_dir))
+    return SIM.pq_adc_topk(
+        load_table(spark, sf_dir, "embeddings"), cb=pqcb, codes=pq_codes
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -703,7 +714,11 @@ _IVF_ADC_CTES = f"""
     """,
 )
 def q153_ivf_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.ivf_adc_topk(load_table(spark, sf_dir, "embeddings"))
+    # round 9: codebook + label-cell code table off the stored artifact
+    pqcb, pq_codes = SIM.read_pq_index(spark, _ivfpq_index_dir(spark, sf_dir))
+    return SIM.ivf_adc_topk(
+        load_table(spark, sf_dir, "embeddings"), cb=pqcb, cell_codes=pq_codes
+    )
 
 
 @register(
@@ -733,7 +748,10 @@ def q153_ivf_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q154_ivf_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.ivf_adc_recall(load_table(spark, sf_dir, "embeddings"))
+    pqcb, pq_codes = SIM.read_pq_index(spark, _ivfpq_index_dir(spark, sf_dir))
+    return SIM.ivf_adc_recall(
+        load_table(spark, sf_dir, "embeddings"), cb=pqcb, cell_codes=pq_codes
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -833,7 +851,11 @@ def q155_ivf_trained_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q156_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.ivf_trained_recall(load_table(spark, sf_dir, "embeddings"))
+    # round 9: trained-cell assignment read off the stored code table
+    assign = SIM.trained_assign_from_index(spark, _ivfpq_index_dir(spark, sf_dir))
+    return SIM.ivf_trained_recall(
+        load_table(spark, sf_dir, "embeddings"), assign=assign
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -975,7 +997,15 @@ _IVFPQ_SEARCH_ORACLE = f"""
 
 @register("q161_ivfpq_search", _IVFPQ_SEARCH_ORACLE)
 def q161_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.ivfpq_topk(load_table(spark, sf_dir, "embeddings"))
+    # round 9: the legacy inline entry point now resolves to the stored
+    # trained index — identical results (training is deterministic;
+    # q172 remains the build query, `SIM.ivfpq_topk` the inline twin
+    # exercised by the build + tests/test_similarity.py)
+    return SIM.ivfpq_topk_from_index(
+        spark,
+        load_table(spark, sf_dir, "embeddings"),
+        _ivfpq_index_dir(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1054,7 +1084,15 @@ def q161_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q165_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.ann_trained_probe_curve(load_table(spark, sf_dir, "embeddings"))
+    # round 9: coarse codebook + assignment off the stored index — the
+    # tuning curve prices probe budgets against the SERVING artifact
+    idx = _ivfpq_index_dir(spark, sf_dir)
+    coarse, _rcb, _codes = SIM.read_ivfpq_index(spark, idx)
+    return SIM.ann_trained_probe_curve(
+        load_table(spark, sf_dir, "embeddings"),
+        cb=coarse,
+        assign=SIM.trained_assign_from_index(spark, idx),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2336,6 +2374,9 @@ def _ivfpq_index_dir(
         # BPE cache and other split keys share sf_root
         import shutil
 
+        from whale_sightings_spark.plans.store_utils import reap_dead_staging
+
+        reap_dead_staging(sf_root)  # dead builders' .tmp leftovers
         if os.path.isdir(sf_root):
             for d in os.listdir(sf_root):
                 if d != leaf and d.startswith(prefix) and ".tmp." not in d:
@@ -2348,7 +2389,13 @@ def _ivfpq_index_dir(
         # each build privately; the loser discards (training is
         # deterministic, the artifacts are identical)
         staging = f"{index_dir}.tmp.{os.getpid()}"
-        SIM.build_ivfpq_index(emb, staging)
+        try:
+            SIM.build_ivfpq_index(emb, staging)
+        except BaseException:
+            # a failed build must not leak a near-full-size staging dir
+            # under the cache root (the eviction sweep skips .tmp.)
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         # clear a TORN remain (dir present, marker absent) or the
         # rename fails and the heal silently no-ops; a racing builder
         # that completed meanwhile re-shows its marker and wins

@@ -1388,6 +1388,9 @@ def _bpe_artifact_dir(
     if not os.path.exists(os.path.join(merges_dir, "_SUCCESS")):
         import shutil
 
+        from whale_sightings_spark.plans.store_utils import reap_dead_staging
+
+        reap_dead_staging(sf_root)  # dead builders' .tmp leftovers
         if os.path.isdir(sf_root):
             for d in os.listdir(sf_root):
                 if d != leaf and d.startswith(f"bpe_{tag}_") and ".tmp." not in d:
@@ -1398,7 +1401,13 @@ def _bpe_artifact_dir(
         # pid-unique staging + atomic-rename publish (the
         # _ivfpq_index_dir racing-builders contract)
         staging = f"{artifact_dir}.tmp.{os.getpid()}"
-        BPE.build_bpe_artifact(docs, staging)
+        try:
+            BPE.build_bpe_artifact(docs, staging)
+        except BaseException:
+            # a failed build must not leak a near-full-size staging dir
+            # under the cache root (the eviction sweep skips .tmp.)
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         # clear a TORN remain (dir present, marker absent) or the
         # rename fails and the heal silently no-ops; a racing builder
         # that completed meanwhile re-shows its marker and wins

@@ -34,6 +34,9 @@ def shingle_artifact_dir(spark: SparkSession, sf_dir: str) -> str:
     # the build writes src5 LAST — its _SUCCESS is the completeness marker
     _, _, _, src5_dir = SH.shingle_artifact_paths(artifact_dir)
     if not os.path.exists(os.path.join(src5_dir, "_SUCCESS")):
+        from whale_sightings_spark.plans.store_utils import reap_dead_staging
+
+        reap_dead_staging(sf_root)  # dead builders' .tmp leftovers
         if os.path.isdir(sf_root):
             for d in os.listdir(sf_root):
                 if (
@@ -44,7 +47,13 @@ def shingle_artifact_dir(spark: SparkSession, sf_dir: str) -> str:
                     shutil.rmtree(os.path.join(sf_root, d), ignore_errors=True)
         docs = load_table(spark, sf_dir, "documents")
         staging = f"{artifact_dir}.tmp.{os.getpid()}"
-        SH.build_shingle_artifact(docs, staging)
+        try:
+            SH.build_shingle_artifact(docs, staging)
+        except BaseException:
+            # a failed build must not leak a near-full-size staging dir
+            # under the cache root (the eviction sweep skips .tmp.)
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         # a TORN remain of a previous build (dir present, marker
         # absent) would make the rename fail and the heal silently
         # no-op — clear it first; if a racing builder completed in the

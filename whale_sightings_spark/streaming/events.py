@@ -841,18 +841,50 @@ def streaming_ivfpq_index_ingest(
     was built over the history slice — pinned in
     tests/test_streaming.py.
     """
+    import os
+
     from whale_sightings_spark.operators.similarity import (
+        _pq_assign_to,
+        _pq_subvectors,
         ivfpq_assign_encode,
+        ivfpq_index_extra_paths,
         ivfpq_index_paths,
         read_ivfpq_index,
+        read_pq_index,
     )
 
     schema = spark.read.parquet(emb_dir).schema
     _coarse_dir, _rcb_dir, codes_dir = ivfpq_index_paths(index_dir)
+    _pqcb_dir, pq_codes_dir = ivfpq_index_extra_paths(index_dir)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         coarse, rcb, codes = read_ivfpq_index(sess, index_dir)
+        # the v2 plain-PQ table is maintained alongside; each table
+        # anti-joins its OWN seen set, so a crash between the two
+        # appends self-heals on replay (no cross-table torn-batch loss)
+        if os.path.isdir(pq_codes_dir):
+            pqcb, pq_codes = read_pq_index(sess, index_dir)
+            pq_batch = batch_df.join(
+                pq_codes.select("vec_id").distinct(), "vec_id", "left_anti"
+            )
+            if not pq_batch.limit(1).isEmpty():
+                pq_rows = (
+                    _pq_assign_to(_pq_subvectors(pq_batch), pqcb)
+                    .select("vec_id", "s", "cid", "d2")
+                    .join(
+                        pq_batch.select(
+                            "vec_id", F.col("label").alias("cell")
+                        ),
+                        "vec_id",
+                    )
+                )
+                (
+                    pq_rows.repartition("cell")
+                    .write.mode("append")
+                    .partitionBy("cell")
+                    .parquet(pq_codes_dir)
+                )
         seen = codes.select("vec_id").distinct()
         batch = batch_df.join(seen, "vec_id", "left_anti")
         if batch.limit(1).isEmpty():
