@@ -256,3 +256,104 @@ def test_compaction_preserves_every_reader_and_defrags(
     )
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "bucket" in m.group(1), plan
+
+
+def test_torn_ingest_batch_is_invisible_and_replay_regenerates(
+    spark, docs, tmp_path_factory
+):
+    """Round-9 (ADVICE r8, medium): a batch that crashes mid-write
+    leaves only an ``ingest/.tmp.<id>`` staging dir — no reader and no
+    seen-set observes ANY of its tables, so a replayed trigger
+    regenerates the whole batch (never the v1 failure mode where the
+    anti-join key table landed but sibling tables' rows were lost)."""
+    import shutil
+    import time
+
+    from whale_sightings_spark.streaming.events import streaming_lm_ingest
+
+    base = tmp_path_factory.mktemp("lm_torn_batch")
+    art = str(base / "lm")
+    LM.build_lm_artifact(docs.filter(F.col("doc_id") < 5), art)
+    n_before = LM.stored_doc_ids(spark, art).count()
+
+    delta_dir = str(base / "deltas")
+    docs.filter(F.col("doc_id") >= 5).coalesce(1).write.parquet(
+        delta_dir, mode="append"
+    )
+    # simulate the torn batch: a half-written staging dir with the
+    # anti-join-key tables ALREADY populated (the v1 loss window)
+    staging = os.path.join(LM.lm_ingest_root(art), ".tmp.0")
+    bpaths = LM.lm_artifact_paths(staging)
+    delta = spark.read.parquet(delta_dir)
+    delta.select(F.col("doc_id").cast("long")).distinct().write.parquet(
+        bpaths["doc_ids"]
+    )
+    # torn staging is invisible to every reader and to the seen-set
+    assert LM.stored_doc_ids(spark, art).count() == n_before
+
+    streaming_lm_ingest(spark, delta_dir, art, str(base / "ck"))
+    # replay published the batch whole — all tables agree with a fresh
+    # full build
+    full = str(base / "full")
+    LM.build_lm_artifact(docs, full)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for reader in (
+        lambda a: LM.stored_doc_uni(spark, a).select("doc_id", "tok", "n"),
+        lambda a: LM.stored_uni(spark, a),
+        lambda a: LM.stored_pairs(spark, a),
+        lambda a: LM.stored_tri_train(spark, a),
+        lambda a: LM.stored_doc_ids(spark, a),
+    ):
+        assert rows(reader(art)) == rows(reader(full))
+    # the torn staging dir was replaced by the published batch
+    assert not os.path.isdir(staging) or os.listdir(
+        LM.lm_ingest_root(art)
+    ), "no published batch"
+    time.sleep(0)  # keep the import used under -Werror-less runs
+    shutil.rmtree(str(base), ignore_errors=True)
+
+
+def test_crashed_compaction_reads_as_absent_and_rebuilds(
+    spark, docs, tmp_path, monkeypatch
+):
+    """Round-9 (ADVICE r8, low): a COMPACTING sentinel left by a
+    crashed compaction makes the build-if-absent cache treat the store
+    as absent — it rebuilds instead of serving a store that may be
+    missing a table mid-swap."""
+    from whale_sightings_spark.plans.lm_store import lm_artifact_dir
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    art = lm_artifact_dir(spark, sf_dir)
+    marker = os.path.join(LM.lm_artifact_paths(art)["pairs"], "_SUCCESS")
+    mt0 = os.path.getmtime(marker)
+    # no sentinel: second call serves the cache (no rebuild)
+    assert lm_artifact_dir(spark, sf_dir) == art
+    assert os.path.getmtime(marker) == mt0
+    # crashed compaction: sentinel present -> full rebuild
+    with open(LM.lm_compacting_sentinel(art), "w") as fh:
+        fh.write("12345")
+    art2 = lm_artifact_dir(spark, sf_dir)
+    assert art2 == art
+    assert not os.path.exists(LM.lm_compacting_sentinel(art))
+    assert os.path.exists(marker)
+    assert os.path.getmtime(marker) > mt0
+
+
+def test_ingest_seen_set_is_manifest_not_ngram_tables(spark, built):
+    """The seen-set the ingest anti-joins is the doc-id manifest
+    (O(documents)), and its plan touches no n-gram table."""
+    ids = LM.stored_doc_ids(spark, built)
+    plan = ids.sparkSession._jvm.PythonSQLUtils.explainString(
+        ids._jdf.queryExecution(), "formatted"
+    )
+    assert "doc_ids" in plan
+    for table in ("doc_uni", "doc_big", "doc_tri", "/uni", "pairs"):
+        assert table not in plan, f"seen-set scans {table}:\n{plan}"
+    got = sorted(r["doc_id"] for r in ids.collect())
+    assert got == sorted(r[0] for r in _ROWS)

@@ -34,6 +34,16 @@ On-disk layout (all parquet):
 - ``pairs/``     (w1, w2, pair_n) full-corpus bigram counts — written
   LAST, so the build-if-absent cache keys on ``pairs/_SUCCESS`` and a
   torn build is invisible (the `shingles.py` torn-write contract).
+- ``doc_ids/``   (doc_id) — the ingested-document manifest (v2): the
+  streaming ingest's anti-join reads THIS doc-id-only sidecar, so the
+  per-trigger seen-set read is O(documents), never O(stored n-gram
+  rows).
+- ``ingest/b<id>/`` — one fully-written sub-store per streamed batch
+  (same table names), published by atomic rename from a ``.tmp.``
+  staging dir; readers union the base tables with every PUBLISHED
+  batch dir, so a torn batch is invisible and a replay regenerates it
+  exactly (v2 — closes the torn-batch loss window of the v1
+  append-in-place ingest).
 
 Aggregated tables hold PARTIAL counts: one row per key from the build
 plus one per streaming-ingest batch. Readers SUM on the way in, which
@@ -54,8 +64,10 @@ from pyspark.sql import types as T
 
 from whale_sightings_spark.functions.text import tokens
 
-#: artifact layout version — bump to invalidate caches on format change
-NGRAM_LM_FORMAT_VERSION = 1
+#: artifact layout version — bump to invalidate caches on format change.
+#: v2 (round 9): doc_ids manifest + atomic per-batch ingest dirs +
+#: compaction-in-progress sentinel
+NGRAM_LM_FORMAT_VERSION = 2
 
 #: held-out split modulus (docs with doc_id % HOLD_MOD == 0 are held
 #: out; the rest train) — the q185/q216 evaluation convention
@@ -115,6 +127,14 @@ _TRI_SCHEMA = T.StructType(
         T.StructField("c123", T.LongType()),
     ]
 )
+_PAIRS_TRAIN_SCHEMA = T.StructType(
+    [
+        T.StructField("w1", T.StringType()),
+        T.StructField("w2", T.StringType()),
+        T.StructField("c12", T.LongType()),
+    ]
+)
+_DOC_IDS_SCHEMA = T.StructType([T.StructField("doc_id", T.LongType())])
 
 
 def lm_artifact_paths(artifact_dir: str) -> dict[str, str]:
@@ -130,7 +150,52 @@ def lm_artifact_paths(artifact_dir: str) -> dict[str, str]:
         "pairs_train": base + "/pairs_train",
         "tri_train": base + "/tri_train",
         "pairs": base + "/pairs",
+        "doc_ids": base + "/doc_ids",
     }
+
+
+#: table keys every ingest batch dir carries (doc_ids is the batch
+#: manifest; pairs stays the base store's completeness marker)
+LM_TABLE_KEYS = (
+    "doc_uni",
+    "doc_big",
+    "doc_tri",
+    "uni",
+    "uni_train",
+    "pairs_train",
+    "tri_train",
+    "pairs",
+    "doc_ids",
+)
+
+
+def lm_ingest_root(artifact_dir: str) -> str:
+    """Directory of per-batch ingest sub-stores (``b<batch_id>/``)."""
+    return artifact_dir.rstrip("/") + "/ingest"
+
+
+def lm_compacting_sentinel(artifact_dir: str) -> str:
+    """Compaction-in-progress marker: while present (or left behind by
+    a crashed compaction), `plans.lm_store.lm_artifact_dir` treats the
+    store as ABSENT and rebuilds — a mid-swap crash can therefore never
+    serve a store with a missing table. Compaction requires exclusive
+    access (no concurrent ingest/readers of the same artifact)."""
+    return artifact_dir.rstrip("/") + "/COMPACTING"
+
+
+def lm_ingest_batch_dirs(artifact_dir: str) -> list[str]:
+    """Published per-batch ingest dirs, oldest first. ``.tmp.`` staging
+    dirs (torn batches) are invisible by construction."""
+    import os
+
+    root = lm_ingest_root(artifact_dir)
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in sorted(os.listdir(root)):
+        if d.startswith("b") and d[1:].isdigit():
+            out.append(os.path.join(root, d))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -268,6 +333,15 @@ def build_lm_artifact(docs: DataFrame, artifact_dir: str) -> str:
         .write.mode("overwrite")
         .parquet(paths["tri_train"])
     )
+    # v2: the doc-id manifest — includes token-less documents, so the
+    # ingest anti-join skips EVERY already-seen doc without touching an
+    # n-gram table (O(documents) per trigger, the ADVICE r8 contract)
+    (
+        docs.select(F.col("doc_id").cast("long"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(paths["doc_ids"])
+    )
     # full-corpus pair counts LAST — the completeness marker
     (
         s_db.groupBy("w1", "w2")
@@ -285,32 +359,49 @@ def build_lm_artifact(docs: DataFrame, artifact_dir: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _read_table(spark, artifact_dir: str, key: str, schema) -> DataFrame:
+    """Pinned-schema read of a store table: the base dir unioned with
+    every PUBLISHED ingest batch dir (v2 — per-batch atomic sub-stores;
+    a ``.tmp.`` torn batch never appears here). Each root is scanned
+    independently so bucket partition pruning survives the union."""
+    import os
+
+    base = spark.read.schema(schema).parquet(
+        lm_artifact_paths(artifact_dir)[key]
+    )
+    for b in lm_ingest_batch_dirs(artifact_dir):
+        t = os.path.join(b, key)
+        if os.path.isdir(t):
+            base = base.unionByName(spark.read.schema(schema).parquet(t))
+    return base
+
+
+def stored_doc_ids(spark: SparkSession, artifact_dir: str) -> DataFrame:
+    """(doc_id) — the ingested-document manifest (base + every
+    published batch), the O(documents) seen-set the streaming ingest
+    anti-joins against."""
+    return _read_table(spark, artifact_dir, "doc_ids", _DOC_IDS_SCHEMA)
+
+
 def stored_doc_uni(spark: SparkSession, artifact_dir: str) -> DataFrame:
     """(doc_id, source, tok, n, bucket) per-doc token counts."""
-    return spark.read.schema(_DOC_UNI_SCHEMA).parquet(
-        lm_artifact_paths(artifact_dir)["doc_uni"]
-    )
+    return _read_table(spark, artifact_dir, "doc_uni", _DOC_UNI_SCHEMA)
 
 
 def stored_doc_big(spark: SparkSession, artifact_dir: str) -> DataFrame:
     """(doc_id, w1, w2, n, bucket) per-doc bigram counts."""
-    return spark.read.schema(_DOC_BIG_SCHEMA).parquet(
-        lm_artifact_paths(artifact_dir)["doc_big"]
-    )
+    return _read_table(spark, artifact_dir, "doc_big", _DOC_BIG_SCHEMA)
 
 
 def stored_doc_tri(spark: SparkSession, artifact_dir: str) -> DataFrame:
     """(doc_id, w1, w2, w3, n, bucket) per-doc trigram counts."""
-    return spark.read.schema(_DOC_TRI_SCHEMA).parquet(
-        lm_artifact_paths(artifact_dir)["doc_tri"]
-    )
+    return _read_table(spark, artifact_dir, "doc_tri", _DOC_TRI_SCHEMA)
 
 
 def stored_uni(spark: SparkSession, artifact_dir: str) -> DataFrame:
     """(tok, n) corpus unigram counts (partials summed at read)."""
     return (
-        spark.read.schema(_UNI_SCHEMA)
-        .parquet(lm_artifact_paths(artifact_dir)["uni"])
+        _read_table(spark, artifact_dir, "uni", _UNI_SCHEMA)
         .groupBy("tok")
         .agg(F.sum("n").cast("bigint").alias("n"))
     )
@@ -319,8 +410,7 @@ def stored_uni(spark: SparkSession, artifact_dir: str) -> DataFrame:
 def stored_uni_train(spark: SparkSession, artifact_dir: str) -> DataFrame:
     """(tok, n) train-split unigram counts (partials summed at read)."""
     return (
-        spark.read.schema(_UNI_SCHEMA)
-        .parquet(lm_artifact_paths(artifact_dir)["uni_train"])
+        _read_table(spark, artifact_dir, "uni_train", _UNI_SCHEMA)
         .groupBy("tok")
         .agg(F.sum("n").cast("bigint").alias("n"))
     )
@@ -334,8 +424,7 @@ def stored_pairs(spark: SparkSession, artifact_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     pc = (
-        spark.read.schema(_PAIRS_SCHEMA)
-        .parquet(lm_artifact_paths(artifact_dir)["pairs"])
+        _read_table(spark, artifact_dir, "pairs", _PAIRS_SCHEMA)
         .groupBy("w1", "w2")
         .agg(F.sum("pair_n").cast("bigint").alias("pair_n"))
     )
@@ -347,16 +436,7 @@ def stored_pairs(spark: SparkSession, artifact_dir: str) -> DataFrame:
 def stored_pairs_train(spark: SparkSession, artifact_dir: str) -> DataFrame:
     """(w1, w2, c12) train-split bigram counts (partials summed)."""
     return (
-        spark.read.schema(
-            T.StructType(
-                [
-                    T.StructField("w1", T.StringType()),
-                    T.StructField("w2", T.StringType()),
-                    T.StructField("c12", T.LongType()),
-                ]
-            )
-        )
-        .parquet(lm_artifact_paths(artifact_dir)["pairs_train"])
+        _read_table(spark, artifact_dir, "pairs_train", _PAIRS_TRAIN_SCHEMA)
         .groupBy("w1", "w2")
         .agg(F.sum("c12").cast("bigint").alias("c12"))
     )
@@ -365,8 +445,7 @@ def stored_pairs_train(spark: SparkSession, artifact_dir: str) -> DataFrame:
 def stored_tri_train(spark: SparkSession, artifact_dir: str) -> DataFrame:
     """(w1, w2, w3, c123) train-split trigram counts (partials summed)."""
     return (
-        spark.read.schema(_TRI_SCHEMA)
-        .parquet(lm_artifact_paths(artifact_dir)["tri_train"])
+        _read_table(spark, artifact_dir, "tri_train", _TRI_SCHEMA)
         .groupBy("w1", "w2", "w3")
         .agg(F.sum("c123").cast("bigint").alias("c123"))
     )
@@ -375,20 +454,25 @@ def stored_tri_train(spark: SparkSession, artifact_dir: str) -> DataFrame:
 def compact_lm_store(spark: SparkSession, artifact_dir: str) -> dict[str, int]:
     """Store maintenance after streaming ingest (the
     `compact_ivfpq_index` convention for the sixth artifact): each
-    ``streaming_lm_ingest`` trigger appends small files to the per-doc
-    tables and one PARTIAL-count row set per aggregated table; after
-    enough triggers the per-doc scans pay per-file open cost and the
-    sum-at-read readers fold ever-taller partial stacks. Compaction
-    rewrites (a) each per-doc table in the SAME bucket-partitioned
-    layout with one file per bucket, and (b) each aggregated table
-    down to ONE row per key — both semantically invisible, since every
-    reader either reads per-doc rows (disjoint, unchanged) or sums
-    partials (sums are unchanged by pre-summing).
+    ``streaming_lm_ingest`` trigger publishes one per-batch sub-store;
+    after enough triggers every reader unions ever more batch dirs and
+    the sum-at-read readers fold ever-taller partial stacks. Compaction
+    folds every published batch into the base tables — (a) per-doc
+    tables rewritten in the SAME bucket-partitioned layout with one
+    file per bucket, (b) aggregated tables collapsed to ONE row per
+    key, (c) the doc-id manifest de-duplicated — then removes the
+    folded batch dirs. Semantically invisible: readers either read
+    per-doc rows (disjoint, unchanged) or sum partials (sums are
+    unchanged by pre-summing).
 
-    Each table stages into ``<dir>__compact`` then swaps (write target
-    ≠ read source, so a torn compaction leaves every live table
-    intact; tables are also individually consistent, so a crash
-    between swaps leaves a valid, merely partially-compacted store).
+    Crash contract (ADVICE r8): a ``COMPACTING`` sentinel is written
+    FIRST and removed LAST; `plans.lm_store.lm_artifact_dir` treats a
+    store carrying the sentinel as ABSENT, so a crash anywhere inside
+    compaction — including the un-atomic window inside a directory
+    swap — triggers a full rebuild instead of serving a store with a
+    missing table. ``pairs`` (the completeness-marker table) swaps
+    first as belt-and-braces. Compaction requires exclusive access to
+    the artifact (no concurrent ingest or build-if-absent callers).
     Returns {"files_before": n, "files_after": m}."""
     import glob
     import os
@@ -397,9 +481,10 @@ def compact_lm_store(spark: SparkSession, artifact_dir: str) -> dict[str, int]:
     paths = lm_artifact_paths(artifact_dir)
 
     def _nfiles() -> int:
+        roots = list(paths.values()) + [lm_ingest_root(artifact_dir)]
         return sum(
             len(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
-            for d in paths.values()
+            for d in roots
         )
 
     def _swap(live: str, write) -> None:
@@ -413,16 +498,43 @@ def compact_lm_store(spark: SparkSession, artifact_dir: str) -> dict[str, int]:
         shutil.rmtree(old)
 
     before = _nfiles()
+    sentinel = lm_compacting_sentinel(artifact_dir)
+    with open(sentinel, "w") as fh:
+        fh.write(str(os.getpid()))
+    # aggregated tables (pairs FIRST — it carries the completeness
+    # marker): collapse base + batch partials to one row per key
+    for key, keys, val in (
+        ("pairs", ["w1", "w2"], "pair_n"),
+        ("uni", ["tok"], "n"),
+        ("uni_train", ["tok"], "n"),
+        ("pairs_train", ["w1", "w2"], "c12"),
+        ("tri_train", ["w1", "w2", "w3"], "c123"),
+    ):
+        df = spark.read.parquet(paths[key])
+        for b in lm_ingest_batch_dirs(artifact_dir):
+            t = os.path.join(b, key)
+            if os.path.isdir(t):
+                df = df.unionByName(spark.read.parquet(t))
+        merged = (
+            df.groupBy(*keys)
+            .agg(F.sum(val).cast("bigint").alias(val))
+            .localCheckpoint()
+        )
+        _swap(
+            paths[key],
+            lambda staging, m=merged: m.write.mode("overwrite").parquet(
+                staging
+            ),
+        )
     # per-doc tables: defrag within the preserved bucket layout
     for key, schema in (
         ("doc_uni", _DOC_UNI_SCHEMA),
         ("doc_big", _DOC_BIG_SCHEMA),
         ("doc_tri", _DOC_TRI_SCHEMA),
     ):
-        live = paths[key]
-        df = spark.read.schema(schema).parquet(live).localCheckpoint()
+        df = _read_table(spark, artifact_dir, key, schema).localCheckpoint()
         _swap(
-            live,
+            paths[key],
             lambda staging, df=df: (
                 df.repartition("bucket")
                 .write.mode("overwrite")
@@ -430,25 +542,15 @@ def compact_lm_store(spark: SparkSession, artifact_dir: str) -> dict[str, int]:
                 .parquet(staging)
             ),
         )
-    # aggregated tables: collapse partials to one row per key
-    for key, keys, val in (
-        ("uni", ["tok"], "n"),
-        ("uni_train", ["tok"], "n"),
-        ("pairs_train", ["w1", "w2"], "c12"),
-        ("tri_train", ["w1", "w2", "w3"], "c123"),
-        ("pairs", ["w1", "w2"], "pair_n"),
-    ):
-        live = paths[key]
-        df = spark.read.parquet(live).localCheckpoint()
-        merged = df.groupBy(*keys).agg(
-            F.sum(val).cast("bigint").alias(val)
-        )
-        _swap(
-            live,
-            lambda staging, m=merged: m.write.mode("overwrite").parquet(
-                staging
-            ),
-        )
+    # the doc-id manifest: de-duplicate base + batches
+    ids = stored_doc_ids(spark, artifact_dir).distinct().localCheckpoint()
+    _swap(
+        paths["doc_ids"],
+        lambda staging: ids.write.mode("overwrite").parquet(staging),
+    )
+    # every batch is folded into the base tables — drop the batch dirs
+    shutil.rmtree(lm_ingest_root(artifact_dir), ignore_errors=True)
+    os.remove(sentinel)
     return {"files_before": before, "files_after": _nfiles()}
 
 

@@ -31,11 +31,19 @@ def lm_artifact_dir(spark: SparkSession, sf_dir: str) -> str:
     sf_root = os.path.join(root, os.path.basename(os.path.normpath(sf_dir)))
     leaf = f"ngramlm_v{LM.NGRAM_LM_FORMAT_VERSION}_{fp}"
     artifact_dir = os.path.join(sf_root, leaf)
-    # the build writes pairs LAST — its _SUCCESS is the completeness marker
+    # the build writes pairs LAST — its _SUCCESS is the completeness
+    # marker; a store carrying the COMPACTING sentinel (a crashed
+    # compaction) is treated as absent and rebuilt (ADVICE r8)
     marker = os.path.join(
         LM.lm_artifact_paths(artifact_dir)["pairs"], "_SUCCESS"
     )
-    if not os.path.exists(marker):
+
+    def _incomplete() -> bool:
+        return not os.path.exists(marker) or os.path.exists(
+            LM.lm_compacting_sentinel(artifact_dir)
+        )
+
+    if _incomplete():
         from whale_sightings_spark.plans.store_utils import reap_dead_staging
 
         reap_dead_staging(sf_root)  # dead builders' .tmp leftovers
@@ -52,10 +60,11 @@ def lm_artifact_dir(spark: SparkSession, sf_dir: str) -> str:
             # under the cache root (the eviction sweep skips .tmp.)
             shutil.rmtree(staging, ignore_errors=True)
             raise
-        # clear a TORN remain (dir present, marker absent) so the
-        # rename lands; a racing builder's completed marker wins and
-        # we just lose our staging
-        if not os.path.exists(marker):
+        # clear a TORN remain (dir present, marker absent) or a
+        # crashed-compaction remain (sentinel present) so the rename
+        # lands; a racing builder's completed marker wins and we just
+        # lose our staging
+        if _incomplete():
             shutil.rmtree(artifact_dir, ignore_errors=True)
         try:
             os.rename(staging, artifact_dir)

@@ -1536,41 +1536,51 @@ def streaming_lm_ingest(
 ) -> None:
     """Delta ingest INTO the persisted n-gram LM store (round 8 — the
     sixth artifact gets the shingle-index lifecycle: build -> serve ->
-    STREAM-INGEST -> serve). n-gram counts are ADDITIVE, so ingest is
-    the cleanest of the artifact family: each micro-batch's NEW
-    documents (already-ingested doc_ids anti-join away against the
-    stored per-doc unigram table — a doc with no tokens contributes
-    zero rows everywhere, so replaying it is vacuously idempotent)
-    append
+    STREAM-INGEST -> serve; reworked round 9 per ADVICE r8).
 
-    - their per-doc unigram / bigram / trigram COUNT rows into the
-      stored bucket-partitioned layouts (doc-disjoint by the
-      anti-join: plain append stays exact), and
-    - batch-local PARTIALS of every aggregated table (uni, uni_train,
-      pairs_train, tri_train, pairs) — the readers SUM partials, so a
-      drained store serves results identical to a fresh full-corpus
-      build (pinned in tests/test_streaming.py).
+    Each micro-batch's NEW documents (already-ingested doc_ids
+    anti-join away against the O(documents) ``doc_ids`` manifest — the
+    doc-id-only sidecar, never the corpus-scale n-gram tables) are
+    written as ONE per-batch sub-store ``ingest/b<batch_id>/`` holding
+    every table (per-doc counts, aggregate PARTIALS, and the batch's
+    own doc-id manifest), staged under ``ingest/.tmp.<batch_id>`` and
+    published by a single atomic rename. Readers
+    (`ngram_lm._read_table`) union the base store with PUBLISHED batch
+    dirs only, so:
 
-    Per-trigger cost: O(batch tokens) — three batch-sized tokenize
-    passes and five batch-bounded aggregates; never O(vocab) and never
-    a rewrite of stored files.
+    - a crash ANYWHERE before the rename leaves a ``.tmp.`` dir no
+      reader and no seen-set ever observes — the replayed batch
+      recomputes and re-publishes it whole (no torn-batch row loss
+      across tables, the round-8 append-in-place failure mode);
+    - a crash after the rename replays a batch whose doc_ids are all
+      in the manifest — the anti-join empties and the trigger no-ops.
+
+    Per-trigger cost: O(batch tokens) tokenize passes + five
+    batch-bounded aggregates + one O(ingested documents) manifest
+    read. `compact_lm_store` folds published batches into the base
+    tables.
     """
+    import os
+    import shutil
+
     from whale_sightings_spark.operators import ngram_lm as LM
 
     schema = spark.read.parquet(docs_dir).schema
-    paths = LM.lm_artifact_paths(artifact_dir)
+    ingest_root = LM.lm_ingest_root(artifact_dir)
+    os.makedirs(ingest_root, exist_ok=True)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        seen = (
-            sess.read.schema(LM._DOC_UNI_SCHEMA)
-            .parquet(paths["doc_uni"])
-            .select("doc_id")
-            .distinct()
-        )
+        seen = LM.stored_doc_ids(sess, artifact_dir)
         batch = batch_df.join(seen, "doc_id", "left_anti")
         if batch.limit(1).isEmpty():
             return
+        final = os.path.join(ingest_root, f"b{batch_id}")
+        if os.path.isdir(final):
+            return  # published by a previous attempt; replay no-ops
+        staging = os.path.join(ingest_root, f".tmp.{batch_id}")
+        shutil.rmtree(staging, ignore_errors=True)
+        bpaths = LM.lm_artifact_paths(staging)
         du = (
             LM.doc_unigram_counts(batch)
             .withColumn(
@@ -1600,57 +1610,55 @@ def streaming_lm_ingest(
             .localCheckpoint()
         )
         train = F.col("doc_id") % LM.HOLD_MOD != 0
-        (
-            du.repartition("bucket")
-            .write.mode("append")
-            .partitionBy("bucket")
-            .parquet(paths["doc_uni"])
-        )
-        (
-            db.repartition("bucket")
-            .write.mode("append")
-            .partitionBy("bucket")
-            .parquet(paths["doc_big"])
-        )
-        (
-            dt.repartition("bucket")
-            .write.mode("append")
-            .partitionBy("bucket")
-            .parquet(paths["doc_tri"])
-        )
+        for df, key in ((du, "doc_uni"), (db, "doc_big"), (dt, "doc_tri")):
+            (
+                df.repartition("bucket")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(bpaths[key])
+            )
         (
             du.groupBy("tok")
             .agg(F.sum("n").cast("bigint").alias("n"))
-            .write.mode("append")
-            .parquet(paths["uni"])
+            .write.mode("overwrite")
+            .parquet(bpaths["uni"])
         )
         (
             du.filter(train)
             .groupBy("tok")
             .agg(F.sum("n").cast("bigint").alias("n"))
-            .write.mode("append")
-            .parquet(paths["uni_train"])
+            .write.mode("overwrite")
+            .parquet(bpaths["uni_train"])
         )
         (
             db.filter(train)
             .groupBy("w1", "w2")
             .agg(F.sum("n").cast("bigint").alias("c12"))
-            .write.mode("append")
-            .parquet(paths["pairs_train"])
+            .write.mode("overwrite")
+            .parquet(bpaths["pairs_train"])
         )
         (
             dt.filter(train)
             .groupBy("w1", "w2", "w3")
             .agg(F.sum("n").cast("bigint").alias("c123"))
-            .write.mode("append")
-            .parquet(paths["tri_train"])
+            .write.mode("overwrite")
+            .parquet(bpaths["tri_train"])
         )
         (
             db.groupBy("w1", "w2")
             .agg(F.sum("n").cast("bigint").alias("pair_n"))
-            .write.mode("append")
-            .parquet(paths["pairs"])
+            .write.mode("overwrite")
+            .parquet(bpaths["pairs"])
         )
+        # the batch manifest — includes token-less docs, so replaying
+        # them is a manifest hit, not a vacuous re-tokenize
+        (
+            batch.select(F.col("doc_id").cast("long"))
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(bpaths["doc_ids"])
+        )
+        os.rename(staging, final)  # atomic publish
 
     stream = (
         spark.readStream.schema(schema)
