@@ -1,0 +1,195 @@
+"""Streaming ingest for the persisted near-dup cluster artifact
+(round 9, VERDICT r8 #6): full build -> serve -> stream-ingest ->
+serve loop, stream==batch label equality on a multi-file delta,
+replay idempotence, deferred-merge recording, and the
+merge-pressure rebuild trigger."""
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from whale_sightings_spark.operators import dedup as DD
+
+_A = "the quick brown fox jumps over the lazy dog again and again"
+_B = "colorless green ideas sleep furiously under the pale winter moon"
+_ROWS_HIST = [
+    # two identical-text families + singletons
+    (0, "s", _A),
+    (1, "s", _A),
+    (2, "s", _B),
+    (3, "s", _B),
+    (4, "s", "completely unrelated sentence number four about harbors"),
+    (5, "s", "another standalone line regarding migration patterns"),
+]
+_ROWS_DELTA1 = [
+    (10, "s", _A),  # joins family A -> must get label 0
+    (11, "s", "fresh duplicated content that repeats verbatim tonight"),
+    (12, "s", "fresh duplicated content that repeats verbatim tonight"),
+]
+_ROWS_DELTA2 = [
+    (13, "s", "a final unique document with no neighbors anywhere"),
+]
+_SCHEMA = "doc_id long, source string, text string"
+
+
+def _labels_with_singletons(spark, art, docs):
+    stored = DD.stored_cluster_labels(spark, art)
+    return {
+        r["doc_id"]: r["lab"]
+        for r in docs.select("doc_id")
+        .join(stored, "doc_id", "left")
+        .select("doc_id", F.coalesce("label", "doc_id").alias("lab"))
+        .collect()
+    }
+
+
+def test_streaming_cluster_ingest_full_loop(spark, tmp_path_factory):
+    from whale_sightings_spark.streaming.events import (
+        streaming_cluster_ingest,
+    )
+
+    base = tmp_path_factory.mktemp("cluster_ingest")
+    hist = spark.createDataFrame(_ROWS_HIST, _SCHEMA)
+    alldocs = spark.createDataFrame(
+        _ROWS_HIST + _ROWS_DELTA1 + _ROWS_DELTA2, _SCHEMA
+    )
+    art = str(base / "art")
+    DD.build_cluster_artifact(
+        None, art, sigs=DD.simhash_signatures(hist)
+    )
+
+    docs_dir = str(base / "deltas")
+    spark.createDataFrame(_ROWS_DELTA1, _SCHEMA).coalesce(1).write.parquet(
+        docs_dir, mode="append"
+    )
+    time.sleep(1.1)
+    spark.createDataFrame(_ROWS_DELTA2, _SCHEMA).coalesce(1).write.parquet(
+        docs_dir, mode="append"
+    )
+    streaming_cluster_ingest(spark, docs_dir, art, str(base / "ck1"))
+
+    # stream==batch: the grown store's effective labels equal a full
+    # rebuild's (ids grow monotonically and no merge events occur, so
+    # incremental assignment is exact — the documented contract)
+    full = str(base / "full")
+    DD.build_cluster_artifact(
+        None, full, sigs=DD.simhash_signatures(alldocs)
+    )
+    got = _labels_with_singletons(spark, art, alldocs)
+    want = _labels_with_singletons(spark, full, alldocs)
+    assert got == want
+    assert got[10] == got[0] == 0  # joined the existing A cluster
+    assert got[11] == got[12] == 11  # new-only component, min batch id
+    assert got[13] == 13  # singleton stays implicit
+
+    # the grown pair table equals the full rebuild's edge set
+    def edge_set(a):
+        return {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in DD.stored_cluster_pairs(spark, a).collect()
+        }
+
+    assert edge_set(art) == edge_set(full)
+    # the probe index grew: every non-empty doc is signed and banded
+    assert DD.stored_cluster_sigs(spark, art).count() == alldocs.count()
+
+    # replay from a fresh checkpoint appends nothing anywhere
+    n_pairs = DD.stored_cluster_pairs(spark, art).count()
+    n_labels = DD.stored_cluster_labels(spark, art).count()
+    streaming_cluster_ingest(spark, docs_dir, art, str(base / "ck2"))
+    assert DD.stored_cluster_pairs(spark, art).count() == n_pairs
+    assert DD.stored_cluster_labels(spark, art).count() == n_labels
+
+    # no merges happened: the rebuild trigger stays quiet
+    row = DD.cluster_merge_pressure(spark, art).collect()[0]
+    assert row["n_merge_events"] == 0
+    assert row["n_cross_cluster_edges"] == 0
+
+
+def test_incremental_assign_defers_merge_and_reports(spark, tmp_path):
+    """A batch doc whose signature sits within the Hamming threshold of
+    TWO existing clusters produces a deferred-merge row (labels are
+    append-only between rebuilds) and assigns the new doc the smaller
+    touched label; after a full rebuild the merge pressure clears."""
+    # crafted signatures: cluster {1,2} at sh=0, cluster {3,4} at sh
+    # with bits 30..59 set (hamming 30 apart -> never paired), bridge
+    # doc 10 with bits 30..44 set (hamming 15 to BOTH sides)
+    h1 = 0
+    h2 = sum(1 << b for b in range(30, 60))
+    hb = sum(1 << b for b in range(30, 45))
+    hist_sigs = spark.createDataFrame(
+        [(1, h1), (2, h1), (3, h2), (4, h2)], "doc_id long, sh long"
+    )
+    art = str(tmp_path / "art")
+    DD.build_cluster_artifact(None, art, sigs=hist_sigs)
+    labels0 = {
+        (r["doc_id"], r["label"])
+        for r in DD.stored_cluster_labels(spark, art).collect()
+    }
+    assert labels0 == {(1, 1), (2, 1), (3, 3), (4, 3)}
+
+    batch_sigs = spark.createDataFrame([(10, hb)], "doc_id long, sh long")
+    labels, edges, merges = DD.incremental_cluster_assign(
+        batch_sigs,
+        DD.stored_cluster_bands(spark, art),
+        DD.stored_cluster_labels(spark, art),
+    )
+    assert {(r["doc_id"], r["label"]) for r in labels.collect()} == {(10, 1)}
+    got_edges = {(r["doc_a"], r["doc_b"]) for r in edges.collect()}
+    assert got_edges == {(1, 10), (2, 10), (3, 10), (4, 10)}
+    assert {
+        (r["label_kept"], r["label_deferred"]) for r in merges.collect()
+    } == {(1, 3)}
+
+    # simulate the ingest's appends, then audit the rebuild trigger
+    (
+        edges.withColumn(
+            "pbucket",
+            F.pmod(F.hash(F.col("doc_a")), F.lit(DD.N_PAIR_BUCKETS)),
+        )
+        .write.mode("append")
+        .partitionBy("pbucket")
+        .parquet(DD.cluster_pairs_path(art))
+    )
+    labels.write.mode("append").parquet(DD.cluster_artifact_paths(art))
+    merges.write.mode("append").parquet(DD.cluster_merges_path(art))
+    row = DD.cluster_merge_pressure(spark, art).collect()[0]
+    assert row["n_merge_events"] == 1
+    # edges (3,10) and (4,10) now cross clusters 3 and 1
+    assert row["n_cross_cluster_edges"] == 2
+
+    # REBUILD (the triggered maintenance): pressure clears, clusters
+    # merged under the min label
+    art2 = str(tmp_path / "art2")
+    all_sigs = hist_sigs.unionByName(batch_sigs)
+    DD.build_cluster_artifact(None, art2, sigs=all_sigs)
+    row2 = DD.cluster_merge_pressure(spark, art2).collect()[0]
+    assert row2["n_merge_events"] == 0
+    assert row2["n_cross_cluster_edges"] == 0
+    merged = {
+        (r["doc_id"], r["label"])
+        for r in DD.stored_cluster_labels(spark, art2).collect()
+    }
+    assert merged == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 1)}
+
+
+def test_empty_probe_batch_is_noop(spark, tmp_path):
+    """A batch whose docs have no near-dups anywhere appends no labels,
+    no edges, no merges — only signatures and bands (the probe index
+    must still grow so later batches can match these docs)."""
+    hist_sigs = spark.createDataFrame(
+        [(1, 0), (2, 0)], "doc_id long, sh long"
+    )
+    art = str(tmp_path / "art")
+    DD.build_cluster_artifact(None, art, sigs=hist_sigs)
+    far = sum(1 << b for b in range(30))  # hamming 30 from everything
+    batch_sigs = spark.createDataFrame([(9, far)], "doc_id long, sh long")
+    labels, edges, merges = DD.incremental_cluster_assign(
+        batch_sigs,
+        DD.stored_cluster_bands(spark, art),
+        DD.stored_cluster_labels(spark, art),
+    )
+    assert labels.count() == 0 and edges.count() == 0 and merges.count() == 0

@@ -382,10 +382,11 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def simhash_pairs(docs: DataFrame) -> DataFrame:
-    """SimHash near-dup pairs: 15-bit band blocking + Hamming verify."""
-    sigs = simhash_signatures(docs)
-    banded = sigs.select(
+def simhash_banded(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sh, band) — the 4 15-bit band keys per signature
+    (row-local explode; shared by the batch pair generator and the
+    incremental cluster-ingest probe)."""
+    return sigs.select(
         "doc_id",
         "sh",
         F.explode(
@@ -395,12 +396,25 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
             ])
         ).alias("band"),
     )
-    cands = _bucket_candidate_pairs(banded, extra=("sh",)).distinct()
+
+
+def simhash_pairs_from_sigs(sigs: DataFrame) -> DataFrame:
+    """SimHash near-dup pairs from precomputed signatures: band
+    blocking + Hamming verify (the signature-level core of
+    ``simhash_pairs``)."""
+    cands = _bucket_candidate_pairs(
+        simhash_banded(sigs), extra=("sh",)
+    ).distinct()
     return (
         cands.withColumn("hamming", hamming60(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def simhash_pairs(docs: DataFrame) -> DataFrame:
+    """SimHash near-dup pairs: 15-bit band blocking + Hamming verify."""
+    return simhash_pairs_from_sigs(simhash_signatures(docs))
 
 
 #: label-propagation rounds for dedup cluster assignment; a FIXED count
@@ -574,7 +588,9 @@ def dedup_components_converged(
 #: constants (simhash bits / bands / thresholds) change.
 #: v2 (round 9): the artifact also persists the pair/edge table the
 #: labels were converged over, bucketed by hash(doc_a).
-CLUSTER_FORMAT_VERSION = 2
+#: v3 (round 9): + the signature table and band probe index for the
+#: text graph, enabling O(delta) streaming cluster ingest.
+CLUSTER_FORMAT_VERSION = 3
 
 _CLUSTER_SCHEMA = "doc_id bigint, label bigint"
 
@@ -590,6 +606,27 @@ def cluster_artifact_paths(artifact_dir: str) -> str:
     return artifact_dir.rstrip("/") + "/labels"
 
 
+def cluster_sigs_path(artifact_dir: str) -> str:
+    """sigs dir — (doc_id, sh) SimHash signatures (text graph only):
+    the ingest seen-set AND the source of band keys for new batches."""
+    return artifact_dir.rstrip("/") + "/sigs"
+
+
+def cluster_bands_path(artifact_dir: str) -> str:
+    """bands dir — (band, doc_id, sh) probe index, partitioned by
+    hash(band) bucket so a delta's band probe prunes to its buckets."""
+    return artifact_dir.rstrip("/") + "/bands"
+
+
+def cluster_merges_path(artifact_dir: str) -> str:
+    """merges dir — (label_kept, label_deferred) rows appended when a
+    streamed batch bridges two existing clusters: the stored labels of
+    the deferred cluster are NOT rewritten (labels are append-only
+    between rebuilds), so accumulated rows here are the REBUILD
+    TRIGGER a maintenance job watches (see cluster_merge_pressure)."""
+    return artifact_dir.rstrip("/") + "/merges"
+
+
 def cluster_pairs_path(artifact_dir: str) -> str:
     """pairs dir under ``artifact_dir`` — the near-dup edge table the
     labels were converged over (round 9, the SEVENTH persisted
@@ -598,7 +635,9 @@ def cluster_pairs_path(artifact_dir: str) -> str:
     return artifact_dir.rstrip("/") + "/pairs"
 
 
-def build_cluster_artifact(pairs: DataFrame, artifact_dir: str) -> str:
+def build_cluster_artifact(
+    pairs: DataFrame | None, artifact_dir: str, sigs: DataFrame | None = None
+) -> str:
     """Persist the pair/edge table, then run min-label propagation to
     convergence over the STORED pairs and persist the (doc_id, label)
     table. Only nodes that appear in a pair are stored (singletons are
@@ -611,7 +650,34 @@ def build_cluster_artifact(pairs: DataFrame, artifact_dir: str) -> str:
     over the written pairs (not the incoming lineage) also truncates
     the expensive band-join lineage before the propagation rounds.
     """
-    spark = pairs.sparkSession
+    spark = (pairs if pairs is not None else sigs).sparkSession
+    if sigs is not None:
+        # v3 (text graph): signatures + band probe index, written
+        # before pairs/labels so the completeness marker still covers
+        # them; the streaming ingest probes bands and appends to both
+        (
+            sigs.select(F.col("doc_id").cast("long"), "sh")
+            .write.mode("overwrite")
+            .parquet(cluster_sigs_path(artifact_dir))
+        )
+        stored_sigs = spark.read.schema("doc_id long, sh long").parquet(
+            cluster_sigs_path(artifact_dir)
+        )
+        (
+            simhash_banded(stored_sigs)
+            .withColumn(
+                "bucket", F.pmod(F.hash("band"), F.lit(N_PAIR_BUCKETS))
+            )
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(cluster_bands_path(artifact_dir))
+        )
+        if pairs is None:
+            # derive the pair table from the WRITTEN signatures — one
+            # tokenize pass per build, and the banding job starts from
+            # parquet instead of replaying the corpus scan
+            pairs = simhash_pairs_from_sigs(stored_sigs)
     pairs_dir = cluster_pairs_path(artifact_dir)
     (
         pairs.withColumn(
@@ -648,4 +714,179 @@ def stored_cluster_labels(spark, artifact_dir: str) -> DataFrame:
     """(doc_id, label) — the converged component labels."""
     return spark.read.schema(_CLUSTER_SCHEMA).parquet(
         cluster_artifact_paths(artifact_dir)
+    )
+
+
+def stored_cluster_sigs(spark, artifact_dir: str) -> DataFrame:
+    """(doc_id, sh) — SimHash signatures of every ingested doc."""
+    return spark.read.schema("doc_id long, sh long").parquet(
+        cluster_sigs_path(artifact_dir)
+    )
+
+
+def stored_cluster_bands(spark, artifact_dir: str) -> DataFrame:
+    """(band, doc_id, sh) — the band probe index (bucket partition
+    column dropped after the scan so pruning still sees it)."""
+    return spark.read.parquet(cluster_bands_path(artifact_dir)).select(
+        "band", "doc_id", "sh"
+    )
+
+
+def incremental_cluster_assign(
+    batch_sigs: DataFrame,
+    stored_bands: DataFrame,
+    stored_labels: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Assign cluster labels to a batch of NEW documents against the
+    persisted artifact — O(delta) band probes, never a history x
+    history pass (the q138 incremental contract applied to the SimHash
+    graph).
+
+    Returns ``(labels, edges, merges)``:
+
+    - ``labels`` (doc_id, label): every batch doc that acquired at
+      least one edge, labeled min over its component of {touched
+      existing cluster labels} ∪ {batch doc_ids}. With monotonically
+      growing doc_ids (the ingest contract shared by every store), a
+      doc joining one existing cluster gets exactly that cluster's
+      stored label — identical to what a full rebuild would assign.
+      Singletons stay implicit (consumers coalesce(label, doc_id)).
+    - ``edges`` (doc_a, doc_b, hamming): verified batch x history and
+      batch x batch near-dup pairs, doc_a < doc_b.
+    - ``merges`` (label_kept, label_deferred): emitted when one batch
+      component touches >= 2 distinct existing clusters. The stored
+      rows of the deferred cluster are NOT rewritten — labels are
+      append-only between rebuilds — so these rows are the rebuild
+      trigger (q243's drift audit prices the same effect for batch
+      rebuilds).
+
+    The hot-band cap applies to HISTORY bucket sizes (a boilerplate
+    band would fan every delta doc out quadratically); within-batch
+    pairs reuse the batch pair generator, whose cap sees batch-local
+    sizes — both sides of the same MAX_BAND_BUCKET contract the batch
+    operator applies corpus-wide (cap-boundary drift between the two
+    is exactly what the rebuild audit measures).
+    """
+    bb = simhash_banded(batch_sigs)
+    kept = (
+        stored_bands.groupBy("band")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") <= MAX_BAND_BUCKET)
+        .select("band")
+    )
+    hb = stored_bands.join(kept, "band").select(
+        "band",
+        F.col("doc_id").alias("doc_hist"),
+        F.col("sh").alias("sh_h"),
+    )
+    hist_edges = (
+        bb.join(hb, "band")
+        .select(
+            F.col("doc_id").alias("doc_new"),
+            F.col("sh").alias("sh_n"),
+            "doc_hist",
+            "sh_h",
+        )
+        .distinct()
+        # self-probe guard: a replayed doc that already sits in the
+        # band index must not pair with itself
+        .filter(F.col("doc_new") != F.col("doc_hist"))
+        .withColumn("hamming", hamming60(F.col("sh_n"), F.col("sh_h")))
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+        .select("doc_new", "doc_hist", "hamming")
+        .localCheckpoint()  # feeds edges, the glue graph, and merges
+    )
+    batch_edges = simhash_pairs_from_sigs(batch_sigs).localCheckpoint()
+    # history endpoints enter the glue graph AS THEIR CLUSTER LABEL
+    # (coalesce covers historical singletons), so min-label propagation
+    # over {batch ids} ∪ {touched labels} lands each component on the
+    # smallest touched label — or the smallest batch id for new-only
+    # components. Labels share the doc_id space (label = min doc_id).
+    glue = hist_edges.join(
+        stored_labels.withColumnRenamed("doc_id", "doc_hist"),
+        "doc_hist",
+        "left",
+    ).select(
+        F.col("doc_new").alias("doc_a"),
+        F.coalesce("label", "doc_hist").alias("doc_b"),
+    )
+    comp = dedup_components_converged(
+        glue.unionByName(batch_edges.select("doc_a", "doc_b"))
+    )
+    new_ids = batch_sigs.select("doc_id").distinct()
+    labels = comp.join(new_ids, "doc_id").select("doc_id", "label")
+    # merge events: a component holding >= 2 distinct EXISTING labels
+    touched = glue.select(F.col("doc_b").alias("doc_id")).distinct()
+    merges = (
+        comp.join(touched, "doc_id")
+        .groupBy("label")
+        .agg(F.collect_set("doc_id").alias("ls"))
+        .filter(F.size("ls") >= 2)
+        .select(
+            F.array_min("ls").alias("label_kept"),
+            F.explode("ls").alias("label_deferred"),
+        )
+        .filter(F.col("label_deferred") != F.col("label_kept"))
+    )
+    edges = (
+        hist_edges.select(
+            F.least("doc_new", "doc_hist").alias("doc_a"),
+            F.greatest("doc_new", "doc_hist").alias("doc_b"),
+            "hamming",
+        )
+        .unionByName(batch_edges)
+        # a replayed batch whose bands already landed sees its own
+        # intra-batch pairs via BOTH paths — keep each edge once
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return labels, edges, merges
+
+
+def cluster_merge_pressure(spark, artifact_dir: str) -> DataFrame:
+    """REBUILD TRIGGER audit: one row (n_merge_events,
+    n_cross_cluster_edges). ``n_merge_events`` counts deferred-merge
+    rows appended by the streaming ingest; ``n_cross_cluster_edges``
+    counts stored edges whose endpoints carry different effective
+    labels — zero on a freshly-built artifact, nonzero exactly when
+    deferred merges (or cap drift) have made the stored labels coarser
+    than the stored edge set. A maintenance job rebuilds when either
+    is nonzero."""
+    import os
+
+    edges = stored_cluster_pairs(spark, artifact_dir).select(
+        "doc_a", "doc_b"
+    )
+    labels = stored_cluster_labels(spark, artifact_dir)
+    la = labels.select(
+        F.col("doc_id").alias("doc_a"), F.col("label").alias("l_a")
+    )
+    lb = labels.select(
+        F.col("doc_id").alias("doc_b"), F.col("label").alias("l_b")
+    )
+    cross = (
+        edges.join(la, "doc_a", "left")
+        .join(lb, "doc_b", "left")
+        .select(
+            F.coalesce("l_a", "doc_a").alias("ea"),
+            F.coalesce("l_b", "doc_b").alias("eb"),
+        )
+        .agg(
+            F.sum((F.col("ea") != F.col("eb")).cast("long"))
+            .cast("bigint")
+            .alias("n_cross_cluster_edges")
+        )
+    )
+    mdir = cluster_merges_path(artifact_dir)
+    if os.path.isdir(mdir):
+        nm = (
+            spark.read.schema("label_kept long, label_deferred long")
+            .parquet(mdir)
+            .agg(F.count("*").cast("bigint").alias("n_merge_events"))
+        )
+    else:
+        nm = spark.range(1).select(
+            F.lit(0).cast("bigint").alias("n_merge_events")
+        )
+    return nm.crossJoin(F.broadcast(cross)).select(
+        "n_merge_events", "n_cross_cluster_edges"
     )

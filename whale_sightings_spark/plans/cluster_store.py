@@ -45,7 +45,8 @@ def _dir_for(
                     shutil.rmtree(os.path.join(sf_root, d), ignore_errors=True)
         staging = f"{artifact_dir}.tmp.{os.getpid()}"
         try:
-            DD.build_cluster_artifact(build(spark, sf_dir), staging)
+            pairs, sigs = build(spark, sf_dir)
+            DD.build_cluster_artifact(pairs, staging, sigs=sigs)
         except BaseException:
             # a failed build must not leak a near-full-size staging dir
             # under the cache root (the eviction sweep skips .tmp.)
@@ -61,14 +62,15 @@ def _dir_for(
 
 
 def text_cluster_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Converged components over SimHash near-dup pairs of documents."""
-    return _dir_for(
-        spark,
-        sf_dir,
-        "text",
-        "documents.parquet",
-        lambda s, d: DD.simhash_pairs(load_table(s, d, "documents")),
-    )
+    """Converged components over SimHash near-dup pairs of documents.
+    v3: signatures computed once feed BOTH the stored sig/band probe
+    index and the pair generator (one tokenize pass per build)."""
+
+    def _build(s, d):
+        # pairs=None: build derives them from the WRITTEN sig table
+        return None, DD.simhash_signatures(load_table(s, d, "documents"))
+
+    return _dir_for(spark, sf_dir, "text", "documents.parquet", _build)
 
 
 def stored_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,8 +88,9 @@ def embed_cluster_dir(spark: SparkSession, sf_dir: str) -> str:
     from whale_sightings_spark.operators import similarity as SIM
 
     def _pairs(s, d):
-        return SIM.embedding_neardup_pairs(
+        pairs = SIM.embedding_neardup_pairs(
             load_table(s, d, "embeddings")
         ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+        return pairs, None  # no SimHash sig/band index for vectors
 
     return _dir_for(spark, sf_dir, "embed", "embeddings.parquet", _pairs)

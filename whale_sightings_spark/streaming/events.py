@@ -916,6 +916,130 @@ def streaming_ivfpq_index_ingest(
     )
 
 
+def streaming_cluster_ingest(
+    spark: SparkSession,
+    docs_dir: str,
+    artifact_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Delta ingest INTO the persisted near-dup cluster artifact
+    (round 9 — the label store gets the lifecycle the other five
+    artifacts have: build -> serve -> STREAM-INGEST -> serve). Each
+    micro-batch of NEW documents is SimHash-signed, probes the stored
+    band index (`dedup.incremental_cluster_assign` — O(delta) band
+    joins, never history x history), and appends:
+
+    - its signatures and band keys (growing the probe index),
+    - the verified new edges into the stored pair table (cell layout
+      preserved: hash(doc_a) pbucket partitions),
+    - label assignments for new members: the touched cluster's stored
+      label, or min batch doc_id for new-only components,
+    - deferred-merge rows when a batch bridges two existing clusters —
+      stored labels are append-only between rebuilds, so merges are
+      RECORDED, not applied; `dedup.cluster_merge_pressure` is the
+      rebuild trigger a maintenance job watches.
+
+    Idempotence is per-table: every append anti-joins its own table's
+    keys (doc_id for sigs/bands/labels, the pair for edges, the label
+    pair for merges), and the signature table — the batch-level seen
+    key — is appended LAST with bands just before it, so a crash
+    between any two appends replays the batch and each table heals
+    independently (the ivfpq-ingest convention; self-probe and
+    double-path duplicates are guarded inside the assign operator).
+    """
+    from whale_sightings_spark.operators import dedup as DD
+
+    schema = spark.read.parquet(docs_dir).schema
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        stored_sigs = DD.stored_cluster_sigs(sess, artifact_dir)
+        batch = batch_df.join(
+            stored_sigs.select("doc_id"), "doc_id", "left_anti"
+        )
+        if batch.limit(1).isEmpty():
+            return
+        sigs_b = DD.simhash_signatures(batch).localCheckpoint()
+        labels_new, edges_new, merges_new = DD.incremental_cluster_assign(
+            sigs_b,
+            DD.stored_cluster_bands(sess, artifact_dir),
+            DD.stored_cluster_labels(sess, artifact_dir),
+        )
+        stored_pairs = DD.stored_cluster_pairs(sess, artifact_dir)
+        (
+            edges_new.join(
+                stored_pairs.select("doc_a", "doc_b"),
+                ["doc_a", "doc_b"],
+                "left_anti",
+            )
+            .withColumn(
+                "pbucket",
+                F.pmod(F.hash(F.col("doc_a")), F.lit(DD.N_PAIR_BUCKETS)),
+            )
+            .repartition("pbucket")
+            .write.mode("append")
+            .partitionBy("pbucket")
+            .parquet(DD.cluster_pairs_path(artifact_dir))
+        )
+        mdir = DD.cluster_merges_path(artifact_dir)
+        import os
+
+        if os.path.isdir(mdir):
+            seen_m = sess.read.schema(
+                "label_kept long, label_deferred long"
+            ).parquet(mdir)
+            merges_new = merges_new.join(
+                seen_m, ["label_kept", "label_deferred"], "left_anti"
+            )
+        merges_new.write.mode("append").parquet(mdir)
+        stored_labels = DD.stored_cluster_labels(sess, artifact_dir)
+        (
+            labels_new.join(
+                stored_labels.select("doc_id"), "doc_id", "left_anti"
+            )
+            .select(
+                F.col("doc_id").cast("long"), F.col("label").cast("long")
+            )
+            .write.mode("append")
+            .parquet(DD.cluster_artifact_paths(artifact_dir))
+        )
+        stored_bands = DD.stored_cluster_bands(sess, artifact_dir)
+        (
+            DD.simhash_banded(sigs_b)
+            .join(
+                stored_bands.select("doc_id").distinct(),
+                "doc_id",
+                "left_anti",
+            )
+            .withColumn(
+                "bucket", F.pmod(F.hash("band"), F.lit(DD.N_PAIR_BUCKETS))
+            )
+            .repartition("bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(DD.cluster_bands_path(artifact_dir))
+        )
+        # signatures LAST — the batch-level seen key
+        (
+            sigs_b.select(F.col("doc_id").cast("long"), "sh")
+            .write.mode("append")
+            .parquet(DD.cluster_sigs_path(artifact_dir))
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def streaming_bpe_ingest(
     spark: SparkSession,
     docs_dir: str,
