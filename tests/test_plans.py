@@ -581,6 +581,8 @@ def test_graph_family_serves_from_stored_pairs(spark, sf_dir):
         "q107_triangles",
         "q112_pagerank_converged",
         "q194_kcore_profile",
+        "q252_neardup_degree_profile",
+        "q253_cluster_merge_pressure",
     ):
         plan = explain_str(queries()[name](spark, sf_dir))
         assert "Generate" not in plan, f"{name} re-shingled inline:\n{plan}"
@@ -588,7 +590,12 @@ def test_graph_family_serves_from_stored_pairs(spark, sf_dir):
             f"{name} rescans the corpus:\n{plan}"
         )
     # the non-iterative members must visibly scan the stored pair table
-    for name in ("q16_dedup_simhash", "q134_neardup_precision_recall"):
+    for name in (
+        "q16_dedup_simhash",
+        "q134_neardup_precision_recall",
+        "q252_neardup_degree_profile",
+        "q253_cluster_merge_pressure",
+    ):
         plan = explain_str(queries()[name](spark, sf_dir))
         assert "pairs" in plan, f"{name} does not scan the store:\n{plan}"
     # the pair table is laid out by hash(doc_a) bucket so keyed edge

@@ -871,7 +871,9 @@ def cluster_merge_pressure(spark, artifact_dir: str) -> DataFrame:
             F.coalesce("l_b", "doc_b").alias("eb"),
         )
         .agg(
-            F.sum((F.col("ea") != F.col("eb")).cast("long"))
+            F.coalesce(
+                F.sum((F.col("ea") != F.col("eb")).cast("long")), F.lit(0)
+            )
             .cast("bigint")
             .alias("n_cross_cluster_edges")
         )

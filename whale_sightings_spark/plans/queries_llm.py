@@ -3205,3 +3205,168 @@ def q246_embed_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("cluster").cast("bigint").alias("n_clusters"),
         F.sum("vec_id").cast("bigint").alias("sum_ids"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q251 — pair/edge-table rebuild drift audit (round 9: the q243 pattern
+# applied to the SEVENTH persisted surface, the stored near-dup edge
+# table): derive the pair graph on the HISTORY slice inline, read the
+# full-corpus pairs off the store restricted to docs both saw, and
+# price the drift. Edges drift BOTH ways under growth: a band bucket
+# pushed over MAX_BAND_BUCKET by new docs drops pairs the history had
+# (n_lost), and history buckets that were over the cap can fall under
+# it in other slices (n_gained) — the hot-bucket cap is part of the
+# operator contract, so its drift is real and a maintenance job prices
+# it before trusting incremental ingest between rebuilds. Scale shape:
+# one inline history pair derivation (the only corpus-touching stage),
+# one store scan, one edge-keyed full-outer join — never corpus-scale
+# joins.
+# ---------------------------------------------------------------------------
+
+
+def _pairs_cte_chain(pairs_sql: str, prefix: str = "") -> str:
+    """CTE chain (no leading WITH) ending in ``{prefix}pairs``."""
+    body = pairs_sql.strip()
+    head, final = body[4:].rsplit("SELECT", 1)
+    return f"{head}, {prefix}pairs AS (SELECT {final})"
+
+
+@register(
+    "q251_pair_rebuild_drift",
+    "WITH "
+    + _pairs_cte_chain(_simhash_pairs_sql_p("h_", _CDRIFT_HOLD), "h_")
+    + ",\n    "
+    + _pairs_cte_chain(_simhash_pairs_sql_p())
+    + f"""
+    , full_held AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE doc_a % 5 <> 4 AND doc_b % 5 <> 4
+    ),
+    j AS (
+        SELECT h.doc_a IS NOT NULL AS in_hist,
+               f.doc_a IS NOT NULL AS in_full
+        FROM h_pairs h
+        FULL OUTER JOIN full_held f
+          ON f.doc_a = h.doc_a AND f.doc_b = h.doc_b
+    )
+    SELECT CAST(sum(CASE WHEN in_hist THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pairs_hist,
+           CAST(sum(CASE WHEN in_full THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pairs_full_held,
+           CAST(sum(CASE WHEN in_hist AND in_full THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stable,
+           CAST(sum(CASE WHEN in_full AND NOT in_hist THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gained,
+           CAST(sum(CASE WHEN in_hist AND NOT in_full THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lost
+    FROM j
+    """,
+)
+def q251_pair_rebuild_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.plans.cluster_store import stored_text_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    hold = (F.col("doc_id") % 5) != 4
+    hist = DD.simhash_pairs(docs.filter(hold)).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_hist")
+    )
+    full_held = (
+        stored_text_pairs(spark, sf_dir)
+        .filter(((F.col("doc_a") % 5) != 4) & ((F.col("doc_b") % 5) != 4))
+        .select("doc_a", "doc_b", F.lit(1).alias("in_full"))
+    )
+    j = hist.join(full_held, ["doc_a", "doc_b"], "full_outer")
+    ih = F.col("in_hist") == 1
+    if_ = F.col("in_full") == 1
+    return j.agg(
+        F.sum(F.when(ih, 1).otherwise(0)).cast("bigint").alias("n_pairs_hist"),
+        F.sum(F.when(if_, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pairs_full_held"),
+        F.sum(F.when(ih & if_, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_stable"),
+        F.sum(F.when(if_ & ~ih.eqNullSafe(F.lit(True)), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_gained"),
+        F.sum(F.when(ih & ~if_.eqNullSafe(F.lit(True)), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lost"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q252 — near-dup graph degree profile off the stored edge table: how
+# many docs have k verified near-duplicates — the hub/template detector
+# (a fat tail means boilerplate families that min-id survivor selection
+# handles badly; the k-core and triangle audits drill into the same
+# structure). Serve path: one store scan, one node-keyed agg, one
+# degree-cardinality-bounded rollup; the corpus is never touched.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q252_neardup_degree_profile",
+    "WITH "
+    + _pairs_cte_chain(_simhash_pairs_sql_p())
+    + """
+    , deg AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT doc_a AS v FROM pairs
+            UNION ALL
+            SELECT doc_b AS v FROM pairs
+        ) GROUP BY v
+    )
+    SELECT degree,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           min(v) AS min_doc
+    FROM deg
+    GROUP BY degree
+    """,
+)
+def q252_neardup_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.plans.cluster_store import stored_text_pairs
+
+    pairs = stored_text_pairs(spark, sf_dir)
+    nodes = pairs.select(F.col("doc_a").alias("v")).unionAll(
+        pairs.select(F.col("doc_b").alias("v"))
+    )
+    deg = nodes.groupBy("v").agg(F.count("*").cast("bigint").alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.min("v").alias("min_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q253 — cluster-artifact merge-pressure audit (the REBUILD TRIGGER for
+# the streaming cluster ingest): deferred-merge events recorded by
+# `streaming_cluster_ingest` plus stored edges whose endpoints carry
+# different effective labels. Zero/zero on a freshly-built artifact —
+# the oracle derives the same pair graph and converged labels and runs
+# the identical cross-edge join, so the audit's join logic (not just
+# its quiet reading) is twinned. Nonzero means incremental ingest has
+# outgrown the stored labels and a rebuild is due (pytest covers the
+# nonzero path with a crafted two-cluster bridge).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q253_cluster_merge_pressure",
+    "WITH RECURSIVE "
+    + _converged_labels_chain(_simhash_pairs_sql_p())
+    + """
+    SELECT CAST(0 AS BIGINT) AS n_merge_events,
+           (SELECT CAST(coalesce(sum(
+                CASE WHEN la.label <> lb.label THEN 1 ELSE 0 END), 0)
+                AS BIGINT)
+            FROM pairs p
+            JOIN labels la ON la.doc_id = p.doc_a
+            JOIN labels lb ON lb.doc_id = p.doc_b)
+               AS n_cross_cluster_edges
+    """,
+)
+def q253_cluster_merge_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.plans.cluster_store import text_cluster_dir
+
+    return DD.cluster_merge_pressure(spark, text_cluster_dir(spark, sf_dir))
