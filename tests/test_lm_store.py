@@ -100,6 +100,41 @@ def test_doc_unigrams_and_trigrams_known_values(spark, built):
     assert not any(d == 4 for d, _, _, _ in tri)
 
 
+def test_doc_len_matches_inline_token_totals(spark, docs, built):
+    """(v3) stored per-doc token totals equal size(tokens(text)) —
+    the exact value the inline retrieval family's dl aggregate
+    produced — including the whitespace-only / empty edge cases the
+    n-gram tables deliberately drop (split of '' is [''], size 1)."""
+    from whale_sightings_spark.functions.text import tokens
+
+    inline = {
+        r["doc_id"]: r["len"]
+        for r in docs.select(
+            "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("len")
+        ).collect()
+    }
+    stored = {
+        r["doc_id"]: r["len"]
+        for r in LM.stored_doc_len(spark, built).collect()
+    }
+    assert stored == inline and len(stored) == len(_ROWS)
+    # edges: empty / whitespace-only docs have ONE (empty) split token
+    assert stored[1] == 1 and stored[2] == 1
+    # multi-space runs collapse; doc 0 has 6 tokens
+    assert stored[5] == 3 and stored[0] == 6
+    # sum over doc_uni differs from doc_len exactly on the empty-token
+    # docs — the reason doc_len is its own table, not a doc_uni rollup
+    uni_sums = {
+        r["doc_id"]: r["s"]
+        for r in LM.stored_doc_uni(spark, built)
+        .groupBy("doc_id")
+        .agg(F.sum("n").alias("s"))
+        .collect()
+    }
+    assert 1 not in uni_sums and 2 not in uni_sums
+    assert uni_sums[0] == stored[0]
+
+
 def test_aggregated_tables_are_exact_rollups(spark, built):
     big = LM.stored_doc_big(spark, built)
     pairs = {
@@ -233,6 +268,9 @@ def test_compaction_preserves_every_reader_and_defrags(
         lambda: LM.stored_pairs(spark, art),
         lambda: LM.stored_pairs_train(spark, art),
         lambda: LM.stored_tri_train(spark, art),
+        lambda: LM.stored_doc_len(spark, art).select(
+            "doc_id", "source", "len"
+        ),
     )
     before = [rows(r()) for r in readers]
     stats = LM.compact_lm_store(spark, art)
@@ -306,6 +344,9 @@ def test_torn_ingest_batch_is_invisible_and_replay_regenerates(
         lambda a: LM.stored_pairs(spark, a),
         lambda a: LM.stored_tri_train(spark, a),
         lambda a: LM.stored_doc_ids(spark, a),
+        lambda a: LM.stored_doc_len(spark, a).select(
+            "doc_id", "source", "len"
+        ),
     ):
         assert rows(reader(art)) == rows(reader(full))
     # the torn staging dir was replaced by the published batch

@@ -334,6 +334,50 @@ def test_spatial_join_accepts_driver_side_polygons(spark):
     assert got_list == expect
 
 
+def test_sedona_st_intersects_parity_with_broadcast_path(spark):
+    """Feature-flagged Sedona path (VERDICT r8 stretch #8): when the
+    optional apache-sedona package is present, the ST_Intersects join
+    must assign identically to the broadcast pandas-UDF path on the
+    WKT fixture (left join, overwrite, first-polygon-order wins).
+    Skips when sedona is absent (this sandbox); the gate itself —
+    HAVE_SEDONA False -> RuntimeError — is always asserted."""
+    import pytest
+
+    from whale_sightings_spark.operators.spatial import (
+        HAVE_SEDONA,
+        spatial_join_water_body,
+        spatial_join_water_body_sedona,
+    )
+
+    wkt = [
+        ("West Box", "POLYGON ((-10 -10, 0 -10, 0 10, -10 10, -10 -10))"),
+        ("East Box", "POLYGON ((0 -10, 10 -10, 10 10, 0 10, 0 -10))"),
+    ]
+    pts = spark.createDataFrame(
+        [(1, -5.0, 0.0), (2, 5.0, 0.0), (3, 55.0, 55.0), (4, None, 3.0)],
+        "id int, lon double, lat double",
+    )
+    if not HAVE_SEDONA:
+        with pytest.raises(RuntimeError, match="sedona"):
+            spatial_join_water_body_sedona(
+                pts, wkt, lon_col="lon", lat_col="lat"
+            )
+        pytest.skip("apache-sedona not installed; gate verified")
+    broadcast = {
+        r["id"]: r["waterBody"]
+        for r in spatial_join_water_body(
+            pts, oceans_from_wkt(spark, wkt), lon_col="lon", lat_col="lat"
+        ).collect()
+    }
+    sedona = {
+        r["id"]: r["waterBody"]
+        for r in spatial_join_water_body_sedona(
+            pts, wkt, lon_col="lon", lat_col="lat"
+        ).collect()
+    }
+    assert sedona == broadcast
+
+
 def _shp_bytes(rings):
     """Synthesize a minimal polygon shapefile (one outer ring per
     record) — the fixture for the pure-Python .shp reader."""

@@ -744,3 +744,55 @@ def test_q249_agreement_serves_ppl_from_store(spark, sf_dir):
     assert "doc_big" in plan or "pairs" in plan, (
         f"ppl side does not scan the store:\n{plan}"
     )
+
+
+def test_retrieval_family_serves_from_lm_store(spark, sf_dir):
+    """Round-9: the lexical-retrieval family (BM25, its nDCG
+    evaluation, Dirichlet QL) and the vocab-statistics family (top-k
+    wordcount, coverage curve, Zipf fit, token histogram) serve from
+    the persisted LM store — no Generate (no tokenize) and no
+    documents.parquet anywhere in their serving DAGs; the tf probes
+    carry a PartitionFilter on the query terms' buckets so the stored
+    postings are read |term buckets|/N_LM_BUCKETS at rest."""
+    from whale_sightings_spark.plans.lm_store import lm_artifact_dir
+
+    lm_artifact_dir(spark, sf_dir)  # build once if absent
+    no_generate = (
+        "q103_bm25_search",
+        "q190_query_likelihood",
+        "q30_vocab_topk",
+        "q55_token_histogram",
+        "q254_index_stats",
+    )
+    # q140/q128/q142 posexplode a COLLECTED k-row list (the sanctioned
+    # rank-via-collect shape) — their Generate is k-sized, not a
+    # corpus tokenize, so only the no-corpus-scan claim applies
+    k_row_explode = (
+        "q140_bm25_ndcg",
+        "q128_vocab_coverage",
+        "q142_zipf_fit",
+    )
+    for name in no_generate + k_row_explode:
+        plan = explain_str(queries()[name](spark, sf_dir))
+        if name in no_generate:
+            assert "Generate" not in plan, (
+                f"{name} re-tokenized inline:\n{plan}"
+            )
+        assert "documents.parquet" not in plan, (
+            f"{name} rescans the corpus:\n{plan}"
+        )
+        assert "doc_uni" in plan or "doc_len" in plan or "/uni" in plan, (
+            f"{name} does not scan the store:\n{plan}"
+        )
+    # the term probes prune: every doc_uni scan in the BM25/QL plans
+    # must carry a bucket PartitionFilter
+    for name in ("q103_bm25_search", "q190_query_likelihood"):
+        plan = explain_str(queries()[name](spark, sf_dir))
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "bucket" in m.group(1), f"{name} probe unpruned:\n{plan}"
+    # q123's hybrid fusion: lexical side from the store (its rank list
+    # is a k-row collect-posexplode, so Generate is expected), semantic
+    # side reads embeddings only — documents never scanned
+    plan = explain_str(queries()["q123_hybrid_rrf"](spark, sf_dir))
+    assert "documents.parquet" not in plan, plan
+    assert "doc_uni" in plan and "doc_len" in plan, plan

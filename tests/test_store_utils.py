@@ -35,7 +35,7 @@ def test_failed_build_cleans_its_staging(spark, sf_dir, tmp_path, monkeypatch):
 
     monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
 
-    def boom(pairs, artifact_dir):
+    def boom(pairs, artifact_dir, **kwargs):
         # simulate an OOM mid-build AFTER the staging dir exists
         os.makedirs(artifact_dir, exist_ok=True)
         raise RuntimeError("simulated build crash")

@@ -34,6 +34,13 @@ On-disk layout (all parquet):
 - ``pairs/``     (w1, w2, pair_n) full-corpus bigram counts — written
   LAST, so the build-if-absent cache keys on ``pairs/_SUCCESS`` and a
   torn build is invisible (the `shingles.py` torn-write contract).
+- ``doc_len/``   (doc_id, source, lang, len) — per-doc TOTAL token
+  counts (v3), ``len = size(tokens(text))`` exactly as the inline
+  retrieval queries compute their document-length side, nullable for
+  null text so the stored stream is a drop-in for the corpus one.
+  The BM25 / Dirichlet-QL family's |d| and (n_docs, avgdl) scalars
+  and the q55 token histogram read THIS O(documents) table instead
+  of re-tokenizing the corpus.
 - ``doc_ids/``   (doc_id) — the ingested-document manifest (v2): the
   streaming ingest's anti-join reads THIS doc-id-only sidecar, so the
   per-trigger seen-set read is O(documents), never O(stored n-gram
@@ -67,7 +74,10 @@ from whale_sightings_spark.functions.text import tokens
 #: artifact layout version — bump to invalidate caches on format change.
 #: v2 (round 9): doc_ids manifest + atomic per-batch ingest dirs +
 #: compaction-in-progress sentinel
-NGRAM_LM_FORMAT_VERSION = 2
+#: v3 (round 9): doc_len table — per-doc token totals, the retrieval
+#: family's document-length side (BM25 / Dirichlet QL) and the
+#: token-histogram family's length stream
+NGRAM_LM_FORMAT_VERSION = 3
 
 #: held-out split modulus (docs with doc_id % HOLD_MOD == 0 are held
 #: out; the rest train) — the q185/q216 evaluation convention
@@ -135,6 +145,14 @@ _PAIRS_TRAIN_SCHEMA = T.StructType(
     ]
 )
 _DOC_IDS_SCHEMA = T.StructType([T.StructField("doc_id", T.LongType())])
+_DOC_LEN_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("len", T.LongType()),
+    ]
+)
 
 
 def lm_artifact_paths(artifact_dir: str) -> dict[str, str]:
@@ -151,6 +169,7 @@ def lm_artifact_paths(artifact_dir: str) -> dict[str, str]:
         "tri_train": base + "/tri_train",
         "pairs": base + "/pairs",
         "doc_ids": base + "/doc_ids",
+        "doc_len": base + "/doc_len",
     }
 
 
@@ -166,6 +185,7 @@ LM_TABLE_KEYS = (
     "tri_train",
     "pairs",
     "doc_ids",
+    "doc_len",
 )
 
 
@@ -262,6 +282,28 @@ def doc_trigram_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def doc_len_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, lang, len): per-doc TOTAL token count,
+    ``len = size(tokens(text))`` — the exact value the inline
+    retrieval family's ``dl`` aggregate produces per document (array
+    size == exploded-row count, empty tokens included), kept nullable
+    for null text so length-histogram consumers see the same NULL
+    group the corpus stream yields. ``lang`` is carried when the
+    input has it (the documents table does; synthetic test corpora
+    may not) and NULL otherwise."""
+    lang = (
+        F.col("lang")
+        if "lang" in docs.columns
+        else F.lit(None).cast("string")
+    )
+    return docs.select(
+        F.col("doc_id").cast("long"),
+        "source",
+        lang.alias("lang"),
+        F.size(tokens(F.col("text"))).cast("long").alias("len"),
+    )
+
+
 def _train(col_doc_id):
     return col_doc_id % HOLD_MOD != 0
 
@@ -333,6 +375,12 @@ def build_lm_artifact(docs: DataFrame, artifact_dir: str) -> str:
         .write.mode("overwrite")
         .parquet(paths["tri_train"])
     )
+    # v3: per-doc token totals — the retrieval family's length side
+    (
+        doc_len_counts(docs)
+        .write.mode("overwrite")
+        .parquet(paths["doc_len"])
+    )
     # v2: the doc-id manifest — includes token-less documents, so the
     # ingest anti-join skips EVERY already-seen doc without touching an
     # n-gram table (O(documents) per trigger, the ADVICE r8 contract)
@@ -383,6 +431,13 @@ def stored_doc_ids(spark: SparkSession, artifact_dir: str) -> DataFrame:
     return _read_table(spark, artifact_dir, "doc_ids", _DOC_IDS_SCHEMA)
 
 
+def stored_doc_len(spark: SparkSession, artifact_dir: str) -> DataFrame:
+    """(doc_id, source, lang, len) per-doc total token counts (base +
+    published batches; rows are per-doc, so the union never needs a
+    re-aggregate)."""
+    return _read_table(spark, artifact_dir, "doc_len", _DOC_LEN_SCHEMA)
+
+
 def stored_doc_uni(spark: SparkSession, artifact_dir: str) -> DataFrame:
     """(doc_id, source, tok, n, bucket) per-doc token counts."""
     return _read_table(spark, artifact_dir, "doc_uni", _DOC_UNI_SCHEMA)
@@ -396,6 +451,31 @@ def stored_doc_big(spark: SparkSession, artifact_dir: str) -> DataFrame:
 def stored_doc_tri(spark: SparkSession, artifact_dir: str) -> DataFrame:
     """(doc_id, w1, w2, w3, n, bucket) per-doc trigram counts."""
     return _read_table(spark, artifact_dir, "doc_tri", _DOC_TRI_SCHEMA)
+
+
+def stored_term_postings(
+    spark: SparkSession, artifact_dir: str, terms
+) -> DataFrame:
+    """(doc_id, source, tok, n) rows of ``doc_uni`` for a literal query
+    term set — the retrieval family's tf side. The terms' bucket ids
+    (≤ |terms| scalars from one literal-frame hash job) become a
+    partition IN-filter, so the probe reads |term buckets| /
+    N_LM_BUCKETS of the stored index at rest (the q244/q250 pruned-
+    probe convention), never the corpus and never a full index scan."""
+    t = spark.createDataFrame([(x,) for x in terms], "tok string")
+    buckets = [
+        r["b"]
+        for r in t.select(
+            F.pmod(F.hash("tok"), F.lit(N_LM_BUCKETS)).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    return (
+        stored_doc_uni(spark, artifact_dir)
+        .filter(F.col("bucket").isin(buckets) & F.col("tok").isin(list(terms)))
+        .select("doc_id", "source", "tok", "n")
+    )
 
 
 def stored_uni(spark: SparkSession, artifact_dir: str) -> DataFrame:
@@ -547,6 +627,13 @@ def compact_lm_store(spark: SparkSession, artifact_dir: str) -> dict[str, int]:
     _swap(
         paths["doc_ids"],
         lambda staging: ids.write.mode("overwrite").parquet(staging),
+    )
+    # per-doc lengths: defrag (rows are per-doc and disjoint across
+    # batches — a plain rewrite, no re-aggregate)
+    dlen = stored_doc_len(spark, artifact_dir).localCheckpoint()
+    _swap(
+        paths["doc_len"],
+        lambda staging: dlen.write.mode("overwrite").parquet(staging),
     )
     # every batch is folded into the base tables — drop the batch dirs
     shutil.rmtree(lm_ingest_root(artifact_dir), ignore_errors=True)

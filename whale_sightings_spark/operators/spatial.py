@@ -38,6 +38,13 @@ try:  # optional accelerator; container may not ship it
 except Exception:  # pragma: no cover
     _HAVE_SHAPELY = False
 
+try:  # optional JVM-side spatial join engine (jars + python package)
+    from sedona.spark import SedonaContext  # type: ignore
+
+    HAVE_SEDONA = True
+except Exception:  # pragma: no cover
+    HAVE_SEDONA = False
+
 
 def parse_wkt_polygon(wkt: str) -> list[tuple[float, float]]:
     """Parse a simple (hole-free) ``POLYGON ((x y, x y, ...))`` ring."""
@@ -237,3 +244,51 @@ def spatial_join_water_body(
         return pd.Series(out)
 
     return df.withColumn("waterBody", ocean_name(F.col(lon_col), F.col(lat_col)))
+
+
+def spatial_join_water_body_sedona(
+    df: DataFrame,
+    named_wkt: list[tuple[str, str]],
+    lon_col: str = "decimalLongitude",
+    lat_col: str = "decimalLatitude",
+) -> DataFrame:
+    """ST_Intersects left join via Apache Sedona (VERDICT r8 stretch
+    #8) — the scale path for a polygon side too large to ride a task
+    closure: Sedona plans a real spatial join (spatial-partitioned,
+    R-tree probed) instead of the broadcast O(rows × polygons) scan.
+    Semantics match `spatial_join_water_body`: left join, ``waterBody``
+    OVERWRITTEN with the matched ocean name (NULL on no match), first
+    polygon in table order wins on multi-match. Gated on the optional
+    ``apache-sedona`` package + jars (`HAVE_SEDONA`); raises
+    RuntimeError when absent — callers fall back to the broadcast path
+    (the matplotlib import-try convention, `plans/notebook.py`)."""
+    if not HAVE_SEDONA:  # pragma: no cover - exercised via the gate test
+        raise RuntimeError(
+            "apache-sedona is not installed; use spatial_join_water_body"
+        )
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    SedonaContext.create(spark)  # registers ST_* functions (idempotent)
+    polys = spark.createDataFrame(
+        [(i, name, wkt) for i, (name, wkt) in enumerate(named_wkt)],
+        "poly_id int, name string, wkt string",
+    ).select("poly_id", "name", F.expr("ST_GeomFromWKT(wkt)").alias("geom"))
+    pts = df.withColumn("__rid", F.monotonically_increasing_id()).withColumn(
+        "__pt",
+        F.expr(
+            f"ST_Point(CAST({lon_col} AS DOUBLE), CAST({lat_col} AS DOUBLE))"
+        ),
+    )
+    j = pts.join(
+        polys,
+        F.col("__pt").isNotNull() & F.expr("ST_Intersects(geom, __pt)"),
+        "left",
+    )
+    first = W.partitionBy("__rid").orderBy(F.asc_nulls_last("poly_id"))
+    return (
+        j.withColumn("__rn", F.row_number().over(first))
+        .filter(F.col("__rn") == 1)
+        .withColumn("waterBody", F.col("name"))
+        .drop("__rid", "__pt", "__rn", "poly_id", "name", "geom")
+    )

@@ -1621,13 +1621,15 @@ VOCAB_TOP_K = 25
     """,
 )
 def q30_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # SERVED FROM THE STORE (round 9): the corpus wordcount is the LM
+    # store's vocab-bounded uni aggregate (partials summed at read) —
+    # no tokenize, no corpus scan; top-k stays a TakeOrdered.
+    from whale_sightings_spark.operators import ngram_lm as LM
+    from whale_sightings_spark.plans.lm_store import lm_artifact_dir
+
+    art = lm_artifact_dir(spark, sf_dir)
     return (
-        docs.select(TX.tokens(F.col("text")).alias("toks"))
-        .select(F.explode_outer("toks").alias("tok"))
-        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
-        .groupBy("tok")
-        .agg(F.count("*").alias("n"))
+        LM.stored_uni(spark, art)
         .orderBy(F.desc("n"), "tok")
         .limit(VOCAB_TOP_K)
     )
@@ -1667,12 +1669,14 @@ def q30_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q128_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = (
-        docs.select(F.explode_outer(TX.tokens(F.col("text"))).alias("tok"))
-        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
-    )
-    f = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    # SERVED FROM THE STORE (round 9): the q30 wordcount comes off the
+    # LM store's uni aggregate; both the top-K list and the corpus-wide
+    # denominator are vocab-bounded reads, never a tokenize.
+    from whale_sightings_spark.operators import ngram_lm as LM
+    from whale_sightings_spark.plans.lm_store import lm_artifact_dir
+
+    art = lm_artifact_dir(spark, sf_dir)
+    f = LM.stored_uni(spark, art)
     top = f.orderBy(F.desc("n"), "tok").limit(VOCAB_TOP_K)
     tot = f.agg(F.sum("n").alias("n_total"))
     # running total over the K-row list: one scalar collect, sorted by
@@ -2038,13 +2042,13 @@ def q141_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q142_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    f = (
-        docs.select(F.explode_outer(TX.tokens(F.col("text"))).alias("tok"))
-        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
-        .groupBy("tok")
-        .agg(F.count("*").alias("n"))
-    )
+    # SERVED FROM THE STORE (round 9): the rank-frequency table is the
+    # LM store's uni aggregate — the Zipf fit never re-tokenizes.
+    from whale_sightings_spark.operators import ngram_lm as LM
+    from whale_sightings_spark.plans.lm_store import lm_artifact_dir
+
+    art = lm_artifact_dir(spark, sf_dir)
+    f = LM.stored_uni(spark, art)
     top = f.orderBy(F.desc("n"), "tok").limit(VOCAB_TOP_K)
     ranked = (
         top.agg(

@@ -68,8 +68,10 @@ def q54_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q55 — token-count histogram: fixed-width buckets over per-document
-# token counts. The bucket id is computed row-local, so the whole
-# histogram is one aggregate shuffle regardless of corpus size.
+# token counts, served (round 9) from the LM store's doc_len table —
+# an O(documents) read, no tokenize. The bucket id is computed
+# row-local, so the whole histogram is one aggregate shuffle
+# regardless of corpus size.
 # ---------------------------------------------------------------------------
 
 _BUCKET_W = 32
@@ -90,9 +92,16 @@ _BUCKET_W = 32
     """,
 )
 def q55_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        F.size(TX.tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    # SERVED FROM THE STORE (round 9): per-doc token totals come off
+    # the LM store's O(documents) doc_len table — identical values to
+    # size(tokens(text)) by construction (nulls included), with zero
+    # tokenization at query time.
+    from whale_sightings_spark.operators import ngram_lm as LM
+    from whale_sightings_spark.plans.lm_store import lm_artifact_dir
+
+    art = lm_artifact_dir(spark, sf_dir)
+    t = LM.stored_doc_len(spark, art).select(
+        F.col("len").cast("bigint").alias("n_tokens")
     )
     return (
         t.withColumn("bucket", F.floor(F.col("n_tokens") / _BUCKET_W))

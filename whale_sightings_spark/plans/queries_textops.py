@@ -234,10 +234,12 @@ def q74_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q103 — BM25 full-text ranking: top-k documents for a bounded query
 # term set. The retrieval scorer behind every lexical search / RAG
-# recall stage. Plan shape: explode -> filter to the (tiny, broadcast-
-# literal) query terms BEFORE any aggregation, so the tf table is
-# bounded by |docs matching| x |terms|, never the token stream; df and
-# the N/avgdl scalars are broadcast single-digit-row aggregates; the
+# recall stage. Round 9: served from the persisted LM store — tf is a
+# bucket-pruned probe of the stored doc_uni postings (PartitionFilter
+# on the terms' hash buckets), |d| and the N/avgdl scalars read the
+# O(documents) doc_len table; the corpus text is never touched at
+# query time. The tf table stays bounded by |docs matching| x |terms|;
+# df and the scalars are broadcast single-digit-row aggregates; the
 # per-doc score sum is one keyed shuffle; top-k via TakeOrdered.
 # k1=1.2, b=0.75 (the standard Robertson parameters); idf is the
 # Lucene-style ln(1 + (N - df + 0.5)/(df + 0.5)) which is always
@@ -293,18 +295,28 @@ _BM25_SQL = f"""
 
 @register("q103_bm25_search", _BM25_SQL)
 def q103_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    # SERVED FROM THE STORE (round 9): tf comes off the LM store's
+    # bucket-pruned doc_uni probe (a partition-pruned read of the
+    # terms' buckets, never a corpus tokenize), |d| and the
+    # (n_docs, avgdl) scalars off the O(documents) doc_len table.
+    # The stored counts are the exact integers the inline explode
+    # produced, so the scoring math below is unchanged bit-for-bit.
+    from whale_sightings_spark.operators import ngram_lm as LM
+    from whale_sightings_spark.plans.lm_store import lm_artifact_dir
+
+    art = lm_artifact_dir(spark, sf_dir)
+    tf = (
+        LM.stored_term_postings(spark, art, _BM25_TERMS)
+        .groupBy("doc_id", "tok")
+        .agg(F.sum("n").alias("tf"))
     )
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("len"))
+    dl = (
+        LM.stored_doc_len(spark, art)
+        .filter(F.col("len").isNotNull())
+        .select("doc_id", "len")
+    )
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("len").alias("avgdl")
-    )
-    tf = (
-        toks.filter(F.col("tok").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("tf"))
     )
     df = tf.groupBy("tok").agg(F.count("*").alias("df"))
     scored = (
@@ -939,12 +951,18 @@ def _rank_via_collect(df, order_neg_col: str, out_col: str):
     """,
 )
 def q140_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # SERVED FROM THE STORE (round 9): the graded-relevance side is
+    # the same bucket-pruned doc_uni probe q103's tf rides — distinct
+    # matched terms per doc — so the whole evaluation never tokenizes
+    # or even reads the corpus.
+    from whale_sightings_spark.operators import ngram_lm as LM
+    from whale_sightings_spark.plans.lm_store import lm_artifact_dir
+
+    art = lm_artifact_dir(spark, sf_dir)
     lex = q103_bm25_search(spark, sf_dir).withColumn("ns", -F.col("score"))
     lexr = _rank_via_collect(lex, "ns", "rank")
     rel = (
-        docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
-        .filter(F.col("tok").isin(*_BM25_TERMS))
+        LM.stored_term_postings(spark, art, _BM25_TERMS)
         .select("doc_id", "tok")
         .distinct()
         .groupBy("doc_id")
@@ -1891,8 +1909,9 @@ def q188_bpe_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bounded exactly like BM25's: a constant Σ_t log(μ·P(t|C)) (term-set-
 # sized broadcast), a row-local -|Q|·log(|d|+μ) length penalty every
 # doc pays, and a match bonus Σ log(1 + tf/(μ·P(t|C))) that only
-# MATCHED (doc, term) rows contribute — the token stream is filtered
-# to the broadcast-literal query terms before any aggregation. Docs
+# MATCHED (doc, term) rows contribute — served (round 9) from the LM
+# store's bucket-pruned doc_uni probe + doc_len table, so the corpus
+# text is never read at query time. Docs
 # with zero matches still rank (short docs pay less length penalty) —
 # the faithful QL semantics BM25 can't express. Top-k via TakeOrdered.
 # ---------------------------------------------------------------------------
@@ -1939,14 +1958,23 @@ _QL_TOP = 15
     """,
 )
 def q190_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("len"))
+    # SERVED FROM THE STORE (round 9): |d| and the corpus-token total
+    # come off the O(documents) doc_len table, tf off the bucket-pruned
+    # doc_uni probe — the q103 serving shape applied to the QL scorer.
+    from whale_sightings_spark.operators import ngram_lm as LM
+    from whale_sightings_spark.plans.lm_store import lm_artifact_dir
+
+    art = lm_artifact_dir(spark, sf_dir)
+    dl = (
+        LM.stored_doc_len(spark, art)
+        .filter(F.col("len").isNotNull())
+        .select("doc_id", "len")
+    )
     tot = dl.agg(F.sum("len").alias("t"))
     tf = (
-        toks.filter(F.col("tok").isin(*_QL_TERMS))
+        LM.stored_term_postings(spark, art, _QL_TERMS)
         .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.sum("n").alias("tf"))
     )
     cf = tf.groupBy("tok").agg(F.sum("tf").alias("cf"))
     cst = (
@@ -2129,6 +2157,75 @@ def q191_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q254 — retrieval-index statistics audit (round 9: the q243/q251
+# maintenance convention applied to the LM store's retrieval surface):
+# per-source document counts, token totals, and average document
+# length off the stored doc_len table, cross-checked against the
+# stored doc_uni postings rollup. ``n_len_mismatch`` counts documents
+# whose postings total differs from the stored length — by
+# construction exactly the empty/whitespace documents whose single ''
+# split token the n-gram tables drop — so a nonzero count beyond that
+# class means the two tables were written from different corpus
+# states and the store needs a rebuild. This is the index-stats
+# endpoint every search system ships, run as a store-integrity gate:
+# one O(documents) read + one postings-table rollup, corpus text
+# never touched on the Spark side.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q254_index_stats",
+    f"""
+    WITH dl AS (
+        SELECT doc_id, source,
+               CAST(len({TX.tokens_sql('text')}) AS BIGINT) AS len
+        FROM documents
+    ),
+    us AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS s FROM (
+            SELECT doc_id, unnest({TX.tokens_sql('text')}) AS tok
+            FROM documents
+        ) WHERE tok <> '' GROUP BY doc_id
+    )
+    SELECT dl.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(dl.len) AS BIGINT) AS n_tokens,
+           round(avg(dl.len), 6) AS avgdl,
+           CAST(sum(CASE WHEN coalesce(us.s, 0) <> coalesce(dl.len, 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch
+    FROM dl LEFT JOIN us ON us.doc_id = dl.doc_id
+    GROUP BY dl.source
+    """,
+)
+def q254_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.operators import ngram_lm as LM
+    from whale_sightings_spark.plans.lm_store import lm_artifact_dir
+
+    art = lm_artifact_dir(spark, sf_dir)
+    dl = LM.stored_doc_len(spark, art).select("doc_id", "source", "len")
+    us = (
+        LM.stored_doc_uni(spark, art)
+        .groupBy("doc_id")
+        .agg(F.sum("n").cast("bigint").alias("s"))
+    )
+    j = dl.join(us, "doc_id", "left")
+    return j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("len").cast("bigint").alias("n_tokens"),
+        F.round(F.avg("len"), 6).alias("avgdl"),
+        F.sum(
+            F.when(
+                F.coalesce(F.col("s"), F.lit(0))
+                != F.coalesce(F.col("len"), F.lit(0)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_len_mismatch"),
     )
 
 

@@ -1774,6 +1774,12 @@ def streaming_lm_ingest(
             .write.mode("overwrite")
             .parquet(bpaths["pairs"])
         )
+        # v3: the batch's per-doc token totals (retrieval-family side)
+        (
+            LM.doc_len_counts(batch)
+            .write.mode("overwrite")
+            .parquet(bpaths["doc_len"])
+        )
         # the batch manifest — includes token-less docs, so replaying
         # them is a manifest hit, not a vacuous re-tokenize
         (
