@@ -772,6 +772,11 @@ def test_retrieval_family_serves_from_lm_store(spark, sf_dir):
         "q128_vocab_coverage",
         "q142_zipf_fit",
     )
+    # q74's PMI stream is doc_uni's (doc_id, tok) projection
+    plan74 = explain_str(queries()["q74_pmi_pairs"](spark, sf_dir))
+    assert "Generate" not in plan74, f"q74 re-tokenized inline:\n{plan74}"
+    assert "documents.parquet" not in plan74, plan74
+    assert "doc_uni" in plan74, plan74
     for name in no_generate + k_row_explode:
         plan = explain_str(queries()[name](spark, sf_dir))
         if name in no_generate:

@@ -187,12 +187,16 @@ _TOP_PAIRS = 25
     """,
 )
 def q74_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    dt = (
-        docs.filter(F.trim("text") != "")
-        .select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
-        .distinct()
-    )
+    # SERVED FROM THE STORE (round 9): the distinct (doc, token) event
+    # stream IS the LM store's doc_uni projection (per-doc counts of
+    # non-empty tokens — docs with only whitespace contribute nothing,
+    # matching the trim(text) <> '' guard), so the PMI statistic never
+    # tokenizes the corpus.
+    from whale_sightings_spark.operators import ngram_lm as LM
+    from whale_sightings_spark.plans.lm_store import lm_artifact_dir
+
+    art = lm_artifact_dir(spark, sf_dir)
+    dt = LM.stored_doc_uni(spark, art).select("doc_id", "tok")
     df = dt.groupBy("tok").agg(F.count("*").alias("n_docs"))
     vocab = df.orderBy(F.col("n_docs").desc(), "tok").limit(_VOCAB_K)
     vt = dt.join(F.broadcast(vocab), "tok").select("doc_id", "tok", "n_docs")
