@@ -296,6 +296,65 @@ def test_compaction_preserves_every_reader_and_defrags(
     assert m and "bucket" in m.group(1), plan
 
 
+def test_retrieval_read_path_equal_on_grown_vs_fresh_store(
+    spark, docs, tmp_path_factory
+):
+    """(v3) The retrieval serving reads — the bucket-pruned term
+    postings probe and the doc_len length table — must return
+    identical rows from a store grown by streaming ingest and from a
+    fresh full build: the q103/q190 serving DAGs cross the
+    base+published-batch union, so this pins the union path itself,
+    not just per-table row equality."""
+    import time
+
+    from whale_sightings_spark.streaming.events import streaming_lm_ingest
+
+    base = tmp_path_factory.mktemp("lm_retrieval")
+    grown = str(base / "grown")
+    LM.build_lm_artifact(docs.filter(F.col("doc_id") < 5), grown)
+    delta_dir = str(base / "deltas")
+    docs.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 7)).coalesce(
+        1
+    ).write.parquet(delta_dir, mode="append")
+    time.sleep(1.1)
+    docs.filter(F.col("doc_id") >= 7).coalesce(1).write.parquet(
+        delta_dir, mode="append"
+    )
+    streaming_lm_ingest(spark, delta_dir, grown, str(base / "ck"))
+    fresh = str(base / "fresh")
+    LM.build_lm_artifact(docs, fresh)
+
+    terms = ("whale", "swims")
+
+    def probe(art):
+        return sorted(
+            tuple(r)
+            for r in LM.stored_term_postings(spark, art, terms).collect()
+        )
+
+    def lengths(art):
+        return sorted(
+            tuple(r)
+            for r in LM.stored_doc_len(spark, art)
+            .select("doc_id", "len")
+            .collect()
+        )
+
+    assert probe(grown) == probe(fresh) and len(probe(fresh)) > 0
+    assert lengths(grown) == lengths(fresh)
+    # and the (n_docs, avgdl) scalars the BM25 stats side computes
+    def stats(art):
+        r = (
+            LM.stored_doc_len(spark, art)
+            .filter(F.col("len").isNotNull())
+            .agg(F.count("*").alias("n"), F.avg("len").alias("a"))
+            .collect()[0]
+        )
+        return (r["n"], r["a"])
+
+    assert stats(grown) == stats(fresh)
+
+
 def test_torn_ingest_batch_is_invisible_and_replay_regenerates(
     spark, docs, tmp_path_factory
 ):
