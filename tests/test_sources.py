@@ -370,3 +370,53 @@ def test_corrupt_raw_file_survives_and_is_audited(spark, tmp_path):
         bad.name: "malformed_json",
         noresults.name: "missing_results",
     }
+
+
+def test_live_jdbc_roundtrip_against_embedded_derby(spark, tmp_path):
+    """S11/S15 LIVE: a real JDBC round trip through Spark's JDBC source
+    against the embedded Apache Derby engine that ships in Spark's own
+    jars — no external service needed. Covers the reflection contract
+    the SQLite DB-API test can't: Spark-side JDBC write, schema
+    reflection on read, predicate pushdown INTO the database scan, and
+    the fail-fast on a missing table (reference storage.py:40-49).
+    The MySQL upsert dialect itself stays covered by
+    test_mysql_upsert_sql_column_subset + the SQLite round trip."""
+    import pytest
+
+    from whale_sightings_spark.sources.jdbc import read_jdbc, write_jdbc_append
+
+    url = f"jdbc:derby:{tmp_path}/whalesdb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    df = spark.createDataFrame(
+        [(1, "beluga", 4.5), (2, "narwhal", 4.2), (3, "orca", 7.6)],
+        "id int, name string, length_m double",
+    )
+    write_jdbc_append(df, url, "species_dim", driver=driver)
+
+    back = read_jdbc(spark, url, "species_dim", driver=driver)
+    # schema reflection: names preserved, types round-tripped
+    assert set(back.columns) == {"ID", "NAME", "LENGTH_M"} or set(
+        back.columns
+    ) == {"id", "name", "length_m"}
+    got = sorted(tuple(r) for r in back.collect())
+    assert got == [(1, "beluga", 4.5), (2, "narwhal", 4.2), (3, "orca", 7.6)]
+
+    # predicate pushdown reaches the JDBC scan (Catalyst -> WHERE)
+    cols = {c.lower(): c for c in back.columns}
+    pruned = back.filter(back[cols["id"]] > 1).select(cols["name"])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan" in plan, plan
+    assert sorted(r[0] for r in pruned.collect()) == ["narwhal", "orca"]
+
+    # append is append (no silent truncate), and reflection sees it
+    write_jdbc_append(
+        spark.createDataFrame([(4, "minke", 8.8)], "id int, name string, length_m double"),
+        url,
+        "species_dim",
+        driver=driver,
+    )
+    assert read_jdbc(spark, url, "species_dim", driver=driver).count() == 4
+
+    # fail-fast on a missing table — the reference's reflection check
+    with pytest.raises(Exception):
+        read_jdbc(spark, url, "no_such_table", driver=driver).collect()
