@@ -240,7 +240,7 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
 
 
 def minhash_incremental_pairs(
-    docs: DataFrame, split_id: int
+    docs: DataFrame, split_id: int, pairs: DataFrame | None = None
 ) -> DataFrame:
     """Incremental near-dup: which NEW documents (doc_id >= split_id)
     near-duplicate the EXISTING corpus (doc_id < split_id) — the
@@ -252,12 +252,16 @@ def minhash_incremental_pairs(
     out quadratically); in production the history band index is
     precomputed and bucketed on band, making the probe exchange-free.
     Exact-Jaccard verification touches candidate pairs only.
-    Returns (doc_new, doc_hist, jaccard >= JACCARD_THRESHOLD).
+    ``pairs`` overrides the inline `_shingle_docs` verify side with the
+    persisted shingle index's df-capped posting table (round 9 — the
+    q14 serve convention). Returns
+    (doc_new, doc_hist, jaccard >= JACCARD_THRESHOLD).
     """
-    hist = docs.filter(F.col("doc_id") < split_id)
-    batch = docs.filter(F.col("doc_id") >= split_id)
-    hb = _banded_minhash(hist)
-    bb = _banded_minhash(batch)
+    # one banding pass over the corpus, split AFTER materialization —
+    # history and batch otherwise each re-tokenize/re-hash their half
+    banded_all = _banded_minhash(docs).localCheckpoint()
+    hb = banded_all.filter(F.col("doc_id") < split_id)
+    bb = banded_all.filter(F.col("doc_id") >= split_id)
     kept = (
         hb.groupBy("band")
         .agg(F.count("*").alias("bn"))
@@ -269,7 +273,8 @@ def minhash_incremental_pairs(
         .select(F.col("doc_id").alias("doc_new"), "doc_hist")
         .distinct()
     )
-    pairs = _shingle_docs(docs)
+    if pairs is None:
+        pairs = _shingle_docs(docs)
     sizes = pairs.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     pn = pairs.select(F.col("doc_id").alias("doc_new"), "shingle")
     ph = pairs.select(F.col("doc_id").alias("doc_hist"), "shingle")
@@ -297,7 +302,9 @@ def minhash_incremental_pairs(
     )
 
 
-def minhash_estimate_audit(docs: DataFrame) -> DataFrame:
+def minhash_estimate_audit(
+    docs: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
     """Sketch-quality audit for the MinHash path: for every LSH
     candidate pair, the signature-estimated Jaccard (matching
     components / signature length) against the exact shingle-set
@@ -311,12 +318,18 @@ def minhash_estimate_audit(docs: DataFrame) -> DataFrame:
     banding collision is a false positive (zero shared shingles) stay
     in the output with exact = 0 — those are precisely the audit's
     most interesting rows, so candidates LEFT-join the intersection
-    counts.
+    counts. The signature derivation stays inline (it IS the thing
+    under audit); ``pairs`` overrides the exact-Jaccard verify side
+    with the persisted shingle index's df-capped posting table
+    (round 9 — the q14 serve convention).
     """
     staged = (
         _shingled(docs.filter(F.size(tokens(F.col("text"))) >= SHINGLE_N))
         .select("doc_id", F.transform("shingles", hash60).alias("hashed"))
         .select("doc_id", minhash_signature_from_hashes(F.col("hashed")).alias("sig"))
+        # three consumers (banding + both signature sides of the
+        # estimate join) — materialize the signature pass once
+        .localCheckpoint()
     )
     banded = staged.select("doc_id", F.explode(band_keys(F.col("sig"))).alias("band"))
     cands = _bucket_candidate_pairs(banded).distinct()
@@ -334,7 +347,8 @@ def minhash_estimate_audit(docs: DataFrame) -> DataFrame:
         / F.lit(float(siglen))
     )
 
-    pairs = _shingle_docs(docs)
+    if pairs is None:
+        pairs = _shingle_docs(docs)
     sizes = pairs.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     pa = pairs.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
     pb = pairs.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))

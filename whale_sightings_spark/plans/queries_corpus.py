@@ -1453,6 +1453,10 @@ def q169_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
             F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
         )
+        # the pos and neg windows both consume the pair table —
+        # checkpoint so the capped self-join + cosine runs once, not
+        # twice (the q191 convention)
+        .localCheckpoint()
     )
     w = W.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     pos = (

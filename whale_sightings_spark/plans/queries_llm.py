@@ -214,8 +214,17 @@ _INC_SPLIT = 400
     """,
 )
 def q138_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 9: the exact-Jaccard verify side serves from the stored
+    # shingle postings (the q14 convention); the MinHash banding stays
+    # inline — it is the delta-probe mechanism under test
+    from whale_sightings_spark.operators import shingles as SHI
+    from whale_sightings_spark.plans.shingle_store import shingle_artifact_dir
+
+    pairs = SHI.capped_postings(
+        spark, shingle_artifact_dir(spark, sf_dir), DD.MAX_SHINGLE_DF
+    ).select("doc_id", "shingle")
     return DD.minhash_incremental_pairs(
-        load_table(spark, sf_dir, "documents"), _INC_SPLIT
+        load_table(spark, sf_dir, "documents"), _INC_SPLIT, pairs=pairs
     )
 
 
@@ -287,7 +296,18 @@ _MINHASH_SIGLEN = len(_SIG_EXPRS)
     """,
 )
 def q129_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.minhash_estimate_audit(load_table(spark, sf_dir, "documents"))
+    # round 9: the exact-Jaccard truth side serves from the stored
+    # shingle postings; the MinHash signatures stay inline — the
+    # sketch quality is what this audit measures
+    from whale_sightings_spark.operators import shingles as SHI
+    from whale_sightings_spark.plans.shingle_store import shingle_artifact_dir
+
+    pairs = SHI.capped_postings(
+        spark, shingle_artifact_dir(spark, sf_dir), DD.MAX_SHINGLE_DF
+    ).select("doc_id", "shingle")
+    return DD.minhash_estimate_audit(
+        load_table(spark, sf_dir, "documents"), pairs=pairs
+    )
 
 
 # ---------------------------------------------------------------------------
