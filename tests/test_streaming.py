@@ -1339,3 +1339,92 @@ def test_streaming_source_kl_matches_batch_and_reports_oov(
     # the half-OOV source keeps a finite KL on reduced support
     b_row = [t for t in flat if t[0] == "b"]
     assert b_row and 0.0 < b_row[0][2] < 1.0 and b_row[0][3] is not None
+
+
+def test_streaming_bm25_score_matches_batch_and_keeps_zero_match_docs(
+    spark, tmp_path_factory
+):
+    """Streaming BM25 against the STORED index (round 9): (a) every
+    streamed batch_id partition equals the batch operator applied to
+    that file's documents (stateless scoring ⇒ stream==batch by
+    construction, asserted anyway); (b) arriving docs matching no
+    query term are kept with score 0.0; (c) df/avgdl come from the
+    STORE — scoring the same doc in either batch yields the identical
+    score (order independence)."""
+    import glob
+    import os
+    import time
+
+    from whale_sightings_spark.operators import ngram_lm as LM
+    from whale_sightings_spark.streaming.events import streaming_bm25_score
+
+    base = tmp_path_factory.mktemp("bm25_stream")
+    hist = spark.createDataFrame(
+        [
+            (0, "a", "the whale swims the whale swims"),
+            (1, "a", "the whale rests"),
+            (2, "b", "a whale swims far away"),
+            (3, "b", "the far whale"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    art = str(base / "lm")
+    LM.build_lm_artifact(hist, art)
+
+    terms = ("whale", "far")
+    batch1 = [
+        (10, "a", "the whale swims"),     # matches 'whale'
+        (11, "b", "nothing relevant"),    # zero-match, kept at 0.0
+    ]
+    batch2 = [
+        (12, "c", "far far away a whale"),
+        (13, "a", "the whale swims"),     # same text as doc 10
+    ]
+    docs_dir = str(base / "deltas")
+    spark.createDataFrame(
+        batch1, "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(docs_dir, mode="append")
+    time.sleep(1.1)
+    spark.createDataFrame(
+        batch2, "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(docs_dir, mode="append")
+
+    out = str(base / "out")
+    streaming_bm25_score(
+        spark, docs_dir, art, out, str(base / "ck"), terms=terms
+    )
+
+    parts = sorted(glob.glob(os.path.join(out, "batch_id=*")))
+    assert len(parts) == 2
+
+    def rows(df):
+        return sorted(
+            (r["doc_id"], r["source"], r["len"], r["n_matched"], r["score"])
+            for r in df.select(
+                "doc_id", "source", "len", "n_matched", "score"
+            ).collect()
+        )
+
+    streamed_all = [rows(spark.read.parquet(p)) for p in parts]
+    direct = [
+        rows(
+            LM.bm25_score_docs_from_store(
+                spark.createDataFrame(
+                    b, "doc_id long, source string, text string"
+                ),
+                spark,
+                art,
+                terms,
+            )
+        )
+        for b in (batch1, batch2)
+    ]
+    assert sorted(map(str, streamed_all)) == sorted(map(str, direct))
+    flat = {t[0]: t for b in streamed_all for t in b}
+    # zero-match doc kept at score 0.0 with its true length
+    assert flat[11][3] == 0 and flat[11][4] == 0.0 and flat[11][2] == 2
+    # identical text scores identically regardless of arrival batch —
+    # the stats side is the frozen store, not the stream
+    assert flat[10][4] == flat[13][4] and flat[10][4] > 0
+    # both query terms matched for doc 12
+    assert flat[12][3] == 2

@@ -531,6 +531,79 @@ def stored_tri_train(spark: SparkSession, artifact_dir: str) -> DataFrame:
     )
 
 
+def bm25_score_docs_from_store(
+    batch_docs: DataFrame,
+    spark: SparkSession,
+    artifact_dir: str,
+    terms,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25-score ARRIVING documents against the STORED corpus
+    statistics — the deployed-search-scorer shape: df and the
+    (n_docs, avgdl) scalars come off the persisted index (broadcast,
+    bucket-pruned probe), only the batch itself is tokenized
+    (O(batch tokens) per call). Documents matching no query term are
+    kept with score 0.0 so a downstream gate sees every arriving doc.
+    Returns (doc_id, source, len, n_matched, score). Lucene-style
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)) — q103's scoring contract
+    with the corpus-side inputs swapped for the store."""
+    probe = stored_term_postings(spark, artifact_dir, terms)
+    dfreq = probe.groupBy("tok").agg(F.count("*").alias("df"))
+    stats = (
+        stored_doc_len(spark, artifact_dir)
+        .filter(F.col("len").isNotNull())
+        .agg(F.count("*").alias("n_docs"), F.avg("len").alias("avgdl"))
+    )
+    btoks = batch_docs.select(
+        F.col("doc_id").cast("long"),
+        "source",
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    bl = btoks.groupBy("doc_id", "source").agg(
+        F.count("*").cast("bigint").alias("len")
+    )
+    btf = (
+        btoks.filter(F.col("tok").isin(list(terms)))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    term_score = (
+        F.log(
+            1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * F.col("tf")
+        * (k1 + 1)
+        / (
+            F.col("tf")
+            + k1 * (1 - b + b * F.col("len") / F.col("avgdl"))
+        )
+    )
+    matched = (
+        btf.join(F.broadcast(dfreq), "tok")
+        .join(bl.select("doc_id", "len"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("term_score", term_score)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_matched"),
+            F.sum("term_score").alias("score"),
+        )
+    )
+    return (
+        bl.join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "len",
+            F.coalesce("n_matched", F.lit(0)).cast("bigint").alias(
+                "n_matched"
+            ),
+            F.round(F.coalesce("score", F.lit(0.0)), 6).alias("score"),
+        )
+    )
+
+
 def compact_lm_store(spark: SparkSession, artifact_dir: str) -> dict[str, int]:
     """Store maintenance after streaming ingest (the
     `compact_ivfpq_index` convention for the sixth artifact): each

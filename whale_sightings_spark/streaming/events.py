@@ -1804,6 +1804,60 @@ def streaming_lm_ingest(
     )
 
 
+def streaming_bm25_score(
+    spark: SparkSession,
+    docs_dir: str,
+    artifact_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    terms=("join", "vector", "stream"),
+) -> None:
+    """Streaming twin of q103's SERVE path (round 9): each micro-batch
+    of arriving documents is BM25-scored against the STORED corpus
+    statistics (df via the bucket-pruned posting probe, (n_docs,
+    avgdl) off doc_len) — scoring only, the index is read-only in the
+    stream, exactly how a deployed lexical gate ranks new crawl data
+    before it is ingested. Per-trigger cost is O(batch tokens) ⋈ two
+    broadcast store aggregates.
+
+    Stateless (the index is a read-only artifact), so idempotence
+    needs no replay guard: each batch overwrites its own
+    ``batch_id=N`` output partition — a re-delivered batch rewrites
+    identical rows (the `streaming_nb_score` convention)."""
+    import os
+
+    from whale_sightings_spark.operators.ngram_lm import (
+        bm25_score_docs_from_store,
+    )
+
+    schema = spark.read.parquet(docs_dir).schema
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        scored = bm25_score_docs_from_store(
+            batch_df, sess, artifact_dir, terms
+        )
+        (
+            scored.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def streaming_source_kl(
     spark: SparkSession,
     docs_dir: str,
