@@ -1428,3 +1428,166 @@ def test_streaming_bm25_score_matches_batch_and_keeps_zero_match_docs(
     assert flat[10][4] == flat[13][4] and flat[10][4] > 0
     # both query terms matched for doc 12
     assert flat[12][3] == 2
+
+
+def test_shingle_compaction_preserves_readers_and_defrags(
+    spark, sf_dir, tmp_path_factory
+):
+    """build -> stream-ingest -> COMPACT -> serve (round 9, the
+    compact_lm_store recipe on the shingle index): compaction must be
+    semantically invisible to every reader, collapse the df partials
+    to one row per shingle, reduce file count, and preserve the
+    bucket-partitioned pruned-probe layout."""
+    import re
+    import time
+
+    from whale_sightings_spark.operators import shingles as SH
+    from whale_sightings_spark.streaming.events import (
+        streaming_shingle_index_ingest,
+    )
+
+    split = 700
+    base = tmp_path_factory.mktemp("shingle_compact")
+    docs = load_table(spark, sf_dir, "documents")
+    art = str(base / "index")
+    SH.build_shingle_artifact(docs.filter(F.col("doc_id") < split), art)
+    docs_dir = str(base / "deltas")
+    mid = split + 100
+    docs.filter(
+        (F.col("doc_id") >= split) & (F.col("doc_id") < mid)
+    ).coalesce(1).write.parquet(docs_dir, mode="append")
+    time.sleep(1.1)
+    docs.filter(F.col("doc_id") >= mid).coalesce(1).write.parquet(
+        docs_dir, mode="append"
+    )
+    streaming_shingle_index_ingest(spark, docs_dir, art, str(base / "ck"))
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    readers = (
+        lambda: SH.stored_postings(spark, art).select(
+            "doc_id", "source", "shingle"
+        ),
+        lambda: SH.stored_df(spark, art),
+        lambda: SH.stored_doc_stats(spark, art),
+        lambda: SH.stored_src5(spark, art),
+        lambda: SH.stored_doc_ids(spark, art),
+    )
+    before = [rows(r()) for r in readers]
+    stats = SH.compact_shingle_store(spark, art)
+    after = [rows(r()) for r in readers]
+    assert after == before
+    # at test SF the bucket-partitioned rewrite can balance the removed
+    # batch files one-for-one; the hard claims are the fold itself
+    # (batch dirs gone, df collapsed) and reader invisibility
+    assert stats["files_after"] <= stats["files_before"]
+    # df now holds ONE row per shingle on disk
+    raw_df = spark.read.parquet(art + "/df")
+    assert raw_df.groupBy("shingle").count().filter("count > 1").count() == 0
+    # batch dirs folded away; pruned-probe layout survived
+    assert SH.shingle_ingest_batch_dirs(art) == []
+    probe = SH.stored_postings(spark, art).filter(F.col("bucket").isin([0, 1]))
+    plan = probe.sparkSession._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan
+
+
+def test_shingle_torn_ingest_batch_is_invisible_and_replay_regenerates(
+    spark, sf_dir, tmp_path_factory
+):
+    """Round 9: a shingle-ingest batch that crashes mid-write leaves
+    only an ``ingest/.tmp.<id>`` staging dir — no reader and no
+    seen-set observes ANY of its tables (the v1 failure mode appended
+    postings, the anti-join key, in place: a crash then stranded the
+    batch's sibling rows forever). The replayed trigger regenerates
+    the batch whole."""
+    import os
+
+    from whale_sightings_spark.operators import shingles as SH
+    from whale_sightings_spark.streaming.events import (
+        streaming_shingle_index_ingest,
+    )
+
+    split = 800
+    base = tmp_path_factory.mktemp("shingle_torn")
+    docs = load_table(spark, sf_dir, "documents")
+    art = str(base / "index")
+    SH.build_shingle_artifact(docs.filter(F.col("doc_id") < split), art)
+    n_ids = SH.stored_doc_ids(spark, art).count()
+
+    docs_dir = str(base / "deltas")
+    delta = docs.filter(F.col("doc_id") >= split)
+    delta.coalesce(1).write.parquet(docs_dir, mode="append")
+
+    # simulate the torn batch: a half-written staging dir with the
+    # anti-join-key table ALREADY populated
+    staging = os.path.join(SH.shingle_ingest_root(art), ".tmp.0")
+    delta.select(F.col("doc_id").cast("long")).distinct().write.parquet(
+        os.path.join(staging, "doc_ids")
+    )
+    assert SH.stored_doc_ids(spark, art).count() == n_ids  # invisible
+
+    streaming_shingle_index_ingest(spark, docs_dir, art, str(base / "ck"))
+    full = str(base / "full")
+    SH.build_shingle_artifact(docs, full)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(
+        SH.stored_postings(spark, art).select("doc_id", "shingle")
+    ) == rows(SH.stored_postings(spark, full).select("doc_id", "shingle"))
+    assert rows(SH.stored_df(spark, art)) == rows(SH.stored_df(spark, full))
+    assert rows(SH.stored_doc_ids(spark, art)) == rows(
+        SH.stored_doc_ids(spark, full)
+    )
+
+
+def test_shingle_crashed_compaction_reads_as_absent_and_rebuilds(
+    spark, tmp_path, monkeypatch
+):
+    """A COMPACTING sentinel left by a crashed shingle-store compaction
+    makes the build-if-absent cache treat the store as absent and
+    rebuild (the lm_store v2 contract on the fourth artifact)."""
+    import os
+
+    from whale_sightings_spark.operators import shingles as SH
+    from whale_sightings_spark.plans.shingle_store import shingle_artifact_dir
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    art = shingle_artifact_dir(spark, sf)
+    marker = os.path.join(art, "src5", "_SUCCESS")
+    mt0 = os.path.getmtime(marker)
+    assert shingle_artifact_dir(spark, sf) == art  # cache hit
+    assert os.path.getmtime(marker) == mt0
+    with open(SH.shingle_compacting_sentinel(art), "w") as fh:
+        fh.write("12345")
+    art2 = shingle_artifact_dir(spark, sf)
+    assert art2 == art
+    assert not os.path.exists(SH.shingle_compacting_sentinel(art))
+    assert os.path.getmtime(marker) > mt0
+
+
+def test_shingle_ingest_seen_set_is_manifest_not_postings(
+    spark, sf_dir, tmp_path_factory
+):
+    """The shingle ingest's seen-set reads the doc-id manifest
+    (O(documents)), never the corpus-scale posting table."""
+    from whale_sightings_spark.operators import shingles as SH
+
+    base = tmp_path_factory.mktemp("shingle_seen")
+    docs = load_table(spark, sf_dir, "documents")
+    art = str(base / "index")
+    SH.build_shingle_artifact(docs, art)
+    ids = SH.stored_doc_ids(spark, art)
+    plan = ids.sparkSession._jvm.PythonSQLUtils.explainString(
+        ids._jdf.queryExecution(), "formatted"
+    )
+    assert "doc_ids" in plan
+    for table in ("postings", "doc_stats", "src5"):
+        assert table not in plan, f"seen-set scans {table}:\n{plan}"
+    assert ids.count() == docs.select("doc_id").distinct().count()

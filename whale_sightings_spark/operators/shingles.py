@@ -48,8 +48,13 @@ from pyspark.sql import types as T
 
 from whale_sightings_spark.functions.text import shingles_from_tokens, tokens
 
-#: artifact layout version — bump to invalidate caches on format change
-SHINGLE_FORMAT_VERSION = 1
+#: artifact layout version — bump to invalidate caches on format change.
+#: v2 (round 9): doc_ids manifest + atomic per-batch ingest sub-stores
+#: + compaction with an in-progress sentinel (the ngram_lm v2/v3
+#: conventions ported — closes the torn-batch loss window where the
+#: postings append, the ingest's anti-join key, landed but a crash
+#: stranded that batch's df/doc_stats/src5 rows forever)
+SHINGLE_FORMAT_VERSION = 2
 
 #: primary shingle width (the q51/q119/q139/q141/q184/q191 family)
 SHINGLE_N = 3
@@ -88,6 +93,7 @@ _SRC5_SCHEMA = T.StructType(
         T.StructField("shingle", T.StringType()),
     ]
 )
+_DOC_IDS_SCHEMA = T.StructType([T.StructField("doc_id", T.LongType())])
 
 
 def shingle_artifact_paths(artifact_dir: str) -> tuple[str, str, str, str]:
@@ -100,6 +106,74 @@ def shingle_artifact_paths(artifact_dir: str) -> tuple[str, str, str, str]:
         base + "/doc_stats",
         base + "/src5",
     )
+
+
+def shingle_doc_ids_path(artifact_dir: str) -> str:
+    """(v2) the ingested-document manifest table — the O(documents)
+    seen-set the streaming ingest anti-joins against (never the
+    corpus-scale posting table)."""
+    return artifact_dir.rstrip("/") + "/doc_ids"
+
+
+def shingle_ingest_root(artifact_dir: str) -> str:
+    """Directory of per-batch ingest sub-stores (``b<batch_id>/``)."""
+    return artifact_dir.rstrip("/") + "/ingest"
+
+
+def shingle_compacting_sentinel(artifact_dir: str) -> str:
+    """Compaction-in-progress marker: while present,
+    `plans.shingle_store.shingle_artifact_dir` treats the store as
+    ABSENT and rebuilds — a mid-swap crash can never serve a store
+    with a missing table. Compaction requires exclusive access."""
+    return artifact_dir.rstrip("/") + "/COMPACTING"
+
+
+def shingle_ingest_batch_dirs(artifact_dir: str) -> list[str]:
+    """Published per-batch ingest dirs, oldest first; ``.tmp.``
+    staging dirs (torn batches) are invisible by construction."""
+    import os
+
+    root = shingle_ingest_root(artifact_dir)
+    if not os.path.isdir(root):
+        return []
+    return [
+        os.path.join(root, d)
+        for d in sorted(os.listdir(root))
+        if d.startswith("b") and d[1:].isdigit()
+    ]
+
+
+#: per-batch sub-store table names (relative to the batch dir)
+SHINGLE_TABLE_KEYS = ("postings", "df", "doc_stats", "src5", "doc_ids")
+
+
+def _table_path(artifact_dir: str, key: str) -> str:
+    postings_dir, df_dir, stats_dir, src5_dir = shingle_artifact_paths(
+        artifact_dir
+    )
+    return {
+        "postings": postings_dir,
+        "df": df_dir,
+        "doc_stats": stats_dir,
+        "src5": src5_dir,
+        "doc_ids": shingle_doc_ids_path(artifact_dir),
+    }[key]
+
+
+def _read_table(spark, artifact_dir: str, key: str, schema) -> DataFrame:
+    """Pinned-schema read of a store table: the base dir unioned with
+    every PUBLISHED ingest batch dir (v2 — atomic per-batch
+    sub-stores; a torn ``.tmp.`` batch never appears here). Each root
+    scans independently so bucket partition pruning survives the
+    union."""
+    import os
+
+    base = spark.read.schema(schema).parquet(_table_path(artifact_dir, key))
+    for b in shingle_ingest_batch_dirs(artifact_dir):
+        t = os.path.join(b, key)
+        if os.path.isdir(t):
+            base = base.unionByName(spark.read.schema(schema).parquet(t))
+    return base
 
 
 def _distinct_postings(docs: DataFrame, n: int) -> DataFrame:
@@ -155,6 +229,15 @@ def build_shingle_artifact(docs: DataFrame, artifact_dir: str) -> str:
         .write.mode("overwrite")
         .parquet(stats_dir)
     )
+    # v2: the doc-id manifest — includes shingle-less documents, so
+    # the ingest anti-join skips EVERY already-seen doc with an
+    # O(documents) read, never a posting-table distinct
+    (
+        docs.select(F.col("doc_id").cast("long"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(shingle_doc_ids_path(artifact_dir))
+    )
     (
         _distinct_postings(docs, SRC_SHINGLE_N)
         .select("source", "shingle")
@@ -166,9 +249,16 @@ def build_shingle_artifact(docs: DataFrame, artifact_dir: str) -> str:
 
 
 def stored_postings(spark: SparkSession, artifact_dir: str) -> DataFrame:
-    """(doc_id, source, shingle, bucket) — the n=3 posting table."""
-    postings_dir, _, _, _ = shingle_artifact_paths(artifact_dir)
-    return spark.read.schema(_POSTINGS_SCHEMA).parquet(postings_dir)
+    """(doc_id, source, shingle, bucket) — the n=3 posting table
+    (base + published ingest batches; rows are doc-disjoint by the
+    ingest anti-join, so the union never needs a re-aggregate)."""
+    return _read_table(spark, artifact_dir, "postings", _POSTINGS_SCHEMA)
+
+
+def stored_doc_ids(spark: SparkSession, artifact_dir: str) -> DataFrame:
+    """(doc_id) — the ingested-document manifest (v2): base + every
+    published batch; the O(documents) seen-set for streaming ingest."""
+    return _read_table(spark, artifact_dir, "doc_ids", _DOC_IDS_SCHEMA)
 
 
 def stored_df(spark: SparkSession, artifact_dir: str) -> DataFrame:
@@ -180,10 +270,8 @@ def stored_df(spark: SparkSession, artifact_dir: str) -> DataFrame:
     SUM is exact). Summing at read keeps ingest O(batch): the
     alternative, merging the full df table per trigger, is
     O(shingle types) — near corpus scale for word n-grams."""
-    _, df_dir, _, _ = shingle_artifact_paths(artifact_dir)
     return (
-        spark.read.schema(_DF_SCHEMA)
-        .parquet(df_dir)
+        _read_table(spark, artifact_dir, "df", _DF_SCHEMA)
         .groupBy("shingle")
         .agg(F.sum("df").cast("bigint").alias("df"))
     )
@@ -191,18 +279,114 @@ def stored_df(spark: SparkSession, artifact_dir: str) -> DataFrame:
 
 def stored_doc_stats(spark: SparkSession, artifact_dir: str) -> DataFrame:
     """(doc_id, n_shingles) — per-doc distinct shingle count. Plain
-    read stays exact under streaming ingest: batches are anti-joined
-    to new doc_ids, so appended rows never collide with stored ones."""
-    _, _, stats_dir, _ = shingle_artifact_paths(artifact_dir)
-    return spark.read.schema(_DOC_STATS_SCHEMA).parquet(stats_dir)
+    union read stays exact under streaming ingest: batches are
+    anti-joined to new doc_ids, so rows never collide."""
+    return _read_table(spark, artifact_dir, "doc_stats", _DOC_STATS_SCHEMA)
 
 
 def stored_src5(spark: SparkSession, artifact_dir: str) -> DataFrame:
     """distinct (source, shingle) at n=5 — q234's overlap base.
-    Distinct at read: streaming-ingest batches append their own
+    Distinct at read: streaming-ingest batches carry their own
     distinct sets, which may repeat (source, shingle) across batches."""
-    _, _, _, src5_dir = shingle_artifact_paths(artifact_dir)
-    return spark.read.schema(_SRC5_SCHEMA).parquet(src5_dir).distinct()
+    return _read_table(spark, artifact_dir, "src5", _SRC5_SCHEMA).distinct()
+
+
+def compact_shingle_store(
+    spark: SparkSession, artifact_dir: str
+) -> dict[str, int]:
+    """Store maintenance after streaming ingest (the `compact_lm_store`
+    recipe for the shingle index): fold every published batch into the
+    base tables — (a) postings/doc_stats rewritten in the SAME layout
+    (postings keep the bucket partitioning, one file per bucket),
+    (b) df partials collapsed to ONE row per shingle, (c) src5 and the
+    doc-id manifest de-duplicated — then drop the folded batch dirs.
+    Semantically invisible: readers either union doc-disjoint rows
+    (unchanged) or sum/distinct partials (unchanged by pre-folding).
+
+    Crash contract: a ``COMPACTING`` sentinel is written FIRST and
+    removed LAST; `plans.shingle_store.shingle_artifact_dir` treats a
+    store carrying it as ABSENT, so a crash anywhere inside compaction
+    rebuilds instead of serving a store with a missing table. ``src5``
+    (the completeness-marker table) swaps first as belt-and-braces.
+    Requires exclusive access (no concurrent ingest or readers)."""
+    import glob
+    import os
+    import shutil
+
+    def _nfiles() -> int:
+        roots = [
+            _table_path(artifact_dir, k) for k in SHINGLE_TABLE_KEYS
+        ] + [shingle_ingest_root(artifact_dir)]
+        return sum(
+            len(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
+            for d in roots
+        )
+
+    def _swap(live: str, write) -> None:
+        staging = live + "__compact"
+        write(staging)
+        old = live + "__old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(live, old)
+        os.rename(staging, live)
+        shutil.rmtree(old)
+
+    before = _nfiles()
+    sentinel = shingle_compacting_sentinel(artifact_dir)
+    with open(sentinel, "w") as fh:
+        fh.write(str(os.getpid()))
+    # src5 FIRST — it carries the completeness marker
+    src5 = (
+        _read_table(spark, artifact_dir, "src5", _SRC5_SCHEMA)
+        .distinct()
+        .localCheckpoint()
+    )
+    _swap(
+        _table_path(artifact_dir, "src5"),
+        lambda staging: src5.write.mode("overwrite").parquet(staging),
+    )
+    dfc = (
+        _read_table(spark, artifact_dir, "df", _DF_SCHEMA)
+        .groupBy("shingle")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+        .localCheckpoint()
+    )
+    _swap(
+        _table_path(artifact_dir, "df"),
+        lambda staging: dfc.write.mode("overwrite").parquet(staging),
+    )
+    post = _read_table(
+        spark, artifact_dir, "postings", _POSTINGS_SCHEMA
+    ).localCheckpoint()
+    _swap(
+        _table_path(artifact_dir, "postings"),
+        lambda staging: (
+            post.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(staging)
+        ),
+    )
+    stats = _read_table(
+        spark, artifact_dir, "doc_stats", _DOC_STATS_SCHEMA
+    ).localCheckpoint()
+    _swap(
+        _table_path(artifact_dir, "doc_stats"),
+        lambda staging: stats.write.mode("overwrite").parquet(staging),
+    )
+    ids = (
+        _read_table(spark, artifact_dir, "doc_ids", _DOC_IDS_SCHEMA)
+        .distinct()
+        .localCheckpoint()
+    )
+    _swap(
+        _table_path(artifact_dir, "doc_ids"),
+        lambda staging: ids.write.mode("overwrite").parquet(staging),
+    )
+    shutil.rmtree(shingle_ingest_root(artifact_dir), ignore_errors=True)
+    os.remove(sentinel)
+    return {"files_before": before, "files_after": _nfiles()}
 
 
 def capped_postings(

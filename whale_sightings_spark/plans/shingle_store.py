@@ -31,9 +31,17 @@ def shingle_artifact_dir(spark: SparkSession, sf_dir: str) -> str:
     sf_root = os.path.join(root, os.path.basename(os.path.normpath(sf_dir)))
     leaf = f"shingle_v{SH.SHINGLE_FORMAT_VERSION}_{fp}"
     artifact_dir = os.path.join(sf_root, leaf)
-    # the build writes src5 LAST — its _SUCCESS is the completeness marker
+    # the build writes src5 LAST — its _SUCCESS is the completeness
+    # marker; a store carrying the COMPACTING sentinel (a crashed
+    # compaction) is treated as absent and rebuilt (v2)
     _, _, _, src5_dir = SH.shingle_artifact_paths(artifact_dir)
-    if not os.path.exists(os.path.join(src5_dir, "_SUCCESS")):
+
+    def _incomplete() -> bool:
+        return not os.path.exists(
+            os.path.join(src5_dir, "_SUCCESS")
+        ) or os.path.exists(SH.shingle_compacting_sentinel(artifact_dir))
+
+    if _incomplete():
         from whale_sightings_spark.plans.store_utils import reap_dead_staging
 
         reap_dead_staging(sf_root)  # dead builders' .tmp leftovers
@@ -55,10 +63,11 @@ def shingle_artifact_dir(spark: SparkSession, sf_dir: str) -> str:
             shutil.rmtree(staging, ignore_errors=True)
             raise
         # a TORN remain of a previous build (dir present, marker
-        # absent) would make the rename fail and the heal silently
-        # no-op — clear it first; if a racing builder completed in the
+        # absent) or a crashed-compaction remain (sentinel present)
+        # would make the rename fail and the heal silently no-op —
+        # clear it first; if a racing builder completed in the
         # meantime its marker reappears and we just lose our staging
-        if not os.path.exists(os.path.join(src5_dir, "_SUCCESS")):
+        if _incomplete():
             shutil.rmtree(artifact_dir, ignore_errors=True)
         try:
             os.rename(staging, artifact_dir)

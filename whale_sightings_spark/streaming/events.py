@@ -1568,9 +1568,9 @@ def streaming_shingle_index_ingest(
     q95-twin idempotence pattern, so replays and torn appends are
     no-ops) contribute:
 
-    - distinct (doc_id, source, shingle) postings, appended INTO the
-      stored bucket-partitioned layout (the pruned probe keeps working
-      over the grown index without re-layout),
+    - distinct (doc_id, source, shingle) postings in the SAME
+      bucket-partitioned layout (readers union batch dirs per root,
+      so the pruned probe keeps working over the grown index),
     - per-doc shingle counts (doc-disjoint by the anti-join: plain
       append stays exact),
     - per-shingle df PARTIALS (disjoint doc sets per batch, so
@@ -1579,29 +1579,40 @@ def streaming_shingle_index_ingest(
     - the batch's distinct width-5 (source, shingle) rows
       (`stored_src5` dedups at read).
 
-    Per-trigger cost: O(batch tokens) + one batch-sized distinct, one
-    bucket-keyed append. Drained store equals a fresh full-corpus
-    build up to df/src5 partial layout — pinned in
-    tests/test_streaming.py.
+    Per-trigger cost: O(batch tokens) + one batch-sized distinct + one
+    O(ingested documents) manifest read. v2 (round 9, the
+    `streaming_lm_ingest` atomicity contract): each batch is written
+    as ONE complete sub-store under ``ingest/b<batch_id>``, staged in
+    a ``.tmp.`` dir and published by a single atomic rename — a crash
+    mid-batch leaves nothing any reader or seen-set observes, so the
+    replay regenerates the batch whole (closes the v1 window where the
+    postings append, the anti-join key, landed but the crash stranded
+    that batch's df/doc_stats/src5 rows forever). The seen-set is the
+    doc-id manifest, never a posting-table distinct. Drained store
+    equals a fresh full-corpus build up to df/src5 partial layout —
+    pinned in tests/test_streaming.py. `compact_shingle_store` folds
+    published batches into the base tables.
     """
+    import os
+    import shutil
+
     from whale_sightings_spark.operators import shingles as SH
 
     schema = spark.read.parquet(docs_dir).schema
-    postings_dir, df_dir, stats_dir, src5_dir = SH.shingle_artifact_paths(
-        artifact_dir
-    )
+    ingest_root = SH.shingle_ingest_root(artifact_dir)
+    os.makedirs(ingest_root, exist_ok=True)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        seen = (
-            sess.read.schema(SH._POSTINGS_SCHEMA)
-            .parquet(postings_dir)
-            .select("doc_id")
-            .distinct()
-        )
+        seen = SH.stored_doc_ids(sess, artifact_dir)
         batch = batch_df.join(seen, "doc_id", "left_anti")
         if batch.limit(1).isEmpty():
             return
+        final = os.path.join(ingest_root, f"b{batch_id}")
+        if os.path.isdir(final):
+            return  # published by a previous attempt; replay no-ops
+        staging = os.path.join(ingest_root, f".tmp.{batch_id}")
+        shutil.rmtree(staging, ignore_errors=True)
         post = (
             SH._distinct_postings(batch, SH.SHINGLE_N)
             .withColumn(
@@ -1610,33 +1621,42 @@ def streaming_shingle_index_ingest(
                     "int"
                 ),
             )
-            .localCheckpoint()  # 4 consumers below; batch-bounded
+            .localCheckpoint()  # 3 consumers below; batch-bounded
         )
         (
             post.repartition("bucket")
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy("bucket")
-            .parquet(postings_dir)
+            .parquet(os.path.join(staging, "postings"))
         )
         (
             post.groupBy("shingle")
             .agg(F.count("*").cast("bigint").alias("df"))
-            .write.mode("append")
-            .parquet(df_dir)
+            .write.mode("overwrite")
+            .parquet(os.path.join(staging, "df"))
         )
         (
             post.groupBy("doc_id")
             .agg(F.count("*").cast("bigint").alias("n_shingles"))
-            .write.mode("append")
-            .parquet(stats_dir)
+            .write.mode("overwrite")
+            .parquet(os.path.join(staging, "doc_stats"))
         )
         (
             SH._distinct_postings(batch, SH.SRC_SHINGLE_N)
             .select("source", "shingle")
             .distinct()
-            .write.mode("append")
-            .parquet(src5_dir)
+            .write.mode("overwrite")
+            .parquet(os.path.join(staging, "src5"))
         )
+        # the batch manifest — includes shingle-less docs, so replaying
+        # them is a manifest hit, not a vacuous re-shingle
+        (
+            batch.select(F.col("doc_id").cast("long"))
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(os.path.join(staging, "doc_ids"))
+        )
+        os.rename(staging, final)  # atomic publish
 
     stream = (
         spark.readStream.schema(schema)
