@@ -193,3 +193,65 @@ def test_empty_probe_batch_is_noop(spark, tmp_path):
         DD.stored_cluster_labels(spark, art),
     )
     assert labels.count() == 0 and edges.count() == 0 and merges.count() == 0
+
+
+def test_cluster_compaction_preserves_readers_and_sentinel_rebuilds(
+    spark, tmp_path_factory, monkeypatch
+):
+    """(round 9) compact_cluster_artifact folds per-batch append
+    fragmentation: every reader returns identical rows, the merge
+    ledger is deduplicated, the bucket layouts survive, and a crashed
+    compaction's COMPACTING sentinel makes the build-if-absent cache
+    rebuild instead of serving a possibly-torn artifact."""
+    from whale_sightings_spark.streaming.events import (
+        streaming_cluster_ingest,
+    )
+
+    base = tmp_path_factory.mktemp("cluster_compact")
+    hist = spark.createDataFrame(_ROWS_HIST, _SCHEMA)
+    art = str(base / "art")
+    DD.build_cluster_artifact(None, art, sigs=DD.simhash_signatures(hist))
+    docs_dir = str(base / "deltas")
+    spark.createDataFrame(_ROWS_DELTA1, _SCHEMA).coalesce(1).write.parquet(
+        docs_dir, mode="append"
+    )
+    time.sleep(1.1)
+    spark.createDataFrame(_ROWS_DELTA2, _SCHEMA).coalesce(1).write.parquet(
+        docs_dir, mode="append"
+    )
+    streaming_cluster_ingest(spark, docs_dir, art, str(base / "ck"))
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    readers = (
+        lambda: DD.stored_cluster_pairs(spark, art),
+        lambda: DD.stored_cluster_labels(spark, art),
+        lambda: DD.stored_cluster_sigs(spark, art),
+        lambda: DD.stored_cluster_bands(spark, art),
+    )
+    before = [rows(r()) for r in readers]
+    stats = DD.compact_cluster_artifact(spark, art)
+    after = [rows(r()) for r in readers]
+    assert after == before
+    assert stats["files_after"] <= stats["files_before"]
+    # bucket layouts survived the rewrite
+    assert any(
+        d.startswith("pbucket=") for d in os.listdir(art + "/pairs")
+    )
+    assert any(d.startswith("bucket=") for d in os.listdir(art + "/bands"))
+    # crashed compaction: sentinel present -> cache treats as absent
+    from whale_sightings_spark.plans.cluster_store import text_cluster_dir
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(base / "cache"))
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    cached = text_cluster_dir(spark, sf)
+    marker = os.path.join(DD.cluster_artifact_paths(cached), "_SUCCESS")
+    mt0 = os.path.getmtime(marker)
+    assert text_cluster_dir(spark, sf) == cached  # cache hit
+    assert os.path.getmtime(marker) == mt0
+    with open(DD.cluster_compacting_sentinel(cached), "w") as fh:
+        fh.write("12345")
+    assert text_cluster_dir(spark, sf) == cached
+    assert not os.path.exists(DD.cluster_compacting_sentinel(cached))
+    assert os.path.getmtime(marker) > mt0

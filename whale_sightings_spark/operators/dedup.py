@@ -716,6 +716,99 @@ def build_cluster_artifact(
     return artifact_dir
 
 
+def cluster_compacting_sentinel(artifact_dir: str) -> str:
+    """Compaction-in-progress marker: while present,
+    `plans.cluster_store._dir_for` treats the artifact as ABSENT and
+    rebuilds — a mid-swap crash can never serve an artifact with a
+    missing table. Compaction requires exclusive access."""
+    return artifact_dir.rstrip("/") + "/COMPACTING"
+
+
+def compact_cluster_artifact(spark, artifact_dir: str) -> dict[str, int]:
+    """Artifact maintenance after streaming ingest (the
+    `compact_lm_store` recipe on the cluster store): every per-batch
+    append fragments the sig/band/pair/label/merge tables by one file
+    set; compaction rewrites each table in its own layout (bands and
+    pairs keep their bucket partitioning), de-duplicates the merge
+    ledger, and leaves row content byte-identical to every reader —
+    appends are already anti-joined, so there are no partials to
+    collapse, only fragmentation to fold.
+
+    Crash contract: a ``COMPACTING`` sentinel is written FIRST and
+    removed LAST; the build-if-absent cache treats an artifact
+    carrying it as absent and rebuilds. ``labels`` (the completeness-
+    marker table) swaps first as belt-and-braces. Tables the embed
+    graph does not materialize (sigs/bands/merges) are skipped."""
+    import glob
+    import os
+    import shutil
+
+    tables = (
+        ("labels", cluster_artifact_paths(artifact_dir)),
+        ("pairs", cluster_pairs_path(artifact_dir)),
+        ("sigs", cluster_sigs_path(artifact_dir)),
+        ("bands", cluster_bands_path(artifact_dir)),
+        ("merges", cluster_merges_path(artifact_dir)),
+    )
+
+    def _nfiles() -> int:
+        return sum(
+            len(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
+            for _, d in tables
+        )
+
+    def _swap(live: str, write) -> None:
+        staging = live + "__compact"
+        write(staging)
+        old = live + "__old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(live, old)
+        os.rename(staging, live)
+        shutil.rmtree(old)
+
+    before = _nfiles()
+    sentinel = cluster_compacting_sentinel(artifact_dir)
+    with open(sentinel, "w") as fh:
+        fh.write(str(os.getpid()))
+    for key, live in tables:
+        if not os.path.isdir(live):
+            continue  # embed graph: no sigs/bands/merges
+        df = spark.read.parquet(live)
+        if key == "merges":
+            df = df.distinct()
+        df = df.localCheckpoint()
+        if key in ("pairs", "bands"):
+            part = "pbucket" if key == "pairs" else "bucket"
+            _swap(
+                live,
+                lambda staging, df=df, part=part: (
+                    df.repartition(part)
+                    .write.mode("overwrite")
+                    .partitionBy(part)
+                    .parquet(staging)
+                ),
+            )
+        elif key in ("labels", "merges"):
+            # edge-set-bounded / ledger-sized — one file each
+            _swap(
+                live,
+                lambda staging, df=df: (
+                    df.coalesce(1).write.mode("overwrite").parquet(staging)
+                ),
+            )
+        else:
+            # sigs scale with the corpus: defrag without forcing one file
+            _swap(
+                live,
+                lambda staging, df=df: (
+                    df.write.mode("overwrite").parquet(staging)
+                ),
+            )
+    os.remove(sentinel)
+    return {"files_before": before, "files_after": _nfiles()}
+
+
 def stored_cluster_pairs(spark, artifact_dir: str) -> DataFrame:
     """The near-dup edge table the stored labels were converged over —
     (doc_a, doc_b[, hamming]) for the text graph, (doc_a, doc_b) for

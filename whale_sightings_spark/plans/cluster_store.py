@@ -35,7 +35,14 @@ def _dir_for(
     artifact_dir = os.path.join(sf_root, leaf)
     labels_dir = DD.cluster_artifact_paths(artifact_dir)
     marker = os.path.join(labels_dir, "_SUCCESS")
-    if not os.path.exists(marker):
+
+    def _incomplete() -> bool:
+        # a crashed compaction's sentinel reads as absent (rebuild)
+        return not os.path.exists(marker) or os.path.exists(
+            DD.cluster_compacting_sentinel(artifact_dir)
+        )
+
+    if _incomplete():
         from whale_sightings_spark.plans.store_utils import reap_dead_staging
 
         reap_dead_staging(sf_root)  # dead builders' .tmp leftovers
@@ -52,7 +59,7 @@ def _dir_for(
             # under the cache root (the eviction sweep skips .tmp.)
             shutil.rmtree(staging, ignore_errors=True)
             raise
-        if not os.path.exists(marker):
+        if _incomplete():
             shutil.rmtree(artifact_dir, ignore_errors=True)
         try:
             os.rename(staging, artifact_dir)
