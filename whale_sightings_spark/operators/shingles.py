@@ -36,9 +36,22 @@ On-disk layout (all parquet):
   source-overlap base (a second, coarser width; stored because it
   needs its own corpus pass, the exact thing the artifact kills).
 
-Write order: postings -> df -> doc_stats -> src5 LAST, so the
-build-if-absent cache can key on ``src5/_SUCCESS`` and a torn build is
-invisible (the `bpe_artifact_paths` torn-write contract).
+- ``doc_ids/``   (doc_id) — the ingested-document manifest (v2): the
+  streaming ingest's anti-join reads THIS doc-id-only sidecar, so the
+  per-trigger seen-set read is O(documents), never O(postings).
+- ``ingest/b<id>/`` — one fully-written sub-store per streamed batch
+  (same table names), published by atomic rename from a ``.tmp.``
+  staging dir; readers union the base tables with every PUBLISHED
+  batch dir, so a torn batch is invisible and a replay regenerates it
+  exactly (v2 — closes the torn-batch loss window of the v1
+  append-in-place ingest).
+- ``COMPACTING`` — sentinel `compact_shingle_store` holds while
+  folding batches into the base; the build-if-absent cache treats a
+  store carrying it as absent (a crashed compaction rebuilds).
+
+Write order: postings -> df -> doc_stats -> doc_ids -> src5 LAST, so
+the build-if-absent cache can key on ``src5/_SUCCESS`` and a torn
+build is invisible (the `bpe_artifact_paths` torn-write contract).
 """
 from __future__ import annotations
 
