@@ -255,3 +255,95 @@ def test_cluster_compaction_preserves_readers_and_sentinel_rebuilds(
     assert text_cluster_dir(spark, sf) == cached
     assert not os.path.exists(DD.cluster_compacting_sentinel(cached))
     assert os.path.getmtime(marker) > mt0
+
+
+def test_streaming_embed_assign_matches_batch_and_labels_duplicates(
+    spark, sf_dir, tmp_path_factory
+):
+    """(round 9) Read-only streaming assign against the stored embed
+    artifact (v4): (a) every streamed batch_id partition equals the
+    batch operator on that file's vectors (stateless ⇒ stream==batch);
+    (b) an exact copy of a history vector is assigned that vector's
+    effective cluster label; (c) no-match vectors are their own
+    singleton; (d) the artifact is untouched by the stream."""
+    import glob
+
+    from pyspark.sql import Row
+
+    from whale_sightings_spark.operators import similarity as SIM
+    from whale_sightings_spark.schemas import load_table
+    from whale_sightings_spark.streaming.events import streaming_embed_assign
+
+    base = tmp_path_factory.mktemp("embed_assign")
+    emb = load_table(spark, sf_dir, "embeddings")
+    hist = emb.filter(F.col("vec_id") < 400)
+    art = str(base / "art")
+    pairs = SIM.embedding_neardup_pairs(hist).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    DD.build_cluster_artifact(
+        pairs, art, evecs=hist.select("vec_id", "embedding")
+    )
+
+    # craft one exact duplicate of history vector 0 (id 9000) plus the
+    # real tail vectors as arriving data
+    v0 = hist.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    dup = spark.createDataFrame(
+        [Row(vec_id=9000, embedding=v0)],
+        schema=emb.select("vec_id", "embedding").schema,
+    )
+    batch1 = emb.filter(
+        (F.col("vec_id") >= 400) & (F.col("vec_id") < 450)
+    ).select("vec_id", "embedding")
+    batch2 = emb.filter(F.col("vec_id") >= 450).select(
+        "vec_id", "embedding"
+    ).unionByName(dup)
+
+    vecs_dir = str(base / "deltas")
+    batch1.coalesce(1).write.parquet(vecs_dir, mode="append")
+    import time
+
+    time.sleep(1.1)
+    batch2.coalesce(1).write.parquet(vecs_dir, mode="append")
+
+    n_labels_before = DD.stored_cluster_labels(spark, art).count()
+    out = str(base / "out")
+    streaming_embed_assign(spark, vecs_dir, art, out, str(base / "ck"))
+
+    parts = sorted(glob.glob(out + "/batch_id=*"))
+    assert len(parts) == 2
+
+    def rows(df):
+        return sorted(
+            (r["vec_id"], r["n_matched"], r["best_cos"], r["label"])
+            for r in df.select(
+                "vec_id", "n_matched", "best_cos", "label"
+            ).collect()
+        )
+
+    streamed = sorted(
+        str(rows(spark.read.parquet(p))) for p in parts
+    )
+    direct = sorted(
+        str(rows(SIM.embed_assign_from_store(b, spark, art)))
+        for b in (batch1, batch2)
+    )
+    assert streamed == direct
+    flat = {
+        t[0]: t for p in parts for t in rows(spark.read.parquet(p))
+    }
+    # the exact duplicate of vector 0 matched with cosine 1 and got
+    # vector 0's effective label (stored label, or 0 if singleton)
+    labels0 = {
+        r["doc_id"]: r["label"]
+        for r in DD.stored_cluster_labels(spark, art).collect()
+    }
+    assert flat[9000][1] >= 1 and flat[9000][2] == 1.0
+    assert flat[9000][3] == labels0.get(0, 0)
+    # every assigned label is either a history effective label or the
+    # vector's own id (singleton)
+    for vid, t in flat.items():
+        if t[1] == 0:
+            assert t[3] == vid and t[2] is None
+    # the stream never mutates the artifact
+    assert DD.stored_cluster_labels(spark, art).count() == n_labels_before

@@ -604,7 +604,11 @@ def dedup_components_converged(
 #: labels were converged over, bucketed by hash(doc_a).
 #: v3 (round 9): + the signature table and band probe index for the
 #: text graph, enabling O(delta) streaming cluster ingest.
-CLUSTER_FORMAT_VERSION = 3
+#: v4 (round 9): the EMBED graph persists its hyperplane band index,
+#: frozen per-bucket counts, and the vectors themselves, enabling the
+#: read-only O(delta) streaming assign (`similarity.
+#: embed_assign_from_store`).
+CLUSTER_FORMAT_VERSION = 4
 
 _CLUSTER_SCHEMA = "doc_id bigint, label bigint"
 
@@ -641,6 +645,27 @@ def cluster_merges_path(artifact_dir: str) -> str:
     return artifact_dir.rstrip("/") + "/merges"
 
 
+def cluster_evecs_path(artifact_dir: str) -> str:
+    """evecs dir (embed graph, v4) — (vec_id, embedding): the verify
+    side of the read-only streaming assign probes THESE stored vectors
+    (candidates only), never the source table."""
+    return artifact_dir.rstrip("/") + "/evecs"
+
+
+def cluster_ebands_path(artifact_dir: str) -> str:
+    """ebands dir (embed graph, v4) — (bi, bk, vec_id) hyperplane band
+    probe index, partitioned by hash(bi, bk) bucket."""
+    return artifact_dir.rstrip("/") + "/ebands"
+
+
+def cluster_eband_stats_path(artifact_dir: str) -> str:
+    """eband_stats dir (embed graph, v4) — (bi, bk, bucket_n): FROZEN
+    per-bucket sizes written at build, so the arriving-vector probe's
+    hot-bucket cap is a broadcast of a tiny table, not a per-trigger
+    re-aggregation of the band index."""
+    return artifact_dir.rstrip("/") + "/eband_stats"
+
+
 def cluster_pairs_path(artifact_dir: str) -> str:
     """pairs dir under ``artifact_dir`` — the near-dup edge table the
     labels were converged over (round 9, the SEVENTH persisted
@@ -650,7 +675,10 @@ def cluster_pairs_path(artifact_dir: str) -> str:
 
 
 def build_cluster_artifact(
-    pairs: DataFrame | None, artifact_dir: str, sigs: DataFrame | None = None
+    pairs: DataFrame | None,
+    artifact_dir: str,
+    sigs: DataFrame | None = None,
+    evecs: DataFrame | None = None,
 ) -> str:
     """Persist the pair/edge table, then run min-label propagation to
     convergence over the STORED pairs and persist the (doc_id, label)
@@ -664,7 +692,43 @@ def build_cluster_artifact(
     over the written pairs (not the incoming lineage) also truncates
     the expensive band-join lineage before the propagation rounds.
     """
-    spark = (pairs if pairs is not None else sigs).sparkSession
+    spark = (
+        pairs if pairs is not None else (sigs if sigs is not None else evecs)
+    ).sparkSession
+    if evecs is not None:
+        # v4 (embed graph): vectors + hyperplane band index + FROZEN
+        # bucket sizes, written before pairs/labels so the
+        # completeness marker covers them; the read-only streaming
+        # assign probes these instead of re-signing history
+        from whale_sightings_spark.operators import similarity as SIM
+
+        (
+            evecs.select(F.col("vec_id").cast("long"), "embedding")
+            .write.mode("overwrite")
+            .parquet(cluster_evecs_path(artifact_dir))
+        )
+        stored_vecs = spark.read.parquet(cluster_evecs_path(artifact_dir))
+        ebands = SIM.lsh_banded(
+            stored_vecs.select(
+                "vec_id",
+                SIM.lsh_signature(F.col("embedding")).alias("sig"),
+            )
+        ).withColumn(
+            "ebucket", F.pmod(F.hash("bi", "bk"), F.lit(N_PAIR_BUCKETS))
+        )
+        (
+            ebands.repartition("ebucket")
+            .write.mode("overwrite")
+            .partitionBy("ebucket")
+            .parquet(cluster_ebands_path(artifact_dir))
+        )
+        (
+            spark.read.parquet(cluster_ebands_path(artifact_dir))
+            .groupBy("bi", "bk")
+            .agg(F.count("*").cast("bigint").alias("bucket_n"))
+            .write.mode("overwrite")
+            .parquet(cluster_eband_stats_path(artifact_dir))
+        )
     if sigs is not None:
         # v3 (text graph): signatures + band probe index, written
         # before pairs/labels so the completeness marker still covers
@@ -749,6 +813,9 @@ def compact_cluster_artifact(spark, artifact_dir: str) -> dict[str, int]:
         ("sigs", cluster_sigs_path(artifact_dir)),
         ("bands", cluster_bands_path(artifact_dir)),
         ("merges", cluster_merges_path(artifact_dir)),
+        ("evecs", cluster_evecs_path(artifact_dir)),
+        ("ebands", cluster_ebands_path(artifact_dir)),
+        ("eband_stats", cluster_eband_stats_path(artifact_dir)),
     )
 
     def _nfiles() -> int:
@@ -778,8 +845,8 @@ def compact_cluster_artifact(spark, artifact_dir: str) -> dict[str, int]:
         if key == "merges":
             df = df.distinct()
         df = df.localCheckpoint()
-        if key in ("pairs", "bands"):
-            part = "pbucket" if key == "pairs" else "bucket"
+        if key in ("pairs", "bands", "ebands"):
+            part = {"pairs": "pbucket", "bands": "bucket", "ebands": "ebucket"}[key]
             _swap(
                 live,
                 lambda staging, df=df, part=part: (
@@ -789,7 +856,7 @@ def compact_cluster_artifact(spark, artifact_dir: str) -> dict[str, int]:
                     .parquet(staging)
                 ),
             )
-        elif key in ("labels", "merges"):
+        elif key in ("labels", "merges", "eband_stats"):
             # edge-set-bounded / ledger-sized — one file each
             _swap(
                 live,

@@ -24,7 +24,7 @@ float32 inputs cast to double on both sides and rounding to 6dp.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 #: fixed seed for the LSH hyperplanes — regenerating them yields
@@ -1018,6 +1018,104 @@ def lsh_signature_sql(emb: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def embed_assign_from_store(
+    batch_vecs: DataFrame, spark: SparkSession, artifact_dir: str
+) -> DataFrame:
+    """Near-dup cluster assignment for ARRIVING vectors against the
+    STORED embed-cluster artifact (v4) — the read-only O(delta) probe:
+    the batch is signed and banded (O(batch)), candidate neighbors
+    come from the stored band index under the FROZEN per-bucket
+    hot-bucket cap (`eband_stats`, the q138 history-cap contract),
+    cosine verification joins the STORED vectors for candidates only,
+    and the assigned label is the matched neighbors' minimum effective
+    label (stored label, vec_id for implicit singletons). Vectors with
+    no verified neighbor are their own singleton cluster. The artifact
+    is never mutated — this is the deployed dedup-gate shape
+    (`streaming_bm25_score`'s read-only convention, on vectors).
+
+    Returns (vec_id, n_matched, best_cos, label)."""
+    from whale_sightings_spark.operators import dedup as DD
+
+    ebands = spark.read.parquet(DD.cluster_ebands_path(artifact_dir)).select(
+        "bi", "bk", F.col("vec_id").alias("hist_id")
+    )
+    kept = (
+        spark.read.parquet(DD.cluster_eband_stats_path(artifact_dir))
+        .filter(F.col("bucket_n") <= MAX_SIG_BUCKET)
+        .select("bi", "bk")
+    )
+    evecs = spark.read.parquet(DD.cluster_evecs_path(artifact_dir)).select(
+        F.col("vec_id").alias("hist_id"), F.col("embedding").alias("emb_h")
+    )
+    labels = DD.stored_cluster_labels(spark, artifact_dir).select(
+        F.col("doc_id").alias("hist_id"), "label"
+    )
+    b = batch_vecs.select(
+        F.col("vec_id").cast("long"), F.col("embedding").alias("emb_b")
+    )
+    banded_b = lsh_banded(
+        b.select("vec_id", lsh_signature(F.col("emb_b")).alias("sig"))
+    )
+    cands = (
+        banded_b.join(kept, ["bi", "bk"])
+        .join(ebands, ["bi", "bk"])
+        .select("vec_id", "hist_id")
+        .distinct()
+    )
+    verified = (
+        cands.join(b, "vec_id")
+        .join(evecs, "hist_id")
+        .withColumn(
+            "cos", F.round(cosine(F.col("emb_b"), F.col("emb_h")), 6)
+        )
+        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+        .join(labels, "hist_id", "left")
+        .withColumn("eff", F.coalesce("label", "hist_id"))
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_matched"),
+            F.max("cos").alias("best_cos"),
+            F.min("eff").cast("long").alias("match_label"),
+        )
+    )
+    return (
+        b.select("vec_id")
+        .join(verified, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_matched", F.lit(0)).cast("bigint").alias(
+                "n_matched"
+            ),
+            "best_cos",
+            F.coalesce("match_label", F.col("vec_id")).cast("long").alias(
+                "label"
+            ),
+        )
+    )
+
+
+def lsh_banded(sigs: DataFrame) -> DataFrame:
+    """(vec_id, bi, bk): the 16-bit hyperplane signature split into
+    two 8-bit bands — the multi-band LSH blocking key shared by the
+    batch near-dup join and the stored embed-band probe index."""
+    mask = (1 << LSH_BAND_BITS) - 1
+    return sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("bi"),
+                    F.col("sig").bitwiseAND(F.lit(mask)).alias("bk"),
+                ),
+                F.struct(
+                    F.lit(1).alias("bi"),
+                    F.shiftright("sig", LSH_BAND_BITS).alias("bk"),
+                ),
+            )
+        ).alias("b"),
+    ).select("vec_id", F.col("b.bi").alias("bi"), F.col("b.bk").alias("bk"))
+
+
 def embedding_neardup_pairs(embeddings: DataFrame) -> DataFrame:
     """Embedding-cosine near-dup: banded hyperplane-LSH blocking +
     cosine verify >= threshold.
@@ -1033,19 +1131,10 @@ def embedding_neardup_pairs(embeddings: DataFrame) -> DataFrame:
     touching the vectors) runs over distinct candidate pairs only:
     bands shuffle narrow (vec_id, band) rows, then two equi-joins pull
     the embeddings back for the cosine check."""
-    mask = (1 << LSH_BAND_BITS) - 1
     sigs = embeddings.select(
         F.col("vec_id"), lsh_signature(F.col("embedding")).alias("sig")
     )
-    banded = sigs.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("bi"), F.col("sig").bitwiseAND(F.lit(mask)).alias("bk")),
-                F.struct(F.lit(1).alias("bi"), F.shiftright("sig", LSH_BAND_BITS).alias("bk")),
-            )
-        ).alias("b"),
-    ).select("vec_id", F.col("b.bi").alias("bi"), F.col("b.bk").alias("bk"))
+    banded = lsh_banded(sigs)
     kept = (
         banded.groupBy("bi", "bk")
         .agg(F.count("*").alias("bucket_n"))

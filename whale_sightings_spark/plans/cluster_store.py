@@ -52,8 +52,10 @@ def _dir_for(
                     shutil.rmtree(os.path.join(sf_root, d), ignore_errors=True)
         staging = f"{artifact_dir}.tmp.{os.getpid()}"
         try:
-            pairs, sigs = build(spark, sf_dir)
-            DD.build_cluster_artifact(pairs, staging, sigs=sigs)
+            built = build(spark, sf_dir)
+            pairs, sigs = built[0], built[1]
+            evecs = built[2] if len(built) > 2 else None
+            DD.build_cluster_artifact(pairs, staging, sigs=sigs, evecs=evecs)
         except BaseException:
             # a failed build must not leak a near-full-size staging dir
             # under the cache root (the eviction sweep skips .tmp.)
@@ -95,9 +97,12 @@ def embed_cluster_dir(spark: SparkSession, sf_dir: str) -> str:
     from whale_sightings_spark.operators import similarity as SIM
 
     def _pairs(s, d):
-        pairs = SIM.embedding_neardup_pairs(
-            load_table(s, d, "embeddings")
-        ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
-        return pairs, None  # no SimHash sig/band index for vectors
+        emb = load_table(s, d, "embeddings")
+        pairs = SIM.embedding_neardup_pairs(emb).select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+        # v4: persist the vectors + hyperplane band index beside the
+        # labels, enabling the read-only streaming assign probe
+        return pairs, None, emb.select("vec_id", "embedding")
 
     return _dir_for(spark, sf_dir, "embed", "embeddings.parquet", _pairs)

@@ -1040,6 +1040,56 @@ def streaming_cluster_ingest(
     )
 
 
+def streaming_embed_assign(
+    spark: SparkSession,
+    vecs_dir: str,
+    artifact_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming twin of the embed-cluster SERVE path (round 9): each
+    micro-batch of arriving vectors is near-dup-assigned against the
+    STORED embed artifact (`similarity.embed_assign_from_store` —
+    O(delta) band probe under the frozen hot-bucket cap, cosine verify
+    joins the stored vectors for candidates only). The artifact is
+    read-only in the stream — the deployed dedup-gate shape on the
+    embedding side, completing the lifecycle symmetry with the text
+    graph's mutating `streaming_cluster_ingest`.
+
+    Stateless ⇒ idempotence by overwrite-per-``batch_id=N`` partition
+    (the `streaming_nb_score` convention)."""
+    import os
+
+    from whale_sightings_spark.operators.similarity import (
+        embed_assign_from_store,
+    )
+
+    schema = spark.read.parquet(vecs_dir).schema
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        assigned = embed_assign_from_store(batch_df, sess, artifact_dir)
+        (
+            assigned.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(vecs_dir)
+    )
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def streaming_bpe_ingest(
     spark: SparkSession,
     docs_dir: str,
