@@ -148,6 +148,7 @@ def main() -> None:
     t_art = time.perf_counter()
     from whale_sightings_spark.plans.cluster_store import (  # noqa: E402
         embed_cluster_dir,
+        embed_hist_cluster_dir,
         text_cluster_dir,
     )
     from whale_sightings_spark.plans.queries_classify import (  # noqa: E402
@@ -173,6 +174,7 @@ def main() -> None:
         shingle_artifact_dir,
         text_cluster_dir,
         embed_cluster_dir,
+        embed_hist_cluster_dir,
         lm_artifact_dir,
     ):
         build(spark, sf_dir)

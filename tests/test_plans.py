@@ -620,6 +620,20 @@ def test_graph_family_serves_from_stored_pairs(spark, sf_dir):
     assert os.path.getmtime(marker) == mt0
 
 
+def test_q255_assign_serves_from_stored_embed_artifact(spark, sf_dir):
+    """q255's assignment must probe the STORED history artifact
+    (band index, frozen bucket stats, vectors, labels) — the only
+    corpus scan is the arriving 2% slice of embeddings; no label
+    propagation loop and no pair generation appear in the serving
+    DAG (convergence happened once, at build)."""
+    plan = explain_str(
+        queries()["q255_embed_incremental_assign"](spark, sf_dir)
+    )
+    for table in ("ebands", "eband_stats", "evecs", "labels"):
+        assert table in plan, f"assign does not scan {table}:\n{plan}"
+    assert "documents.parquet" not in plan, plan
+
+
 def test_q244_eval_probe_is_partition_pruned(spark, sf_dir):
     """q244's probe of the stored posting table must carry a
     PartitionFilter on the eval set's bucket ids — the index is read

@@ -106,3 +106,31 @@ def embed_cluster_dir(spark: SparkSession, sf_dir: str) -> str:
         return pairs, None, emb.select("vec_id", "embedding")
 
     return _dir_for(spark, sf_dir, "embed", "embeddings.parquet", _pairs)
+
+
+#: q255's arriving-vector slice: vec_id % MOD == REM arrives, the rest
+#: is the indexed history — scale-proportional at every SF (2%)
+EASSIGN_MOD = 50
+EASSIGN_REM = 7
+
+
+def embed_hist_cluster_dir(spark: SparkSession, sf_dir: str) -> str:
+    """History-slice embed artifact for the q255 incremental-assign
+    audit: the v4 embed store (vectors + band index + frozen bucket
+    stats + converged labels) built over the vec_id % EASSIGN_MOD !=
+    EASSIGN_REM slice, so the held-out 2% can be assigned against it
+    exactly as arriving data would be."""
+    from pyspark.sql import functions as F
+
+    from whale_sightings_spark.operators import similarity as SIM
+
+    def _pairs(s, d):
+        emb = load_table(s, d, "embeddings").filter(
+            (F.col("vec_id") % EASSIGN_MOD) != EASSIGN_REM
+        )
+        pairs = SIM.embedding_neardup_pairs(emb).select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+        return pairs, None, emb.select("vec_id", "embedding")
+
+    return _dir_for(spark, sf_dir, "embedhist", "embeddings.parquet", _pairs)

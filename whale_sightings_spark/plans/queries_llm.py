@@ -1180,13 +1180,16 @@ def q160_ivf_ingest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q19 — embedding near-dup via hyperplane LSH blocking + cosine verify
 # ---------------------------------------------------------------------------
 
-#: q19's full oracle SQL, shared with the q132 semantic-dedup oracle
-_EMB_NEARDUP_SQL = f"""
+def _emb_neardup_sql_where(where: str = "") -> str:
+    """The q19 embedding near-dup SQL, optionally restricted to a
+    corpus slice — the q251 prefix-form convention for the embedding
+    graph (q255's history side runs it under a WHERE)."""
+    w = f"WHERE {where}" if where else ""
+    return f"""
     WITH sigs AS (
         SELECT vec_id, {SIM.lsh_signature_sql('embedding')} AS sig
-        FROM embeddings
+        FROM embeddings {w}
     ),
-    -- 2x8-bit banding + hot-bucket guard mirrored from the Spark op
     banded AS (
         SELECT vec_id, 0 AS bi, sig % {1 << SIM.LSH_BAND_BITS} AS bk FROM sigs
         UNION ALL
@@ -1209,6 +1212,10 @@ _EMB_NEARDUP_SQL = f"""
     JOIN embeddings eb ON eb.vec_id = c.vec_b
     WHERE round({SIM.cosine_sql('ea.embedding', 'eb.embedding')}, 6) >= {SIM.COSINE_DUP_THRESHOLD}
     """
+
+
+#: q19's full oracle SQL, shared with the q132 semantic-dedup oracle
+_EMB_NEARDUP_SQL = _emb_neardup_sql_where()
 
 
 @register("q19_embedding_neardup", _EMB_NEARDUP_SQL)
@@ -3394,3 +3401,112 @@ def q253_cluster_merge_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whale_sightings_spark.plans.cluster_store import text_cluster_dir
 
     return DD.cluster_merge_pressure(spark, text_cluster_dir(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# q255 — incremental embed-assign audit (round 9): the read-only
+# streaming-assign semantics (`similarity.embed_assign_from_store`,
+# `streaming/events.py:streaming_embed_assign`) as an oracle-paired
+# query. History = vec_id % EASSIGN_MOD != EASSIGN_REM, indexed once
+# into the v4 embed artifact (vectors + hyperplane band index + FROZEN
+# bucket sizes + TRUE converged labels); the held-out 2% is assigned
+# against it exactly as arriving data would be: O(delta) band probe
+# under the history hot-bucket cap, cosine verify joins the STORED
+# vectors for candidates only, label = matched neighbors' minimum
+# effective label, no-match vectors are their own singleton. The
+# oracle recomputes the entire chain — history pairs, recursive
+# transitive-closure labels, banding, frozen-cap probe, verify,
+# assignment — so the store IS checked against first principles.
+# NOTE the cap difference vs q19: assignment probes kept history
+# buckets of ANY size <= MAX_SIG_BUCKET (a singleton history bucket
+# can still match an arriving vector); the within-corpus pair join
+# additionally requires >= 2 members.
+# ---------------------------------------------------------------------------
+
+
+def _q255_oracle() -> str:
+    from whale_sightings_spark.plans.cluster_store import (
+        EASSIGN_MOD,
+        EASSIGN_REM,
+    )
+
+    hist = f"vec_id % {EASSIGN_MOD} <> {EASSIGN_REM}"
+    arriving = f"vec_id % {EASSIGN_MOD} = {EASSIGN_REM}"
+    pairs_sql = (
+        f"WITH P AS ({_emb_neardup_sql_where(hist)})\n"
+        "    SELECT vec_a AS doc_a, vec_b AS doc_b FROM P"
+    )
+    return (
+        _converged_labels_ctes(pairs_sql)
+        + f"""
+    , hsig AS (
+        SELECT vec_id, {SIM.lsh_signature_sql('embedding')} AS sig
+        FROM embeddings WHERE {hist}
+    ),
+    hband AS (
+        SELECT vec_id, 0 AS bi, sig % {1 << SIM.LSH_BAND_BITS} AS bk FROM hsig
+        UNION ALL
+        SELECT vec_id, 1 AS bi, sig // {1 << SIM.LSH_BAND_BITS} AS bk FROM hsig
+    ),
+    hkept AS (
+        SELECT bi, bk FROM hband GROUP BY bi, bk
+        HAVING count(*) <= {SIM.MAX_SIG_BUCKET}
+    ),
+    asig AS (
+        SELECT vec_id, {SIM.lsh_signature_sql('embedding')} AS sig
+        FROM embeddings WHERE {arriving}
+    ),
+    aband AS (
+        SELECT vec_id, 0 AS bi, sig % {1 << SIM.LSH_BAND_BITS} AS bk FROM asig
+        UNION ALL
+        SELECT vec_id, 1 AS bi, sig // {1 << SIM.LSH_BAND_BITS} AS bk FROM asig
+    ),
+    acand AS (
+        SELECT DISTINCT a.vec_id, h.vec_id AS hist_id
+        FROM aband a
+        JOIN hkept k ON k.bi = a.bi AND k.bk = a.bk
+        JOIN hband h ON h.bi = a.bi AND h.bk = a.bk
+    ),
+    ver AS (
+        SELECT c.vec_id, c.hist_id,
+               round({SIM.cosine_sql('eb.embedding', 'eh.embedding')}, 6)
+                   AS cos
+        FROM acand c
+        JOIN embeddings eb ON eb.vec_id = c.vec_id
+        JOIN embeddings eh ON eh.vec_id = c.hist_id
+        WHERE round({SIM.cosine_sql('eb.embedding', 'eh.embedding')}, 6)
+              >= {SIM.COSINE_DUP_THRESHOLD}
+    ),
+    best AS (
+        SELECT v.vec_id,
+               CAST(count(*) AS BIGINT) AS n_matched,
+               max(v.cos) AS best_cos,
+               min(coalesce(l.label, v.hist_id)) AS match_label
+        FROM ver v LEFT JOIN labels l ON l.doc_id = v.hist_id
+        GROUP BY v.vec_id
+    )
+    SELECT e.vec_id,
+           coalesce(b.n_matched, 0) AS n_matched,
+           b.best_cos,
+           CAST(coalesce(b.match_label, e.vec_id) AS BIGINT) AS label
+    FROM embeddings e LEFT JOIN best b ON b.vec_id = e.vec_id
+    WHERE e.vec_id % {EASSIGN_MOD} = {EASSIGN_REM}
+    """
+    )
+
+
+@register("q255_embed_incremental_assign", _q255_oracle())
+def q255_embed_incremental_assign(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from whale_sightings_spark.plans.cluster_store import (
+        EASSIGN_MOD,
+        EASSIGN_REM,
+        embed_hist_cluster_dir,
+    )
+
+    art = embed_hist_cluster_dir(spark, sf_dir)
+    arriving = load_table(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") % EASSIGN_MOD) == EASSIGN_REM
+    )
+    return SIM.embed_assign_from_store(arriving, spark, art)
