@@ -457,3 +457,50 @@ def test_ingest_seen_set_is_manifest_not_ngram_tables(spark, built):
         assert table not in plan, f"seen-set scans {table}:\n{plan}"
     got = sorted(r["doc_id"] for r in ids.collect())
     assert got == sorted(r[0] for r in _ROWS)
+
+
+def test_doc_len_null_text_is_null_even_with_ansi_off(spark):
+    """(ADVICE r9) doc_len_counts' NULL-for-null-text contract must not
+    depend on session config: with spark.sql.ansi.enabled=false the
+    legacy sizeOfNull makes a bare size(tokens(null)) return -1, which
+    would slip past every len.isNotNull() filter downstream and skew
+    n_docs/avgdl. The explicit `when` form holds under either mode."""
+    docs = spark.createDataFrame(
+        [(0, "a", "the whale"), (1, "a", None), (2, "b", "")],
+        "doc_id long, source string, text string",
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        for mode in ("true", "false"):
+            spark.conf.set("spark.sql.ansi.enabled", mode)
+            got = {
+                r["doc_id"]: r["len"]
+                for r in LM.doc_len_counts(docs).collect()
+            }
+            assert got == {0: 2, 1: None, 2: 1}, (mode, got)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_bm25_from_store_keeps_null_text_docs(spark, docs, built):
+    """(ADVICE r9) every arriving doc reaches the output: a null-text
+    doc scores 0.0 with NULL len (previously the exploded token stream
+    yielded no rows for it and the doc vanished before the gate)."""
+    batch = spark.createDataFrame(
+        [
+            (100, "a", "the whale swims"),
+            (101, "b", None),
+            (102, "c", "nothing relevant"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r["doc_id"]: (r["len"], r["n_matched"], r["score"])
+        for r in LM.bm25_score_docs_from_store(
+            batch, spark, built, ("whale", "far")
+        ).collect()
+    }
+    assert set(out) == {100, 101, 102}
+    assert out[101] == (None, 0, 0.0)
+    assert out[102] == (2, 0, 0.0)
+    assert out[100][1] == 1 and out[100][2] > 0

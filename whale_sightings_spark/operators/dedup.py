@@ -258,8 +258,16 @@ def minhash_incremental_pairs(
     (doc_new, doc_hist, jaccard >= JACCARD_THRESHOLD).
     """
     # one banding pass over the corpus, split AFTER materialization —
-    # history and batch otherwise each re-tokenize/re-hash their half
-    banded_all = _banded_minhash(docs).localCheckpoint()
+    # history and batch otherwise each re-tokenize/re-hash their half.
+    # Explicit MEMORY_AND_DISK (ADVICE r9): the pinned blocks are
+    # corpus-scale, so they must spill rather than crowd executor
+    # memory at larger SFs; lineage truncation is kept (a persist
+    # would re-run the banding per consumer on block eviction)
+    from pyspark import StorageLevel
+
+    banded_all = _banded_minhash(docs).localCheckpoint(
+        storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     hb = banded_all.filter(F.col("doc_id") < split_id)
     bb = banded_all.filter(F.col("doc_id") >= split_id)
     kept = (
@@ -323,13 +331,17 @@ def minhash_estimate_audit(
     with the persisted shingle index's df-capped posting table
     (round 9 — the q14 serve convention).
     """
+    from pyspark import StorageLevel
+
     staged = (
         _shingled(docs.filter(F.size(tokens(F.col("text"))) >= SHINGLE_N))
         .select("doc_id", F.transform("shingles", hash60).alias("hashed"))
         .select("doc_id", minhash_signature_from_hashes(F.col("hashed")).alias("sig"))
         # three consumers (banding + both signature sides of the
-        # estimate join) — materialize the signature pass once
-        .localCheckpoint()
+        # estimate join) — materialize the signature pass once, at an
+        # explicit spillable level (ADVICE r9: the signature table is
+        # corpus-scale; it must not pin executor memory at larger SFs)
+        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     banded = staged.select("doc_id", F.explode(band_keys(F.col("sig"))).alias("band"))
     cands = _bucket_candidate_pairs(banded).distinct()

@@ -290,7 +290,14 @@ def doc_len_counts(docs: DataFrame) -> DataFrame:
     for null text so length-histogram consumers see the same NULL
     group the corpus stream yields. ``lang`` is carried when the
     input has it (the documents table does; synthetic test corpora
-    may not) and NULL otherwise."""
+    may not) and NULL otherwise.
+
+    The NULL-for-null-text contract is written EXPLICITLY (ADVICE r9):
+    a bare ``size(tokens(null))`` is NULL only under ANSI mode — with
+    ``spark.sql.ansi.enabled=false`` the legacy ``sizeOfNull`` returns
+    -1, which would slip past every ``len.isNotNull()`` filter
+    downstream (q103/q190/`bm25_score_docs_from_store`) and skew
+    n_docs/avgdl. The ``when`` form holds under either config."""
     lang = (
         F.col("lang")
         if "lang" in docs.columns
@@ -300,7 +307,9 @@ def doc_len_counts(docs: DataFrame) -> DataFrame:
         F.col("doc_id").cast("long"),
         "source",
         lang.alias("lang"),
-        F.size(tokens(F.col("text"))).cast("long").alias("len"),
+        F.when(F.col("text").isNull(), F.lit(None).cast("long"))
+        .otherwise(F.size(tokens(F.col("text"))).cast("long"))
+        .alias("len"),
     )
 
 
@@ -543,8 +552,11 @@ def bm25_score_docs_from_store(
     statistics — the deployed-search-scorer shape: df and the
     (n_docs, avgdl) scalars come off the persisted index (broadcast,
     bucket-pruned probe), only the batch itself is tokenized
-    (O(batch tokens) per call). Documents matching no query term are
-    kept with score 0.0 so a downstream gate sees every arriving doc.
+    (O(batch tokens) per call). EVERY arriving doc is kept — no-match
+    docs score 0.0 and null-text docs come through with a NULL len
+    (the per-doc side is `doc_len_counts` over the batch, not the
+    exploded token stream, which would silently drop them — ADVICE
+    r9) — so a downstream gate sees the full batch.
     Returns (doc_id, source, len, n_matched, score). Lucene-style
     idf = ln(1 + (N - df + 0.5)/(df + 0.5)) — q103's scoring contract
     with the corpus-side inputs swapped for the store."""
@@ -560,9 +572,9 @@ def bm25_score_docs_from_store(
         "source",
         F.explode(tokens(F.col("text"))).alias("tok"),
     )
-    bl = btoks.groupBy("doc_id", "source").agg(
-        F.count("*").cast("bigint").alias("len")
-    )
+    # per-doc length side: doc_len_counts keeps null-text docs (NULL
+    # len) where the exploded stream yields no rows for them at all
+    bl = doc_len_counts(batch_docs).select("doc_id", "source", "len")
     btf = (
         btoks.filter(F.col("tok").isin(list(terms)))
         .groupBy("doc_id", "tok")

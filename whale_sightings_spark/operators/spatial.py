@@ -274,11 +274,20 @@ def spatial_join_water_body_sedona(
         [(i, name, wkt) for i, (name, wkt) in enumerate(named_wkt)],
         "poly_id int, name string, wkt string",
     ).select("poly_id", "name", F.expr("ST_GeomFromWKT(wkt)").alias("geom"))
-    pts = df.withColumn("__rid", F.monotonically_increasing_id()).withColumn(
-        "__pt",
-        F.expr(
-            f"ST_Point(CAST({lon_col} AS DOUBLE), CAST({lat_col} AS DOUBLE))"
-        ),
+    # __rid keys the first-match window; monotonically_increasing_id
+    # is nondeterministic across task retries/speculation, so the
+    # stamped frame is pinned BEFORE the join (ADVICE r9) — a lost
+    # block then fails the job instead of silently re-assigning ids
+    # mid-stage and duplicating/dropping rows at the rn==1 filter
+    pts = (
+        df.withColumn("__rid", F.monotonically_increasing_id())
+        .localCheckpoint()
+        .withColumn(
+            "__pt",
+            F.expr(
+                f"ST_Point(CAST({lon_col} AS DOUBLE), CAST({lat_col} AS DOUBLE))"
+            ),
+        )
     )
     j = pts.join(
         polys,
