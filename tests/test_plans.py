@@ -620,6 +620,41 @@ def test_graph_family_serves_from_stored_pairs(spark, sf_dir):
     assert os.path.getmtime(marker) == mt0
 
 
+def test_q15_q19_serve_from_stored_pairs(spark, sf_dir):
+    """Round-10 (VERDICT r9 #1): the two family-origin near-dup
+    queries — q15 (MinHash-LSH over documents) and q19 (hyperplane-LSH
+    + cosine over embeddings) — serve from their persisted artifacts'
+    weighted pair tables instead of re-running the full-corpus
+    shingle+sign / sign+verify passes per refresh. At 100 TB those
+    were the last two avoidable corpus passes per dedup refresh."""
+    import os
+
+    from whale_sightings_spark.operators.dedup import (
+        cluster_artifact_paths,
+    )
+    from whale_sightings_spark.plans.cluster_store import (
+        embed_cluster_dir,
+        minhash_cluster_dir,
+    )
+
+    mh_art = minhash_cluster_dir(spark, sf_dir)  # build once if absent
+    embed_cluster_dir(spark, sf_dir)
+    plan = explain_str(queries()["q15_dedup_minhash_lsh"](spark, sf_dir))
+    assert "Generate" not in plan, f"q15 re-shingled inline:\n{plan}"
+    assert "documents.parquet" not in plan, f"q15 rescans the corpus:\n{plan}"
+    assert "pairs" in plan, f"q15 does not scan the store:\n{plan}"
+    plan = explain_str(queries()["q19_embedding_neardup"](spark, sf_dir))
+    assert "embeddings.parquet" not in plan, (
+        f"q19 rescans the vectors:\n{plan}"
+    )
+    assert "pairs" in plan, f"q19 does not scan the store:\n{plan}"
+    # build-if-absent is a cache: a second call must not rebuild
+    marker = os.path.join(cluster_artifact_paths(mh_art), "_SUCCESS")
+    mt0 = os.path.getmtime(marker)
+    queries()["q15_dedup_minhash_lsh"](spark, sf_dir).collect()
+    assert os.path.getmtime(marker) == mt0
+
+
 def test_q255_assign_serves_from_stored_embed_artifact(spark, sf_dir):
     """q255's assignment must probe the STORED history artifact
     (band index, frozen bucket stats, vectors, labels) — the only

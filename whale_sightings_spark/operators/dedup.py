@@ -620,7 +620,12 @@ def dedup_components_converged(
 #: frozen per-bucket counts, and the vectors themselves, enabling the
 #: read-only O(delta) streaming assign (`similarity.
 #: embed_assign_from_store`).
-CLUSTER_FORMAT_VERSION = 4
+#: v5 (round 10): the embed pair table keeps the verified ``cos``
+#: weight (q19 serves from the store), a third ``minhash`` graph
+#: persists (doc_a, doc_b, jaccard) so q15 serves from the store, and
+#: the text graph grows DERIVED converged-analytics tables
+#: (pagerank / kcore — `plans.cluster_store.stored_pagerank`).
+CLUSTER_FORMAT_VERSION = 5
 
 _CLUSTER_SCHEMA = "doc_id bigint, label bigint"
 

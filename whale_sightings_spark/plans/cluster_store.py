@@ -90,6 +90,26 @@ def stored_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.stored_cluster_pairs(spark, text_cluster_dir(spark, sf_dir))
 
 
+def minhash_cluster_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Near-dup artifact over the MinHash-LSH pair graph of documents
+    (round 10): the pair table keeps the verified ``jaccard`` weight,
+    so q15 — the family-origin dedup query — serves from the store
+    instead of re-running the full-corpus shingle+sign pass per
+    refresh. Build is deterministic (hash-seeded signatures), so the
+    stored table is row-equal to re-deriving on the same corpus
+    fingerprint; staleness re-keys on the fingerprint."""
+
+    def _build(s, d):
+        return DD.minhash_lsh_pairs(load_table(s, d, "documents")), None
+
+    return _dir_for(spark, sf_dir, "minhash", "documents.parquet", _build)
+
+
+def stored_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — q15's serve path."""
+    return DD.stored_cluster_pairs(spark, minhash_cluster_dir(spark, sf_dir))
+
+
 def embed_cluster_dir(spark: SparkSession, sf_dir: str) -> str:
     """Converged components over embedding near-dup pairs (vec ids)."""
     from pyspark.sql import functions as F
@@ -98,14 +118,23 @@ def embed_cluster_dir(spark: SparkSession, sf_dir: str) -> str:
 
     def _pairs(s, d):
         emb = load_table(s, d, "embeddings")
+        # v5: the verified cos weight rides the pair table so q19
+        # serves pairs+weights straight off the store
         pairs = SIM.embedding_neardup_pairs(emb).select(
-            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"),
+            "cos",
         )
         # v4: persist the vectors + hyperplane band index beside the
         # labels, enabling the read-only streaming assign probe
         return pairs, None, emb.select("vec_id", "embedding")
 
     return _dir_for(spark, sf_dir, "embed", "embeddings.parquet", _pairs)
+
+
+def stored_embed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, cos) — the embedding near-dup edge table off the
+    persisted embed-cluster artifact (q19's serve path)."""
+    return DD.stored_cluster_pairs(spark, embed_cluster_dir(spark, sf_dir))
 
 
 #: q255's arriving-vector slice: vec_id % MOD == REM arrives, the rest
@@ -129,7 +158,8 @@ def embed_hist_cluster_dir(spark: SparkSession, sf_dir: str) -> str:
             (F.col("vec_id") % EASSIGN_MOD) != EASSIGN_REM
         )
         pairs = SIM.embedding_neardup_pairs(emb).select(
-            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"),
+            "cos",
         )
         return pairs, None, emb.select("vec_id", "embedding")
 
