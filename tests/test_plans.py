@@ -620,6 +620,50 @@ def test_graph_family_serves_from_stored_pairs(spark, sf_dir):
     assert os.path.getmtime(marker) == mt0
 
 
+def test_graph_analytics_serve_from_derived_tables(spark, sf_dir):
+    """Round-10 (VERDICT r9 #2): converged graph analytics persist as
+    DERIVED tables of the text cluster artifact — q112/q194 are the
+    BUILD sign-offs that read the stored scores back, q256/q257 are
+    the serve twins. None of their serving DAGs may contain an
+    iterative loop (ExistingRDD = a checkpointed damping/peel round)
+    or a corpus rescan; the stored table must be visibly scanned."""
+    import os
+
+    from whale_sightings_spark.plans.cluster_store import (
+        stored_kcore_profile,
+        stored_pagerank,
+        text_cluster_dir,
+    )
+
+    stored_pagerank(spark, sf_dir)  # build once if absent
+    stored_kcore_profile(spark, sf_dir)
+    expect_scan = {
+        "q112_pagerank_converged": "derived_pagerank",
+        "q194_kcore_profile": "derived_kcore",
+        "q256_central_docs_serve": "derived_pagerank",
+        "q257_component_centrality_serve": "derived_pagerank",
+    }
+    for name, table in expect_scan.items():
+        plan = explain_str(queries()[name](spark, sf_dir))
+        assert "ExistingRDD" not in plan, (
+            f"{name} ran the iterative loop inline:\n{plan}"
+        )
+        assert "documents.parquet" not in plan, (
+            f"{name} rescans the corpus:\n{plan}"
+        )
+        assert table in plan, f"{name} does not scan {table}:\n{plan}"
+    # the serve twins consume the labels store too
+    for name in ("q256_central_docs_serve", "q257_component_centrality_serve"):
+        plan = explain_str(queries()[name](spark, sf_dir))
+        assert "labels" in plan, f"{name} does not scan labels:\n{plan}"
+    # build-if-absent is a cache: a second call must not rebuild
+    art = text_cluster_dir(spark, sf_dir)
+    marker = os.path.join(art, "derived_pagerank", "_SUCCESS")
+    mt0 = os.path.getmtime(marker)
+    queries()["q256_central_docs_serve"](spark, sf_dir).collect()
+    assert os.path.getmtime(marker) == mt0
+
+
 def test_q15_q19_serve_from_stored_pairs(spark, sf_dir):
     """Round-10 (VERDICT r9 #1): the two family-origin near-dup
     queries — q15 (MinHash-LSH over documents) and q19 (hyperplane-LSH

@@ -110,6 +110,70 @@ def stored_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.stored_cluster_pairs(spark, minhash_cluster_dir(spark, sf_dir))
 
 
+def _derived_table(
+    spark: SparkSession, artifact_dir: str, name: str, build
+) -> DataFrame:
+    """Build-if-absent DERIVED table of a cluster artifact (round 10):
+    converged graph analytics (PageRank scores, k-core profile) live
+    BESIDE the pairs/labels they were computed from, so they inherit
+    the artifact's corpus-fingerprint staleness key — a corpus change
+    re-keys the whole artifact directory and every derived table with
+    it. pid staging + atomic rename (the `_dir_for` convention); the
+    parquet ``_SUCCESS`` is the completeness marker, so a torn write
+    reads as absent and rebuilds. Tables are node-sized or
+    profile-sized (edge-set-bounded), never corpus-scale."""
+    path = os.path.join(artifact_dir, "derived_" + name)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        staging = f"{path}.tmp.{os.getpid()}"
+        try:
+            build().write.mode("overwrite").parquet(staging)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        shutil.rmtree(path, ignore_errors=True)
+        try:
+            os.rename(staging, path)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
+def stored_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(v, pr) — PageRank run to the L1 fixpoint (damping
+    `graphs.DAMPING_FAST`, tol `graphs.PR_TOL`) over the stored
+    SimHash pair table, persisted as a derived table of the text
+    cluster artifact. q112 is the oracle-paired BUILD sign-off; the
+    serve twins (q256/q257) and dashboards read this table without
+    re-running the ~34 damping rounds per query. Stored UNROUNDED;
+    consumers round at their output contract."""
+    from whale_sightings_spark.operators import graphs as GR
+
+    art = text_cluster_dir(spark, sf_dir)
+
+    def _build():
+        return GR.pagerank_converged(
+            DD.stored_cluster_pairs(spark, art)
+        ).coalesce(1)  # node-sized, edge-set-bounded
+
+    return _derived_table(spark, art, "pagerank", _build)
+
+
+def stored_kcore_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(round, n_removed, n_alive) — the fixed-round k-core peel
+    profile over the stored pair table, persisted beside the labels
+    (q194 is the BUILD sign-off; rounds+1 rows)."""
+    from whale_sightings_spark.operators import graphs as GR
+
+    art = text_cluster_dir(spark, sf_dir)
+
+    def _build():
+        return GR.kcore_peel(
+            DD.stored_cluster_pairs(spark, art)
+        ).coalesce(1)
+
+    return _derived_table(spark, art, "kcore", _build)
+
+
 def embed_cluster_dir(spark: SparkSession, sf_dir: str) -> str:
     """Converged components over embedding near-dup pairs (vec ids)."""
     from pyspark.sql import functions as F

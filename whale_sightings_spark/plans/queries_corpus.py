@@ -577,37 +577,51 @@ def q102_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_ITERS = 3
 
 
-def _pagerank_sql(pairs_sql: str, iters: int, damp: float) -> str:
+def _pagerank_cte_chain(
+    pairs_sql: str, iters: int, damp: float, prefix: str = ""
+) -> str:
+    """Unrolled-PageRank CTE chain (no leading WITH) ending in
+    ``{prefix}pr{iters}(v, pr)`` — prefixed (the `_simhash_pairs_sql_p`
+    convention) so the rebuild-drift oracle can run the history and
+    full chains in one statement, and the serve twins can splice the
+    labels chain beside it without CTE-name collisions."""
     body = pairs_sql.strip()
     assert body.upper().startswith("WITH")
     head, final = body[4:].rsplit("SELECT", 1)
-    out = f"""
-    WITH {head}, pairs AS (SELECT {final}),
-    edges AS (
-        SELECT doc_a AS src, doc_b AS dst FROM pairs
+    p = prefix
+    out = f"""{head}, {p}pairs AS (SELECT {final}),
+    {p}edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM {p}pairs
         UNION ALL
-        SELECT doc_b AS src, doc_a AS dst FROM pairs
+        SELECT doc_b AS src, doc_a AS dst FROM {p}pairs
     ),
-    nodes AS (SELECT DISTINCT src AS v FROM edges),
-    nn AS (SELECT count(*) AS n FROM nodes),
-    deg AS (SELECT src AS v, count(*) AS d FROM edges GROUP BY src),
-    pr0 AS (SELECT v, 1.0 / nn.n AS pr FROM nodes, nn)
+    {p}nodes AS (SELECT DISTINCT src AS v FROM {p}edges),
+    {p}nn AS (SELECT count(*) AS n FROM {p}nodes),
+    {p}deg AS (SELECT src AS v, count(*) AS d FROM {p}edges GROUP BY src),
+    {p}pr0 AS (SELECT v, 1.0 / {p}nn.n AS pr FROM {p}nodes, {p}nn)
     """
     for k in range(1, iters + 1):
         out += f"""
-    , pr{k} AS (
+    , {p}pr{k} AS (
         SELECT e.dst AS v,
                {1 - damp} / any_value(nn.n) + {damp} * sum(p.pr / deg.d) AS pr
-        FROM edges e
-        JOIN pr{k-1} p ON p.v = e.src
-        JOIN deg ON deg.v = e.src
-        CROSS JOIN nn
+        FROM {p}edges e
+        JOIN {p}pr{k-1} p ON p.v = e.src
+        JOIN {p}deg deg ON deg.v = e.src
+        CROSS JOIN {p}nn nn
         GROUP BY e.dst
     )"""
-    out += f"""
+    return out
+
+
+def _pagerank_sql(pairs_sql: str, iters: int, damp: float) -> str:
+    return (
+        "\n    WITH "
+        + _pagerank_cte_chain(pairs_sql, iters, damp)
+        + f"""
     SELECT v AS doc_id, round(pr, 6) AS pagerank FROM pr{iters}
     """
-    return out
+    )
 
 
 @register(
@@ -658,10 +672,14 @@ def _pagerank_converged_sql(pairs_sql: str) -> str:
     _pagerank_converged_sql(_simhash_pairs_sql()),
 )
 def q112_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from whale_sightings_spark.plans.cluster_store import stored_text_pairs
+    # round 10: q112 is the BUILD sign-off of the persisted pagerank
+    # derived table (the q100/q176 convention) — build-if-absent runs
+    # `GR.pagerank_converged` over the stored pairs exactly once per
+    # corpus fingerprint, then the query reads the STORED scores back
+    # (convergence is deterministic, so stored == a fresh run).
+    from whale_sightings_spark.plans.cluster_store import stored_pagerank
 
-    pairs = stored_text_pairs(spark, sf_dir)
-    pr = GR.pagerank_converged(pairs)
+    pr = stored_pagerank(spark, sf_dir)
     return pr.select(F.col("v").alias("doc_id"), F.round("pr", 5).alias("pagerank"))
 
 
@@ -1659,9 +1677,14 @@ def q185_ppl_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     GR.kcore_sql(_simhash_pairs_sql()),
 )
 def q194_kcore_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from whale_sightings_spark.plans.cluster_store import stored_text_pairs
+    # round 10: BUILD sign-off of the persisted k-core derived table
+    # (the q112 convention) — the fixed-round peel runs once per
+    # corpus fingerprint; the query reads the stored profile back.
+    from whale_sightings_spark.plans.cluster_store import (
+        stored_kcore_profile,
+    )
 
-    return GR.kcore_peel(stored_text_pairs(spark, sf_dir))
+    return stored_kcore_profile(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -2383,4 +2406,253 @@ def q250_pruned_lm_eval_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_types").cast("bigint").alias("n_type_hits"),
         F.sum("n_occ").cast("bigint").alias("n_occ_hits"),
         F.max("n_types").cast("bigint").alias("max_types_one_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q256/q257 — graph-analytics SERVE twins (round 10): q112/q194 are
+# the oracle-paired BUILD sign-offs of the persisted converged
+# pagerank/k-core tables; these two are the dashboard reads that
+# consume the stored scores WITHOUT re-running any damping round —
+# top-central docs with their component (q256) and the per-component
+# centrality rollup (q257). Serving DAG = two store scans + one join
+# (+ one component-keyed window for q257); the plan sweep asserts no
+# iterative loop and no corpus rescan. The oracles recompute the
+# whole chain from first principles — unrolled 40-round PageRank
+# (materialized CTEs, the q112 budget: |converged - round40| ~
+# 2.2e-10 per node, four orders below the 5dp output rounding) plus
+# the recursive-closure labels, so the stored tables are checked
+# against ground truth, not against themselves.
+# ---------------------------------------------------------------------------
+
+
+def _mat(chain: str) -> str:
+    """Force DuckDB CTE materialization for an unrolled-PageRank chain
+    (default inlining replays the upstream chain per reference —
+    super-linear past ~10 rounds; see q112's header)."""
+    import re
+
+    return re.sub(r"AS \(", "AS MATERIALIZED (", chain)
+
+
+def _labels_chain_l() -> str:
+    from whale_sightings_spark.plans.queries_llm import (
+        _converged_labels_chain,
+        _simhash_pairs_sql_p,
+    )
+
+    return _converged_labels_chain(_simhash_pairs_sql_p("l_"), "l_")
+
+
+_CENTRAL_K = 20
+
+
+@register(
+    "q256_central_docs_serve",
+    "WITH RECURSIVE "
+    + _mat(
+        _pagerank_cte_chain(
+            _simhash_pairs_sql(), GR.PR_ORACLE_ROUNDS, GR.DAMPING_FAST
+        )
+    )
+    + ",\n    "
+    + _labels_chain_l()
+    + f"""
+    SELECT p.v AS doc_id, round(p.pr, 5) AS pagerank,
+           coalesce(l.label, p.v) AS component
+    FROM pr{GR.PR_ORACLE_ROUNDS} p
+    LEFT JOIN l_labels l ON l.doc_id = p.v
+    ORDER BY pagerank DESC, doc_id
+    LIMIT {_CENTRAL_K}
+    """,
+)
+def q256_central_docs_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.plans.cluster_store import (
+        stored_pagerank,
+        text_cluster_dir,
+    )
+
+    pr = stored_pagerank(spark, sf_dir).select(
+        F.col("v").alias("doc_id"), F.round("pr", 5).alias("pagerank")
+    )
+    labels = DD.stored_cluster_labels(spark, text_cluster_dir(spark, sf_dir))
+    return (
+        pr.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            "pagerank",
+            F.coalesce("label", F.col("doc_id")).alias("component"),
+        )
+        .orderBy(F.desc("pagerank"), "doc_id")
+        .limit(_CENTRAL_K)
+    )
+
+
+@register(
+    "q257_component_centrality_serve",
+    "WITH RECURSIVE "
+    + _mat(
+        _pagerank_cte_chain(
+            _simhash_pairs_sql(), GR.PR_ORACLE_ROUNDS, GR.DAMPING_FAST
+        )
+    )
+    + ",\n    "
+    + _labels_chain_l()
+    + f"""
+    , scored AS (
+        SELECT coalesce(l.label, p.v) AS component, p.v AS doc_id,
+               round(p.pr, 5) AS pr5, p.pr AS pr
+        FROM pr{GR.PR_ORACLE_ROUNDS} p
+        LEFT JOIN l_labels l ON l.doc_id = p.v
+    ),
+    ranked AS (
+        SELECT component, doc_id, pr5,
+               row_number() OVER (
+                   PARTITION BY component ORDER BY pr5 DESC, doc_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY component) AS n_docs,
+               sum(pr) OVER (PARTITION BY component) AS total_pr
+        FROM scored
+    )
+    SELECT component, CAST(n_docs AS BIGINT) AS n_docs,
+           round(total_pr, 4) AS total_pr,
+           doc_id AS rep_doc, pr5 AS rep_pr
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q257_component_centrality_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from whale_sightings_spark.plans.cluster_store import (
+        stored_pagerank,
+        text_cluster_dir,
+    )
+
+    pr = stored_pagerank(spark, sf_dir)
+    labels = DD.stored_cluster_labels(spark, text_cluster_dir(spark, sf_dir))
+    scored = (
+        pr.select(F.col("v").alias("doc_id"), "pr")
+        .join(labels, "doc_id", "left")
+        .select(
+            F.coalesce("label", F.col("doc_id")).alias("component"),
+            "doc_id",
+            F.round("pr", 5).alias("pr5"),
+            "pr",
+        )
+    )
+    w = W.partitionBy("component")
+    ranked = scored.select(
+        "component",
+        "doc_id",
+        "pr5",
+        F.row_number()
+        .over(w.orderBy(F.desc("pr5"), "doc_id"))
+        .alias("rn"),
+        F.count("*").over(w).alias("n_docs"),
+        F.sum("pr").over(w).alias("total_pr"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "component",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round("total_pr", 4).alias("total_pr"),
+        F.col("doc_id").alias("rep_doc"),
+        F.col("pr5").alias("rep_pr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q258 — pagerank rebuild-drift audit (the q243/q251 pattern applied
+# to the derived pagerank table): recompute PageRank from first
+# principles over the 80% history slice (doc_id % 5 != 4 — the
+# recompute IS the audit, so the corpus pass is the query's subject),
+# then compare node coverage and top-K central-doc overlap against
+# the STORED full-graph scores restricted to the held slice. Set
+# arithmetic on ids only — integer outputs, no float boundary in the
+# hash gate. A collapsing overlap means banding/cap interactions make
+# centrality unstable under re-ingest and the artifact needs a
+# rebuild cadence review.
+# ---------------------------------------------------------------------------
+
+_PRDRIFT_K = 50
+_PRDRIFT_HOLD = "doc_id % 5 <> 4"
+
+
+def _prdrift_oracle() -> str:
+    from whale_sightings_spark.plans.queries_llm import _simhash_pairs_sql_p
+
+    return (
+        "WITH "
+        + _mat(
+            _pagerank_cte_chain(
+                _simhash_pairs_sql_p("h_", _PRDRIFT_HOLD),
+                GR.PR_ORACLE_ROUNDS,
+                GR.DAMPING_FAST,
+                "h_",
+            )
+        )
+        + ",\n    "
+        + _mat(
+            _pagerank_cte_chain(
+                _simhash_pairs_sql_p(), GR.PR_ORACLE_ROUNDS, GR.DAMPING_FAST
+            )
+        )
+        + f"""
+    , f_held AS (
+        SELECT v, pr FROM pr{GR.PR_ORACLE_ROUNDS} WHERE v % 5 <> 4
+    ),
+    h_top AS (
+        SELECT v FROM h_pr{GR.PR_ORACLE_ROUNDS}
+        ORDER BY round(pr, 5) DESC, v LIMIT {_PRDRIFT_K}
+    ),
+    f_top AS (
+        SELECT v FROM f_held ORDER BY round(pr, 5) DESC, v LIMIT {_PRDRIFT_K}
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM h_pr{GR.PR_ORACLE_ROUNDS})
+               AS n_hist_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM f_held)
+               AS n_full_held_nodes,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM h_pr{GR.PR_ORACLE_ROUNDS} h JOIN f_held f ON f.v = h.v)
+               AS n_common_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM h_top JOIN f_top USING (v))
+               AS topk_overlap
+    """
+    )
+
+
+@register("q258_pagerank_rebuild_drift", _prdrift_oracle())
+def q258_pagerank_rebuild_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from whale_sightings_spark.plans.cluster_store import stored_pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist_pr = GR.pagerank_converged(
+        DD.simhash_pairs(docs.filter((F.col("doc_id") % 5) != 4))
+    )
+    full_held = stored_pagerank(spark, sf_dir).filter(
+        (F.col("v") % 5) != 4
+    )
+
+    def _top(pr):
+        return (
+            pr.orderBy(F.desc(F.round("pr", 5)), "v")
+            .limit(_PRDRIFT_K)
+            .select("v")
+        )
+
+    a = hist_pr.agg(F.count("*").cast("bigint").alias("n_hist_nodes"))
+    b = full_held.agg(
+        F.count("*").cast("bigint").alias("n_full_held_nodes")
+    )
+    c = hist_pr.select("v").join(full_held.select("v"), "v").agg(
+        F.count("*").cast("bigint").alias("n_common_nodes")
+    )
+    d = _top(hist_pr).join(_top(full_held), "v").agg(
+        F.count("*").cast("bigint").alias("topk_overlap")
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(d))
     )
