@@ -200,3 +200,46 @@ def test_prefix_jaccard_join_equals_bruteforce(spark, sf_dir):
                 want.append((da, db, round(inter / union, 6)))
     assert got == sorted(want)
     assert len(got) > 0, "threshold must catch at least one pair"
+
+
+def test_ppjoin_positional_filter_is_pure_refinement(spark, sf_dir):
+    """Round-10 positional filter (PPJoin): it must strictly shrink
+    the verify-join input, and every candidate it drops must FAIL the
+    Jaccard threshold on exact verification — zero false negatives
+    (the end-to-end guarantee is also covered by
+    test_prefix_jaccard_join_equals_bruteforce, which brute-forces
+    q191's full output)."""
+    from whale_sightings_spark.plans.queries_textops import (
+        _PPJ_DEN,
+        _PPJ_NUM,
+        _ppjoin_candidates,
+    )
+
+    with_f, sh, sz = _ppjoin_candidates(spark, sf_dir, positional=True)
+    without, _, _ = _ppjoin_candidates(spark, sf_dir, positional=False)
+    n_with, n_without = with_f.count(), without.count()
+    assert n_with < n_without, (n_with, n_without)
+    dropped = without.join(with_f, ["doc_a", "doc_b"], "left_anti")
+    inter = (
+        dropped.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    offenders = (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .filter(
+            F.col("n_common") * _PPJ_DEN
+            >= _PPJ_NUM * (F.col("na") + F.col("nb") - F.col("n_common"))
+        )
+        .count()
+    )
+    assert offenders == 0, f"{offenders} dropped candidates pass the threshold"

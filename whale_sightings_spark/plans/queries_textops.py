@@ -2029,10 +2029,103 @@ def q190_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (DuckDB decimal literals vs IEEE doubles would disagree on
 # ceil(0.4·n) boundaries). Shapes: 1 df agg, 1 per-doc rank window,
 # 1 prefix equi-join, q14's intersect-count verify.
+#
+# Round 10 adds PPJoin's POSITIONAL filter between the prefix join and
+# the verify: for a candidate pair, all common shingles ordered below
+# the LAST prefix⋈prefix match are themselves prefix matches (both
+# docs rank by the same global (df, shingle) key, so common-token
+# ranks are co-monotone and the max-rank match is the same match on
+# both sides); everything above it contributes at most
+# min(n_a - i_last, n_b - j_last). So
+#   overlap(a,b) <= p + min(n_a - max(rk_a), n_b - max(rk_b))
+# with p = number of prefix matches, and jaccard >= τ requires
+# overlap*(NUM+DEN) >= NUM*(n_a+n_b) — integer arithmetic, zero false
+# negatives, evaluated INSIDE the candidate aggregation (the pair
+# groupBy that deduped candidates anyway), so the cut in verify-join
+# input is free. The oracle needs no positional filter: output rows
+# are identical by the refinement property (tests/test_text_hashing
+# asserts it, and the oracle hash-gate would catch any divergence).
 # ---------------------------------------------------------------------------
 
 _PPJ_NUM = 2
 _PPJ_DEN = 5
+
+
+def _ppjoin_candidates(
+    spark: SparkSession, sf_dir: str, positional: bool = True
+):
+    """(cand, sh, sz): the PPJoin candidate pair set off the stored
+    shingle index — prefix equi-join, then (``positional=True``) the
+    positional upper-bound cut inside the pair aggregation. Split out
+    of q191 so tests can assert the positional filter is a pure
+    refinement (same verified output, fewer verify-join rows)."""
+    from pyspark.sql import Window as W
+
+    # SERVED FROM THE STORE (round 8): the shingle set used to feed
+    # five consumers through a localCheckpoint; now every consumer
+    # re-scans the persisted posting parquet directly (cheaper than a
+    # checkpoint — the materialization already happened at build time),
+    # and the df / size tables come off their stored aggregates.
+    from whale_sightings_spark.operators import shingles as SHI
+    from whale_sightings_spark.plans.shingle_store import shingle_artifact_dir
+
+    art = shingle_artifact_dir(spark, sf_dir)
+    sh = SHI.stored_postings(spark, art).select("doc_id", "shingle")
+    dfc = SHI.stored_df(spark, art).select("shingle", "df")
+    sz = SHI.stored_doc_stats(spark, art).select(
+        "doc_id", F.col("n_shingles").alias("n")
+    )
+    ranked = (
+        sh.join(dfc, "shingle")
+        .join(sz, "doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+            ),
+        )
+    )
+    plen = (
+        F.col("n")
+        - F.expr(f"({_PPJ_NUM} * n + {_PPJ_DEN} - 1) div {_PPJ_DEN}")
+        + 1
+    )
+    # pref self-joins with itself below — checkpoint so the df-join +
+    # window chain behind it runs once, not twice.
+    pref = (
+        ranked.filter(F.col("rk") <= plen)
+        .select("doc_id", "shingle", "rk", "n")
+        .localCheckpoint()
+    )
+    a = pref.alias("a")
+    b = pref.alias("b")
+    grouped = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(
+            F.count("*").alias("p"),
+            F.max("a.rk").alias("ia"),
+            F.max("b.rk").alias("jb"),
+        )
+    )
+    if positional:
+        ubound = F.col("p") + F.least(
+            F.col("na") - F.col("ia"), F.col("nb") - F.col("jb")
+        )
+        grouped = grouped.filter(
+            ubound * (_PPJ_NUM + _PPJ_DEN)
+            >= _PPJ_NUM * (F.col("na") + F.col("nb"))
+        )
+    return grouped.select("doc_a", "doc_b"), sh, sz
 
 
 @register(
@@ -2083,57 +2176,7 @@ _PPJ_DEN = 5
     """,
 )
 def q191_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    # SERVED FROM THE STORE (round 8): the shingle set used to feed
-    # five consumers through a localCheckpoint; now every consumer
-    # re-scans the persisted posting parquet directly (cheaper than a
-    # checkpoint — the materialization already happened at build time),
-    # and the df / size tables come off their stored aggregates.
-    from whale_sightings_spark.operators import shingles as SHI
-    from whale_sightings_spark.plans.shingle_store import shingle_artifact_dir
-
-    art = shingle_artifact_dir(spark, sf_dir)
-    sh = SHI.stored_postings(spark, art).select("doc_id", "shingle")
-    dfc = SHI.stored_df(spark, art).select("shingle", "df")
-    sz = SHI.stored_doc_stats(spark, art).select(
-        "doc_id", F.col("n_shingles").alias("n")
-    )
-    ranked = (
-        sh.join(dfc, "shingle")
-        .join(sz, "doc_id")
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
-            ),
-        )
-    )
-    plen = (
-        F.col("n")
-        - F.expr(f"({_PPJ_NUM} * n + {_PPJ_DEN} - 1) div {_PPJ_DEN}")
-        + 1
-    )
-    # pref self-joins with itself below — checkpoint so the df-join +
-    # window chain behind it runs once, not twice.
-    pref = (
-        ranked.filter(F.col("rk") <= plen)
-        .select("doc_id", "shingle")
-        .localCheckpoint()
-    )
-    a = pref.alias("a")
-    b = pref.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    cand, sh, sz = _ppjoin_candidates(spark, sf_dir, positional=True)
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
         .join(
