@@ -347,3 +347,122 @@ def test_streaming_embed_assign_matches_batch_and_labels_duplicates(
             assert t[3] == vid and t[2] is None
     # the stream never mutates the artifact
     assert DD.stored_cluster_labels(spark, art).count() == n_labels_before
+
+
+def test_degree_audit_rebuild_trigger(spark, tmp_path):
+    """Round-10 read-only degree audit: the crafted two-cluster bridge
+    (the deferred-merge fixture) must surface as one bridge event —
+    rebuild_due at the default threshold, quiet at threshold 2 — with
+    per-node degree deltas for every touched endpoint, and the
+    artifact untouched (no appended files)."""
+    import glob
+
+    h1 = 0
+    h2 = sum(1 << b for b in range(30, 60))
+    hb = sum(1 << b for b in range(30, 45))
+    hist_sigs = spark.createDataFrame(
+        [(1, h1), (2, h1), (3, h2), (4, h2)], "doc_id long, sh long"
+    )
+    art = str(tmp_path / "art")
+    DD.build_cluster_artifact(None, art, sigs=hist_sigs)
+    files0 = sorted(glob.glob(os.path.join(art, "**", "*.parquet"),
+                              recursive=True))
+
+    batch_sigs = spark.createDataFrame([(10, hb)], "doc_id long, sh long")
+    deltas, summary = DD.degree_audit_batch(
+        batch_sigs,
+        DD.stored_cluster_bands(spark, art),
+        DD.stored_cluster_labels(spark, art),
+    )
+    got = {(r["v"], r["degree_delta"], r["is_new"]) for r in deltas.collect()}
+    assert got == {
+        (10, 4, True),
+        (1, 1, False),
+        (2, 1, False),
+        (3, 1, False),
+        (4, 1, False),
+    }
+    row = summary.collect()[0]
+    assert (
+        row["n_new_edges"],
+        row["n_new_nodes"],
+        row["n_hist_touched"],
+        row["n_bridge_events"],
+        row["rebuild_due"],
+    ) == (4, 1, 4, 1, True)
+    # threshold above the observed pressure -> no rebuild flag
+    _, quiet = DD.degree_audit_batch(
+        batch_sigs,
+        DD.stored_cluster_bands(spark, art),
+        DD.stored_cluster_labels(spark, art),
+        rebuild_threshold=2,
+    )
+    assert quiet.collect()[0]["rebuild_due"] is False
+    # READ-ONLY: the probe appended nothing to the artifact
+    files1 = sorted(glob.glob(os.path.join(art, "**", "*.parquet"),
+                              recursive=True))
+    assert files1 == files0
+
+
+def test_streaming_degree_audit_matches_batch(spark, tmp_path_factory):
+    """stream == batch for the round-10 degree audit: per micro-batch
+    the streamed deltas and summary must equal direct
+    `degree_audit_batch` calls on the same slices (stateless,
+    artifact-read-only — replays overwrite their batch partition)."""
+    from whale_sightings_spark.streaming.events import (
+        streaming_degree_audit,
+    )
+
+    base = tmp_path_factory.mktemp("degree_audit")
+    hist = spark.createDataFrame(_ROWS_HIST, _SCHEMA)
+    art = str(base / "art")
+    DD.build_cluster_artifact(
+        None, art, sigs=DD.simhash_signatures(hist)
+    )
+    docs_dir = str(base / "deltas")
+    spark.createDataFrame(_ROWS_DELTA1, _SCHEMA).coalesce(1).write.parquet(
+        docs_dir, mode="append"
+    )
+    time.sleep(1.1)
+    spark.createDataFrame(_ROWS_DELTA2, _SCHEMA).coalesce(1).write.parquet(
+        docs_dir, mode="append"
+    )
+    out = str(base / "out")
+    streaming_degree_audit(spark, docs_dir, art, out, str(base / "ck"))
+
+    def rows(df, cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    dcols = ("v", "degree_delta", "is_new")
+    scols = (
+        "n_new_edges",
+        "n_new_nodes",
+        "n_hist_touched",
+        "n_bridge_events",
+        "rebuild_due",
+    )
+    streamed = []
+    for b in sorted(os.listdir(os.path.join(out, "deltas"))):
+        streamed.append(
+            (
+                rows(spark.read.parquet(os.path.join(out, "deltas", b)), dcols),
+                rows(spark.read.parquet(os.path.join(out, "summary", b)), scols),
+            )
+        )
+    direct = []
+    for batch in (_ROWS_DELTA1, _ROWS_DELTA2):
+        sigs_b = DD.simhash_signatures(
+            spark.createDataFrame(batch, _SCHEMA)
+        )
+        d, s = DD.degree_audit_batch(
+            sigs_b,
+            DD.stored_cluster_bands(spark, art),
+            DD.stored_cluster_labels(spark, art),
+        )
+        direct.append((rows(d, dcols), rows(s, scols)))
+    assert sorted(map(str, streamed)) == sorted(map(str, direct))
+    # the delta-1 batch has real structure: doc 10 joins family A,
+    # docs 11/12 duplicate each other
+    all_deltas = {t[0]: t for batch in streamed for t in batch[0]}
+    assert all_deltas[10][2] is True and all_deltas[10][1] >= 2
+    assert 11 in all_deltas and 12 in all_deltas

@@ -923,6 +923,159 @@ def stored_cluster_bands(spark, artifact_dir: str) -> DataFrame:
     )
 
 
+def probe_hist_edges(
+    batch_sigs: DataFrame, stored_bands: DataFrame
+) -> DataFrame:
+    """Verified batch x history near-dup edges (doc_new, doc_hist,
+    hamming) from an O(delta) probe of the stored band index — the
+    shared front half of `incremental_cluster_assign` and the
+    read-only `degree_audit_batch`. The hot-band cap applies to
+    HISTORY bucket sizes; a replayed doc that already sits in the
+    index is guarded from pairing with itself. Eagerly checkpointed —
+    every caller fans it into >= 2 consumers."""
+    bb = simhash_banded(batch_sigs)
+    kept = (
+        stored_bands.groupBy("band")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") <= MAX_BAND_BUCKET)
+        .select("band")
+    )
+    hb = stored_bands.join(kept, "band").select(
+        "band",
+        F.col("doc_id").alias("doc_hist"),
+        F.col("sh").alias("sh_h"),
+    )
+    return (
+        bb.join(hb, "band")
+        .select(
+            F.col("doc_id").alias("doc_new"),
+            F.col("sh").alias("sh_n"),
+            "doc_hist",
+            "sh_h",
+        )
+        .distinct()
+        # self-probe guard: a replayed doc that already sits in the
+        # band index must not pair with itself
+        .filter(F.col("doc_new") != F.col("doc_hist"))
+        .withColumn("hamming", hamming60(F.col("sh_n"), F.col("sh_h")))
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+        .select("doc_new", "doc_hist", "hamming")
+        .localCheckpoint()
+    )
+
+
+#: deferred-bridge events per audit batch at or above which the
+#: read-only degree audit flags a rebuild (q253's trigger, priced
+#: per-batch on the arriving stream instead of per-scan on the store)
+GRAPH_REBUILD_BRIDGE_EVENTS = 1
+
+
+def degree_audit_batch(
+    batch_sigs: DataFrame,
+    stored_bands: DataFrame,
+    stored_labels: DataFrame,
+    rebuild_threshold: int = GRAPH_REBUILD_BRIDGE_EVENTS,
+) -> tuple[DataFrame, DataFrame]:
+    """READ-ONLY streaming-side honesty probe for the persisted graph
+    analytics (round 10, VERDICT r9 #5): arriving docs are signed and
+    band-probed against the stored index (O(delta), hot-bucket capped,
+    the artifact is never written), and the probe prices how stale the
+    stored degree profile / converged tables just became.
+
+    Returns ``(deltas, summary)``:
+
+    - ``deltas`` (v, degree_delta, is_new): per-node count of incident
+      NEW verified edges — for a history node, how much its stored
+      q252 degree is now understating; for a batch node, its initial
+      degree. Nodes without new edges don't appear (their stored rows
+      are still exact).
+    - ``summary`` one row (n_new_edges, n_new_nodes, n_hist_touched,
+      n_bridge_events, rebuild_due): ``n_bridge_events`` = sum over
+      batch docs of (distinct touched stored cluster labels - 1) —
+      each bridge transitively merges two stored components, exactly
+      the effect the stored labels/pagerank/kcore tables cannot absorb
+      without a rebuild (q253 prices the same pressure batch-side on
+      the store; this prices it per-trigger on the stream).
+      ``rebuild_due`` fires at ``rebuild_threshold`` events. Chains of
+      batch x batch edges joining docs that each touch different
+      clusters are intentionally NOT chased (that needs the
+      convergence pass this probe exists to avoid); the periodic q258
+      drift audit bounds what slips through.
+    """
+    hist_edges = probe_hist_edges(batch_sigs, stored_bands)
+    batch_edges = simhash_pairs_from_sigs(batch_sigs).localCheckpoint()
+    edges = (
+        hist_edges.select(
+            F.least("doc_new", "doc_hist").alias("doc_a"),
+            F.greatest("doc_new", "doc_hist").alias("doc_b"),
+        )
+        .unionByName(batch_edges.select("doc_a", "doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .localCheckpoint()  # feeds deltas and the summary count
+    )
+    new_ids = batch_sigs.select(F.col("doc_id").alias("v")).distinct()
+    deltas = (
+        edges.select(F.explode(F.array("doc_a", "doc_b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("degree_delta"))
+        .join(new_ids.withColumn("is_new", F.lit(True)), "v", "left")
+        .select(
+            "v",
+            "degree_delta",
+            F.coalesce("is_new", F.lit(False)).alias("is_new"),
+        )
+    )
+    touched = (
+        hist_edges.join(
+            stored_labels.withColumnRenamed("doc_id", "doc_hist"),
+            "doc_hist",
+            "left",
+        )
+        .select(
+            "doc_new", F.coalesce("label", "doc_hist").alias("eff_label")
+        )
+        .distinct()
+    )
+    bridges = touched.groupBy("doc_new").agg(
+        (F.count_distinct("eff_label") - 1).alias("nb")
+    )
+    summary = (
+        edges.agg(F.count("*").cast("bigint").alias("n_new_edges"))
+        .crossJoin(
+            F.broadcast(
+                deltas.agg(
+                    F.coalesce(
+                        F.sum(F.when(F.col("is_new"), 1).otherwise(0)),
+                        F.lit(0),
+                    )
+                    .cast("bigint")
+                    .alias("n_new_nodes"),
+                    F.coalesce(
+                        F.sum(F.when(~F.col("is_new"), 1).otherwise(0)),
+                        F.lit(0),
+                    )
+                    .cast("bigint")
+                    .alias("n_hist_touched"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                bridges.agg(
+                    F.coalesce(F.sum("nb"), F.lit(0))
+                    .cast("bigint")
+                    .alias("n_bridge_events")
+                )
+            )
+        )
+        .withColumn(
+            "rebuild_due",
+            F.col("n_bridge_events") >= F.lit(rebuild_threshold),
+        )
+    )
+    return deltas, summary
+
+
 def incremental_cluster_assign(
     batch_sigs: DataFrame,
     stored_bands: DataFrame,
@@ -958,35 +1111,7 @@ def incremental_cluster_assign(
     operator applies corpus-wide (cap-boundary drift between the two
     is exactly what the rebuild audit measures).
     """
-    bb = simhash_banded(batch_sigs)
-    kept = (
-        stored_bands.groupBy("band")
-        .agg(F.count("*").alias("bn"))
-        .filter(F.col("bn") <= MAX_BAND_BUCKET)
-        .select("band")
-    )
-    hb = stored_bands.join(kept, "band").select(
-        "band",
-        F.col("doc_id").alias("doc_hist"),
-        F.col("sh").alias("sh_h"),
-    )
-    hist_edges = (
-        bb.join(hb, "band")
-        .select(
-            F.col("doc_id").alias("doc_new"),
-            F.col("sh").alias("sh_n"),
-            "doc_hist",
-            "sh_h",
-        )
-        .distinct()
-        # self-probe guard: a replayed doc that already sits in the
-        # band index must not pair with itself
-        .filter(F.col("doc_new") != F.col("doc_hist"))
-        .withColumn("hamming", hamming60(F.col("sh_n"), F.col("sh_h")))
-        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
-        .select("doc_new", "doc_hist", "hamming")
-        .localCheckpoint()  # feeds edges, the glue graph, and merges
-    )
+    hist_edges = probe_hist_edges(batch_sigs, stored_bands)
     batch_edges = simhash_pairs_from_sigs(batch_sigs).localCheckpoint()
     # history endpoints enter the glue graph AS THEIR CLUSTER LABEL
     # (coalesce covers historical singletons), so min-label propagation

@@ -1090,6 +1090,73 @@ def streaming_embed_assign(
     )
 
 
+def streaming_degree_audit(
+    spark: SparkSession,
+    docs_dir: str,
+    artifact_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    rebuild_threshold: int | None = None,
+) -> None:
+    """Streaming honesty probe for the persisted graph-analytics
+    tables (round 10, VERDICT r9 #5): each micro-batch of arriving
+    documents is signed and band-probed READ-ONLY against the stored
+    text-cluster artifact (`dedup.degree_audit_batch`); per batch it
+    emits (a) per-node degree deltas — how stale the stored q252
+    degree profile just became — and (b) a one-row summary whose
+    ``rebuild_due`` flag is the rebuild trigger for the derived
+    pagerank/kcore tables (q253 prices the same pressure batch-side
+    on the store; this prices it per-trigger between rebuilds).
+
+    Stateless and artifact-read-only ⇒ idempotence by
+    overwrite-per-``batch_id=N`` partition under ``deltas/`` and
+    ``summary/`` (the `streaming_embed_assign` convention)."""
+    import os
+
+    from whale_sightings_spark.operators import dedup as DD
+
+    schema = spark.read.parquet(docs_dir).schema
+    thresh = (
+        DD.GRAPH_REBUILD_BRIDGE_EVENTS
+        if rebuild_threshold is None
+        else rebuild_threshold
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        sigs_b = DD.simhash_signatures(batch_df).localCheckpoint()
+        deltas, summary = DD.degree_audit_batch(
+            sigs_b,
+            DD.stored_cluster_bands(sess, artifact_dir),
+            DD.stored_cluster_labels(sess, artifact_dir),
+            rebuild_threshold=thresh,
+        )
+        (
+            deltas.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "deltas", f"batch_id={batch_id}"))
+        )
+        (
+            summary.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "summary", f"batch_id={batch_id}"))
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def streaming_bpe_ingest(
     spark: SparkSession,
     docs_dir: str,
