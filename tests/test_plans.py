@@ -635,11 +635,17 @@ def test_graph_analytics_serve_from_derived_tables(spark, sf_dir):
         text_cluster_dir,
     )
 
+    from whale_sightings_spark.plans.cluster_store import (
+        stored_triangle_census,
+    )
+
     stored_pagerank(spark, sf_dir)  # build once if absent
     stored_kcore_profile(spark, sf_dir)
+    stored_triangle_census(spark, sf_dir)
     expect_scan = {
         "q112_pagerank_converged": "derived_pagerank",
         "q194_kcore_profile": "derived_kcore",
+        "q107_triangles": "derived_census",
         "q256_central_docs_serve": "derived_pagerank",
         "q257_component_centrality_serve": "derived_pagerank",
     }

@@ -174,6 +174,23 @@ def stored_kcore_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _derived_table(spark, art, "kcore", _build)
 
 
+def stored_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_nodes, n_edges, n_triangles) — the degree-oriented triangle
+    census over the stored pair table, persisted beside pagerank/kcore
+    (q107 is the BUILD sign-off; one row). The wedge-closure joins run
+    once per corpus fingerprint instead of per dashboard read."""
+    from whale_sightings_spark.operators import graphs as GR
+
+    art = text_cluster_dir(spark, sf_dir)
+
+    def _build():
+        return GR.triangle_census(
+            DD.stored_cluster_pairs(spark, art)
+        ).coalesce(1)
+
+    return _derived_table(spark, art, "census", _build)
+
+
 def embed_cluster_dir(spark: SparkSession, sf_dir: str) -> str:
     """Converged components over embedding near-dup pairs (vec ids)."""
     from pyspark.sql import functions as F

