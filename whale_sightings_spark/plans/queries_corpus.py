@@ -2569,13 +2569,23 @@ def q257_component_centrality_serve(
 # q258 — pagerank rebuild-drift audit (the q243/q251 pattern applied
 # to the derived pagerank table): recompute PageRank from first
 # principles over the 80% history slice (doc_id % 5 != 4 — the
-# recompute IS the audit, so the corpus pass is the query's subject),
-# then compare node coverage and top-K central-doc overlap against
-# the STORED full-graph scores restricted to the held slice. Set
-# arithmetic on ids only — integer outputs, no float boundary in the
-# hash gate. A collapsing overlap means banding/cap interactions make
-# centrality unstable under re-ingest and the artifact needs a
+# recompute IS the audit, so the re-derivation is the query's
+# subject), then compare node coverage and top-K central-doc overlap
+# against the STORED full-graph scores restricted to the held slice.
+# Set arithmetic on ids only — integer outputs, no float boundary in
+# the hash gate. A collapsing overlap means banding/cap interactions
+# make centrality unstable under re-ingest and the artifact needs a
 # rebuild cadence review.
+#
+# Round 11: the history recompute starts from the STORED per-doc
+# signatures filtered to the slice instead of re-tokenizing the
+# corpus — per-doc SimHash signatures are row-local and deterministic
+# (slice-independent), so `stored_cluster_sigs % slice` is value-
+# equal to `simhash_signatures(docs.filter(slice))`, while banding,
+# hot-bucket caps, pair verify, and the PageRank rounds — where the
+# drift this audit exists to catch actually lives — are still
+# re-derived from first principles. The plan sweep asserts the
+# no-retokenize shape (no documents.parquet scan in the DAG).
 # ---------------------------------------------------------------------------
 
 _PRDRIFT_K = 50
@@ -2629,12 +2639,16 @@ def _prdrift_oracle() -> str:
 def q258_pagerank_rebuild_drift(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from whale_sightings_spark.plans.cluster_store import stored_pagerank
-
-    docs = load_table(spark, sf_dir, "documents")
-    hist_pr = GR.pagerank_converged(
-        DD.simhash_pairs(docs.filter((F.col("doc_id") % 5) != 4))
+    from whale_sightings_spark.plans.cluster_store import (
+        stored_pagerank,
+        text_cluster_dir,
     )
+
+    art = text_cluster_dir(spark, sf_dir)
+    hist_sigs = DD.stored_cluster_sigs(spark, art).filter(
+        (F.col("doc_id") % 5) != 4
+    )
+    hist_pr = GR.pagerank_converged(DD.simhash_pairs_from_sigs(hist_sigs))
     full_held = stored_pagerank(spark, sf_dir).filter(
         (F.col("v") % 5) != 4
     )

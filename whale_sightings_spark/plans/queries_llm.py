@@ -3125,12 +3125,19 @@ def q243_cluster_rebuild_drift(
 ) -> DataFrame:
     from whale_sightings_spark.plans.cluster_store import text_cluster_dir
 
-    docs = load_table(spark, sf_dir, "documents")
+    art = text_cluster_dir(spark, sf_dir)
     hold = (F.col("doc_id") % 5) != 4
+    # round 11: history signatures come off the STORED sig table (per-
+    # doc SimHash is row-local and deterministic, so the slice filter
+    # is value-equal to re-signing docs.filter(hold)); banding, caps,
+    # pair verify, and the label convergence — where rebuild drift
+    # actually lives — are still re-derived from first principles
     hist = DD.dedup_components_converged(
-        DD.simhash_pairs(docs.filter(hold))
+        DD.simhash_pairs_from_sigs(
+            DD.stored_cluster_sigs(spark, art).filter(hold)
+        )
     ).select("doc_id", F.col("label").alias("l_hist"))
-    full = DD.stored_cluster_labels(spark, text_cluster_dir(spark, sf_dir))
+    full = DD.stored_cluster_labels(spark, art)
     old_full = full.filter(hold).select(
         "doc_id", F.col("label").alias("l_full")
     )
@@ -3314,13 +3321,21 @@ def _pairs_cte_chain(pairs_sql: str, prefix: str = "") -> str:
     """,
 )
 def q251_pair_rebuild_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from whale_sightings_spark.plans.cluster_store import stored_text_pairs
-
-    docs = load_table(spark, sf_dir, "documents")
-    hold = (F.col("doc_id") % 5) != 4
-    hist = DD.simhash_pairs(docs.filter(hold)).select(
-        "doc_a", "doc_b", F.lit(1).alias("in_hist")
+    from whale_sightings_spark.plans.cluster_store import (
+        stored_text_pairs,
+        text_cluster_dir,
     )
+
+    hold = (F.col("doc_id") % 5) != 4
+    # round 11: the q243 no-retokenize serve shape — history pairs
+    # derive from the stored sig table sliced to the hold (per-doc
+    # signatures are slice-independent); banding + caps + Hamming
+    # verify, the drift-bearing stages, re-run from first principles
+    hist = DD.simhash_pairs_from_sigs(
+        DD.stored_cluster_sigs(
+            spark, text_cluster_dir(spark, sf_dir)
+        ).filter(hold)
+    ).select("doc_a", "doc_b", F.lit(1).alias("in_hist"))
     full_held = (
         stored_text_pairs(spark, sf_dir)
         .filter(((F.col("doc_a") % 5) != 4) & ((F.col("doc_b") % 5) != 4))
