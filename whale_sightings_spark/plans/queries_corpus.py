@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 from whale_sightings_spark.functions.hashing import hash60, hash60_sql
 from whale_sightings_spark.functions import text as TX
 from whale_sightings_spark.operators import dedup as DD
+from whale_sightings_spark.operators import drift as DR
 from whale_sightings_spark.operators import graphs as GR
 from whale_sightings_spark.operators.similarity import cosine, cosine_sql
 from whale_sightings_spark.plans.queries import register
@@ -2660,18 +2661,110 @@ def q258_pagerank_rebuild_drift(
             .select("v")
         )
 
-    a = hist_pr.agg(F.count("*").cast("bigint").alias("n_hist_nodes"))
-    b = full_held.agg(
-        F.count("*").cast("bigint").alias("n_full_held_nodes")
-    )
-    c = hist_pr.select("v").join(full_held.select("v"), "v").agg(
-        F.count("*").cast("bigint").alias("n_common_nodes")
+    core = DR.rebuild_drift(
+        hist_pr.select("v"), full_held.select("v"), ["v"]
+    ).select(
+        F.col("n_hist").alias("n_hist_nodes"),
+        F.col("n_stored").alias("n_full_held_nodes"),
+        F.col("n_stable").alias("n_common_nodes"),
     )
     d = _top(hist_pr).join(_top(full_held), "v").agg(
         F.count("*").cast("bigint").alias("topk_overlap")
     )
-    return (
-        a.crossJoin(F.broadcast(b))
-        .crossJoin(F.broadcast(c))
-        .crossJoin(F.broadcast(d))
+    return core.crossJoin(F.broadcast(d))
+
+
+# ---------------------------------------------------------------------------
+# q259 — n-gram LM store rebuild-drift audit (round 11, VERDICT r10
+# #4: the SIXTH persisted artifact gets the drift audit the other five
+# already have — q243 cluster labels, q251 pairs, q258 pagerank, q188
+# tokenizer, q238 classifier). A stale LM store silently skews every
+# retrieval/perplexity consumer (q103/q120/q136/q185/q216/q250), so a
+# maintenance job recomputes the per-doc unigram counts from first
+# principles over the history slice (doc_id % 5 <> 4 — the family
+# hold; the tokenize pass IS the audit's subject) and full-outer-joins
+# them against the STORED doc_uni table restricted to the same slice
+# (`operators/drift.rebuild_drift` on key (doc_id, tok), value n).
+# n_changed > 0 means counts drifted (tokenizer change, torn append);
+# n_gained/n_lost mean whole postings appeared/vanished (append
+# replay, eviction). Token-mass totals ride along as integers. Scale
+# shape: one corpus tokenize pass over the slice (intentional), one
+# posting-bucketed store scan, one (doc_id, tok)-keyed full-outer
+# join — never corpus x corpus. All outputs integer: no float
+# boundary in the hash gate (the q258 convention).
+# ---------------------------------------------------------------------------
+
+_LMDRIFT_HOLD = "doc_id % 5 <> 4"
+
+
+def _lmdrift_oracle() -> str:
+    uni = (
+        "SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n\n"
+        f"        FROM (SELECT doc_id, unnest({TX.tokens_sql('text')}) AS tok\n"
+        "              FROM documents{where})\n"
+        "        WHERE tok <> '' GROUP BY doc_id, tok"
     )
+    return f"""
+    WITH h AS (
+        {uni.format(where=" WHERE " + _LMDRIFT_HOLD)}
+    ),
+    s AS (
+        SELECT * FROM (
+        {uni.format(where="")}
+        ) WHERE {_LMDRIFT_HOLD}
+    ),
+    j AS (
+        SELECT h.doc_id IS NOT NULL AS in_hist,
+               s.doc_id IS NOT NULL AS in_stored,
+               h.n AS hn, s.n AS sn
+        FROM h FULL OUTER JOIN s
+          ON s.doc_id = h.doc_id AND s.tok = h.tok
+    )
+    SELECT CAST(sum(CASE WHEN in_hist THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hist,
+           CAST(sum(CASE WHEN in_stored THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_stored,
+           CAST(sum(CASE WHEN in_hist AND in_stored AND hn = sn
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_stable,
+           CAST(sum(CASE WHEN in_hist AND in_stored AND hn <> sn
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(sum(CASE WHEN in_stored AND NOT in_hist THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gained,
+           CAST(sum(CASE WHEN in_hist AND NOT in_stored THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lost,
+           CAST(coalesce(sum(CASE WHEN in_hist THEN hn END), 0) AS BIGINT)
+               AS hist_tokens,
+           CAST(coalesce(sum(CASE WHEN in_stored THEN sn END), 0) AS BIGINT)
+               AS stored_tokens
+    FROM j
+    """
+
+
+@register("q259_lm_rebuild_drift", _lmdrift_oracle())
+def q259_lm_rebuild_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.operators import ngram_lm as LM
+    from whale_sightings_spark.plans.lm_store import lm_artifact_dir
+
+    hold = (F.col("doc_id") % 5) != 4
+    docs = load_table(spark, sf_dir, "documents")
+    hist = LM.doc_unigram_counts(docs.filter(hold)).select(
+        "doc_id", "tok", "n"
+    )
+    stored = (
+        LM.stored_doc_uni(spark, lm_artifact_dir(spark, sf_dir))
+        .filter(hold)
+        .select("doc_id", "tok", "n")
+    )
+    core = DR.rebuild_drift(hist, stored, ["doc_id", "tok"], value_col="n")
+    mass = hist.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("hist_tokens")
+    ).crossJoin(
+        F.broadcast(
+            stored.agg(
+                F.coalesce(F.sum("n"), F.lit(0))
+                .cast("bigint")
+                .alias("stored_tokens")
+            )
+        )
+    )
+    return core.crossJoin(F.broadcast(mass))

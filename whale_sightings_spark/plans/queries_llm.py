@@ -22,6 +22,7 @@ from whale_sightings_spark.functions.hashing import (
     hamming60_sql,
 )
 from whale_sightings_spark.operators import dedup as DD
+from whale_sightings_spark.operators import drift as DR
 from whale_sightings_spark.operators import similarity as SIM
 from whale_sightings_spark.plans.queries import register
 from whale_sightings_spark.schemas import load_table
@@ -3136,51 +3137,25 @@ def q243_cluster_rebuild_drift(
         DD.simhash_pairs_from_sigs(
             DD.stored_cluster_sigs(spark, art).filter(hold)
         )
-    ).select("doc_id", F.col("label").alias("l_hist"))
-    full = DD.stored_cluster_labels(spark, art)
-    old_full = full.filter(hold).select(
-        "doc_id", F.col("label").alias("l_full")
     )
-    j = hist.join(old_full, "doc_id", "full_outer")
-    nh = hist.agg(F.count("*").cast("bigint").alias("n_docs_hist"))
-    nf = old_full.agg(F.count("*").cast("bigint").alias("n_docs_full_old"))
+    full = DD.stored_cluster_labels(spark, art)
+    core = DR.rebuild_drift(
+        hist, full.filter(hold), ["doc_id"], value_col="label"
+    ).select(
+        F.col("n_hist").alias("n_docs_hist"),
+        F.col("n_stored").alias("n_docs_full_old"),
+        "n_stable",
+        F.col("n_changed").alias("n_label_changed"),
+        F.col("n_gained").alias("n_newly_clustered"),
+        F.col("n_lost").alias("n_declustered"),
+    )
     ch = hist.agg(
-        F.countDistinct("l_hist").cast("bigint").alias("n_clusters_hist")
+        F.countDistinct("label").cast("bigint").alias("n_clusters_hist")
     )
     cf = full.agg(
         F.countDistinct("label").cast("bigint").alias("n_clusters_full")
     )
-    both = F.col("l_hist").isNotNull() & F.col("l_full").isNotNull()
-    agg = j.agg(
-        F.sum((both & (F.col("l_hist") == F.col("l_full"))).cast("long"))
-        .cast("bigint")
-        .alias("n_stable"),
-        F.sum((both & (F.col("l_hist") != F.col("l_full"))).cast("long"))
-        .cast("bigint")
-        .alias("n_label_changed"),
-        F.sum(F.col("l_hist").isNull().cast("long"))
-        .cast("bigint")
-        .alias("n_newly_clustered"),
-        F.sum(F.col("l_full").isNull().cast("long"))
-        .cast("bigint")
-        .alias("n_declustered"),
-    )
-    return (
-        agg.crossJoin(F.broadcast(nh))
-        .crossJoin(F.broadcast(nf))
-        .crossJoin(F.broadcast(ch))
-        .crossJoin(F.broadcast(cf))
-        .select(
-            "n_docs_hist",
-            "n_docs_full_old",
-            "n_stable",
-            "n_label_changed",
-            "n_newly_clustered",
-            "n_declustered",
-            "n_clusters_hist",
-            "n_clusters_full",
-        )
-    )
+    return core.crossJoin(F.broadcast(ch)).crossJoin(F.broadcast(cf))
 
 
 # ---------------------------------------------------------------------------
@@ -3335,29 +3310,16 @@ def q251_pair_rebuild_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         DD.stored_cluster_sigs(
             spark, text_cluster_dir(spark, sf_dir)
         ).filter(hold)
-    ).select("doc_a", "doc_b", F.lit(1).alias("in_hist"))
-    full_held = (
-        stored_text_pairs(spark, sf_dir)
-        .filter(((F.col("doc_a") % 5) != 4) & ((F.col("doc_b") % 5) != 4))
-        .select("doc_a", "doc_b", F.lit(1).alias("in_full"))
     )
-    j = hist.join(full_held, ["doc_a", "doc_b"], "full_outer")
-    ih = F.col("in_hist") == 1
-    if_ = F.col("in_full") == 1
-    return j.agg(
-        F.sum(F.when(ih, 1).otherwise(0)).cast("bigint").alias("n_pairs_hist"),
-        F.sum(F.when(if_, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_pairs_full_held"),
-        F.sum(F.when(ih & if_, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_stable"),
-        F.sum(F.when(if_ & ~ih.eqNullSafe(F.lit(True)), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_gained"),
-        F.sum(F.when(ih & ~if_.eqNullSafe(F.lit(True)), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_lost"),
+    full_held = stored_text_pairs(spark, sf_dir).filter(
+        ((F.col("doc_a") % 5) != 4) & ((F.col("doc_b") % 5) != 4)
+    )
+    return DR.rebuild_drift(hist, full_held, ["doc_a", "doc_b"]).select(
+        F.col("n_hist").alias("n_pairs_hist"),
+        F.col("n_stored").alias("n_pairs_full_held"),
+        "n_stable",
+        "n_gained",
+        "n_lost",
     )
 
 
