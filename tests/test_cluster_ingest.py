@@ -69,7 +69,15 @@ def test_streaming_cluster_ingest_full_loop(spark, tmp_path_factory):
     spark.createDataFrame(_ROWS_DELTA2, _SCHEMA).coalesce(1).write.parquet(
         docs_dir, mode="append"
     )
+    # ADVICE r10: a streamed append must drop the derived graph tables
+    # (pagerank/kcore/census) so the next read rebuilds them from the
+    # grown edge set instead of serving pre-append scores
+    stale_derived = os.path.join(art, "derived_pagerank")
+    os.makedirs(stale_derived)
+    open(os.path.join(stale_derived, "_SUCCESS"), "w").close()
+
     streaming_cluster_ingest(spark, docs_dir, art, str(base / "ck1"))
+    assert not os.path.exists(stale_derived)
 
     # stream==batch: the grown store's effective labels equal a full
     # rebuild's (ids grow monotonically and no merge events occur, so
@@ -466,3 +474,17 @@ def test_streaming_degree_audit_matches_batch(spark, tmp_path_factory):
     all_deltas = {t[0]: t for batch in streamed for t in batch[0]}
     assert all_deltas[10][2] is True and all_deltas[10][1] >= 2
     assert 11 in all_deltas and 12 in all_deltas
+    # ADVICE r10: batch_id lives only in the partition directory, so a
+    # ROOT-level read works (no duplicate-column conflict) and yields
+    # the batch ids via partition inference (a batch with zero rows —
+    # legal for deltas — contributes no rows, hence <=)
+    for sub in ("deltas", "summary"):
+        root = spark.read.parquet(os.path.join(out, sub))
+        assert "batch_id" in root.columns
+        per_batch = sum(
+            spark.read.parquet(os.path.join(out, sub, b)).count()
+            for b in os.listdir(os.path.join(out, sub))
+        )
+        assert root.count() == per_batch
+    summary_root = spark.read.parquet(os.path.join(out, "summary"))
+    assert summary_root.select("batch_id").distinct().count() == 2

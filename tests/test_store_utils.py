@@ -52,3 +52,29 @@ def test_failed_build_cleans_its_staging(spark, sf_dir, tmp_path, monkeypatch):
         d for d in os.listdir(sf_root) if ".tmp." in d
     ] if os.path.isdir(sf_root) else []
     assert leftovers == []
+
+
+def test_derived_table_reaps_dead_staging_and_publishes(spark, tmp_path):
+    """ADVICE r10: dead builders' derived_*.tmp.<pid> leftovers live
+    INSIDE the artifact dir (the sf_root sweep never visits there) —
+    `_derived_table` must reap them on rebuild, then publish via
+    atomic rename with a _SUCCESS completeness marker."""
+    from whale_sightings_spark.plans import cluster_store as CS
+
+    art = tmp_path / "clusters_text_v5_x"
+    art.mkdir()
+    dead = art / "derived_foo.tmp.999999999"
+    dead.mkdir()
+    (dead / "junk.parquet").write_bytes(b"x")
+
+    def build():
+        return spark.createDataFrame([(1, 2.0)], "v long, pr double")
+
+    df = CS._derived_table(spark, str(art), "foo", build)
+    assert df.count() == 1
+    assert not dead.exists()
+    assert (art / "derived_foo" / "_SUCCESS").exists()
+    # second call serves the published table without rebuilding
+    mt0 = os.path.getmtime(art / "derived_foo" / "_SUCCESS")
+    assert CS._derived_table(spark, str(art), "foo", build).count() == 1
+    assert os.path.getmtime(art / "derived_foo" / "_SUCCESS") == mt0

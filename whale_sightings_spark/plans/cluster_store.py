@@ -66,7 +66,13 @@ def _dir_for(
         try:
             os.rename(staging, artifact_dir)
         except OSError:
+            # a racing builder's completed artifact wins and we just
+            # lose our staging; but a NON-race failure (EXDEV, perms)
+            # must surface as itself, not as a confusing path-not-found
+            # from the reader downstream (ADVICE r10)
             shutil.rmtree(staging, ignore_errors=True)
+            if _incomplete():
+                raise
     return artifact_dir
 
 
@@ -123,7 +129,16 @@ def _derived_table(
     reads as absent and rebuilds. Tables are node-sized or
     profile-sized (edge-set-bounded), never corpus-scale."""
     path = os.path.join(artifact_dir, "derived_" + name)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from whale_sightings_spark.plans.store_utils import (
+            reap_dead_staging,
+        )
+
+        # dead builders' derived_*.tmp.<pid> leftovers live INSIDE the
+        # artifact dir, which the sf_root sweep never visits (ADVICE
+        # r10) — reap them here, where the rebuild happens
+        reap_dead_staging(artifact_dir)
         staging = f"{path}.tmp.{os.getpid()}"
         try:
             build().write.mode("overwrite").parquet(staging)
@@ -134,7 +149,12 @@ def _derived_table(
         try:
             os.rename(staging, path)
         except OSError:
+            # racing builder completed -> fine; a non-race rename
+            # failure must re-raise as itself, not surface later as
+            # the reader's path-not-found (ADVICE r10)
             shutil.rmtree(staging, ignore_errors=True)
+            if not os.path.exists(marker):
+                raise
     return spark.read.parquet(path)
 
 

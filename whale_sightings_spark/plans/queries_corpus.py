@@ -2507,28 +2507,32 @@ def q256_central_docs_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f"""
     , scored AS (
         SELECT coalesce(l.label, p.v) AS component, p.v AS doc_id,
-               round(p.pr, 5) AS pr5, p.pr AS pr
+               round(p.pr, 5) AS pr5
         FROM pr{GR.PR_ORACLE_ROUNDS} p
         LEFT JOIN l_labels l ON l.doc_id = p.v
     ),
     ranked AS (
-        SELECT component, doc_id, pr5,
+        SELECT component, doc_id,
                row_number() OVER (
                    PARTITION BY component ORDER BY pr5 DESC, doc_id
                ) AS rn,
-               count(*) OVER (PARTITION BY component) AS n_docs,
-               sum(pr) OVER (PARTITION BY component) AS total_pr
+               count(*) OVER (PARTITION BY component) AS n_docs
         FROM scored
     )
     SELECT component, CAST(n_docs AS BIGINT) AS n_docs,
-           round(total_pr, 4) AS total_pr,
-           doc_id AS rep_doc, pr5 AS rep_pr
+           doc_id AS rep_doc
     FROM ranked WHERE rn = 1
     """,
 )
 def q257_component_centrality_serve(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    """Per-component size + most-central representative doc off the
+    stored pagerank + labels tables. Integer-safe gate (ADVICE r10):
+    a summed-pagerank column would hash-gate on Spark-window-sum vs
+    DuckDB-aggregate summation ORDER at a round() boundary, so the
+    output carries only (component, n_docs, rep_doc) — the rank key
+    stays round(pr, 5), the q256-established safe rounding."""
     from whale_sightings_spark.plans.cluster_store import (
         stored_pagerank,
         text_cluster_dir,
@@ -2543,26 +2547,21 @@ def q257_component_centrality_serve(
             F.coalesce("label", F.col("doc_id")).alias("component"),
             "doc_id",
             F.round("pr", 5).alias("pr5"),
-            "pr",
         )
     )
     w = W.partitionBy("component")
     ranked = scored.select(
         "component",
         "doc_id",
-        "pr5",
         F.row_number()
         .over(w.orderBy(F.desc("pr5"), "doc_id"))
         .alias("rn"),
         F.count("*").over(w).alias("n_docs"),
-        F.sum("pr").over(w).alias("total_pr"),
     )
     return ranked.filter(F.col("rn") == 1).select(
         "component",
         F.col("n_docs").cast("bigint").alias("n_docs"),
-        F.round("total_pr", 4).alias("total_pr"),
         F.col("doc_id").alias("rep_doc"),
-        F.col("pr5").alias("rep_pr"),
     )
 
 

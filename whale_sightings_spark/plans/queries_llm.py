@@ -2456,7 +2456,12 @@ def _ivfpq_index_dir(
         try:
             os.rename(staging, index_dir)
         except OSError:
+            # racing builder completed -> fine; a non-race rename
+            # failure must re-raise as itself, not surface later as
+            # the reader's path-not-found (ADVICE r10)
             shutil.rmtree(staging, ignore_errors=True)
+            if not os.path.exists(os.path.join(codes_dir, "_SUCCESS")):
+                raise
     return index_dir
 
 

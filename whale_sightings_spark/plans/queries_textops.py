@@ -1438,7 +1438,12 @@ def _bpe_artifact_dir(
         try:
             os.rename(staging, artifact_dir)
         except OSError:
+            # racing builder completed -> fine; a non-race rename
+            # failure must re-raise as itself, not surface later as
+            # the reader's path-not-found (ADVICE r10)
             shutil.rmtree(staging, ignore_errors=True)
+            if not os.path.exists(os.path.join(merges_dir, "_SUCCESS")):
+                raise
     return artifact_dir
 
 

@@ -981,8 +981,21 @@ def streaming_cluster_ingest(
             .partitionBy("pbucket")
             .parquet(DD.cluster_pairs_path(artifact_dir))
         )
-        mdir = DD.cluster_merges_path(artifact_dir)
+        # the derived graph tables (pagerank/kcore/census) were
+        # converged over the PRE-append edge set: drop them so the
+        # next read rebuilds from the grown pair table instead of
+        # silently serving pre-append scores beside post-append edges
+        # (ADVICE r10). Idempotent and crash-safe: a replayed batch
+        # re-deletes, and the build-if-absent reader heals.
+        import glob
         import os
+        import shutil
+
+        for d in glob.glob(
+            os.path.join(artifact_dir, "derived_*")
+        ):
+            shutil.rmtree(d, ignore_errors=True)
+        mdir = DD.cluster_merges_path(artifact_dir)
 
         if os.path.isdir(mdir):
             seen_m = sess.read.schema(
@@ -1069,9 +1082,11 @@ def streaming_embed_assign(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         assigned = embed_assign_from_store(batch_df, sess, artifact_dir)
+        # batch_id lives ONLY in the partition directory name — a
+        # physical column with the same name would collide with
+        # partition inference on root-level reads (ADVICE r10)
         (
-            assigned.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
+            assigned.write.mode("overwrite")
             .parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
         )
 
@@ -1131,14 +1146,15 @@ def streaming_degree_audit(
             DD.stored_cluster_labels(sess, artifact_dir),
             rebuild_threshold=thresh,
         )
+        # batch_id lives ONLY in the partition directory name — a
+        # physical column with the same name would collide with
+        # partition inference on root-level reads (ADVICE r10)
         (
-            deltas.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
+            deltas.write.mode("overwrite")
             .parquet(os.path.join(out_dir, "deltas", f"batch_id={batch_id}"))
         )
         (
-            summary.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
+            summary.write.mode("overwrite")
             .parquet(os.path.join(out_dir, "summary", f"batch_id={batch_id}"))
         )
 
