@@ -78,3 +78,32 @@ def test_derived_table_reaps_dead_staging_and_publishes(spark, tmp_path):
     mt0 = os.path.getmtime(art / "derived_foo" / "_SUCCESS")
     assert CS._derived_table(spark, str(art), "foo", build).count() == 1
     assert os.path.getmtime(art / "derived_foo" / "_SUCCESS") == mt0
+
+
+def test_read_artifact_table_memoizes_and_rekeys(spark, tmp_path):
+    """Round 11: repeated reads of a published table serve the SAME
+    DataFrame object (the per-query fixed overhead is DataFrame
+    construction, not the scan); any publish that moves _SUCCESS
+    (append, compaction, rebuild) re-keys; a markerless dir is read
+    uncached."""
+    import time as _time
+
+    from whale_sightings_spark.plans.store_utils import read_artifact_table
+
+    p = str(tmp_path / "tbl")
+    spark.createDataFrame([(1,)], "a long").write.parquet(p)
+    d1 = read_artifact_table(spark, p, "a long")
+    assert read_artifact_table(spark, p, "a long") is d1
+    assert d1.count() == 1
+    # append rewrites _SUCCESS -> re-key, new rows visible
+    _time.sleep(0.01)
+    spark.createDataFrame([(2,)], "a long").write.mode("append").parquet(p)
+    d2 = read_artifact_table(spark, p, "a long")
+    assert d2 is not d1
+    assert d2.count() == 2
+    # markerless dir: read uncached every time
+    q = str(tmp_path / "bare")
+    spark.createDataFrame([(3,)], "a long").write.parquet(q)
+    os.remove(os.path.join(q, "_SUCCESS"))
+    b1 = read_artifact_table(spark, q, "a long")
+    assert read_artifact_table(spark, q, "a long") is not b1

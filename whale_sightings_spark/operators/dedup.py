@@ -893,32 +893,44 @@ def compact_cluster_artifact(spark, artifact_dir: str) -> dict[str, int]:
     return {"files_before": before, "files_after": _nfiles()}
 
 
+def _read_stored(spark, path: str, schema=None) -> DataFrame:
+    # memoized on the _SUCCESS stat signature: every mutation path
+    # (build, streaming append, compaction swap) rewrites the marker
+    from whale_sightings_spark.plans.store_utils import (
+        read_artifact_table,
+    )
+
+    return read_artifact_table(spark, path, schema)
+
+
 def stored_cluster_pairs(spark, artifact_dir: str) -> DataFrame:
     """The near-dup edge table the stored labels were converged over —
     (doc_a, doc_b[, hamming]) for the text graph, (doc_a, doc_b) for
     the embedding graph. Build is deterministic, so this is row-equal
     to re-running the pair generator on the same corpus fingerprint."""
-    return spark.read.parquet(cluster_pairs_path(artifact_dir)).drop("pbucket")
+    return _read_stored(spark, cluster_pairs_path(artifact_dir)).drop(
+        "pbucket"
+    )
 
 
 def stored_cluster_labels(spark, artifact_dir: str) -> DataFrame:
     """(doc_id, label) — the converged component labels."""
-    return spark.read.schema(_CLUSTER_SCHEMA).parquet(
-        cluster_artifact_paths(artifact_dir)
+    return _read_stored(
+        spark, cluster_artifact_paths(artifact_dir), _CLUSTER_SCHEMA
     )
 
 
 def stored_cluster_sigs(spark, artifact_dir: str) -> DataFrame:
     """(doc_id, sh) — SimHash signatures of every ingested doc."""
-    return spark.read.schema("doc_id long, sh long").parquet(
-        cluster_sigs_path(artifact_dir)
+    return _read_stored(
+        spark, cluster_sigs_path(artifact_dir), "doc_id long, sh long"
     )
 
 
 def stored_cluster_bands(spark, artifact_dir: str) -> DataFrame:
     """(band, doc_id, sh) — the band probe index (bucket partition
     column dropped after the scan so pruning still sees it)."""
-    return spark.read.parquet(cluster_bands_path(artifact_dir)).select(
+    return _read_stored(spark, cluster_bands_path(artifact_dir)).select(
         "band", "doc_id", "sh"
     )
 

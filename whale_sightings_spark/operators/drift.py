@@ -1,27 +1,80 @@
-"""Shared rebuild-drift core for the persisted-artifact audits.
+"""Drift operators shared across the query surface:
 
-Every persisted artifact family carries a maintenance audit of the
-same shape (q243 labels, q251 pairs, q258 pagerank nodes, q259 LM
-counts): recompute the artifact's content from first principles over
-a HISTORY slice of the corpus, restrict the STORED full-corpus table
-to the same slice, and price the drift between the two — how many
-rows survived unchanged, changed value, appeared, or vanished. The
-drift is real signal, not noise: hot-bucket caps, banding
-interactions, and append-only streaming ingest all make the stored
-table diverge from what a fresh rebuild would produce, and a
-maintenance job reads these counts to decide when a rebuild is due.
-
-Scale shape: ONE full-outer equi-join on the audit key and ONE
-aggregation — both sides are artifact-scale (edge-set / node-set /
-posting-set bounded), never corpus-scale, and the join keys are the
-artifact's own layout keys so the shuffle partitions cleanly. All
-outputs are integers (the q258 header convention): no float boundary
-ever enters the oracle hash gate.
+- ``ks_report`` — distribution drift (q205 / streaming_ks_ingest).
+- ``rebuild_drift`` — the shared artifact rebuild-drift core (round
+  11): every persisted artifact family carries a maintenance audit of
+  the same shape (q243 labels, q251 pairs, q258 pagerank, q259 LM
+  counts) — recompute the artifact's content from first principles
+  over a HISTORY slice, restrict the STORED full-corpus table to the
+  same slice, and price the drift. Hot-bucket caps, banding
+  interactions, and append-only streaming ingest all make the stored
+  table diverge from a fresh rebuild, and a maintenance job reads
+  these counts to decide when a rebuild is due. Scale shape: ONE
+  full-outer equi-join on the audit key + ONE aggregation, both sides
+  artifact-scale (never corpus-scale); all outputs integer, so no
+  float boundary ever enters the oracle hash gate.
 """
+
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+
+
+def ks_report(d: DataFrame) -> DataFrame:
+    """Per-source two-sample Kolmogorov-Smirnov report over a
+    (source, n_chars) frame: each source's length distribution vs the
+    rest of the corpus. Integer arithmetic until the single final
+    division — the KS numerator |cum_c*(N-ns) - (cum_g-cum_c)*ns| and
+    its argmax are exact, so the ks_at_len tie-break (min length at
+    the sup) is engine-deterministic. Shape: per-(source,len) counts,
+    a sources x distinct-lengths grid (bounded), one cumulative window
+    per source over the aggregated grid; output |sources| rows. At
+    N ~ 1e9+ docs the BIGINT products need DECIMAL(38). Columns:
+    (source, n_source, ks_stat, ks_at_len) — the q205 contract."""
+    tot = d.groupBy("source").agg(F.count("*").alias("ns"))
+    grand = d.agg(F.count("*").alias("n"))
+    gc = d.groupBy("n_chars").agg(F.count("*").alias("gc"))
+    cnt = d.groupBy("source", "n_chars").agg(F.count("*").alias("c"))
+    grid = (
+        tot.crossJoin(F.broadcast(gc))
+        .join(cnt, ["source", "n_chars"], "left")
+        .select(
+            "source",
+            "ns",
+            "n_chars",
+            "gc",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    w = W.partitionBy("source").orderBy("n_chars")
+    cum = grid.select(
+        "source",
+        "ns",
+        "n_chars",
+        F.sum("c").over(w).alias("cum_c"),
+        F.sum("gc").over(w).alias("cum_g"),
+    )
+    j = cum.crossJoin(F.broadcast(grand)).select(
+        "source",
+        "ns",
+        "n_chars",
+        F.abs(
+            F.col("cum_c") * (F.col("n") - F.col("ns"))
+            - (F.col("cum_g") - F.col("cum_c")) * F.col("ns")
+        ).alias("num"),
+        (F.col("ns") * (F.col("n") - F.col("ns"))).alias("den"),
+    )
+    k = j.withColumn("mx", F.max("num").over(W.partitionBy("source")))
+    return k.groupBy("source").agg(
+        F.first("ns").cast("bigint").alias("n_source"),
+        F.round(
+            F.first("mx").cast("double") / F.first("den").cast("double"), 6
+        ).alias("ks_stat"),
+        F.min(F.when(F.col("num") == F.col("mx"), F.col("n_chars")))
+        .cast("bigint")
+        .alias("ks_at_len"),
+    )
 
 
 def rebuild_drift(

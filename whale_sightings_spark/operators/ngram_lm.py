@@ -423,13 +423,15 @@ def _read_table(spark, artifact_dir: str, key: str, schema) -> DataFrame:
     independently so bucket partition pruning survives the union."""
     import os
 
-    base = spark.read.schema(schema).parquet(
-        lm_artifact_paths(artifact_dir)[key]
+    from whale_sightings_spark.plans.store_utils import read_artifact_table
+
+    base = read_artifact_table(
+        spark, lm_artifact_paths(artifact_dir)[key], schema
     )
     for b in lm_ingest_batch_dirs(artifact_dir):
         t = os.path.join(b, key)
         if os.path.isdir(t):
-            base = base.unionByName(spark.read.schema(schema).parquet(t))
+            base = base.unionByName(read_artifact_table(spark, t, schema))
     return base
 
 

@@ -181,11 +181,13 @@ def _read_table(spark, artifact_dir: str, key: str, schema) -> DataFrame:
     union."""
     import os
 
-    base = spark.read.schema(schema).parquet(_table_path(artifact_dir, key))
+    from whale_sightings_spark.plans.store_utils import read_artifact_table
+
+    base = read_artifact_table(spark, _table_path(artifact_dir, key), schema)
     for b in shingle_ingest_batch_dirs(artifact_dir):
         t = os.path.join(b, key)
         if os.path.isdir(t):
-            base = base.unionByName(spark.read.schema(schema).parquet(t))
+            base = base.unionByName(read_artifact_table(spark, t, schema))
     return base
 
 

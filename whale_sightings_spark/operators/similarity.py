@@ -1036,17 +1036,19 @@ def embed_assign_from_store(
     Returns (vec_id, n_matched, best_cos, label)."""
     from whale_sightings_spark.operators import dedup as DD
 
-    ebands = spark.read.parquet(DD.cluster_ebands_path(artifact_dir)).select(
-        "bi", "bk", F.col("vec_id").alias("hist_id")
-    )
+    from whale_sightings_spark.plans.store_utils import read_artifact_table
+
+    ebands = read_artifact_table(
+        spark, DD.cluster_ebands_path(artifact_dir)
+    ).select("bi", "bk", F.col("vec_id").alias("hist_id"))
     kept = (
-        spark.read.parquet(DD.cluster_eband_stats_path(artifact_dir))
+        read_artifact_table(spark, DD.cluster_eband_stats_path(artifact_dir))
         .filter(F.col("bucket_n") <= MAX_SIG_BUCKET)
         .select("bi", "bk")
     )
-    evecs = spark.read.parquet(DD.cluster_evecs_path(artifact_dir)).select(
-        F.col("vec_id").alias("hist_id"), F.col("embedding").alias("emb_h")
-    )
+    evecs = read_artifact_table(
+        spark, DD.cluster_evecs_path(artifact_dir)
+    ).select(F.col("vec_id").alias("hist_id"), F.col("embedding").alias("emb_h"))
     labels = DD.stored_cluster_labels(spark, artifact_dir).select(
         F.col("doc_id").alias("hist_id"), "label"
     )
@@ -1259,11 +1261,13 @@ def read_ivfpq_index(spark, index_dir: str):
     """(coarse, rcb, codes) read back schema-pinned; ``cell`` (a
     partition directory column, inferred int) is cast back to long
     AFTER the scan so partition pruning still sees the raw column."""
+    from whale_sightings_spark.plans.store_utils import read_artifact_table
+
     coarse_dir, rcb_dir, codes_dir = ivfpq_index_paths(index_dir)
     cb_schema = "s int, cid bigint, cvec array<double>"
-    coarse = spark.read.schema(cb_schema).parquet(coarse_dir)
-    rcb = spark.read.schema(cb_schema).parquet(rcb_dir)
-    codes = spark.read.parquet(codes_dir)
+    coarse = read_artifact_table(spark, coarse_dir, cb_schema)
+    rcb = read_artifact_table(spark, rcb_dir, cb_schema)
+    codes = read_artifact_table(spark, codes_dir)
     return coarse, rcb, codes
 
 
@@ -1273,11 +1277,13 @@ def read_pq_index(spark, index_dir: str) -> tuple[DataFrame, DataFrame]:
     (vec_id, s, cid, d2, cell). ``cell`` is a partition directory
     column; it is cast AFTER the scan so partition pruning still sees
     the raw column (the read_ivfpq_index convention)."""
+    from whale_sightings_spark.plans.store_utils import read_artifact_table
+
     pqcb_dir, pq_codes_dir = ivfpq_index_extra_paths(index_dir)
-    pqcb = spark.read.schema("s int, cid bigint, cvec array<double>").parquet(
-        pqcb_dir
+    pqcb = read_artifact_table(
+        spark, pqcb_dir, "s int, cid bigint, cvec array<double>"
     )
-    pq_codes = spark.read.parquet(pq_codes_dir).select(
+    pq_codes = read_artifact_table(spark, pq_codes_dir).select(
         "vec_id", "s", "cid", "d2", F.col("cell").cast("int").alias("cell")
     )
     return pqcb, pq_codes

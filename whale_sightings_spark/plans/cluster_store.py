@@ -155,7 +155,9 @@ def _derived_table(
             shutil.rmtree(staging, ignore_errors=True)
             if not os.path.exists(marker):
                 raise
-    return spark.read.parquet(path)
+    from whale_sightings_spark.plans.store_utils import read_artifact_table
+
+    return read_artifact_table(spark, path)
 
 
 def stored_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,3 +41,46 @@ def reap_dead_staging(sf_root: str) -> list[str]:
         shutil.rmtree(os.path.join(sf_root, d), ignore_errors=True)
         reaped.append(d)
     return reaped
+
+
+# ---------------------------------------------------------------------------
+# Memoized artifact-table reads (round 11, VERDICT r10 #5): six stores
+# x ~260 queries each re-ran `spark.read.parquet` per invocation, and
+# the DataFrame construction itself is the fixed overhead — schema
+# inference + partition-directory discovery cost ~90 ms on a bucket-
+# partitioned table with no explicit schema, ~10 ms with one. A
+# published artifact table is immutable between publishes, and EVERY
+# mutation path rewrites its `_SUCCESS` marker (build, streaming
+# append, compaction swap), so the marker's stat signature is a sound
+# re-key: the memo serves the same DataFrame object while the marker
+# is unchanged and re-reads the moment it moves (or vanishes — an
+# invalidated derived table stats to nothing and misses).
+# ---------------------------------------------------------------------------
+
+_DF_MEMO: dict = {}
+
+
+def read_artifact_table(spark, path: str, schema=None):
+    """`spark.read[.schema(schema)].parquet(path)` memoized on the
+    table's `_SUCCESS` stat signature (mtime_ns, ino, size). Tables
+    without a marker (mid-build, foreign dirs) are read uncached. The
+    owning session rides in the memo value, so a recycled `id()` after
+    session teardown can never serve another session's plan."""
+    import os
+
+    marker = os.path.join(path, "_SUCCESS")
+    try:
+        st = os.stat(marker)
+        sig = (st.st_mtime_ns, st.st_ino, st.st_size)
+    except OSError:
+        sig = None
+    key = os.path.abspath(path)
+    if sig is not None:
+        hit = _DF_MEMO.get(key)
+        if hit is not None and hit[0] == sig and hit[2] is spark:
+            return hit[1]
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    df = reader.parquet(path)
+    if sig is not None:
+        _DF_MEMO[key] = (sig, df, spark)
+    return df
