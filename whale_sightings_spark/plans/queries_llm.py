@@ -3512,3 +3512,72 @@ def q255_embed_incremental_assign(
         (F.col("vec_id") % EASSIGN_MOD) == EASSIGN_REM
     )
     return SIM.embed_assign_from_store(arriving, spark, art)
+
+
+# ---------------------------------------------------------------------------
+# q261 — IVF-PQ codes-table rebuild-drift audit (round 11: the
+# `operators/drift.rebuild_drift` core applied to the stored ANN
+# index). The coarse codebook is the MODEL; the cell-assignment code
+# table is the derived artifact that streaming ingest appends to — so
+# the audit re-assigns the history slice (vec_id % 5 <> 4) against the
+# STORED centroids from first principles (one broadcast-codebook pass
+# over the slice, the q172 serve geometry) and drifts (vec_id, cell)
+# against the stored codes restricted to the same slice. n_changed
+# prices torn/duplicated appends and stale cells; n_gained/n_lost
+# price manifest damage. Integer outputs only. The oracle re-derives
+# BOTH sides from the shared trained-quantizer CTE chain, so the
+# drift join logic itself is twinned (the q253 convention).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q261_ivf_codes_rebuild_drift",
+    f"""
+    WITH {_IVF_TRAINED_CTES},
+    h AS (SELECT vec_id, cell FROM assign WHERE vec_id % 5 <> 4),
+    st AS (SELECT vec_id, cell FROM assign WHERE vec_id % 5 <> 4),
+    j AS (
+        SELECT h.vec_id IS NOT NULL AS in_hist,
+               st.vec_id IS NOT NULL AS in_stored,
+               h.cell AS hc, st.cell AS sc
+        FROM h FULL OUTER JOIN st ON st.vec_id = h.vec_id
+    )
+    SELECT CAST(sum(CASE WHEN in_hist THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hist_codes,
+           CAST(sum(CASE WHEN in_stored THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_stored_codes,
+           CAST(sum(CASE WHEN in_hist AND in_stored AND hc = sc
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_stable,
+           CAST(sum(CASE WHEN in_hist AND in_stored AND hc <> sc
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cell_changed,
+           CAST(sum(CASE WHEN in_stored AND NOT in_hist THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gained,
+           CAST(sum(CASE WHEN in_hist AND NOT in_stored THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lost
+    FROM j
+    """,
+)
+def q261_ivf_codes_rebuild_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _ivfpq_index_dir(spark, sf_dir)
+    coarse, _rcb, _codes = SIM.read_ivfpq_index(spark, idx)
+    held = load_table(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") % 5) != 4
+    )
+    hist = SIM._pq_assign_to(SIM._fulldim_sub(held), coarse).select(
+        "vec_id", F.col("cid").cast("long").alias("cell")
+    )
+    stored = SIM.trained_assign_from_index(spark, idx).filter(
+        (F.col("vec_id") % 5) != 4
+    )
+    return DR.rebuild_drift(
+        hist, stored, ["vec_id"], value_col="cell"
+    ).select(
+        F.col("n_hist").alias("n_hist_codes"),
+        F.col("n_stored").alias("n_stored_codes"),
+        "n_stable",
+        F.col("n_changed").alias("n_cell_changed"),
+        "n_gained",
+        "n_lost",
+    )

@@ -3106,3 +3106,78 @@ def q223_bpe_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fert_delta"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q260 — shingle-store rebuild-drift audit (round 11: the
+# `operators/drift.rebuild_drift` core applied to the SEVENTH persisted
+# surface, the shingle inverted index). Recompute the distinct
+# (doc_id, shingle) postings over the history slice (doc_id % 5 <> 4)
+# from first principles — the tokenize+shingle pass IS the audit's
+# subject — and drift them against the STORED postings restricted to
+# the same slice. Per-doc posting sets are slice-independent, so
+# n_gained/n_lost price append-replay duplicates and eviction damage,
+# the contract drift a maintenance job must see before trusting the
+# store between rebuilds. Scale shape: one corpus pass over the slice
+# (intentional), one bucket-partitioned store scan, one
+# (doc_id, shingle)-keyed full-outer join — never corpus x corpus;
+# integer outputs only (no float boundary in the hash gate).
+# ---------------------------------------------------------------------------
+
+
+def _q260_oracle() -> str:
+    grams = TX.shingles_from_tokens_sql("t", 3)
+    hold = "doc_id % 5 <> 4"
+    return f"""
+    WITH tk AS (
+        SELECT doc_id, {TX.tokens_sql('text')} AS t FROM documents
+    ),
+    g AS (
+        SELECT doc_id, unnest({grams}) AS shingle FROM tk
+    ),
+    dg AS (SELECT DISTINCT doc_id, shingle FROM g),
+    h AS (SELECT doc_id, shingle FROM dg WHERE {hold}),
+    s AS (SELECT doc_id, shingle FROM dg WHERE {hold}),
+    j AS (
+        SELECT h.doc_id IS NOT NULL AS in_hist,
+               s.doc_id IS NOT NULL AS in_stored
+        FROM h FULL OUTER JOIN s
+          ON s.doc_id = h.doc_id AND s.shingle = h.shingle
+    )
+    SELECT CAST(sum(CASE WHEN in_hist THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hist_postings,
+           CAST(sum(CASE WHEN in_stored THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_stored_postings,
+           CAST(sum(CASE WHEN in_hist AND in_stored THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stable,
+           CAST(sum(CASE WHEN in_stored AND NOT in_hist THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gained,
+           CAST(sum(CASE WHEN in_hist AND NOT in_stored THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lost
+    FROM j
+    """
+
+
+@register("q260_shingle_rebuild_drift", _q260_oracle())
+def q260_shingle_rebuild_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.operators import shingles as SHI
+    from whale_sightings_spark.operators.drift import rebuild_drift
+    from whale_sightings_spark.plans.shingle_store import shingle_artifact_dir
+
+    hold = (F.col("doc_id") % 5) != 4
+    docs = load_table(spark, sf_dir, "documents")
+    hist = SHI._distinct_postings(
+        docs.filter(hold), SHI.SHINGLE_N
+    ).select("doc_id", "shingle")
+    stored = (
+        SHI.stored_postings(spark, shingle_artifact_dir(spark, sf_dir))
+        .filter(hold)
+        .select("doc_id", "shingle")
+    )
+    return rebuild_drift(hist, stored, ["doc_id", "shingle"]).select(
+        F.col("n_hist").alias("n_hist_postings"),
+        F.col("n_stored").alias("n_stored_postings"),
+        "n_stable",
+        "n_gained",
+        "n_lost",
+    )
