@@ -504,3 +504,35 @@ def test_bm25_from_store_keeps_null_text_docs(spark, docs, built):
     assert out[101] == (None, 0, 0.0)
     assert out[102] == (2, 0, 0.0)
     assert out[100][1] == 1 and out[100][2] > 0
+
+
+def test_rebuild_drift_detects_stale_lm_store(spark, docs, tmp_path):
+    """End-to-end q259 detection path: an LM store built BEFORE two
+    docs arrived must show exactly those docs' postings as n_lost when
+    drifted against a first-principles recompute over the current
+    corpus (and exact count equality on the shared docs). The quiet
+    oracle gate only ever sees a fresh store; this pins that a stale
+    one is actually caught."""
+    from whale_sightings_spark.operators.drift import rebuild_drift
+
+    stale_art = str(tmp_path / "stale_lm")
+    old = docs.filter(F.col("doc_id") < 6)  # docs 6,7,10 not yet ingested
+    LM.build_lm_artifact(old, stale_art)
+
+    hold = F.col("doc_id") % 5 != 4  # every crafted doc id passes
+    hist = LM.doc_unigram_counts(docs.filter(hold)).select(
+        "doc_id", "tok", "n"
+    )
+    stored = (
+        LM.stored_doc_uni(spark, stale_art)
+        .filter(hold)
+        .select("doc_id", "tok", "n")
+    )
+    row = rebuild_drift(hist, stored, ["doc_id", "tok"], value_col="n").collect()[0]
+    missing = LM.doc_unigram_counts(
+        docs.filter(hold & (F.col("doc_id") >= 6))
+    ).count()
+    assert missing > 0
+    assert row["n_lost"] == missing  # the not-yet-ingested docs' postings
+    assert row["n_gained"] == 0 and row["n_changed"] == 0
+    assert row["n_stable"] == row["n_stored"]
