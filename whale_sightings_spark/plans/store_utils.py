@@ -74,7 +74,9 @@ def read_artifact_table(spark, path: str, schema=None):
         sig = (st.st_mtime_ns, st.st_ino, st.st_size)
     except OSError:
         sig = None
-    key = os.path.abspath(path)
+    # the declared schema joins the key: two readers of one path with
+    # different schemas (or inferred vs declared) must not share a plan
+    key = (os.path.abspath(path), str(schema))
     if sig is not None:
         hit = _DF_MEMO.get(key)
         if hit is not None and hit[0] == sig and hit[2] is spark:
