@@ -211,13 +211,17 @@ def build_bpe_artifact(
 
 
 def bpe_stored_symbols(spark: SparkSession, artifact_dir: str) -> DataFrame:
+    from whale_sightings_spark.plans.store_utils import read_artifact_table
+
     syms_dir, _merges_dir = bpe_artifact_paths(artifact_dir)
-    return spark.read.schema(_SYMS_SCHEMA).parquet(syms_dir)
+    return read_artifact_table(spark, syms_dir, _SYMS_SCHEMA)
 
 
 def bpe_stored_merge_table(spark: SparkSession, artifact_dir: str) -> DataFrame:
+    from whale_sightings_spark.plans.store_utils import read_artifact_table
+
     _syms_dir, merges_dir = bpe_artifact_paths(artifact_dir)
-    return spark.read.schema(_MERGE_SCHEMA).parquet(merges_dir)
+    return read_artifact_table(spark, merges_dir, _MERGE_SCHEMA)
 
 
 def bpe_stored_word_tokens(spark: SparkSession, artifact_dir: str) -> DataFrame:

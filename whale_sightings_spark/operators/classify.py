@@ -354,10 +354,12 @@ def build_nb_artifact(docs: DataFrame, artifact_dir: str) -> str:
 
 
 def nb_stored_model(spark, artifact_dir: str) -> tuple[DataFrame, DataFrame]:
+    from whale_sightings_spark.plans.store_utils import read_artifact_table
+
     vocab_dir, meta_dir = nb_artifact_paths(artifact_dir)
     return (
-        spark.read.schema(_VT_SCHEMA).parquet(vocab_dir),
-        spark.read.schema(_META_SCHEMA).parquet(meta_dir),
+        read_artifact_table(spark, vocab_dir, _VT_SCHEMA),
+        read_artifact_table(spark, meta_dir, _META_SCHEMA),
     )
 
 
