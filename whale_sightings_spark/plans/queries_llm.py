@@ -3581,3 +3581,130 @@ def q261_ivf_codes_rebuild_drift(
         "n_gained",
         "n_lost",
     )
+
+
+# ---------------------------------------------------------------------------
+# q262 — MinHash pair-artifact rebuild-drift audit (round 11: the last
+# persisted surface without one — the v5 minhash graph whose weighted
+# pair table serves q15). The q251 shape on the MinHash-LSH pair
+# generator: re-derive the verified pair set over the history slice
+# (doc_id % 5 <> 4) from first principles — shingle -> minhash -> band
+# -> bucket join -> Jaccard verify, the full pipeline, since minhash
+# signatures are not persisted for this graph — and drift it against
+# the STORED pair table restricted to docs both saw. Presence-only
+# (the jaccard weight is float; the q251 convention), integer outputs
+# only. Drift is real in both directions: band buckets crossing
+# MAX_BAND_BUCKET under growth drop pairs the history had, and the
+# df cap shifts shingle survivorship between slices.
+# ---------------------------------------------------------------------------
+
+
+def _minhash_pairs_sql_p(p: str = "", where: str = "") -> str:
+    """CTE chain (no leading WITH) ending in ``{p}mh`` (doc_a, doc_b) —
+    the q15 oracle pipeline parameterized by prefix + doc filter."""
+    w = f" WHERE {where}" if where else ""
+    return f"""{p}sh AS (
+        SELECT doc_id, {_SHINGLES} AS shingles FROM documents{w}
+    ),
+    {p}sig AS (
+        SELECT doc_id, [{", ".join(_SIG_EXPRS)}] AS sig
+        FROM {p}sh WHERE len(shingles) > 0
+    ),
+    {p}banded AS (
+        SELECT doc_id, unnest([{", ".join(_BAND_EXPRS)}]) AS band
+        FROM {p}sig
+    ),
+    {p}kept_bands AS (
+        SELECT band FROM {p}banded GROUP BY band
+        HAVING count(*) > 1 AND count(*) <= {DD.MAX_BAND_BUCKET}
+    ),
+    {p}cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM {p}banded a
+        JOIN {p}banded b ON a.band = b.band AND a.doc_id < b.doc_id
+        JOIN {p}kept_bands k ON k.band = a.band
+    ),
+    {p}spairs AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle
+              FROM documents{w})
+    ),
+    {p}keep AS (
+        SELECT shingle FROM {p}spairs GROUP BY shingle
+        HAVING count(*) <= {DD.MAX_SHINGLE_DF}
+    ),
+    {p}fpairs AS (
+        SELECT sp.doc_id, sp.shingle
+        FROM {p}spairs sp JOIN {p}keep USING (shingle)
+    ),
+    {p}sizes AS (
+        SELECT doc_id, count(*) AS n FROM {p}fpairs GROUP BY doc_id
+    ),
+    {p}inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM {p}cands c
+        JOIN {p}fpairs a ON a.doc_id = c.doc_a
+        JOIN {p}fpairs b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    {p}mh AS (
+        SELECT i.doc_a, i.doc_b
+        FROM {p}inter i
+        JOIN {p}sizes sa ON sa.doc_id = i.doc_a
+        JOIN {p}sizes sb ON sb.doc_id = i.doc_b
+        WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6)
+              >= {DD.JACCARD_THRESHOLD}
+    )"""
+
+
+@register(
+    "q262_minhash_pair_rebuild_drift",
+    "WITH "
+    + _minhash_pairs_sql_p("h_", _CDRIFT_HOLD)
+    + ",\n    "
+    + _minhash_pairs_sql_p()
+    + f"""
+    , full_held AS (
+        SELECT doc_a, doc_b FROM mh
+        WHERE doc_a % 5 <> 4 AND doc_b % 5 <> 4
+    ),
+    j AS (
+        SELECT h.doc_a IS NOT NULL AS in_hist,
+               f.doc_a IS NOT NULL AS in_full
+        FROM h_mh h
+        FULL OUTER JOIN full_held f
+          ON f.doc_a = h.doc_a AND f.doc_b = h.doc_b
+    )
+    SELECT CAST(sum(CASE WHEN in_hist THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pairs_hist,
+           CAST(sum(CASE WHEN in_full THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pairs_full_held,
+           CAST(sum(CASE WHEN in_hist AND in_full THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stable,
+           CAST(sum(CASE WHEN in_full AND NOT in_hist THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gained,
+           CAST(sum(CASE WHEN in_hist AND NOT in_full THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lost
+    FROM j
+    """,
+)
+def q262_minhash_pair_rebuild_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from whale_sightings_spark.plans.cluster_store import (
+        stored_minhash_pairs,
+    )
+
+    hold = (F.col("doc_id") % 5) != 4
+    docs = load_table(spark, sf_dir, "documents")
+    hist = DD.minhash_lsh_pairs(docs.filter(hold)).select("doc_a", "doc_b")
+    full_held = stored_minhash_pairs(spark, sf_dir).filter(
+        ((F.col("doc_a") % 5) != 4) & ((F.col("doc_b") % 5) != 4)
+    ).select("doc_a", "doc_b")
+    return DR.rebuild_drift(hist, full_held, ["doc_a", "doc_b"]).select(
+        F.col("n_hist").alias("n_pairs_hist"),
+        F.col("n_stored").alias("n_pairs_full_held"),
+        "n_stable",
+        "n_gained",
+        "n_lost",
+    )
