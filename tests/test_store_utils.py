@@ -107,3 +107,83 @@ def test_read_artifact_table_memoizes_and_rekeys(spark, tmp_path):
     os.remove(os.path.join(q, "_SUCCESS"))
     b1 = read_artifact_table(spark, q, "a long")
     assert read_artifact_table(spark, q, "a long") is not b1
+
+
+def test_derived_table_generation_gate_rebuilds_on_source_change(
+    spark, tmp_path
+):
+    """ADVICE r11: a derived table stamps the source table's _SUCCESS
+    generation into `_GEN` at build time; the reader treats a
+    generation mismatch as absent. This closes the append-races-
+    builder window by generation instead of deletion order: a builder
+    that read pre-append source and published AFTER the ingest sweep
+    deleted derived tables carries a stale `_GEN` and is rebuilt on
+    the next read, never served."""
+    import time as _time
+
+    from whale_sightings_spark.plans import cluster_store as CS
+
+    art = tmp_path / "clusters_text_v5_y"
+    art.mkdir()
+    src = art / "pairs"
+    spark.createDataFrame([(1, 2)], "doc_a long, doc_b long").write.parquet(
+        str(src)
+    )
+    src_marker = str(src / "_SUCCESS")
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.createDataFrame([(len(calls),)], "n long")
+
+    CS._derived_table(spark, str(art), "gen", build, src_marker=src_marker)
+    assert calls == [1]
+    assert (art / "derived_gen" / "_GEN").read_text().strip() != ""
+    # unchanged source: served, not rebuilt
+    CS._derived_table(spark, str(art), "gen", build, src_marker=src_marker)
+    assert calls == [1]
+    # source append moves its _SUCCESS -> stale by generation -> rebuild
+    _time.sleep(0.01)
+    spark.createDataFrame([(3, 4)], "doc_a long, doc_b long").write.mode(
+        "append"
+    ).parquet(str(src))
+    df = CS._derived_table(
+        spark, str(art), "gen", build, src_marker=src_marker
+    )
+    assert calls == [1, 1]
+    assert df.collect()[0][0] == 2
+    # a pre-round-12 table (no _GEN) reads as stale once and heals
+    os.remove(art / "derived_gen" / "_GEN")
+    CS._derived_table(spark, str(art), "gen", build, src_marker=src_marker)
+    assert calls == [1, 1, 1]
+    assert (art / "derived_gen" / "_GEN").exists()
+
+
+def test_ingest_invalidation_skips_live_staging(spark, tmp_path):
+    """ADVICE r11: the streaming ingest's derived-table sweep must
+    delete only PUBLISHED derived_<name> dirs — a LIVE builder's
+    derived_*.tmp.<pid> staging is never raced (the repo-wide .tmp.
+    convention); dead builders' leftovers go through the pid-liveness
+    reap."""
+    import glob
+    import shutil
+
+    from whale_sightings_spark.plans.store_utils import reap_dead_staging
+
+    art = tmp_path / "clusters_text_v5_z"
+    art.mkdir()
+    live = art / f"derived_pagerank.tmp.{os.getpid()}"
+    dead = art / "derived_pagerank.tmp.999999999"
+    published = art / "derived_pagerank"
+    for d in (live, dead, published):
+        d.mkdir()
+        (d / "part-0.parquet").write_bytes(b"x")
+    # the exact sweep the ingest path runs (streaming/events.py)
+    reap_dead_staging(str(art))
+    for d in glob.glob(os.path.join(str(art), "derived_*")):
+        if ".tmp." in os.path.basename(d):
+            continue
+        shutil.rmtree(d, ignore_errors=True)
+    assert live.is_dir()
+    assert not dead.exists()
+    assert not published.exists()

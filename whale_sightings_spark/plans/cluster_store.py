@@ -117,7 +117,11 @@ def stored_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _derived_table(
-    spark: SparkSession, artifact_dir: str, name: str, build
+    spark: SparkSession,
+    artifact_dir: str,
+    name: str,
+    build,
+    src_marker: str | None = None,
 ) -> DataFrame:
     """Build-if-absent DERIVED table of a cluster artifact (round 10):
     converged graph analytics (PageRank scores, k-core profile) live
@@ -127,10 +131,37 @@ def _derived_table(
     it. pid staging + atomic rename (the `_dir_for` convention); the
     parquet ``_SUCCESS`` is the completeness marker, so a torn write
     reads as absent and rebuilds. Tables are node-sized or
-    profile-sized (edge-set-bounded), never corpus-scale."""
+    profile-sized (edge-set-bounded), never corpus-scale.
+
+    Round 12 (ADVICE r11): ``src_marker`` — the ``_SUCCESS`` of the
+    source table this derivation reads — closes the concurrent-append
+    race by generation, not by deletion order: the builder stamps the
+    source generation it read into a ``_GEN`` file inside the staging
+    dir BEFORE computing, and the reader treats a published derived
+    table whose ``_GEN`` disagrees with the source's current marker as
+    absent. A builder that raced a streaming append and published
+    stale scores is therefore never served — its ``_GEN`` is already
+    behind. Missing ``_GEN`` (pre-round-12 artifacts) reads as stale
+    once and rebuilds."""
+    from whale_sightings_spark.plans.store_utils import marker_sig
+
     path = os.path.join(artifact_dir, "derived_" + name)
     marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
+    gen_file = os.path.join(path, "_GEN")
+
+    def _stale() -> bool:
+        if not os.path.exists(marker):
+            return True
+        if src_marker is None:
+            return False
+        try:
+            with open(gen_file) as fh:
+                seen = fh.read().strip()
+        except OSError:
+            return True
+        return seen != (marker_sig(src_marker) or "")
+
+    if _stale():
         from whale_sightings_spark.plans.store_utils import (
             reap_dead_staging,
         )
@@ -141,7 +172,18 @@ def _derived_table(
         reap_dead_staging(artifact_dir)
         staging = f"{path}.tmp.{os.getpid()}"
         try:
+            # stamp the source generation BEFORE computing: if an
+            # append lands mid-build, the published _GEN is already
+            # behind the moved marker and the next read rebuilds
+            gen = (
+                (marker_sig(src_marker) or "")
+                if src_marker is not None
+                else None
+            )
             build().write.mode("overwrite").parquet(staging)
+            if gen is not None:
+                with open(os.path.join(staging, "_GEN"), "w") as fh:
+                    fh.write(gen)
         except BaseException:
             shutil.rmtree(staging, ignore_errors=True)
             raise
@@ -177,7 +219,13 @@ def stored_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             DD.stored_cluster_pairs(spark, art)
         ).coalesce(1)  # node-sized, edge-set-bounded
 
-    return _derived_table(spark, art, "pagerank", _build)
+    return _derived_table(
+        spark,
+        art,
+        "pagerank",
+        _build,
+        src_marker=os.path.join(DD.cluster_pairs_path(art), "_SUCCESS"),
+    )
 
 
 def stored_kcore_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,7 +241,13 @@ def stored_kcore_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             DD.stored_cluster_pairs(spark, art)
         ).coalesce(1)
 
-    return _derived_table(spark, art, "kcore", _build)
+    return _derived_table(
+        spark,
+        art,
+        "kcore",
+        _build,
+        src_marker=os.path.join(DD.cluster_pairs_path(art), "_SUCCESS"),
+    )
 
 
 def stored_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,7 +264,59 @@ def stored_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             DD.stored_cluster_pairs(spark, art)
         ).coalesce(1)
 
-    return _derived_table(spark, art, "census", _build)
+    return _derived_table(
+        spark,
+        art,
+        "census",
+        _build,
+        src_marker=os.path.join(DD.cluster_pairs_path(art), "_SUCCESS"),
+    )
+
+
+#: the drift-audit family's shared history hold: doc_id % HIST_MOD !=
+#: HIST_REM is "history", the rest is the held-out ingest slice
+#: (q243/q251/q258 all audit against this slice)
+HIST_MOD = 5
+HIST_REM = 4
+
+
+def stored_hist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, hamming) — the SimHash near-dup pair set derived
+    from first principles over the HISTORY slice (doc_id % 5 != 4) of
+    the stored signature table, persisted as a derived table of the
+    text cluster artifact (round 12, VERDICT r11 #1).
+
+    The three rebuild-drift audits (q243 labels, q251 pairs, q258
+    pagerank) all need this identical pair set — banding, hot-bucket
+    caps and Hamming verify re-run over `stored_cluster_sigs % hold` —
+    and previously each re-derived it per query (together the #1 and
+    #3 steady costs). One derivation now runs per artifact generation;
+    the audits consume the persisted result. Freshness: keyed on the
+    SIG table's `_SUCCESS` generation (`_GEN`), so a streaming append
+    that adds signatures both deletes the table (ingest invalidation)
+    and ages its generation — either alone forces the rebuild. The
+    derivation is deterministic, so the stored rows are value-equal to
+    re-deriving inline and every audit oracle is unchanged."""
+    from pyspark.sql import functions as F
+
+    art = text_cluster_dir(spark, sf_dir)
+
+    def _build():
+        # edge-set-sized (verified near-dup pairs only), never
+        # corpus-scale — small enough to compact to a few files
+        return DD.simhash_pairs_from_sigs(
+            DD.stored_cluster_sigs(spark, art).filter(
+                (F.col("doc_id") % HIST_MOD) != HIST_REM
+            )
+        ).coalesce(4)
+
+    return _derived_table(
+        spark,
+        art,
+        "histpairs",
+        _build,
+        src_marker=os.path.join(DD.cluster_sigs_path(art), "_SUCCESS"),
+    )
 
 
 def embed_cluster_dir(spark: SparkSession, sf_dir: str) -> str:

@@ -2640,15 +2640,18 @@ def q258_pagerank_rebuild_drift(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from whale_sightings_spark.plans.cluster_store import (
+        stored_hist_pairs,
         stored_pagerank,
-        text_cluster_dir,
     )
 
-    art = text_cluster_dir(spark, sf_dir)
-    hist_sigs = DD.stored_cluster_sigs(spark, art).filter(
-        (F.col("doc_id") % 5) != 4
+    # round 12: the history pair set (banding + caps + Hamming verify
+    # over `stored_cluster_sigs % hold`) is derived ONCE per artifact
+    # generation and persisted (`derived_histpairs`, shared with
+    # q243/q251) — the PageRank fixpoint over it remains this audit's
+    # inline re-derivation subject
+    hist_pr = GR.pagerank_converged(
+        stored_hist_pairs(spark, sf_dir).select("doc_a", "doc_b")
     )
-    hist_pr = GR.pagerank_converged(DD.simhash_pairs_from_sigs(hist_sigs))
     full_held = stored_pagerank(spark, sf_dir).filter(
         (F.col("v") % 5) != 4
     )
@@ -2697,19 +2700,23 @@ _LMDRIFT_HOLD = "doc_id % 5 <> 4"
 
 
 def _lmdrift_oracle() -> str:
+    # sentinel replacement, not str.format: tokens_sql's output is
+    # interpolated into `uni` first, and a brace it might ever carry
+    # (e.g. a regex quantifier like '{2,}') would make a later
+    # .format pass raise or corrupt the SQL (ADVICE r11)
     uni = (
         "SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n\n"
         f"        FROM (SELECT doc_id, unnest({TX.tokens_sql('text')}) AS tok\n"
-        "              FROM documents{where})\n"
+        "              FROM documents__WHERE__)\n"
         "        WHERE tok <> '' GROUP BY doc_id, tok"
     )
     return f"""
     WITH h AS (
-        {uni.format(where=" WHERE " + _LMDRIFT_HOLD)}
+        {uni.replace("__WHERE__", " WHERE " + _LMDRIFT_HOLD)}
     ),
     s AS (
         SELECT * FROM (
-        {uni.format(where="")}
+        {uni.replace("__WHERE__", "")}
         ) WHERE {_LMDRIFT_HOLD}
     ),
     j AS (

