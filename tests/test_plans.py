@@ -694,8 +694,13 @@ def test_rebuild_drift_audits_do_not_retokenize(spark, sf_dir):
         assert "documents.parquet" not in plan, (
             f"{name} re-tokenizes the corpus:\n{plan}"
         )
-        assert "histpairs" in plan or "ExistingRDD" in plan, (
-            f"{name} does not serve from the stored history pairs:"
+        assert (
+            "histpairs" in plan
+            or "histlabels" in plan
+            or "histpagerank" in plan
+            or "ExistingRDD" in plan
+        ), (
+            f"{name} does not serve from the stored history tables:"
             f"\n{plan}"
         )
 

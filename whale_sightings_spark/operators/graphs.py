@@ -69,29 +69,38 @@ def symmetric_edges(pairs: DataFrame) -> DataFrame:
 
 
 def _pagerank_setup(pairs: DataFrame):
-    """Shared PageRank scaffolding: checkpointed edges, persisted
-    node-sized degree table, node count scalar, uniform initial ranks.
-    Every node of the symmetric edge set has degree >= 1 by
-    construction (both endpoints of every pair appear as src), so no
-    dangling-mass redistribution term is needed — asserted in
-    tests/test_graphs.py."""
-    from pyspark import StorageLevel
+    """Shared PageRank scaffolding: checkpointed degree-annotated
+    edges, node count scalar, uniform initial ranks. Every node of the
+    symmetric edge set has degree >= 1 by construction (both endpoints
+    of every pair appear as src), so no dangling-mass redistribution
+    term is needed — asserted in tests/test_graphs.py.
 
+    Round 12: the source degree is folded INTO the checkpointed edge
+    table once (src, dst, d) instead of re-joined every round — the
+    per-round plan drops from two joins to one. The aggregation still
+    computes ``sum(pr / d)`` with the same division, so the float
+    stream is bit-identical to the two-join form and every unrolled
+    oracle is unchanged."""
     edges = symmetric_edges(pairs)
-    deg = (
-        edges.groupBy(F.col("src").alias("dv"))
-        .agg(F.count("*").alias("d"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    deg = edges.groupBy(F.col("src").alias("dv")).agg(
+        F.count("*").alias("d")
     )
-    n = deg.count()  # bounded driver scalar (node count); materializes deg
-    pr = deg.select(F.col("dv").alias("v"), F.lit(1.0 / n).alias("pr"))
-    return edges, deg, n, pr
+    wedges = (
+        edges.join(deg, edges.src == deg.dv)
+        .select("src", "dst", "d")
+        .repartition("src")
+        .localCheckpoint()
+    )
+    # bounded driver scalar (node count); materializes off wedges
+    nodes = wedges.select(F.col("src").alias("v")).distinct()
+    n = nodes.count()
+    pr = nodes.select("v", F.lit(1.0 / n).alias("pr"))
+    return wedges, n, pr
 
 
-def _pagerank_round(edges, deg, n: int, pr, damp: float):
+def _pagerank_round(wedges, n: int, pr, damp: float):
     return (
-        edges.join(pr, edges.src == pr.v)
-        .join(deg, F.col("src") == F.col("dv"))
+        wedges.join(pr, wedges.src == pr.v)
         .groupBy("dst")
         .agg(
             (
@@ -108,9 +117,9 @@ def pagerank_fixed(
     """Fixed-round PageRank over the undirected pair graph. Returns
     (v, pr). The static round count keeps the plan oracle-expressible
     as chained SQL CTEs (q106)."""
-    edges, deg, n, pr = _pagerank_setup(pairs)
+    wedges, n, pr = _pagerank_setup(pairs)
     for _ in range(iters):
-        pr = _pagerank_round(edges, deg, n, pr, damp)
+        pr = _pagerank_round(wedges, n, pr, damp)
     return pr
 
 
@@ -135,13 +144,13 @@ def pagerank_converged(
     ~check_every-fold; the only cost is up to check_every-1 extra
     rounds past convergence — which only push the ranks CLOSER to the
     fixpoint (and to the unrolled oracle). Returns (v, pr)."""
-    edges, deg, n, pr = _pagerank_setup(pairs)
+    wedges, n, pr = _pagerank_setup(pairs)
     pr = pr.localCheckpoint()
     rounds = 0
     while rounds < max_rounds:
         new = pr
         for _ in range(min(check_every, max_rounds - rounds)):
-            new = _pagerank_round(edges, deg, n, new, damp)
+            new = _pagerank_round(wedges, n, new, damp)
             rounds += 1
         new = new.localCheckpoint()
         delta = (
@@ -152,7 +161,6 @@ def pagerank_converged(
         pr = new
         if delta is not None and delta < tol:
             break
-    deg.unpersist()
     return pr
 
 

