@@ -74,3 +74,88 @@ def test_rebuild_drift_empty_sides(spark):
     }
     got = _row(rebuild_drift(empty, empty, ["doc_id"], value_col="label"))
     assert all(v == 0 for v in got.values())
+
+
+def test_key_coverage_prices_every_damage_direction(spark):
+    """Round 12 (ADVICE r11): the q263 coverage core must price
+    dropped appends (missing), ghost rows (orphan), and append
+    replays (dup keys) — the damage classes that read as ZERO drift
+    in the sig-derived rebuild audits."""
+    from whale_sightings_spark.operators.drift import key_coverage
+
+    expected = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,)], "doc_id long"
+    )
+    # 1 covered once, 2 covered twice (replay), 5 orphan, 3+4 missing
+    stored = spark.createDataFrame(
+        [(1,), (2,), (2,), (5,)], "doc_id long"
+    )
+    got = key_coverage(expected, stored, ["doc_id"]).collect()[0].asDict()
+    assert got == {
+        "n_expected": 4,
+        "n_stored_keys": 3,
+        "n_covered": 2,
+        "n_missing": 2,
+        "n_orphan": 1,
+        "n_dup_keys": 1,
+        "n_stored_rows": 4,
+    }
+
+
+def test_key_coverage_clean_and_empty(spark):
+    """Intact store: covered == expected, all damage counts 0 — the
+    exact shape the q263 oracle asserts. Empty store: all-zero, never
+    NULL."""
+    from whale_sightings_spark.operators.drift import key_coverage
+
+    e = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    got = key_coverage(e, e, ["doc_id"]).collect()[0].asDict()
+    assert got == {
+        "n_expected": 2,
+        "n_stored_keys": 2,
+        "n_covered": 2,
+        "n_missing": 0,
+        "n_orphan": 0,
+        "n_dup_keys": 0,
+        "n_stored_rows": 2,
+    }
+    empty = spark.createDataFrame([], "doc_id long")
+    got = key_coverage(empty, empty, ["doc_id"]).collect()[0].asDict()
+    assert all(v == 0 for v in got.values())
+
+
+def test_sig_coverage_audit_detects_torn_sig_table(spark, sf_dir, tmp_path):
+    """End-to-end: q263 against a CRAFTED damaged sig table — one doc's
+    signature dropped, another's duplicated — reports exactly that
+    damage, while the intact artifact reports clean coverage. (The
+    oracle-gated run only ever sees the clean path; this pins the
+    detection path on a real stored artifact.)"""
+    import pyspark.sql.functions as F
+
+    from whale_sightings_spark.operators import dedup as DD
+    from whale_sightings_spark.operators.drift import key_coverage
+    from whale_sightings_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = DD.simhash_signatures(docs)
+    art = str(tmp_path / "art")
+    # drop doc 0's signature, replay doc 1's
+    damaged = sigs.filter(F.col("doc_id") != 0).unionByName(
+        sigs.filter(F.col("doc_id") == 1)
+    )
+    DD.build_cluster_artifact(None, art, sigs=damaged)
+    got = (
+        key_coverage(
+            docs.select("doc_id"),
+            DD.stored_cluster_sigs(spark, art).select("doc_id"),
+            ["doc_id"],
+        )
+        .collect()[0]
+        .asDict()
+    )
+    n = docs.count()
+    assert got["n_expected"] == n
+    assert got["n_missing"] == 1
+    assert got["n_dup_keys"] == 1
+    assert got["n_orphan"] == 0
+    assert got["n_stored_rows"] == n  # -1 dropped +1 replayed

@@ -77,6 +77,59 @@ def ks_report(d: DataFrame) -> DataFrame:
     )
 
 
+def key_coverage(
+    expected: DataFrame,
+    stored: DataFrame,
+    key_cols: list[str] | tuple[str, ...],
+) -> DataFrame:
+    """One-row completeness profile of a stored artifact's KEY SET vs
+    the key set it is contractually required to cover (round 12,
+    ADVICE r11): the drift audits that start their history recompute
+    from a stored per-row table (q243/q251/q258 from the signature
+    table) inherit that table's damage on BOTH sides of the drift
+    join — a torn or replayed append that drops, duplicates, or
+    orphans per-doc rows reads as zero drift there. This audit prices
+    exactly that damage, ids only: no tokenize pass, one distinct on
+    the expected side, one key-grouped count on the stored side, one
+    full-outer equi-join.
+
+    Returns (n_expected, n_stored_keys, n_covered, n_missing,
+    n_orphan, n_dup_keys, n_stored_rows): missing = expected keys the
+    store lost (dropped append), orphan = stored keys with no expected
+    row (ghost of deleted data), dup_keys = keys stored more than once
+    (append replay), stored_rows = total physical rows (dup mass). All
+    integers — no float boundary in the hash gate."""
+    keys = list(key_cols)
+    e = (
+        expected.select(*keys)
+        .distinct()
+        .select(*keys, F.lit(1).alias("__e"))
+    )
+    s = stored.groupBy(*keys).agg(F.count("*").alias("__sn"))
+    j = e.join(s, keys, "full_outer")
+    ie = F.col("__e") == 1
+    isd = F.col("__sn").isNotNull()
+
+    def _cnt(cond, name):
+        return (
+            F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias(name)
+        )
+
+    return j.agg(
+        _cnt(ie, "n_expected"),
+        _cnt(isd, "n_stored_keys"),
+        _cnt(ie & isd, "n_covered"),
+        _cnt(ie & ~isd, "n_missing"),
+        _cnt(isd & ~ie.eqNullSafe(F.lit(True)), "n_orphan"),
+        _cnt(isd & (F.col("__sn") > 1), "n_dup_keys"),
+        F.coalesce(F.sum("__sn"), F.lit(0))
+        .cast("bigint")
+        .alias("n_stored_rows"),
+    )
+
+
 def rebuild_drift(
     hist: DataFrame,
     stored: DataFrame,

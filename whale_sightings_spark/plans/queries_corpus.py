@@ -2774,3 +2774,49 @@ def q259_lm_rebuild_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return core.crossJoin(F.broadcast(mass))
+
+
+# ---------------------------------------------------------------------------
+# q263 — signature-table coverage audit (round 12, ADVICE r11: the
+# drift family's own blind spot). q243/q251/q258 derive their
+# history side from the STORED per-doc signature table — sound while
+# that table is complete and current, but ingest damage that drops,
+# duplicates, or orphans per-doc signatures (exactly what torn or
+# replayed appends produce) propagates to BOTH sides of those drift
+# joins and reads as zero drift. This audit closes the loop at ids
+# only — no tokenize pass: the corpus doc_id set vs the stored sig
+# doc_id set through `drift.key_coverage` (one distinct + one
+# key-grouped count + one full-outer join). n_missing > 0 = dropped
+# append, n_orphan > 0 = ghost signatures, n_dup_keys > 0 = append
+# replay; any nonzero means the other three audits' zero-drift
+# verdicts are untrustworthy and the artifact needs a rebuild.
+#
+# Oracle note (the q253/q261 convention): an intact signature table
+# is BY CONSTRUCTION one row per corpus doc, so the oracle derives
+# every output from `documents` alone; the Spark side reads the REAL
+# stored table, so any coverage damage shows up as a value mismatch
+# against this structurally-clean oracle. The nonzero-damage paths of
+# `key_coverage` are unit-pinned in tests/test_drift.py.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q263_sig_coverage_audit",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_expected,
+           CAST(count(*) AS BIGINT) AS n_stored_keys,
+           CAST(count(*) AS BIGINT) AS n_covered,
+           CAST(0 AS BIGINT) AS n_missing,
+           CAST(0 AS BIGINT) AS n_orphan,
+           CAST(0 AS BIGINT) AS n_dup_keys,
+           CAST(count(*) AS BIGINT) AS n_stored_rows
+    FROM documents
+    """,
+)
+def q263_sig_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.plans.cluster_store import text_cluster_dir
+
+    art = text_cluster_dir(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    sigs = DD.stored_cluster_sigs(spark, art).select("doc_id")
+    return DR.key_coverage(docs, sigs, ["doc_id"])
