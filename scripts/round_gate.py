@@ -45,6 +45,23 @@ def main() -> int:
         ]
         r = subprocess.run(cmd + [sf_dir], cwd=REPO)
         rc = rc or r.returncode
+    # regenerate the committed plan inventory from the live registry
+    # (VERDICT r11 #2: PLANS.md lagged the surface by one query when a
+    # registration landed after the last manual regen; the gate now
+    # rebuilds it every round, and tests/test_plans_inventory.py fails
+    # the suite if the committed file ever disagrees with queries())
+    print("=== plan inventory -> PLANS.md", flush=True)
+    with open(os.path.join(REPO, "PLANS.md"), "w") as fh:
+        r = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(HERE, "plan_report.py"),
+                "/root/testdata/sf0.001",
+            ],
+            cwd=REPO,
+            stdout=fh,
+        )
+    rc = rc or r.returncode
     print("=== pytest tests/", flush=True)
     r = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/", "-q"], cwd=REPO
