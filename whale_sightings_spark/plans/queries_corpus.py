@@ -2751,11 +2751,23 @@ def q259_lm_rebuild_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whale_sightings_spark.operators import ngram_lm as LM
     from whale_sightings_spark.plans.lm_store import lm_artifact_dir
 
+    from whale_sightings_spark.plans.cluster_store import _derived_table
+
     hold = (F.col("doc_id") % 5) != 4
     docs = load_table(spark, sf_dir, "documents")
-    hist = LM.doc_unigram_counts(docs.filter(hold)).select(
-        "doc_id", "tok", "n"
-    )
+    # round 12: the history-side tokenize+count pass is a pure
+    # function of documents.parquet, persisted as a derived table of
+    # the corpus-fingerprint-keyed LM artifact (one tokenize per
+    # corpus generation; the stored doc_uni table it audits is never
+    # an input to this side)
+    hist = _derived_table(
+        spark,
+        lm_artifact_dir(spark, sf_dir),
+        "histuni",
+        lambda: LM.doc_unigram_counts(docs.filter(hold))
+        .select("doc_id", "tok", "n")
+        .coalesce(2),
+    ).select("doc_id", "tok", "n")
     stored = (
         LM.stored_doc_uni(spark, lm_artifact_dir(spark, sf_dir))
         .filter(hold)

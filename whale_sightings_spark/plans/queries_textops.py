@@ -3164,10 +3164,22 @@ def q260_shingle_rebuild_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whale_sightings_spark.operators.drift import rebuild_drift
     from whale_sightings_spark.plans.shingle_store import shingle_artifact_dir
 
+    from whale_sightings_spark.plans.cluster_store import _derived_table
+
     hold = (F.col("doc_id") % 5) != 4
     docs = load_table(spark, sf_dir, "documents")
-    hist = SHI._distinct_postings(
-        docs.filter(hold), SHI.SHINGLE_N
+    # round 12: the history-side distinct-postings pass is a pure
+    # function of documents.parquet, persisted as a derived table of
+    # the corpus-fingerprint-keyed shingle artifact (one tokenize per
+    # corpus generation; the stored postings it audits are never an
+    # input to this side)
+    hist = _derived_table(
+        spark,
+        shingle_artifact_dir(spark, sf_dir),
+        "histpostings",
+        lambda: SHI._distinct_postings(docs.filter(hold), SHI.SHINGLE_N)
+        .select("doc_id", "shingle")
+        .coalesce(2),
     ).select("doc_id", "shingle")
     stored = (
         SHI.stored_postings(spark, shingle_artifact_dir(spark, sf_dir))
