@@ -2746,28 +2746,35 @@ def _lmdrift_oracle() -> str:
     """
 
 
-@register("q259_lm_rebuild_drift", _lmdrift_oracle())
-def q259_lm_rebuild_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lm_hist_uni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tok, n) — q259's history side: per-doc unigram counts
+    over the hold slice, a pure function of documents.parquet,
+    persisted as a derived table of the corpus-fingerprint-keyed LM
+    artifact (one tokenize per corpus generation; the stored doc_uni
+    table the audit prices is never an input to this side)."""
     from whale_sightings_spark.operators import ngram_lm as LM
+    from whale_sightings_spark.plans.cluster_store import _derived_table
     from whale_sightings_spark.plans.lm_store import lm_artifact_dir
 
-    from whale_sightings_spark.plans.cluster_store import _derived_table
-
-    hold = (F.col("doc_id") % 5) != 4
     docs = load_table(spark, sf_dir, "documents")
-    # round 12: the history-side tokenize+count pass is a pure
-    # function of documents.parquet, persisted as a derived table of
-    # the corpus-fingerprint-keyed LM artifact (one tokenize per
-    # corpus generation; the stored doc_uni table it audits is never
-    # an input to this side)
-    hist = _derived_table(
+    hold = (F.col("doc_id") % 5) != 4
+    return _derived_table(
         spark,
         lm_artifact_dir(spark, sf_dir),
         "histuni",
         lambda: LM.doc_unigram_counts(docs.filter(hold))
         .select("doc_id", "tok", "n")
         .coalesce(2),
-    ).select("doc_id", "tok", "n")
+    )
+
+
+@register("q259_lm_rebuild_drift", _lmdrift_oracle())
+def q259_lm_rebuild_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.operators import ngram_lm as LM
+    from whale_sightings_spark.plans.lm_store import lm_artifact_dir
+
+    hold = (F.col("doc_id") % 5) != 4
+    hist = lm_hist_uni(spark, sf_dir).select("doc_id", "tok", "n")
     stored = (
         LM.stored_doc_uni(spark, lm_artifact_dir(spark, sf_dir))
         .filter(hold)

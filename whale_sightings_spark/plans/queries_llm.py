@@ -3654,6 +3654,31 @@ def _minhash_pairs_sql_p(p: str = "", where: str = "") -> str:
     )"""
 
 
+def minhash_hist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b) — q262's history side: the shingle->minhash->
+    band->verify pipeline over the hold slice, a pure function of
+    documents.parquet (row-local hash-seeded signatures), persisted as
+    a derived table of the corpus-fingerprint-keyed minhash artifact —
+    re-derived once per corpus generation, independent of the stored
+    pair table the audit prices (the store is never an input)."""
+    from whale_sightings_spark.plans.cluster_store import (
+        _derived_table,
+        minhash_cluster_dir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hold = (F.col("doc_id") % 5) != 4
+    return _derived_table(
+        spark,
+        minhash_cluster_dir(spark, sf_dir),
+        "histpairs",
+        lambda: DD.minhash_lsh_pairs(docs.filter(hold))
+        .select("doc_a", "doc_b")
+        .coalesce(1),
+    )
+
+
+
 @register(
     "q262_minhash_pair_rebuild_drift",
     "WITH "
@@ -3692,27 +3717,7 @@ def q262_minhash_pair_rebuild_drift(
         stored_minhash_pairs,
     )
 
-    from whale_sightings_spark.plans.cluster_store import (
-        _derived_table,
-        minhash_cluster_dir,
-    )
-
-    hold = (F.col("doc_id") % 5) != 4
-    docs = load_table(spark, sf_dir, "documents")
-    # round 12: the history-side shingle->minhash->band->verify
-    # pipeline is a pure function of documents.parquet (row-local
-    # hash-seeded signatures), so it persists as a derived table of
-    # the corpus-fingerprint-keyed minhash artifact — re-derived once
-    # per corpus generation, independent of the stored pair table it
-    # audits (the store is never an input to this side)
-    hist = _derived_table(
-        spark,
-        minhash_cluster_dir(spark, sf_dir),
-        "histpairs",
-        lambda: DD.minhash_lsh_pairs(docs.filter(hold))
-        .select("doc_a", "doc_b")
-        .coalesce(1),
-    ).select("doc_a", "doc_b")
+    hist = minhash_hist_pairs(spark, sf_dir).select("doc_a", "doc_b")
     full_held = stored_minhash_pairs(spark, sf_dir).filter(
         ((F.col("doc_a") % 5) != 4) & ((F.col("doc_b") % 5) != 4)
     ).select("doc_a", "doc_b")

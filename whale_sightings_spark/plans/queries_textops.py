@@ -3158,29 +3158,42 @@ def _q260_oracle() -> str:
     """
 
 
-@register("q260_shingle_rebuild_drift", _q260_oracle())
-def q260_shingle_rebuild_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def shingle_hist_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — q260's history side: distinct postings over
+    the hold slice, a pure function of documents.parquet, persisted as
+    a derived table of the corpus-fingerprint-keyed shingle artifact
+    (one tokenize per corpus generation; the stored inverted index the
+    audit prices is never an input to this side)."""
+    from pyspark.sql import functions as F
+
     from whale_sightings_spark.operators import shingles as SHI
-    from whale_sightings_spark.operators.drift import rebuild_drift
-    from whale_sightings_spark.plans.shingle_store import shingle_artifact_dir
-
     from whale_sightings_spark.plans.cluster_store import _derived_table
+    from whale_sightings_spark.plans.shingle_store import (
+        shingle_artifact_dir,
+    )
 
-    hold = (F.col("doc_id") % 5) != 4
     docs = load_table(spark, sf_dir, "documents")
-    # round 12: the history-side distinct-postings pass is a pure
-    # function of documents.parquet, persisted as a derived table of
-    # the corpus-fingerprint-keyed shingle artifact (one tokenize per
-    # corpus generation; the stored postings it audits are never an
-    # input to this side)
-    hist = _derived_table(
+    hold = (F.col("doc_id") % 5) != 4
+    return _derived_table(
         spark,
         shingle_artifact_dir(spark, sf_dir),
         "histpostings",
         lambda: SHI._distinct_postings(docs.filter(hold), SHI.SHINGLE_N)
         .select("doc_id", "shingle")
         .coalesce(2),
-    ).select("doc_id", "shingle")
+    )
+
+
+@register("q260_shingle_rebuild_drift", _q260_oracle())
+def q260_shingle_rebuild_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.operators import shingles as SHI
+    from whale_sightings_spark.operators.drift import rebuild_drift
+    from whale_sightings_spark.plans.shingle_store import shingle_artifact_dir
+
+    hold = (F.col("doc_id") % 5) != 4
+    hist = shingle_hist_postings(spark, sf_dir).select(
+        "doc_id", "shingle"
+    )
     stored = (
         SHI.stored_postings(spark, shingle_artifact_dir(spark, sf_dir))
         .filter(hold)
