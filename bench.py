@@ -179,6 +179,7 @@ def main() -> None:
         shingle_hist_postings as _shingle_hist_postings,
     )
     from whale_sightings_spark.plans.queries_llm import (  # noqa: E402
+        embed_hist_pairs as _embed_hist_pairs,
         minhash_hist_pairs as _minhash_hist_pairs,
     )
 
@@ -204,6 +205,7 @@ def main() -> None:
         _lm_hist_uni,
         _shingle_hist_postings,
         _minhash_hist_pairs,
+        _embed_hist_pairs,
     ):
         build(spark, sf_dir)
     artifact_warm_s = round(time.perf_counter() - t_art, 4)

@@ -1,8 +1,8 @@
 """Single maintenance entry point over the persisted-artifact audit
 family (round 12, VERDICT r11 #5).
 
-Ten audits exist as registered queries — rebuild drift for all seven
-persisted artifact families plus the signature-coverage gate — but a
+Twelve audits exist as registered queries — rebuild drift for all eight
+persisted artifact families plus the signature/vector coverage gates — but a
 maintenance job previously had to invoke them one by one. This script
 runs the whole family against one sf_dir and emits a rebuild-due
 table: one row per artifact with its drift pressure in integer units
@@ -98,9 +98,11 @@ def _x_nb(rows):
 #: (artifact family, registered audit query, drift extractor)
 AUDITS = [
     ("sig_coverage", "q263_sig_coverage_audit", _x_coverage),
+    ("evec_coverage", "q265_evec_coverage_audit", _x_coverage),
     ("cluster_labels", "q243_cluster_rebuild_drift", _x_cluster),
     ("simhash_pairs", "q251_pair_rebuild_drift", _x_pairs),
     ("minhash_pairs", "q262_minhash_pair_rebuild_drift", _x_pairs),
+    ("embed_pairs", "q264_embed_pair_rebuild_drift", _x_pairs),
     ("pagerank", "q258_pagerank_rebuild_drift", _x_pagerank),
     ("ngram_lm", "q259_lm_rebuild_drift", _x_lm),
     ("shingle_postings", "q260_shingle_rebuild_drift", _x_pairs),

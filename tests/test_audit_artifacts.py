@@ -20,7 +20,7 @@ from audit_artifacts import AUDITS, audit_artifacts  # noqa: E402
 
 
 def test_audit_artifacts_covers_family_end_to_end(spark, sf_dir):
-    """One call audits all ten artifact families: every entry carries
+    """One call audits all twelve artifact families: every entry carries
     an integer drift pressure and a rebuild_due verdict, none errors,
     and the coverage gate (q263) reads clean on an intact store."""
     results = audit_artifacts(spark, sf_dir)

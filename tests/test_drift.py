@@ -159,3 +159,44 @@ def test_sig_coverage_audit_detects_torn_sig_table(spark, sf_dir, tmp_path):
     assert got["n_dup_keys"] == 1
     assert got["n_orphan"] == 0
     assert got["n_stored_rows"] == n  # -1 dropped +1 replayed
+
+
+def test_evec_coverage_audit_detects_torn_vector_table(
+    spark, sf_dir, tmp_path
+):
+    """q265's detection path on a real stored embed artifact: one
+    vector dropped, one replayed — the coverage core prices exactly
+    that (the streaming assign probe reads these stored vectors, so
+    silent damage here distorts every assign it serves)."""
+    import pyspark.sql.functions as F
+
+    from whale_sightings_spark.operators import dedup as DD
+    from whale_sightings_spark.operators.drift import key_coverage
+    from whale_sightings_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    damaged = emb.filter(F.col("vec_id") != 0).unionByName(
+        emb.filter(F.col("vec_id") == 1)
+    )
+    art = str(tmp_path / "art")
+    pairs = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    DD.build_cluster_artifact(pairs, art, evecs=damaged)
+    got = (
+        key_coverage(
+            emb.select("vec_id"),
+            spark.read.parquet(DD.cluster_evecs_path(art)).select(
+                "vec_id"
+            ),
+            ["vec_id"],
+        )
+        .collect()[0]
+        .asDict()
+    )
+    n = emb.count()
+    assert got["n_expected"] == n
+    assert got["n_missing"] == 1
+    assert got["n_dup_keys"] == 1
+    assert got["n_orphan"] == 0
+    assert got["n_stored_rows"] == n

@@ -3728,3 +3728,180 @@ def q262_minhash_pair_rebuild_drift(
         "n_gained",
         "n_lost",
     )
+
+
+# ---------------------------------------------------------------------------
+# q264 — EMBED pair-artifact rebuild-drift audit (round 12: the embed
+# cluster store — pairs + labels + vectors, serving q19/q246 and the
+# streaming assign probe — was the one persisted surface without a
+# drift audit). The q262 shape on the embedding near-dup graph:
+# re-derive the sign->band->cap->cosine-verify pair set over the
+# HISTORY slice (vec_id % 5 <> 4) from embeddings.parquet — a pure
+# function of the corpus, persisted as a generation-keyed derived
+# table of the embed artifact — and price presence drift against the
+# STORED pair table restricted to vectors both saw (the cos weight is
+# float; presence-only keys keep the hash gate integer, the q251
+# convention). MAX_SIG_BUCKET cap interactions drift edges BOTH ways
+# under growth, exactly like the text graph's MAX_BAND_BUCKET.
+# ---------------------------------------------------------------------------
+
+
+def _emb_pairs_cte(prefix: str = "", where: str = "") -> str:
+    """CTE chain (no leading WITH) ending in ``{prefix}pairs``
+    (vec_a, vec_b) — the q19 oracle pipeline in prefix form so the
+    history and full derivations coexist in one statement."""
+    p = prefix
+    w = f"WHERE {where}" if where else ""
+    return f"""{p}sigs AS (
+        SELECT vec_id, {SIM.lsh_signature_sql('embedding')} AS sig
+        FROM embeddings {w}
+    ),
+    {p}banded AS (
+        SELECT vec_id, 0 AS bi, sig % {1 << SIM.LSH_BAND_BITS} AS bk
+        FROM {p}sigs
+        UNION ALL
+        SELECT vec_id, 1 AS bi, sig // {1 << SIM.LSH_BAND_BITS} AS bk
+        FROM {p}sigs
+    ),
+    {p}kept AS (
+        SELECT bi, bk FROM {p}banded GROUP BY bi, bk
+        HAVING count(*) > 1 AND count(*) <= {SIM.MAX_SIG_BUCKET}
+    ),
+    {p}blocked AS (
+        SELECT s.* FROM {p}banded s JOIN {p}kept USING (bi, bk)
+    ),
+    {p}pairs AS (
+        SELECT c.vec_a, c.vec_b
+        FROM (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM {p}blocked a JOIN {p}blocked b
+              ON a.bi = b.bi AND a.bk = b.bk AND a.vec_id < b.vec_id
+        ) c
+        JOIN embeddings ea ON ea.vec_id = c.vec_a
+        JOIN embeddings eb ON eb.vec_id = c.vec_b
+        WHERE round({SIM.cosine_sql('ea.embedding', 'eb.embedding')}, 6)
+              >= {SIM.COSINE_DUP_THRESHOLD}
+    )"""
+
+
+_EDRIFT_HOLD = "vec_id % 5 <> 4"
+
+
+def embed_hist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_a, vec_b) — q264's history side: the hyperplane-LSH
+    sign->band->cap->cosine-verify pipeline over the hold slice of
+    embeddings.parquet, persisted as a derived table of the
+    corpus-fingerprint-keyed embed artifact (one vector pass per
+    corpus generation; the stored pair table the audit prices is
+    never an input to this side)."""
+    from whale_sightings_spark.plans.cluster_store import (
+        _derived_table,
+        embed_cluster_dir,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hold = (F.col("vec_id") % 5) != 4
+
+    def _build():
+        return (
+            SIM.embedding_neardup_pairs(emb.filter(hold))
+            .select("vec_a", "vec_b")
+            .coalesce(1)
+        )
+
+    return _derived_table(
+        spark, embed_cluster_dir(spark, sf_dir), "histpairs", _build
+    )
+
+
+@register(
+    "q264_embed_pair_rebuild_drift",
+    "WITH "
+    + _emb_pairs_cte("h_", _EDRIFT_HOLD)
+    + ",\n    "
+    + _emb_pairs_cte()
+    + f"""
+    , full_held AS (
+        SELECT vec_a, vec_b FROM pairs
+        WHERE vec_a % 5 <> 4 AND vec_b % 5 <> 4
+    ),
+    j AS (
+        SELECT h.vec_a IS NOT NULL AS in_hist,
+               f.vec_a IS NOT NULL AS in_full
+        FROM h_pairs h
+        FULL OUTER JOIN full_held f
+          ON f.vec_a = h.vec_a AND f.vec_b = h.vec_b
+    )
+    SELECT CAST(sum(CASE WHEN in_hist THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pairs_hist,
+           CAST(sum(CASE WHEN in_full THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pairs_full_held,
+           CAST(sum(CASE WHEN in_hist AND in_full THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stable,
+           CAST(sum(CASE WHEN in_full AND NOT in_hist THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gained,
+           CAST(sum(CASE WHEN in_hist AND NOT in_full THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lost
+    FROM j
+    """,
+)
+def q264_embed_pair_rebuild_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from whale_sightings_spark.plans.cluster_store import (
+        stored_embed_pairs,
+    )
+
+    hist = embed_hist_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    full_held = stored_embed_pairs(spark, sf_dir).filter(
+        ((F.col("doc_a") % 5) != 4) & ((F.col("doc_b") % 5) != 4)
+    ).select(
+        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
+    )
+    return DR.rebuild_drift(hist, full_held, ["vec_a", "vec_b"]).select(
+        F.col("n_hist").alias("n_pairs_hist"),
+        F.col("n_stored").alias("n_pairs_full_held"),
+        "n_stable",
+        "n_gained",
+        "n_lost",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q265 — embed vector-table coverage audit (round 12: the q263 shape
+# for the SECOND per-row store). The read-only streaming assign probe
+# and the q255 incremental-assign audit verify ARRIVING vectors
+# against the STORED evecs table — a torn or replayed ingest that
+# drops, duplicates, or orphans stored vectors silently distorts
+# every assign they serve. Ids only through `drift.key_coverage`:
+# the embeddings vec_id set vs the stored evecs vec_id set. Oracle:
+# an intact evecs table is by construction one row per corpus vector
+# (the q263/q253 convention — the Spark side reads the REAL store,
+# so any damage mismatches the structurally-clean oracle; nonzero
+# paths are unit-pinned in tests/test_drift.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q265_evec_coverage_audit",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_expected,
+           CAST(count(*) AS BIGINT) AS n_stored_keys,
+           CAST(count(*) AS BIGINT) AS n_covered,
+           CAST(0 AS BIGINT) AS n_missing,
+           CAST(0 AS BIGINT) AS n_orphan,
+           CAST(0 AS BIGINT) AS n_dup_keys,
+           CAST(count(*) AS BIGINT) AS n_stored_rows
+    FROM embeddings
+    """,
+)
+def q265_evec_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whale_sightings_spark.plans.cluster_store import embed_cluster_dir
+    from whale_sightings_spark.plans.store_utils import read_artifact_table
+
+    art = embed_cluster_dir(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    evecs = read_artifact_table(
+        spark, DD.cluster_evecs_path(art)
+    ).select("vec_id")
+    return DR.key_coverage(emb, evecs, ["vec_id"])
