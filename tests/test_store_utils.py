@@ -187,3 +187,34 @@ def test_ingest_invalidation_skips_live_staging(spark, tmp_path):
     assert live.is_dir()
     assert not dead.exists()
     assert not published.exists()
+
+
+def test_load_table_memoizes_and_rekeys(spark, sf_dir, tmp_path):
+    """Round 12 (optimization): base testdata tables serve the SAME
+    lazy DataFrame object per (file stat signature, session) — the
+    per-query fixed overhead was footer read + schema inference + the
+    _fan_out directory walk, repeated ~265x per bench run. A rewritten
+    (touched) table must re-key; the plan itself stays lazy, so every
+    action still computes from the parquet input."""
+    import shutil
+    import time as _time
+
+    from whale_sightings_spark import schemas as S
+
+    d1 = S.load_table(spark, sf_dir, "nation")
+    assert S.load_table(spark, sf_dir, "nation") is d1
+    n = d1.count()
+    assert n > 0
+    # a table whose file signature moves is re-read, not served stale
+    p = tmp_path / "nation.parquet"
+    shutil.copy(os.path.join(sf_dir, "nation.parquet"), p)
+    m1 = S.load_table(spark, str(tmp_path), "nation")
+    assert m1.count() == n
+    _time.sleep(0.01)
+    os.utime(p)
+    m2 = S.load_table(spark, str(tmp_path), "nation")
+    assert m2 is not m1
+    # events keeps its nanos->micros cast through the memo
+    e1 = S.load_table(spark, sf_dir, "events")
+    assert S.load_table(spark, sf_dir, "events") is e1
+    assert dict(e1.dtypes)["ts"] == "timestamp_ntz"
