@@ -217,6 +217,20 @@ def _load_table_uncached(spark: SparkSession, path: str, name: str) -> DataFrame
     return _fan_out(spark, df, path)
 
 
+#: tables whose query surface runs expensive per-row work straight off
+#: the scan — interpreted higher-order lambdas over embedding arrays,
+#: tokenizer/regex cascades over document text, date-repair regexes
+#: over event strings. Only these repay a fan-out exchange on an
+#: unsplittable single-row-group scan; the relational tables' map-side
+#: work is all codegen'd scalar projection (cheap on one core) and
+#: their parallelism comes from the first shuffle, so fanning them out
+#: costs a sort + exchange (~0.4-0.6 s on lineitem locally, guide §2.4
+#: "check explain() for Exchange nodes you did not expect") with no
+#: downstream speedup (round 12 measurement: lineitem noop 0.22 s raw
+#: vs 0.86 s fanned; groupBy-agg 0.15 s raw vs 0.52 s fanned).
+_FAN_OUT_TABLES = frozenset({"documents", "embeddings", "events"})
+
+
 def _fan_out(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     """Repartition unsplittable scans up to the cluster's parallelism.
 
@@ -226,8 +240,13 @@ def _fan_out(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     fewer scan splits than cores, fan out with a round-robin exchange
     (a few MB locally). On a real multi-file / multi-row-group layout
     (the 100 TB case) the scan parallelizes naturally and this is a
-    no-op, so no production plan pays the extra shuffle.
+    no-op, so no production plan pays the extra shuffle. Round 12:
+    applied only to the ``_FAN_OUT_TABLES`` whose per-row work is
+    interpreted (see above) — everything else keeps its natural scan.
     """
+    name = os.path.basename(path).rsplit(".", 1)[0]
+    if name not in _FAN_OUT_TABLES:
+        return df
     parallelism = spark.sparkContext.defaultParallelism
     try:
         size = sum(
