@@ -365,7 +365,6 @@ def _lloyd_codebook(
     start at 0 (e.g. a streaming micro-batch) seed from the ids
     actually present instead of silently training a partial codebook.
     """
-    spark = sub.sparkSession
     # Materialize the training sample once: every Lloyd round re-reads
     # it, and for residual trainings its lineage includes a full
     # coarse-assign join — recomputing THAT per round would dominate
@@ -389,11 +388,17 @@ def _lloyd_codebook(
                 ).alias("mvec")
             )
         )
-        cb = spark.createDataFrame(
+        # round 12 (guide §5 "driver should do almost no data work"):
+        # truncate each round's lineage with a localCheckpoint instead
+        # of collect()+createDataFrame — same values (the means are
+        # 6dp-rounded before use either way), but the codebook stays in
+        # the JVM: no Python row serialization and no per-round plan
+        # rebuild (~0.3-0.5 s saved per round across every Lloyd
+        # training query).
+        cb = (
             cb.join(means, ["s", "cid"], "left")
             .select("s", "cid", F.coalesce("mvec", "cvec").alias("cvec"))
-            .collect(),
-            schema="s int, cid bigint, cvec array<double>",
+            .localCheckpoint()
         )
     return cb
 
