@@ -52,7 +52,12 @@ from whale_sightings_spark.functions import text as TX
 from whale_sightings_spark.operators import dedup as DD
 from whale_sightings_spark.operators import drift as DR
 from whale_sightings_spark.operators import graphs as GR
-from whale_sightings_spark.operators.similarity import cosine, cosine_sql
+from whale_sightings_spark.operators.similarity import (
+    _dot,
+    _norm,
+    cosine,
+    cosine_sql,
+)
 from whale_sightings_spark.plans.queries import register
 from whale_sightings_spark.schemas import load_table
 
@@ -1458,29 +1463,57 @@ def q169_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("cn") > 1) & (F.col("cn") <= _KNN_MAX_CELL))
         .select("cell")
     )
-    a = emb.select(
+    # round 12 (guide §1.2 "the distributed algorithm" + §2.3 "shuffle
+    # fewer bytes"): cosine is symmetric, so generate each unordered
+    # pair ONCE (id_lo < id_hi) and mirror the scored half-pair table
+    # afterwards — half the join output and half the cosine work. Each
+    # side pre-computes its own norm (sqrt(dot(v, v)) — the exact
+    # subexpression the inline cosine evaluated per PAIR), so the
+    # per-pair work drops from three 64-dim folds to one:
+    # cos = dot(va, vb) / (na * nb) is the same double arithmetic in
+    # the same order, just factored out of the quadratic loop.
+    sides = emb.select(
+        "vec_id",
+        F.col("label").alias("cell"),
+        F.col("embedding").alias("v"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    a = sides.select(
         F.col("vec_id").alias("anchor_id"),
-        F.col("label").alias("cell"),
-        F.col("embedding").alias("va"),
+        "cell",
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
-    b = emb.select(
+    b = sides.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("cell"),
-        F.col("embedding").alias("vb"),
+        "cell",
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
-    pairs = (
+    half = (
         a.join(F.broadcast(ok), "cell")
         .join(b, "cell")
-        .filter(F.col("anchor_id") != F.col("neighbor_id"))
+        .filter(F.col("anchor_id") < F.col("neighbor_id"))
         .select(
             "anchor_id",
             "neighbor_id",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos"),
         )
         # the pos and neg windows both consume the pair table —
         # checkpoint so the capped self-join + cosine runs once, not
         # twice (the q191 convention)
         .localCheckpoint()
+    )
+    pairs = half.unionByName(
+        half.select(
+            F.col("neighbor_id").alias("anchor_id"),
+            F.col("anchor_id").alias("neighbor_id"),
+            "cos",
+        )
     )
     w = W.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     pos = (
