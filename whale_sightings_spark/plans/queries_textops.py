@@ -2130,7 +2130,9 @@ def _ppjoin_candidates(
             ubound * (_PPJ_NUM + _PPJ_DEN)
             >= _PPJ_NUM * (F.col("na") + F.col("nb"))
         )
-    return grouped.select("doc_a", "doc_b"), sh, sz
+    # na/nb ride along (already grouping keys) so the verify stage
+    # doesn't need to re-join the size table per side.
+    return grouped.select("doc_a", "doc_b", "na", "nb"), sh, sz
 
 
 @register(
@@ -2182,21 +2184,32 @@ def _ppjoin_candidates(
 )
 def q191_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand, sh, sz = _ppjoin_candidates(spark, sf_dir, positional=True)
-    inter = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
-            ["doc_b", "shingle"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    # Verify via per-doc shingle ARRAYS instead of re-exploding the
+    # posting lists through a double join + re-aggregation: each
+    # candidate pair fetches the two arrays and counts the overlap
+    # with size(array_intersect()) — the postings are distinct per
+    # (doc_id, shingle) by construction, so the intersect size IS the
+    # exact n_common the exploded count(*) produced. na/nb already
+    # ride on cand (grouping keys of the candidate aggregation), so
+    # the two size-table joins are gone too.
+    arrs = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shs"))
+    joined = cand.join(
+        arrs.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa")),
+        "doc_a",
+    ).join(
+        arrs.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb")),
+        "doc_b",
     )
-    za = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    zb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    # The trivial per-pair aggregation (one row per group) is an
+    # optimizer BARRIER: without it the jaccard filter is pushed into
+    # the broadcast-join condition and array_intersect gets evaluated
+    # three times per pair (twice in the condition, once in the
+    # project) — measured 2x slower steady and 4x slower cold.
+    nc = joined.groupBy("doc_a", "doc_b", "na", "nb").agg(
+        F.max(F.size(F.array_intersect("sa", "sb"))).cast("long").alias("n_common")
+    )
     return (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .filter(
+        nc.filter(
             F.col("n_common") * _PPJ_DEN
             >= _PPJ_NUM * (F.col("na") + F.col("nb") - F.col("n_common"))
         )
