@@ -409,11 +409,22 @@ def capped_postings(
 ) -> DataFrame:
     """(doc_id, shingle) with hot shingles dropped — the
     `dedup._shingle_docs` contract served from the store: the df-cap
-    is a semi-join against the (vocab-scale) stored df table instead
-    of a fresh corpus-wide re-aggregation."""
-    return stored_postings(spark, artifact_dir).join(
+    is applied against the (vocab-scale) stored df table instead of a
+    fresh corpus-wide re-aggregation.
+
+    The cap keeps ALMOST ALL shingles (only boilerplate exceeds
+    max_df), so joining against the keep-set shuffles the corpus-scale
+    posting table by shingle. Inverting it — a broadcast ANTI-join
+    against the tiny HOT set (df > max_df) — drops the same rows with
+    no shuffle of the postings at all (guide §3.1: broadcast the side
+    that is small; here the small side is the complement). Exactly
+    equivalent: every posting's shingle is in the df table by
+    construction, and df rows aggregate to one row per shingle."""
+    hot = (
         stored_df(spark, artifact_dir)
-        .filter(F.col("df") <= max_df)
-        .select("shingle"),
-        "shingle",
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    return stored_postings(spark, artifact_dir).join(
+        F.broadcast(hot), "shingle", "left_anti"
     )

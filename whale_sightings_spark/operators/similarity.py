@@ -311,9 +311,46 @@ def _pq_seed_codebook(sub: DataFrame) -> DataFrame:
 
 def _pq_assign_to(sub: DataFrame, cb: DataFrame) -> DataFrame:
     """(vec_id, s, cid, d2, subvec): nearest entry of ``cb`` per
-    (vector, subspace) via a min-struct keyed agg (map-side partial,
-    d2-then-cid tie-break); the sub-vector rides along in the struct so
-    training doesn't re-join it."""
+    (vector, subspace).
+
+    r12 (guide §2.4 "remove shuffles outright"): the codebook collapses
+    to ONE row per subspace (k is bounded — PQ_K/IVF_K — so the list is
+    broadcast-sized by construction), and the argmin runs row-local as
+    an array_min over the centroid list. The previous shape broadcast-
+    joined the flat codebook (k rows per vector) and then SHUFFLED the
+    corpus on (vec_id, s) to reduce the min-struct — a full exchange of
+    the fan-out per assignment pass. Same values: d2 per (row,
+    centroid) is the identical expression, and the (d2, cid) struct
+    min is the identical deterministic tie-break. Assignment is now
+    map-only at any scale. (The Lloyd ROUND loop keeps the flat
+    min-struct shape — see ``_pq_assign_flat``: its input is the tiny
+    train sample, where the extra collect_list stage and the heavier
+    array-lambda codegen per round cost more than the shuffle they
+    remove.)"""
+    cbl = cb.groupBy("s").agg(
+        F.collect_list(F.struct("cid", "cvec")).alias("cbs")
+    )
+    best = F.array_min(
+        F.transform(
+            "cbs",
+            lambda c: F.struct(
+                _l2sq(F.col("subvec"), c.cvec).alias("d2"),
+                c.cid.alias("cid"),
+            ),
+        )
+    )
+    return (
+        sub.join(F.broadcast(cbl), "s")
+        .select("vec_id", "s", best.alias("m"), "subvec")
+        .select("vec_id", "s", "m.cid", "m.d2", "subvec")
+    )
+
+
+def _pq_assign_flat(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """The broadcast-join + min-struct-agg assignment (identical rows
+    to ``_pq_assign_to``) — kept for the Lloyd round loop over the
+    train sample, where the keyed-agg shuffle of the (tiny) sample is
+    cheaper than an extra per-round codebook stage."""
     d2 = _l2sq(F.col("subvec"), F.col("cvec"))
     return (
         sub.join(F.broadcast(cb), "s")
@@ -375,7 +412,7 @@ def _lloyd_codebook(
         "s", F.col("vec_id").alias("cid"), F.col("subvec").alias("cvec")
     )
     for _ in range(rounds):
-        assigned = _pq_assign_to(train, cb)
+        assigned = _pq_assign_flat(train, cb)
         means = (
             assigned.select("s", "cid", F.posexplode("subvec").alias("pos", "v"))
             .groupBy("s", "cid", "pos")

@@ -624,34 +624,74 @@ _NBD_TOPK = 10
     """,
 )
 def q238_nb_retrain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 (guide §2.3 "aggregate before you shuffle" / one pass instead
+    # of two): the two trainings differ only by the doc_id < split
+    # predicate, so ONE corpus tokenize + ONE vocab agg carries both
+    # models as conditional sums. Every per-token count and every model
+    # total is an exact integer (y ∈ {0,1} summed), so the conditional
+    # sums equal the two independent trainings bit-for-bit, and the llr
+    # arithmetic below is the nb_train expression verbatim per side.
     docs = load_table(spark, sf_dir, "documents")
-    hist_vt, _hm = CL.nb_train(docs.filter(F.col("doc_id") < _NBD_SPLIT))
-    full_vt, _gm = CL.nb_train(docs)
-    h = hist_vt.select(
-        "tok", F.round("llr", 6).alias("llr_hist")
-    ).localCheckpoint()  # vocab-sized; joined + counted + anti-joined
-    g = full_vt.select(
-        "tok", F.round("llr", 6).alias("llr_full")
-    ).localCheckpoint()
-    joined = g.join(h, "tok").select(
-        "tok",
-        "llr_hist",
-        "llr_full",
-        F.round(F.abs(F.col("llr_full") - F.col("llr_hist")), 6).alias(
-            "drift"
-        ),
+    lab = CL._labelled(docs).filter(~CL.is_held(F.col("doc_id")))
+    hist = (F.col("doc_id") < _NBD_SPLIT).cast("double")
+    tt = (
+        lab.select("y", (F.col("y") * hist).alias("yh"), hist.alias("h"),
+                   F.explode("w").alias("tok"))
+        .filter(F.col("tok") != "")
     )
-    nh = h.agg(F.count("*").cast("bigint").alias("n_vocab_hist"))
-    ng = g.agg(F.count("*").cast("bigint").alias("n_vocab_full"))
-    nn = (
-        g.join(h, "tok", "left_anti")
-        .agg(F.count("*").cast("bigint").alias("n_new_tokens"))
+    counts = (
+        tt.groupBy("tok")
+        .agg(
+            F.sum("y").cast("double").alias("c1f"),
+            F.sum(1 - F.col("y")).cast("double").alias("c0f"),
+            F.sum("yh").alias("c1h"),
+            F.sum(F.col("h") - F.col("yh")).alias("c0h"),
+        )
+        .withColumn("full_ok", F.col("c1f") + F.col("c0f") >= CL.NB_MIN_COUNT)
+        .withColumn("hist_ok", F.col("c1h") + F.col("c0h") >= CL.NB_MIN_COUNT)
+        .filter(F.col("full_ok") | F.col("hist_ok"))
+        .localCheckpoint()  # vocab-sized; llr pass + summary pass
     )
-    top = joined.orderBy(F.desc("drift"), F.asc("tok")).limit(_NBD_TOPK)
+    tot = counts.agg(
+        F.sum(F.when(F.col("full_ok"), F.col("c1f"))).alias("n1f"),
+        F.sum(F.when(F.col("full_ok"), F.col("c0f"))).alias("n0f"),
+        F.sum(F.col("full_ok").cast("long")).cast("double").alias("vf"),
+        F.sum(F.when(F.col("hist_ok"), F.col("c1h"))).alias("n1h"),
+        F.sum(F.when(F.col("hist_ok"), F.col("c0h"))).alias("n0h"),
+        F.sum(F.col("hist_ok").cast("long")).cast("double").alias("vh"),
+        F.sum(F.col("hist_ok").cast("long")).cast("bigint").alias("n_vocab_hist"),
+        F.sum(F.col("full_ok").cast("long")).cast("bigint").alias("n_vocab_full"),
+        F.sum((F.col("full_ok") & ~F.col("hist_ok")).cast("long"))
+        .cast("bigint")
+        .alias("n_new_tokens"),
+    )
+    joined = (
+        counts.filter(F.col("full_ok") & F.col("hist_ok"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            F.round(
+                F.log((F.col("c1h") + 1.0) / (F.col("n1h") + F.col("vh")))
+                - F.log((F.col("c0h") + 1.0) / (F.col("n0h") + F.col("vh"))),
+                6,
+            ).alias("llr_hist"),
+            F.round(
+                F.log((F.col("c1f") + 1.0) / (F.col("n1f") + F.col("vf")))
+                - F.log((F.col("c0f") + 1.0) / (F.col("n0f") + F.col("vf"))),
+                6,
+            ).alias("llr_full"),
+            "n_vocab_hist",
+            "n_vocab_full",
+            "n_new_tokens",
+        )
+        .withColumn(
+            "drift",
+            F.round(F.abs(F.col("llr_full") - F.col("llr_hist")), 6),
+        )
+    )
     return (
-        top.crossJoin(F.broadcast(nh))
-        .crossJoin(F.broadcast(ng))
-        .crossJoin(F.broadcast(nn))
+        joined.orderBy(F.desc("drift"), F.asc("tok"))
+        .limit(_NBD_TOPK)
         .select(
             "tok",
             "llr_hist",

@@ -1966,12 +1966,19 @@ def q139_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     art = shingle_artifact_dir(spark, sf_dir)
     sp = SHI.stored_postings(spark, art)
-    keep = (
+    # r12: the cap keeps almost every shingle — drop the tiny HOT set
+    # with a broadcast anti-join instead of shuffling the postings
+    # against the vocab-scale keep-set (same rows; see capped_postings)
+    hot = (
         SHI.stored_df(spark, art)
-        .filter(F.col("df") <= DD.MAX_SHINGLE_DF)
+        .filter(F.col("df") > DD.MAX_SHINGLE_DF)
         .select("shingle")
     )
-    ss = sp.join(keep, "shingle").select("source", "shingle").distinct()
+    ss = (
+        sp.join(F.broadcast(hot), "shingle", "left_anti")
+        .select("source", "shingle")
+        .distinct()
+    )
     a = ss.alias("a")
     b = ss.alias("b")
     return (
