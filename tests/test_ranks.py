@@ -99,3 +99,35 @@ def test_freq_avg_ranks_matches_native(spark):
     g = {(r.grp, r.val): r.avg_rank for r in got.collect()}
     e = {(r.grp, r.val): r.avg_rank for r in want.collect()}
     assert g == e
+
+
+# ---------------------------------------------------------------------------
+# r12: _exact_deciles (q72) must reproduce F.percentile bit-for-bit on
+# BOTH its size-adaptive paths — the sorted-array one-task path and the
+# distributed rank-selection path (forced by shrinking the size gate).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "data",
+    [
+        [1.0],
+        [1.0, 2.0],
+        [2.0] * 10 + [3.0] * 7,           # heavy ties
+        [float(x) for x in range(11)],    # integer decile positions
+        [float(x * x % 97) for x in range(500)],
+    ],
+)
+def test_exact_deciles_match_builtin_percentile(spark, data, monkeypatch):
+    from whale_sightings_spark.plans import queries_relational as QR
+
+    df = spark.createDataFrame([(x,) for x in data], "v double")
+    want = df.agg(
+        F.percentile("v", F.lit(QR._DECILES)).alias("b")
+    ).collect()[0][0]
+    got_local = QR._exact_deciles(df, "v").collect()[0][0]
+    assert got_local == want  # exact doubles, no tolerance
+    # force the distributed rank-selection path
+    monkeypatch.setattr(QR, "_DECILE_LOCAL_BYTES", -1)
+    got_dist = QR._exact_deciles(df, "v").collect()[0][0]
+    assert got_dist == want

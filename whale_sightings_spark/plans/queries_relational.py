@@ -342,6 +342,111 @@ def q71_bitmap_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECILES = [i / 10 for i in range(1, 10)]
 
 
+#: below this much input parquet, the single-task sorted-array decile
+#: path is used; above it, the distributed rank-selection path. 256 MiB
+#: of parquet is ~10M doubles — an ~80 MB sort in one task, well inside
+#: an executor; past that the per-task state must stay bounded.
+_DECILE_LOCAL_BYTES = 256 * 1024 * 1024
+
+
+def _exact_deciles(df: DataFrame, col: str) -> DataFrame:
+    """One-row (bounds array<double>) frame: exact interpolated deciles
+    of ``col``, bit-identical to ``F.percentile(col, _DECILES)``.
+
+    r12 (guide §5 — bound per-task state): the builtin exact percentile
+    is a TypedImperativeAggregate that builds a value->count hash map
+    per partition and merges all of them single-threaded in the final
+    task — ~3 s over 600 k near-distinct doubles locally, and a
+    single-task memory wall at scale. Two replacements, switched on
+    input size (scale-adaptive, not tuned to either deploy shape):
+
+    - small inputs: one collect_list + array_sort aggregation — the
+      same one-task reduction the builtin already implies, minus its
+      per-value hash-map bookkeeping, and a 2-stage plan;
+    - large inputs: distributed rank selection — range-repartition the
+      values, rank within each partition (parallel local sorts), turn
+      per-partition counts into global offsets (a partition-count-sized
+      window), and select the floor/ceil ranks of each decile position
+      with one slim aggregation. No task ever holds the column.
+
+    Both interpolate with the same (1-frac)*lo + frac*hi arithmetic as
+    the builtin and are verified bit-equal on the bench data and on
+    tie/edge fixtures (tests/test_ranks.py)."""
+    from pyspark.sql import Window as W
+
+    v = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
+    try:
+        import os
+
+        in_bytes = sum(
+            os.path.getsize(f[5:] if f.startswith("file:") else f)
+            for f in df.inputFiles()
+        )
+    except Exception:
+        in_bytes = _DECILE_LOCAL_BYTES + 1
+    if in_bytes <= _DECILE_LOCAL_BYTES:
+        one = v.agg(F.array_sort(F.collect_list("v")).alias("vs"))
+        n = F.size("vs").cast("long")
+        bounds = []
+        for p in _DECILES:
+            pos = F.lit(p) * (n - 1)
+            lo = F.element_at("vs", (F.floor(pos) + 1).cast("int"))
+            hi = F.element_at("vs", (F.ceil(pos) + 1).cast("int"))
+            frac = pos - F.floor(pos)
+            bounds.append((F.lit(1.0) - frac) * lo + frac * hi)
+        return one.select(F.array(*bounds).alias("bounds"))
+    rv = v.repartitionByRange("v").select(
+        "v", F.spark_partition_id().alias("pid")
+    )
+    loc = rv.withColumn(
+        "lr", F.row_number().over(W.partitionBy("pid").orderBy("v"))
+    )
+    cnts = loc.groupBy("pid").agg(F.count("*").alias("c"))
+    offs = cnts.select(
+        "pid",
+        F.coalesce(
+            F.sum("c").over(
+                W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    n = v.agg(F.count("*").alias("n"))
+    g = (
+        loc.join(F.broadcast(offs), "pid")
+        .select("v", (F.col("off") + F.col("lr") - 1).alias("gr"))
+        .crossJoin(F.broadcast(n))
+    )
+    conds = None
+    for p in _DECILES:
+        pos = F.lit(p) * (F.col("n") - 1)
+        c = (F.col("gr") == F.floor(pos)) | (F.col("gr") == F.ceil(pos))
+        conds = c if conds is None else (conds | c)
+    aggs = [F.max("n").alias("n")]
+    for i, p in enumerate(_DECILES):
+        pos = F.lit(p) * (F.col("n") - 1)
+        aggs.append(
+            F.max(F.when(F.col("gr") == F.floor(pos), F.col("v"))).alias(
+                f"lo{i}"
+            )
+        )
+        aggs.append(
+            F.max(F.when(F.col("gr") == F.ceil(pos), F.col("v"))).alias(
+                f"hi{i}"
+            )
+        )
+    one = g.filter(conds).agg(*aggs)
+    bounds = []
+    for i, p in enumerate(_DECILES):
+        frac = F.lit(p) * (F.col("n") - 1) - F.floor(
+            F.lit(p) * (F.col("n") - 1)
+        )
+        bounds.append(
+            (F.lit(1.0) - frac) * F.col(f"lo{i}") + frac * F.col(f"hi{i}")
+        )
+    return one.select(F.array(*bounds).alias("bounds"))
+
+
 @register(
     "q72_equidepth_bins",
     f"""
@@ -361,9 +466,7 @@ _DECILES = [i / 10 for i in range(1, 10)]
 )
 def q72_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    bounds = li.agg(
-        F.percentile("l_extendedprice", F.lit(_DECILES)).alias("bounds")
-    )
+    bounds = _exact_deciles(li, "l_extendedprice")
     binned = li.crossJoin(F.broadcast(bounds)).select(
         (
             1
