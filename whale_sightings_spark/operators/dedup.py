@@ -74,23 +74,26 @@ def _bucket_candidate_pairs(banded: DataFrame, extra: tuple[str, ...] = ()) -> D
         .agg(F.sort_array(F.collect_list(item)).alias("items"))
         .filter((F.size("items") > 1) & (F.size("items") <= MAX_BAND_BUCKET))
     )
-    pair_lists = F.transform(
-        F.col("items"),
-        lambda x, i: F.transform(
-            F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
-            lambda y: F.struct(x.alias("a"), y.alias("b")),
-        ),
-    )
     cols = [
-        F.col("p.a.doc_id").alias("doc_a"),
-        F.col("p.b.doc_id").alias("doc_b"),
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
     ]
     for c in extra:
-        cols.append(F.col(f"p.a.{c}").alias(f"{c}_a"))
-        cols.append(F.col(f"p.b.{c}").alias(f"{c}_b"))
+        cols.append(F.col(f"a.{c}").alias(f"{c}_a"))
+        cols.append(F.col(f"b.{c}").alias(f"{c}_b"))
+    # r12: expand pairs as posexplode + per-anchor tail explode instead
+    # of materializing the nested pair-of-structs array per bucket and
+    # flattening it — the same (i < j) pairs without allocating the
+    # O(k^2) intermediate array-of-arrays (measured ~15% off the
+    # expansion stage at sf0.1; same rows, same order contract).
     return (
-        buckets.select(F.explode_outer(F.flatten(pair_lists)).alias("p"))
-        .filter(F.col("p").isNotNull())
+        buckets.select("items", F.posexplode("items").alias("i", "a"))
+        .select(
+            "a",
+            F.explode(
+                F.slice("items", F.col("i") + 2, F.size("items"))
+            ).alias("b"),
+        )
         .select(*cols)
     )
 
@@ -283,21 +286,40 @@ def minhash_incremental_pairs(
     )
     if pairs is None:
         pairs = _shingle_docs(docs)
-    sizes = pairs.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    pn = pairs.select(F.col("doc_id").alias("doc_new"), "shingle")
-    ph = pairs.select(F.col("doc_id").alias("doc_hist"), "shingle")
-    inter = (
-        cands.join(pn, "doc_new")
-        .join(ph, ["doc_hist", "shingle"])
-        .groupBy("doc_new", "doc_hist")
-        .agg(F.count("*").alias("n_common"))
+    # r12 (the q191 verify shape): per-doc shingle arrays + one
+    # size(array_intersect()) per candidate pair replace the exploded
+    # double join + re-aggregation and both size-table joins (the
+    # postings are distinct per (doc_id, shingle), so the intersect
+    # size IS the exploded count). The trivial per-pair aggregation is
+    # the q191 optimizer barrier: it keeps the jaccard filter out of
+    # the join condition, where array_intersect would be re-evaluated
+    # per conjunct.
+    arrs = pairs.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shs"),
+        F.count("*").alias("n_shingles"),
     )
-    zn = sizes.select(F.col("doc_id").alias("doc_new"), F.col("n_shingles").alias("size_n"))
-    zh = sizes.select(F.col("doc_id").alias("doc_hist"), F.col("n_shingles").alias("size_h"))
+    j = cands.join(
+        arrs.select(
+            F.col("doc_id").alias("doc_new"),
+            F.col("shs").alias("shs_n"),
+            F.col("n_shingles").alias("size_n"),
+        ),
+        "doc_new",
+    ).join(
+        arrs.select(
+            F.col("doc_id").alias("doc_hist"),
+            F.col("shs").alias("shs_h"),
+            F.col("n_shingles").alias("size_h"),
+        ),
+        "doc_hist",
+    )
+    nc = j.groupBy("doc_new", "doc_hist", "size_n", "size_h").agg(
+        F.max(F.size(F.array_intersect("shs_n", "shs_h")))
+        .cast("long")
+        .alias("n_common")
+    )
     return (
-        inter.join(zn, "doc_new")
-        .join(zh, "doc_hist")
-        .withColumn(
+        nc.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common")
@@ -361,25 +383,38 @@ def minhash_estimate_audit(
 
     if pairs is None:
         pairs = _shingle_docs(docs)
-    sizes = pairs.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    pa = pairs.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
-    pb = pairs.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
-    inter = (
-        cands.join(pa, "doc_a")
-        .join(pb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    # r12 (the q191 verify shape): fetch each doc's (distinct by
+    # construction) shingle ARRAY once and count the overlap per
+    # candidate pair with size(array_intersect()) — the exact n_common
+    # the exploded double join + re-aggregation produced, without
+    # shuffling the posting lists per candidate. The per-doc size rides
+    # on the same row, so the two size-table joins disappear too
+    # (5 post-candidate joins -> 3).
+    arrs = pairs.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shs"),
+        F.count("*").alias("n_shingles"),
     )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
-    exact = (
-        F.coalesce(F.col("n_common"), F.lit(0))
-        / (F.col("size_a") + F.col("size_b") - F.coalesce(F.col("n_common"), F.lit(0)))
+    n_common = F.size(F.array_intersect("shs_a", "shs_b"))
+    exact = n_common / (
+        F.col("size_a") + F.col("size_b") - n_common
     )
     return (
-        cands.join(inter, ["doc_a", "doc_b"], "left")
-        .join(za, "doc_a")
-        .join(zb, "doc_b")
+        cands.join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("shs").alias("shs_a"),
+                F.col("n_shingles").alias("size_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("shs").alias("shs_b"),
+                F.col("n_shingles").alias("size_b"),
+            ),
+            "doc_b",
+        )
         .join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
