@@ -1457,74 +1457,137 @@ def mmr_topk(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= pool)
         .select("query_id", "neighbor_id", "cvec", "rel")
-        .localCheckpoint()
     )
-    selected = (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "cvec",
-            "rel",
-            F.lit(1).cast("int").alias("rank"),
-            F.col("rel").alias("score"),
-        )
-        .localCheckpoint()
-    )
-    for r in range(2, k + 1):
-        rem = cand.join(
-            selected.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_anti",
-        )
-        maxsim = (
-            rem.join(
-                F.broadcast(
-                    selected.select("query_id", F.col("cvec").alias("svec"))
-                ),
-                "query_id",
-            )
-            .select(
-                "query_id",
-                "neighbor_id",
-                F.round(cosine(F.col("cvec"), F.col("svec")), 6).alias("sim"),
-            )
-            .groupBy("query_id", "neighbor_id")
-            .agg(F.max("sim").alias("maxsim"))
-        )
-        pick = (
-            rem.join(maxsim, ["query_id", "neighbor_id"])
-            .withColumn(
-                "score",
-                F.lit(MMR_LAMBDA) * F.col("rel")
-                - F.lit(MMR_OML) * F.col("maxsim"),
-            )
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    W.partitionBy("query_id").orderBy(
-                        F.desc("score"), F.asc("neighbor_id")
+    # r12 (guide §5 — the driver should run no per-round jobs): the
+    # greedy used to run K-1 driver rounds of anti-join + broadcast
+    # join + agg + window over the BOUNDED |Q|×pool frame, each round a
+    # localCheckpoint action — ~0.3 s of pure job overhead per round.
+    # The frame is pool-bounded per query BY CONSTRUCTION, so the whole
+    # greedy runs row-local instead: collect each query's pool into one
+    # row (ordered by the rank-1 criterion), precompute the pool×pool
+    # 6dp-rounded sim matrix once, and unroll the K argmax rounds as
+    # pure array expressions over indices. Same doubles (identical
+    # rounded sims, identical λ·rel − (1−λ)·maxsim arithmetic) and the
+    # identical (score DESC, neighbor_id ASC) tie-break via (score,
+    # -neighbor_id) struct max. One job, zero loop actions.
+    g = cand.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("rel")).alias("nrel"),
+                        F.col("neighbor_id").alias("nid"),
+                        F.col("rel").alias("rel"),
+                        F.col("cvec").alias("cvec"),
                     )
+                )
+            ),
+            lambda x: F.struct(
+                x.nid.alias("nid"), x.rel.alias("rel"), x.cvec.alias("cvec")
+            ),
+        ).alias("items")
+    )
+    g = g.withColumn(
+        "sims",
+        F.transform(
+            "items",
+            lambda a: F.transform(
+                "items", lambda b: F.round(cosine(a.cvec, b.cvec), 6)
+            ),
+        ),
+    )
+    items = F.col("items")
+    n_items = F.size("items")
+
+    def item(i):
+        return F.element_at(items, i + F.lit(1))
+
+    # greedy over indices: sel1..selK name the picked-index arrays and
+    # best2..bestK the per-round argmax structs as COLUMNS, so each
+    # round references the previous round's named result instead of
+    # re-inlining its expression tree (CollapseProject keeps multiply-
+    # referenced non-cheap aliases materialized).
+    g = g.withColumn("sel1", F.array(F.lit(0)))
+    out_rows = [
+        F.struct(
+            F.lit(1).cast("int").alias("rank"),
+            item(F.lit(0)).nid.alias("neighbor_id"),
+            item(F.lit(0)).rel.alias("relevance"),
+            item(F.lit(0)).rel.cast("double").alias("score"),
+        )
+    ]
+    for r in range(2, k + 1):
+        sel = F.col(f"sel{r - 1}")
+        idxs = F.sequence(F.lit(0), n_items - F.lit(1))
+
+        def make_cand_struct(sel):
+            # one-arg lambda only: a second Python parameter would make
+            # PySpark treat this as the (element, index) lambda form
+            def cand_struct(i):
+                maxsim = F.array_max(
+                    F.transform(
+                        sel,
+                        lambda j: F.element_at(
+                            F.element_at("sims", i + F.lit(1)),
+                            j + F.lit(1),
+                        ),
+                    )
+                )
+                score = (
+                    F.lit(MMR_LAMBDA) * item(i).rel
+                    - F.lit(MMR_OML) * maxsim
+                )
+                return F.when(
+                    ~F.array_contains(sel, i),
+                    F.struct(
+                        score.alias("score"),
+                        (-item(i).nid).alias("negid"),
+                        i.alias("i"),
+                    ),
+                )
+
+            return cand_struct
+
+        cand_struct = make_cand_struct(sel)
+
+        g = g.withColumn(
+            f"best{r}",
+            F.array_max(
+                F.filter(
+                    F.transform(idxs, cand_struct), lambda s: s.isNotNull()
+                )
+            ),
+        )
+        best = F.col(f"best{r}")
+        out_rows.append(
+            F.when(
+                n_items >= F.lit(r),
+                F.struct(
+                    F.lit(r).cast("int").alias("rank"),
+                    item(best.i).nid.alias("neighbor_id"),
+                    item(best.i).rel.alias("relevance"),
+                    best.score.cast("double").alias("score"),
                 ),
             )
-            .filter(F.col("rn") == 1)
-            .select(
-                "query_id",
-                "neighbor_id",
-                "cvec",
-                "rel",
-                F.lit(r).cast("int").alias("rank"),
-                "score",
-            )
         )
-        selected = selected.unionByName(pick).localCheckpoint()
-    return selected.select(
+        g = g.withColumn(
+            f"sel{r}",
+            F.when(
+                best.isNotNull(), F.array_append(sel, best.i)
+            ).otherwise(sel),
+        )
+    picked = g.select(
         "query_id",
-        "rank",
-        "neighbor_id",
-        F.col("rel").alias("relevance"),
-        F.round("score", 6).alias("mmr_score"),
+        F.explode(
+            F.filter(F.array(*out_rows), lambda s: s.isNotNull())
+        ).alias("p"),
+    )
+    return picked.select(
+        "query_id",
+        F.col("p.rank").alias("rank"),
+        F.col("p.neighbor_id").alias("neighbor_id"),
+        F.col("p.relevance").alias("relevance"),
+        F.round("p.score", 6).alias("mmr_score"),
     )
 
 
