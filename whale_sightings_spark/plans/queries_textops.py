@@ -2833,14 +2833,24 @@ def q215_tokenizer_faceoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.trim(F.lower(F.col("text"))), " +")
         ).alias("word"),
     ).filter(F.col("word") != "")
-    b = (
+    # r12 (guide §2.3): BOTH tokenizer measures come off ONE pass over
+    # the exploded corpus — the old shape exploded documents twice and
+    # shuffled two per-source aggregations, then joined them. Left-join
+    # both broadcast word tables and aggregate conditionally: the BPE
+    # sums are unchanged; the WordPiece sums restrict to seg-matched
+    # rows (exactly the old inner join's row set — integer sums, so
+    # bit-identical), and sources with zero matched words are dropped
+    # to reproduce the old inner b⋈w join semantics.
+    merged = (
         dw.join(F.broadcast(wt), "word", "left")
+        .join(F.broadcast(seg), "word", "left")
         .select(
             "source",
             "word",
             F.coalesce("n_tokens", F.length("word").cast("bigint")).alias(
                 "n_toks"
             ),
+            "n_pieces",
         )
         .groupBy("source")
         .agg(
@@ -2855,25 +2865,26 @@ def q215_tokenizer_faceoff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum("n_toks").cast("double"),
                 6,
             ).alias("bpe_bpt"),
-        )
-    )
-    w = (
-        dw.join(F.broadcast(seg), "word")
-        .groupBy("source")
-        .agg(
             F.round(
                 F.sum("n_pieces").cast("double")
-                / F.count("*").cast("double"),
+                / F.count("n_pieces").cast("double"),
                 6,
             ).alias("wp_fertility"),
             F.round(
-                F.sum(F.length("word")).cast("double")
+                F.sum(
+                    F.when(
+                        F.col("n_pieces").isNotNull(), F.length("word")
+                    )
+                ).cast("double")
                 / F.sum("n_pieces").cast("double"),
                 6,
             ).alias("wp_bpt"),
+            F.count("n_pieces").alias("_n_wp_matched"),
         )
+        .filter(F.col("_n_wp_matched") > 0)
+        .drop("_n_wp_matched")
     )
-    return b.join(w, "source").select(
+    return merged.select(
         "source",
         "n_words",
         "bpe_fertility",
