@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from whale_sightings_spark.operators.similarity import cosine, cosine_sql
+from whale_sightings_spark.operators.similarity import (
+    _dot,
+    _norm,
+    cosine,
+    cosine_sql,
+)
 
 # ---------------------------------------------------------------------------
 # semantic eval-contamination screen
@@ -484,13 +489,16 @@ def int8_serving_recall(embeddings: DataFrame) -> DataFrame:
     reconstruction error; this prices it in the metric that matters,
     retrieval recall vs the float exact top-k.
 
-    Scale shape: everything runs in LONG (vec_id, dim, val) form — the
-    per-dim bounds are the q182 partial agg, decode is row-local
-    against the broadcast 64-row bounds table, and the query-corpus
-    scores are a dim-keyed join against the broadcast query set
-    followed by one (query, vec) partial agg. No array re-assembly, no
-    corpus-scale shuffle beyond the keyed score agg; top-k is the
-    WindowGroupLimit harness every recall audit here shares.
+    Scale shape: the per-dim bounds are the q182 partial agg collapsed
+    to ONE broadcast row of dim-indexed arrays; decode and the
+    query-corpus cosines are then fully ROW-LOCAL over the embedding
+    arrays (r12, guide §2.4: the former dim-keyed score join shuffled a
+    corpus x queries aggregation and rebuilt two derived broadcasts —
+    all of it replaced by one map-only pass). Every sum (dot, both
+    norms) runs in ascending-dim order exactly like the former
+    (query, vec)-keyed partial aggs over the pos-ordered explode, so
+    the doubles are bit-identical. Top-k stays the WindowGroupLimit
+    harness every recall audit here shares.
     """
     d = embeddings.select(
         "vec_id", F.posexplode("embedding").alias("pos", "fval")
@@ -498,53 +506,73 @@ def int8_serving_recall(embeddings: DataFrame) -> DataFrame:
     bounds = d.groupBy("pos").agg(
         F.min("val").alias("lo"), F.max("val").alias("hi")
     )
-    b = bounds.withColumn(
-        "scale",
-        F.greatest((F.col("hi") - F.col("lo")) / INT8_LEVELS, F.lit(SCALE_FLOOR)),
+    brow = bounds.agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "lo", "hi"))
+        ).alias("bnd")
+    ).select(
+        F.transform("bnd", lambda s: s["lo"]).alias("los"),
+        F.transform(
+            "bnd",
+            lambda s: F.greatest(
+                (s["hi"] - s["lo"]) / INT8_LEVELS, F.lit(SCALE_FLOOR)
+            ),
+        ).alias("scales"),
     )
-    code = F.least(
-        F.greatest(
-            F.round((F.col("val") - F.col("lo")) / F.col("scale"), 0), F.lit(0.0)
-        ),
-        F.lit(float(INT8_LEVELS)),
+
+    def _decode(x, i):
+        lo = F.element_at(F.col("los"), i + 1)
+        sc = F.element_at(F.col("scales"), i + 1)
+        code = F.least(
+            F.greatest(
+                F.round((x.cast("double") - lo) / sc, 0), F.lit(0.0)
+            ),
+            F.lit(float(INT8_LEVELS)),
+        )
+        return lo + code * sc
+
+    dec = (
+        embeddings.crossJoin(F.broadcast(brow))
+        .select("vec_id", F.transform("embedding", _decode).alias("rvec"))
+        .select("vec_id", "rvec", _norm(F.col("rvec")).alias("rnrm"))
     )
-    dec = d.join(F.broadcast(b), "pos").select(
-        "vec_id", "pos", (F.col("lo") + code * F.col("scale")).alias("rv")
-    )
-    rnorm = dec.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("rv") * F.col("rv"))).alias("rnrm")
-    )
-    q = d.filter(F.col("vec_id") < INT8_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "pos", F.col("val").alias("qv")
-    )
-    qnorm = q.groupBy("query_id").agg(
-        F.sqrt(F.sum(F.col("qv") * F.col("qv"))).alias("qnrm")
+    # per-vector norms precomputed BEFORE the pair joins (one array
+    # aggregate per vector instead of two per pair); multiplication
+    # order is kept per side so every double matches the former
+    # per-pair evaluation bit-for-bit
+    qf = embeddings.filter(F.col("vec_id") < INT8_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        _norm(F.col("embedding")).alias("qnrm"),
     )
     scored = (
-        dec.join(F.broadcast(q), "pos")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum(F.col("rv") * F.col("qv")).alias("dot"))
-        .join(rnorm, "vec_id")
-        .join(F.broadcast(qnorm), "query_id")
+        dec.join(F.broadcast(qf), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(F.col("dot") / (F.col("rnrm") * F.col("qnrm")), 6).alias(
-                "cos"
-            ),
+            F.round(
+                _dot(F.col("rvec"), F.col("qvec"))
+                / (F.col("rnrm") * F.col("qnrm")),
+                6,
+            ).alias("cos"),
         )
     )
     approx = _topk(scored, INT8_K).withColumn("hit", F.lit(1))
-    qf = embeddings.filter(F.col("vec_id") < INT8_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
-    )
     cf = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        _norm(F.col("embedding")).alias("cnrm"),
     )
     exact = _topk(
         cf.join(F.broadcast(qf), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("qvec"), F.col("cvec")), 6)),
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnrm") * F.col("cnrm")),
+                6,
+            ),
+        ),
         INT8_K,
     )
     return (
