@@ -464,24 +464,39 @@ def stored_doc_tri(spark: SparkSession, artifact_dir: str) -> DataFrame:
     return _read_table(spark, artifact_dir, "doc_tri", _DOC_TRI_SCHEMA)
 
 
+#: memoized term -> bucket-id resolution. The bucket of a LITERAL query
+#: term is a pure function of the term string (Spark's murmur hash) and
+#: N_LM_BUCKETS — it never depends on any table — so it is evaluated
+#: once per term set as a OneRowRelation projection (local eval, no
+#: job, no scan) and reused for the life of the process. r12: the
+#: previous per-invocation createDataFrame -> distinct -> collect spent
+#: ~1 s of pure job overhead on every retrieval-family query.
+_TERM_BUCKET_MEMO: dict[tuple, list[int]] = {}
+
+
+def _term_buckets(spark: SparkSession, terms: tuple) -> list[int]:
+    got = _TERM_BUCKET_MEMO.get(terms)
+    if got is None:
+        quoted = ", ".join("'" + t.replace("'", "\\'") + "'" for t in terms)
+        row = spark.sql(
+            f"SELECT transform(array({quoted}), "
+            f"t -> CAST(pmod(hash(t), {N_LM_BUCKETS}) AS INT)) AS bs"
+        ).collect()[0]
+        got = sorted(set(row["bs"]))
+        _TERM_BUCKET_MEMO[terms] = got
+    return got
+
+
 def stored_term_postings(
     spark: SparkSession, artifact_dir: str, terms
 ) -> DataFrame:
     """(doc_id, source, tok, n) rows of ``doc_uni`` for a literal query
     term set — the retrieval family's tf side. The terms' bucket ids
-    (≤ |terms| scalars from one literal-frame hash job) become a
-    partition IN-filter, so the probe reads |term buckets| /
+    (≤ |terms| scalars from one memoized local hash evaluation) become
+    a partition IN-filter, so the probe reads |term buckets| /
     N_LM_BUCKETS of the stored index at rest (the q244/q250 pruned-
     probe convention), never the corpus and never a full index scan."""
-    t = spark.createDataFrame([(x,) for x in terms], "tok string")
-    buckets = [
-        r["b"]
-        for r in t.select(
-            F.pmod(F.hash("tok"), F.lit(N_LM_BUCKETS)).cast("int").alias("b")
-        )
-        .distinct()
-        .collect()
-    ]
+    buckets = _term_buckets(spark, tuple(terms))
     return (
         stored_doc_uni(spark, artifact_dir)
         .filter(F.col("bucket").isin(buckets) & F.col("tok").isin(list(terms)))

@@ -544,16 +544,38 @@ from whale_sightings_spark.functions.text import (  # noqa: E402
     """,
 )
 def q235_gated_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from whale_sightings_spark.functions.text import token_count
+    from whale_sightings_spark.functions.text import token_count, tokens
 
+    # r12 (guide §2.3/§2.4): scoring and token accounting used two
+    # corpus scans (each with its own tokenize) joined back on doc_id —
+    # a corpus-doc-scale shuffle join. One pass now carries both:
+    # n_toks rides the score aggregation as a grouping key (it is
+    # functionally dependent on doc_id, so the groups — and the score
+    # sums — are unchanged), and the weak label y (a quality_score
+    # pass this query never reads) is dropped from the plan.
     docs = load_table(spark, sf_dir, "documents")
-    scored = CL.nb_score_from_store(
-        docs, spark, _nb_artifact_dir(spark, sf_dir)
+    vt, meta = CL.nb_stored_model(spark, _nb_artifact_dir(spark, sf_dir))
+    dtok = (
+        docs.select(
+            "doc_id",
+            "source",
+            token_count(F.col("text")).cast("bigint").alias("n_toks"),
+            F.explode(tokens(F.col("text"))).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
     )
-    toks = docs.select(
-        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_toks")
+    scored = (
+        dtok.join(F.broadcast(vt), "tok", "left")
+        .crossJoin(F.broadcast(meta))
+        .groupBy("doc_id", "source", "n_toks")
+        .agg(
+            (
+                F.first("prior")
+                + F.sum(F.coalesce(F.col("llr"), F.col("oov")))
+            ).alias("score")
+        )
     )
-    gated = scored.join(toks, "doc_id").select(
+    gated = scored.select(
         "source", (F.col("score") > 0).alias("kept"), "n_toks"
     )
     per_src = gated.groupBy("source").agg(

@@ -761,21 +761,27 @@ def q124_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size(span) > 0)
         .select("doc_id", F.md5(F.concat_ws(" ", span)).alias("h"))
     )
-    dup = (
-        s.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("h", F.lit(1).alias("dup_hit"))
+    # r12 (guide §2.4): the dup-set + left-join shape computed the span
+    # table TWICE (two corpus tokenize passes) and shuffled it twice on
+    # h. One clustering by h now carries everything: (h, doc_id) span
+    # counts reuse the h partitioning, the distinct-doc count per h is
+    # a window on the same partitioning (rows are unique per
+    # (h, doc_id), so count(*) == count(DISTINCT doc_id)), and the
+    # per-doc rollup is the only other exchange. Same integers: a doc's
+    # dup spans are exactly its spans whose h occurs in >= 2 docs.
+    g = (
+        s.repartition("h")
+        .groupBy("h", "doc_id")
+        .agg(F.count("*").alias("c"))
+        .withColumn("nd", F.count("*").over(W.partitionBy("h")))
     )
-    flagged = s.join(dup, "h", "left").select(
-        "doc_id", F.coalesce(F.col("dup_hit"), F.lit(0)).alias("is_dup")
-    )
+    dup_c = F.sum(F.when(F.col("nd") > 1, F.col("c")).otherwise(F.lit(0)))
     return (
-        flagged.groupBy("doc_id")
+        g.groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_spans"),
-            F.sum("is_dup").alias("n_dup_spans"),
-            F.round(F.sum("is_dup") / F.count("*"), 4).alias("dup_ratio"),
+            F.sum("c").alias("n_spans"),
+            dup_c.alias("n_dup_spans"),
+            F.round(dup_c / F.sum("c"), 4).alias("dup_ratio"),
         )
         .filter(F.col("n_dup_spans") > 0)
     )
