@@ -2102,11 +2102,15 @@ def _ppjoin_candidates(
         + 1
     )
     # pref self-joins with itself below — checkpoint so the df-join +
-    # window chain behind it runs once, not twice.
+    # window chain behind it runs once, not twice. eager=False (r12):
+    # the eager form ran a blocking materialization job at DAG-BUILD
+    # time on every invocation; the lazy form caches the partitions
+    # inside the action itself, so the chain still runs once but the
+    # extra job (and its scheduling overhead) is gone.
     pref = (
         ranked.filter(F.col("rk") <= plen)
         .select("doc_id", "shingle", "rk", "n")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     a = pref.alias("a")
     b = pref.alias("b")
@@ -2578,29 +2582,54 @@ def q200_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "sh")
     )
-    sdist = spos.select("doc_id", "sh").distinct()
-    keep = (
-        sdist.groupBy("sh")
-        .agg(F.count("*").alias("nd"))
+    # r12 (guide §2.4): the sdist/keep/cand/amatch join chain re-derived
+    # the corpus span table FIVE times (sdist three times, spos twice —
+    # five tokenize+shingle passes) and shuffled it for every join. One
+    # clustering by sh now builds the df-capped posting index once —
+    # repartition(sh), then the (sh, doc_id) position lists, the
+    # distinct-doc window and the per-sh doc list all reuse that
+    # partitioning — and every downstream row (shared-shingle pairs
+    # with doc_a's positions riding along) explodes out of the bounded
+    # (nd <= cap) lists. All outputs are integers; the pair/position
+    # multisets are identical by construction (one row per kept shingle
+    # shared by an ordered doc pair; doc_a's positions attached), so
+    # runs and n_shared match row-for-row. Pairs sharing only one
+    # shingle (below MIN_SHARED) now also reach the runs window; the
+    # final inner join drops them exactly as the old cand-first chain
+    # did.
+    sd = (
+        spos.repartition("sh")
+        .groupBy("sh", "doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("poss"))
+        .withColumn("nd", F.count("*").over(W.partitionBy("sh")))
         .filter((F.col("nd") >= 2) & (F.col("nd") <= _SPAN_DF_CAP))
-        .select("sh")
     )
-    a = sdist.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = sdist.select(F.col("doc_id").alias("doc_b"), "sh")
+    plist = sd.groupBy("sh").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "poss"))).alias(
+            "items"
+        )
+    )
+    pair_sh = (
+        plist.select("items", F.posexplode("items").alias("i", "a"))
+        .select(
+            "a",
+            F.explode(
+                F.slice("items", F.col("i") + 2, F.size("items"))
+            ).alias("b"),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.poss").alias("poss_a"),
+        )
+    )
     cand = (
-        a.join(keep, "sh")
-        .join(b, "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        pair_sh.groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= _SPAN_MIN_SHARED)
     )
-    amatch = (
-        cand.select("doc_a", "doc_b")
-        .join(spos.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(keep, "sh")
-        .join(b, ["doc_b", "sh"])
-        .select("doc_a", "doc_b", "pos")
+    amatch = pair_sh.select(
+        "doc_a", "doc_b", F.explode("poss_a").alias("pos")
     )
     w = W.partitionBy("doc_a", "doc_b").orderBy("pos")
     runs = (
