@@ -82,14 +82,31 @@ def ann_bruteforce_topk(
 
     The query set is broadcast against one corpus scan; ranking is a
     window partitioned per query (k small, heap-like TakeOrdered).
+    Per-vector norms are computed once per vector BEFORE the pair join
+    (r12: the per-pair cosine re-aggregated both norms for every pair);
+    the qnrm * cnrm product keeps cosine()'s argument order, so every
+    double is unchanged.
     """
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        _norm(F.col("embedding")).alias("qnrm"),
     )
-    c = embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec"))
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        _norm(F.col("embedding")).alias("cnrm"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnrm") * F.col("cnrm")),
+                6,
+            ),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -941,14 +958,18 @@ def ann_trained_probe_curve(
             _l2sq(F.col("subvec"), F.col("cvec")).alias("d2"),
         )
     )
+    # r12: attach the budget AFTER scoring. The old probe table carried
+    # one (n_probe, query, cell) row per budget, so the cell join
+    # multiplied every candidate pair by |PROBE_BUDGETS| and the cosine
+    # re-evaluated per copy; now each pair scores once with the cell's
+    # probe rank riding along, and the budget fan-out is a row-local
+    # explode + integer filter on already-rounded cosines — identical
+    # (pair, budget) rows reach the window.
     pw = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
     probes = (
         qd.withColumn("pr", F.row_number().over(pw))
-        .withColumn(
-            "n_probe", F.explode(F.array(*[F.lit(b) for b in PROBE_BUDGETS]))
-        )
-        .filter(F.col("pr") <= F.col("n_probe"))
-        .select("n_probe", "query_id", "cell")
+        .filter(F.col("pr") <= max(PROBE_BUDGETS))
+        .select("query_id", "cell", "pr")
     )
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
@@ -963,6 +984,11 @@ def ann_trained_probe_curve(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .join(F.broadcast(q), ["query_id"])
         .withColumn("cos", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        .withColumn(
+            "n_probe",
+            F.explode(F.array(*[F.lit(b) for b in PROBE_BUDGETS])),
+        )
+        .filter(F.col("pr") <= F.col("n_probe"))
     )
     w = W.partitionBy("n_probe", "query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")
