@@ -536,3 +536,28 @@ def test_rebuild_drift_detects_stale_lm_store(spark, docs, tmp_path):
     assert row["n_lost"] == missing  # the not-yet-ingested docs' postings
     assert row["n_gained"] == 0 and row["n_changed"] == 0
     assert row["n_stable"] == row["n_stored"]
+
+
+def test_term_bucket_memo_matches_columnar_hash(spark):
+    """r12: _term_buckets replaced a per-invocation createDataFrame ->
+    distinct -> collect job with a memoized OneRowRelation evaluation.
+    Pin it against the columnar pmod(hash(tok)) the store's writers use
+    to bucket rows — a drift here would silently empty every pruned
+    term probe."""
+    terms = ("whale", "swims", "the", "o'brien", "")
+    LM._TERM_BUCKET_MEMO.pop(terms, None)
+    got = LM._term_buckets(spark, terms)
+    expected = sorted(
+        r["b"]
+        for r in spark.createDataFrame([(t,) for t in terms], "tok string")
+        .select(
+            F.pmod(F.hash("tok"), F.lit(LM.N_LM_BUCKETS))
+            .cast("int")
+            .alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    assert got == expected
+    # memoized: the second call returns the same object with no job
+    assert LM._term_buckets(spark, terms) is LM._TERM_BUCKET_MEMO[terms]
