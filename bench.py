@@ -316,6 +316,28 @@ def main() -> None:
             f,
             indent=1,
         )
+    # driver-consumable per-query channel (VERDICT r12 #1): a separate
+    # compact JSON line carrying the full per-query maps, printed
+    # BEFORE the totals line. The totals line must stay LAST and under
+    # the driver's 2000-char tail capture (the 111-query inline map
+    # blew past it in rounds 2-3 and left the artifact unparseable), so
+    # the ~14 KB per-query line rides earlier in stdout where a
+    # full-stream scanner can still pick it up. Additions only: the
+    # totals line keys and methodology are unchanged.
+    print(
+        json.dumps(
+            {
+                "metric": "per_query_seconds",
+                "unit": "sec",
+                "sf": payload["sf"],
+                # cold wall per query (the basis of `value`)
+                "queries": {k: round(v, 2) for k, v in timings.items()},
+                # min-of-2 steady rerun per query (basis of steady_value)
+                "per_query": {k: round(v, 2) for k, v in steady.items()},
+            },
+            separators=(",", ":"),
+        )
+    )
     print(json.dumps(payload, separators=(",", ":")))
     spark.stop()
 

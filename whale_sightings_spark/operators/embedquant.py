@@ -495,10 +495,11 @@ def int8_serving_recall(embeddings: DataFrame) -> DataFrame:
     arrays (r12, guide §2.4: the former dim-keyed score join shuffled a
     corpus x queries aggregation and rebuilt two derived broadcasts —
     all of it replaced by one map-only pass). Every sum (dot, both
-    norms) runs in ascending-dim order exactly like the former
-    (query, vec)-keyed partial aggs over the pos-ordered explode, so
-    the doubles are bit-identical. Top-k stays the WindowGroupLimit
-    harness every recall audit here shares.
+    norms) runs in ascending-dim order; the former shuffled partial
+    aggs carried no guaranteed addition order, so the invariant this
+    preserves (and the one the oracle tests pin) is equality after the
+    6dp rounding, not bit-identity (ADVICE r12). Top-k stays the
+    WindowGroupLimit harness every recall audit here shares.
     """
     d = embeddings.select(
         "vec_id", F.posexplode("embedding").alias("pos", "fval")

@@ -477,11 +477,24 @@ _TERM_BUCKET_MEMO: dict[tuple, list[int]] = {}
 def _term_buckets(spark: SparkSession, terms: tuple) -> list[int]:
     got = _TERM_BUCKET_MEMO.get(terms)
     if got is None:
-        quoted = ", ".join("'" + t.replace("'", "\\'") + "'" for t in terms)
-        row = spark.sql(
-            f"SELECT transform(array({quoted}), "
-            f"t -> CAST(pmod(hash(t), {N_LM_BUCKETS}) AS INT)) AS bs"
-        ).collect()[0]
+        # literals via F.lit, not SQL text (ADVICE r12: quoting only
+        # escaped single quotes, so a backslash in a term produced a
+        # malformed literal, and escapedStringLiterals=true broke \').
+        # Still a OneRowRelation projection: local eval, no job.
+        row = (
+            spark.sql("SELECT 1")
+            .select(
+                F.array(
+                    *[
+                        F.pmod(F.hash(F.lit(t)), F.lit(N_LM_BUCKETS)).cast(
+                            "int"
+                        )
+                        for t in terms
+                    ]
+                ).alias("bs")
+            )
+            .collect()[0]
+        )
         got = sorted(set(row["bs"]))
         _TERM_BUCKET_MEMO[terms] = got
     return got
