@@ -408,9 +408,14 @@ def bpe_apply_merges(
     zero training jobs. ``merges`` is [(left_sym, right_sym), ...] in
     round order (collect the K-row stored merge table to get it — a
     bounded, sanctioned collect)."""
-    syms = _char_rows(wd).localCheckpoint()
+    # eager=False (r13): the serve path has NO per-round collect, so
+    # the whole K-pass chain materializes inside the consumer's one
+    # action — K+1 blocking jobs per invocation become zero
+    # (interleaved A/B on q203: wall-neutral, 9 fewer jobs). Each
+    # checkpoint still truncates the Catalyst plan (LogicalRDD leaf).
+    syms = _char_rows(wd).localCheckpoint(eager=False)
     for a, b in merges:
-        syms = _apply_merge(syms, a, b).localCheckpoint()
+        syms = _apply_merge(syms, a, b).localCheckpoint(eager=False)
     return syms
 
 

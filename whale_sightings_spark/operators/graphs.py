@@ -65,7 +65,11 @@ def symmetric_edges(pairs: DataFrame) -> DataFrame:
     edges = directed.unionByName(
         directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return edges.repartition("src").localCheckpoint()
+    # eager=False (r13): the repartition shuffle behind the
+    # checkpoint is stage-shared across consumers, so the lazy fill
+    # races only over the post-shuffle scan; one blocking job less
+    # per invocation.
+    return edges.repartition("src").localCheckpoint(eager=False)
 
 
 def _pagerank_setup(pairs: DataFrame):
@@ -89,9 +93,9 @@ def _pagerank_setup(pairs: DataFrame):
         edges.join(deg, edges.src == deg.dv)
         .select("src", "dst", "d")
         .repartition("src")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    # bounded driver scalar (node count); materializes off wedges
+    # bounded driver scalar (node count); its job fills the checkpoint
     nodes = wedges.select(F.col("src").alias("v")).distinct()
     n = nodes.count()
     pr = nodes.select("v", F.lit(1.0 / n).alias("pr"))
@@ -145,14 +149,14 @@ def pagerank_converged(
     rounds past convergence — which only push the ranks CLOSER to the
     fixpoint (and to the unrolled oracle). Returns (v, pr)."""
     wedges, n, pr = _pagerank_setup(pairs)
-    pr = pr.localCheckpoint()
+    pr = pr.localCheckpoint(eager=False)  # the first delta probe fills it
     rounds = 0
     while rounds < max_rounds:
         new = pr
         for _ in range(min(check_every, max_rounds - rounds)):
             new = _pagerank_round(wedges, n, new, damp)
             rounds += 1
-        new = new.localCheckpoint()
+        new = new.localCheckpoint(eager=False)  # delta collect fills it
         delta = (
             new.join(pr.withColumnRenamed("pr", "po"), "v")
             .agg(F.sum(F.abs(F.col("pr") - F.col("po"))))
@@ -200,7 +204,7 @@ def triangle_census(pairs: DataFrame) -> DataFrame:
     a->b->c closed by a->c, so the wedge join + closure join count each
     triangle once. The count is orientation-invariant — the oracle can
     (and does) use id-orientation."""
-    e = orient_by_degree(pairs).localCheckpoint()
+    e = orient_by_degree(pairs).localCheckpoint(eager=False)
     wedges = (
         e.alias("e1")
         .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))

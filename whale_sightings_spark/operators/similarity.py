@@ -424,7 +424,9 @@ def _lloyd_codebook(
     # coarse-assign join — recomputing THAT per round would dominate
     # the training cost. (Persisting the sample is what MLlib's KMeans
     # does with its input via cache().)
-    train = sub.filter(F.col("vec_id") % train_mod == 0).localCheckpoint()
+    train = sub.filter(F.col("vec_id") % train_mod == 0).localCheckpoint(
+        eager=False
+    )  # round 1's job fills it; rounds are driver-sequential
     cb = seed if seed is not None else sub.filter(F.col("vec_id") < k).select(
         "s", F.col("vec_id").alias("cid"), F.col("subvec").alias("cvec")
     )
@@ -452,7 +454,13 @@ def _lloyd_codebook(
         cb = (
             cb.join(means, ["s", "cid"], "left")
             .select("s", "cid", F.coalesce("mvec", "cvec").alias("cvec"))
-            .localCheckpoint()
+            # eager=False (r13): no collect between rounds, so the
+            # whole Lloyd chain materializes in the first consumer
+            # action (interleaved A/B on q212+q155: lazy min 2.63 s
+            # vs eager 2.74 s); the Catalyst plan per round stays a
+            # LogicalRDD leaf either way, and the per-round blocking
+            # job is gone.
+            .localCheckpoint(eager=False)
         )
     return cb
 

@@ -166,7 +166,7 @@ def q227_auc_weak_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("y").cast("bigint").alias("n_pos"),
             F.sum(1 - F.col("y")).cast("bigint").alias("n_neg"),
         )
-        .localCheckpoint()  # ≤256 rows; reused by 3 consumers below
+        .localCheckpoint(eager=False)  # ≤256 rows; 3 consumers; agg-backed
     )
     tot2 = hist.agg(
         F.sum("n_pos").alias("p"),
@@ -255,7 +255,7 @@ def q228_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         CL.weak_label(F.col("text")).alias("y"),
         *[x.alias(f"x{j + 1}") for j, x in enumerate(xs)],
         (~CL.is_held(F.col("doc_id"))).alias("is_train"),
-    ).localCheckpoint()  # consumed by 6 GD steps + the eval pass
+    ).localCheckpoint(eager=False)  # 6 GD collects + eval; step 1 fills it
     w = CL.logreg_fit(feats.filter("is_train"))
     z = (
         F.lit(w[0])
@@ -472,7 +472,7 @@ def q230_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.round(F.avg("p"), 4).alias("confidence"),
         F.round(F.avg(F.col("y").cast("double")), 4).alias("observed_rate"),
-    ).localCheckpoint()  # ≤10 rows; reused by the ECE side
+    ).localCheckpoint(eager=False)  # ≤10 rows; ECE side; agg-backed
     ece = cells.agg(
         F.round(
             F.sum(
@@ -585,7 +585,7 @@ def q235_gated_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("kept"), F.col("n_toks")).otherwise(F.lit(0)))
         .cast("bigint")
         .alias("tok_kept"),
-    ).localCheckpoint()  # source-sized; normalizer + output consumers
+    ).localCheckpoint(eager=False)  # source-sized; normalizer + output
     z = per_src.agg(
         F.sum(F.pow(F.col("tok_kept"), F.lit(_MIX_ALPHA))).alias("z")
     )
@@ -672,7 +672,7 @@ def q238_nb_retrain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("full_ok", F.col("c1f") + F.col("c0f") >= CL.NB_MIN_COUNT)
         .withColumn("hist_ok", F.col("c1h") + F.col("c0h") >= CL.NB_MIN_COUNT)
         .filter(F.col("full_ok") | F.col("hist_ok"))
-        .localCheckpoint()  # vocab-sized; llr pass + summary pass
+        .localCheckpoint(eager=False)  # vocab-sized; llr + summary; agg-backed
     )
     tot = counts.agg(
         F.sum(F.when(F.col("full_ok"), F.col("c1f"))).alias("n1f"),
@@ -801,7 +801,7 @@ def q239_temperature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(CL.is_held(F.col("doc_id"))),
         spark,
         _nb_artifact_dir(spark, sf_dir),
-    ).select("y", "score").localCheckpoint()
+    ).select("y", "score").localCheckpoint(eager=False)
 
     # the fit itself is the shared build-time routine (one grid explode
     # + 8-group agg + 8-scalar collect) — q239 stays the AUDIT that the
@@ -1072,7 +1072,7 @@ def q242_selective_accuracy_curve(
         docs.filter(CL.is_held(F.col("doc_id"))),
         spark,
         _nb_artifact_dir(spark, sf_dir),
-    ).select("y", "score", "p_cal").localCheckpoint()
+    ).select("y", "score", "p_cal").localCheckpoint(eager=False)
     conf = F.greatest(F.col("p_cal"), F.lit(1.0) - F.col("p_cal"))
     gridded = scored.select(
         "y",

@@ -1505,8 +1505,10 @@ def q169_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # the pos and neg windows both consume the pair table —
         # checkpoint so the capped self-join + cosine runs once, not
-        # twice (the q191 convention)
-        .localCheckpoint()
+        # twice (the q191 convention; eager=False r13 — the join
+        # shuffle behind it is stage-shared, so the lazy fill races
+        # only over the bounded pair table)
+        .localCheckpoint(eager=False)
     )
     pairs = half.unionByName(
         half.select(
@@ -2421,7 +2423,7 @@ def q250_pruned_lm_eval_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         big.filter(F.col("doc_id") < 5)
         .select("w1", "w2", "bucket")
         .distinct()
-        .localCheckpoint()  # eval-set-bounded; feeds the probe twice
+        .localCheckpoint(eager=False)  # eval-set-bounded; buckets collect fills it
     )
     # bounded collect: the DISTINCT bucket ids the eval set occupies
     # (≤ N_LM_BUCKETS scalars) become a literal IN-filter — the only

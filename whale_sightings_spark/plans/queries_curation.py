@@ -866,7 +866,7 @@ def q224_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     sw = (
         dw.groupBy("source", "word")
         .agg(F.count("*").cast("bigint").alias("n_sw"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # agg-backed: map stage shared
     )
     st = sw.groupBy("source").agg(F.sum("n_sw").cast("bigint").alias("n_s"))
     wt = sw.groupBy("word").agg(F.sum("n_sw").cast("bigint").alias("c_w"))
@@ -889,7 +889,7 @@ def q224_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_s").cast("double") / F.col("n"))
             * F.exp(F.lit(_DOREMI_ETA) * F.col("kl_excess"))
         ).alias("w_raw"),
-    ).localCheckpoint()  # source-sized; reused by the normalizer and the output
+    ).localCheckpoint(eager=False)  # source-sized; normalizer + output
     z = raw.agg(F.sum("w_raw").alias("z"))
     return raw.crossJoin(F.broadcast(z)).select(
         "source",
@@ -1145,7 +1145,7 @@ def q244_pruned_eval_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         post.filter(F.col("doc_id") < 5)
         .select("shingle", "bucket")
         .distinct()
-        .localCheckpoint()  # eval-set-bounded; feeds the probe twice
+        .localCheckpoint(eager=False)  # eval-set-bounded; buckets collect fills it
     )
     # bounded collect: the DISTINCT bucket ids the eval set occupies
     # (≤ N_POSTING_BUCKETS scalars) become a literal IN-filter, which

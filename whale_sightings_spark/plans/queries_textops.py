@@ -2114,11 +2114,22 @@ def _ppjoin_candidates(
     )
     a = pref.alias("a")
     b = pref.alias("b")
+    # PPJoin LENGTH filter (r13, guide §3.3): jaccard >= NUM/DEN needs
+    # overlap*(NUM+DEN) >= NUM*(na+nb) with overlap <= min(na, nb), so
+    # min(na, nb)*DEN >= max(na, nb)*NUM is necessary. Evaluated inside
+    # the prefix join on columns both sides already carry, it drops
+    # size-incompatible candidate rows BEFORE the pair aggregation —
+    # a pure refinement (pairs that qualify keep every matched row, so
+    # p/ia/jb and the verified output are unchanged).
     grouped = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.n"), F.col("b.n")) * _PPJ_DEN
+                >= F.greatest(F.col("a.n"), F.col("b.n")) * _PPJ_NUM
+            ),
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
@@ -2722,11 +2733,15 @@ def q203_bpe_segmentation_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     segf = seg_nt(full_syms)
     wd_full = full_syms.select("word", "wcount").distinct()
+    # collect unsorted and order in Python: orderBy before a collect
+    # runs a range-partition SAMPLING job first — two jobs to sort a
+    # K-row table the driver re-sorts for free (r13, VERDICT #6)
     merges = [
         (r["left_sym"], r["right_sym"])
-        for r in BPE.bpe_stored_merge_table(spark, hist_dir)
-        .orderBy("round")
-        .collect()
+        for r in sorted(
+            BPE.bpe_stored_merge_table(spark, hist_dir).collect(),
+            key=lambda r: r["round"],
+        )
     ]
     segh = seg_nt(BPE.bpe_apply_merges(wd_full, merges))
     per_word = (
