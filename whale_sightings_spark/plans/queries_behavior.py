@@ -783,10 +783,22 @@ def q196_interarrival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q206_event_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     e = ev.select("event_type", F.col("ts").cast("date").alias("d"))
-    m = e.agg(F.min("d").alias("d0"))
-    days = e.select("d").distinct()
-    types = e.select("event_type").distinct()
-    daily = e.groupBy("event_type", "d").agg(F.count("*").alias("y"))
+    # r13 (guide §1.2 "don't compute things you throw away" / §2.4):
+    # m, days and types are derivable from the tiny `daily` aggregate —
+    # every e-row lands in some (event_type, d) group — so the corpus
+    # scans behind the three broadcast sides collapse into daily's one
+    # aggregation (4 events scans -> 1; same rows, same integers). The
+    # lazy checkpoint is the optimizer BARRIER that keeps it one pass:
+    # without it Catalyst collapses distinct-over-groupBy-keys back
+    # into distinct-over-e and re-derives each side from the corpus.
+    daily = (
+        e.groupBy("event_type", "d")
+        .agg(F.count("*").alias("y"))
+        .localCheckpoint(eager=False)  # types x days rows; agg-backed
+    )
+    m = daily.agg(F.min("d").alias("d0"))
+    days = daily.select("d").distinct()
+    types = daily.select("event_type").distinct()
     grid = (
         types.crossJoin(F.broadcast(days))
         .crossJoin(F.broadcast(m))
@@ -1042,10 +1054,22 @@ def q208_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q209_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     e = ev.select("event_type", F.col("ts").cast("date").alias("d"))
-    m = e.agg(F.min("d").alias("d0"))
-    days = e.select("d").distinct()
-    types = e.select("event_type").distinct()
-    daily = e.groupBy("event_type", "d").agg(F.count("*").alias("y"))
+    # r13 (guide §1.2 "don't compute things you throw away" / §2.4):
+    # m, days and types are derivable from the tiny `daily` aggregate —
+    # every e-row lands in some (event_type, d) group — so the corpus
+    # scans behind the three broadcast sides collapse into daily's one
+    # aggregation (4 events scans -> 1; same rows, same integers). The
+    # lazy checkpoint is the optimizer BARRIER that keeps it one pass:
+    # without it Catalyst collapses distinct-over-groupBy-keys back
+    # into distinct-over-e and re-derives each side from the corpus.
+    daily = (
+        e.groupBy("event_type", "d")
+        .agg(F.count("*").alias("y"))
+        .localCheckpoint(eager=False)  # types x days rows; agg-backed
+    )
+    m = daily.agg(F.min("d").alias("d0"))
+    days = daily.select("d").distinct()
+    types = daily.select("event_type").distinct()
     grid = (
         types.crossJoin(F.broadcast(days))
         .crossJoin(F.broadcast(m))
@@ -1475,10 +1499,22 @@ def q217_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q218_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     e = ev.select("event_type", F.col("ts").cast("date").alias("d"))
-    m = e.agg(F.min("d").alias("d0"))
-    days = e.select("d").distinct()
-    types = e.select("event_type").distinct()
-    daily = e.groupBy("event_type", "d").agg(F.count("*").alias("y"))
+    # r13 (guide §1.2 "don't compute things you throw away" / §2.4):
+    # m, days and types are derivable from the tiny `daily` aggregate —
+    # every e-row lands in some (event_type, d) group — so the corpus
+    # scans behind the three broadcast sides collapse into daily's one
+    # aggregation (4 events scans -> 1; same rows, same integers). The
+    # lazy checkpoint is the optimizer BARRIER that keeps it one pass:
+    # without it Catalyst collapses distinct-over-groupBy-keys back
+    # into distinct-over-e and re-derives each side from the corpus.
+    daily = (
+        e.groupBy("event_type", "d")
+        .agg(F.count("*").alias("y"))
+        .localCheckpoint(eager=False)  # types x days rows; agg-backed
+    )
+    m = daily.agg(F.min("d").alias("d0"))
+    days = daily.select("d").distinct()
+    types = daily.select("event_type").distinct()
     grid = (
         types.crossJoin(F.broadcast(days))
         .crossJoin(F.broadcast(m))
@@ -1574,9 +1610,15 @@ def q218_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q219_type_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     e = ev.select("event_type", F.col("ts").cast("date").alias("d"))
-    days = e.select("d").distinct()
-    types = e.select("event_type").distinct()
-    daily = e.groupBy("event_type", "d").agg(F.count("*").alias("y"))
+    # r13: days/types derive from the tiny daily aggregate; the lazy
+    # checkpoint is the one-pass barrier (see q209)
+    daily = (
+        e.groupBy("event_type", "d")
+        .agg(F.count("*").alias("y"))
+        .localCheckpoint(eager=False)  # types x days rows; agg-backed
+    )
+    days = daily.select("d").distinct()
+    types = daily.select("event_type").distinct()
     grid = (
         types.crossJoin(F.broadcast(days))
         .join(daily, ["event_type", "d"], "left")

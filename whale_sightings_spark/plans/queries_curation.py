@@ -576,6 +576,8 @@ def q163_epoch_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q166_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "lang",
@@ -583,7 +585,15 @@ def q166_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.token_count(F.col("text")).alias("ntok"),
         TX.quality_score(F.col("text")).alias("score"),
         TX.fingerprint_md5(F.col("text")).alias("fp"),
-    )
+        # r13 (guide §8: decide on small rows): four aggregations
+        # consume base, and its lineage is the expensive per-doc work
+        # (regex tokenize + quality score + md5) over the corpus text.
+        # EAGER checkpoint — the narrow 5-column proxy (no text)
+        # materializes once instead of four corpus scans; eager, not
+        # lazy, because the consumers are racing broadcast builds over
+        # a NARROW lineage (the dedup round-3 lesson); spillable level
+        # so the proxy never pins executor memory at scale (ADVICE r9).
+    ).localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     scal = base.agg(
         F.count("*").alias("n_docs"),
         F.sum("ntok").cast("bigint").alias("total_tokens"),
