@@ -898,7 +898,15 @@ def _largest_remainder_alloc(tc: DataFrame) -> DataFrame:
     source-cardinality table; the two global sums are broadcast
     single-row aggregates (the q36 pattern) and the one global ranking
     window is bounded by |sources| — the q07 post-distinct dictionary
-    class, allow-listed in the plan sweep."""
+    class, allow-listed in the plan sweep.
+
+    The input lineage (a corpus-scale scan + aggregation for both
+    callers) is referenced four times downstream (w, wsum, parts,
+    leftover); the lazy localCheckpoint barrier materializes the
+    source-cardinality table once so those references replay a tiny
+    local table, not the corpus scan. Lineage ends in a shuffle
+    aggregation, so the lazy form is race-safe."""
+    tc = tc.localCheckpoint(eager=False)
     wcol = F.pow(F.col("n_tokens").cast("double"), _BUDGET_TEMP)
     w = tc.select("source", "n_tokens", wcol.alias("wt"))
     wsum = w.agg(F.sum("wt").alias("wsum"))
@@ -1380,16 +1388,25 @@ def q136_ppl_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q147_dedup_aware_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from whale_sightings_spark.operators.dedup import dedup_exact
-
+    # One corpus pass instead of dedup_exact + semi-join back (which
+    # scanned documents twice): fingerprint, source and token count are
+    # all computed in a single projection, the survivor row per
+    # fingerprint is picked with min_by (doc_id is unique, so the pick
+    # is deterministic and identical to the min(doc_id) semi-join), and
+    # the survivor token counts roll up per source.
     docs = load_table(spark, sf_dir, "documents")
-    survivors = dedup_exact(docs).select(
-        F.col("survivor_id").alias("doc_id")
-    )
     tc = (
-        docs.join(survivors, "doc_id", "left_semi")
-        .groupBy("source")
-        .agg(F.sum(TX.token_count(F.col("text"))).alias("n_tokens"))
+        docs.select(
+            TX.fingerprint_md5(F.col("text")).alias("fp"),
+            F.col("doc_id"),
+            F.struct(
+                F.col("source"), TX.token_count(F.col("text")).alias("tok")
+            ).alias("row"),
+        )
+        .groupBy("fp")
+        .agg(F.min_by("row", "doc_id").alias("row"))
+        .groupBy(F.col("row.source").alias("source"))
+        .agg(F.sum("row.tok").alias("n_tokens"))
     )
     return _largest_remainder_alloc(tc)
 
