@@ -214,25 +214,21 @@ TRUNC_QUERIES = 5
 TRUNC_K = 5
 
 
-def _topk(frame: DataFrame, k: int) -> DataFrame:
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        frame.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id")
-    )
-
-
 def truncated_dim_recall(embeddings: DataFrame) -> DataFrame:
     """recall@k per (trunc_dim, query): top-k by cosine over the first
     ``trunc_dim`` components vs the full-dimension exact top-k.
 
-    Scale shape: the query set (TRUNC_QUERIES vectors) broadcasts; each
-    width is one corpus scan scored row-locally with a WindowGroupLimit
-    top-k per query — identical to the q116 recall harness, with the
-    slice applied BEFORE the dot product so a production run reading a
-    dim-pruned column (or the prefix of a float array) scans less, not
-    more. Output is |TRUNC_DIMS| x |queries| rows.
+    Scale shape: the query set (TRUNC_QUERIES vectors) broadcasts; ONE
+    corpus scan computes all four cosines (full + each prefix width)
+    per pair, explodes to (width, cos) and ranks with a single
+    WindowGroupLimit window partitioned by (width, query). The slice
+    is applied BEFORE the dot product so a production run reading a
+    dim-pruned column scans less, not more. The tiny per-width top-k
+    table (|widths| x |queries| x k rows) sits behind a lazy
+    localCheckpoint barrier so the exact/approx self-join replays a
+    local table, not the corpus scan (the lineage ends in the window
+    exchange, so the lazy form is race-safe). Output is
+    |TRUNC_DIMS| x |queries| rows.
     """
     q = embeddings.filter(F.col("vec_id") < TRUNC_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
@@ -241,46 +237,58 @@ def truncated_dim_recall(embeddings: DataFrame) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
     )
     pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-    exact = _topk(
-        pairs.withColumn(
-            "cos", F.round(cosine(F.col("qvec"), F.col("cvec")), 6)
-        ),
-        TRUNC_K,
-    )
-    out = None
-    for td in TRUNC_DIMS:
-        approx = _topk(
-            pairs.withColumn(
-                "cos",
-                F.round(
-                    cosine(
-                        F.slice(F.col("qvec"), 1, td),
-                        F.slice(F.col("cvec"), 1, td),
-                    ),
-                    6,
-                ),
-            ),
-            TRUNC_K,
-        ).withColumn("hit", F.lit(1))
-        r = (
-            exact.join(approx, ["query_id", "neighbor_id"], "left")
-            .groupBy("query_id")
-            .agg(
-                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-                .cast("long")
-                .alias("n_hit")
-            )
-            .select(
-                F.lit(td).cast("long").alias("trunc_dim"),
-                "query_id",
-                "n_hit",
-                F.round(F.col("n_hit") / F.lit(float(TRUNC_K)), 6).alias(
-                    "recall"
-                ),
-            )
+    # width 0 = the full-dimension exact ranking (the ground truth)
+    branches = [
+        F.struct(
+            F.lit(0).alias("w"),
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
         )
-        out = r if out is None else out.unionByName(r)
-    return out
+    ] + [
+        F.struct(
+            F.lit(td).alias("w"),
+            F.round(
+                cosine(
+                    F.slice(F.col("qvec"), 1, td),
+                    F.slice(F.col("cvec"), 1, td),
+                ),
+                6,
+            ).alias("cos"),
+        )
+        for td in TRUNC_DIMS
+    ]
+    scored = pairs.select(
+        "query_id", "neighbor_id", F.explode(F.array(*branches)).alias("e")
+    ).select("query_id", "neighbor_id", F.col("e.w").alias("w"), F.col("e.cos").alias("cos"))
+    w = W.partitionBy("w", "query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TRUNC_K)
+        .select("w", "query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    exact = topk.filter(F.col("w") == 0).withColumn(
+        "trunc_dim",
+        F.explode(F.array(*[F.lit(td) for td in TRUNC_DIMS])),
+    ).select("trunc_dim", "query_id", "neighbor_id")
+    approx = topk.filter(F.col("w") != 0).select(
+        F.col("w").alias("trunc_dim"),
+        "query_id",
+        "neighbor_id",
+        F.lit(1).alias("hit"),
+    )
+    return (
+        exact.join(approx, ["trunc_dim", "query_id", "neighbor_id"], "left")
+        .groupBy("trunc_dim", "query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit")
+        )
+        .select(
+            F.col("trunc_dim").cast("long").alias("trunc_dim"),
+            "query_id",
+            "n_hit",
+            F.round(F.col("n_hit") / F.lit(float(TRUNC_K)), 6).alias("recall"),
+        )
+    )
 
 
 def truncated_dim_recall_sql() -> str:
@@ -532,54 +540,66 @@ def int8_serving_recall(embeddings: DataFrame) -> DataFrame:
         )
         return lo + code * sc
 
-    dec = (
+    # one scoring pass carries BOTH the raw vector and its int8
+    # round-trip, so the exact and approx cosines come out of the same
+    # corpus scan (formerly two scans: a decode-score pass and a
+    # float-exact pass). Per-vector norms precomputed BEFORE the pair
+    # join (one array aggregate per vector instead of two per pair);
+    # expression and multiplication order per score are kept from the
+    # two-pass form so every double matches it exactly
+    base = (
         embeddings.crossJoin(F.broadcast(brow))
-        .select("vec_id", F.transform("embedding", _decode).alias("rvec"))
-        .select("vec_id", "rvec", _norm(F.col("rvec")).alias("rnrm"))
+        .select(
+            "vec_id",
+            F.col("embedding").alias("cvec"),
+            F.transform("embedding", _decode).alias("rvec"),
+        )
+        .select(
+            "vec_id",
+            "cvec",
+            "rvec",
+            _norm(F.col("cvec")).alias("cnrm"),
+            _norm(F.col("rvec")).alias("rnrm"),
+        )
     )
-    # per-vector norms precomputed BEFORE the pair joins (one array
-    # aggregate per vector instead of two per pair); multiplication
-    # order is kept per side so every double matches the former
-    # per-pair evaluation bit-for-bit
     qf = embeddings.filter(F.col("vec_id") < INT8_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
         _norm(F.col("embedding")).alias("qnrm"),
     )
     scored = (
-        dec.join(F.broadcast(qf), F.col("vec_id") != F.col("query_id"))
+        base.join(F.broadcast(qf), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                _dot(F.col("rvec"), F.col("qvec"))
-                / (F.col("rnrm") * F.col("qnrm")),
-                6,
-            ).alias("cos"),
-        )
-    )
-    approx = _topk(scored, INT8_K).withColumn("hit", F.lit(1))
-    cf = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("cvec"),
-        _norm(F.col("embedding")).alias("cnrm"),
-    )
-    exact = _topk(
-        cf.join(F.broadcast(qf), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cos",
-            F.round(
                 _dot(F.col("qvec"), F.col("cvec"))
                 / (F.col("qnrm") * F.col("cnrm")),
                 6,
-            ),
-        ),
-        INT8_K,
+            ).alias("xcos"),
+            F.round(
+                _dot(F.col("rvec"), F.col("qvec"))
+                / (F.col("rnrm") * F.col("qnrm")),
+                6,
+            ).alias("acos"),
+        )
+    )
+    # both rankings partition by query_id, so the second window reuses
+    # the first's exchange (extra sort only); the exact-top-k filter on
+    # top selects the rows whose approx-rank flag decides the hit
+    xw = W.partitionBy("query_id").orderBy(F.desc("xcos"), F.asc("neighbor_id"))
+    aw = W.partitionBy("query_id").orderBy(F.desc("acos"), F.asc("neighbor_id"))
+    flags = scored.withColumn("arank", F.row_number().over(aw)).withColumn(
+        "xrank", F.row_number().over(xw)
     )
     return (
-        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        flags.filter(F.col("xrank") <= INT8_K)
         .groupBy("query_id")
-        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"))
+        .agg(
+            F.sum((F.col("arank") <= INT8_K).cast("long"))
+            .cast("long")
+            .alias("n_hit")
+        )
         .select(
             "query_id",
             "n_hit",

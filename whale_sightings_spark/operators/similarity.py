@@ -218,19 +218,55 @@ def ann_recall(embeddings: DataFrame, n_queries: int = 5, k: int = 5) -> DataFra
     the probed cells, and the comparison itself is query-set-sized.
     Both sides inherit the deterministic (cos DESC, neighbor_id)
     tie-break so recall is reproducible across engines.
+
+    Plan shape: ONE corpus scan scores every pair once (formerly two —
+    a brute-force pass and an own-cell IVF pass re-scoring the in-cell
+    subset); the IVF ranking is the same cosine restricted to in-cell
+    pairs, so a second row_number partitioned by (query, in-cell) ranks
+    the probe side without re-scanning. Both windows cluster on
+    query_id, so the finer window reuses the coarser one's exchange
+    (extra sort, no extra shuffle).
     """
-    exact = ann_bruteforce_topk(embeddings, n_queries, k).select(
-        "query_id", "neighbor_id"
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        _norm(F.col("embedding")).alias("qnrm"),
+        F.col("label").alias("qcell"),
     )
-    approx = ann_ivf_topk(embeddings, n_queries, k).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        _norm(F.col("embedding")).alias("cnrm"),
+        F.col("label").alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnrm") * F.col("cnrm")),
+                6,
+            ).alias("cos"),
+            (F.col("cell") == F.col("qcell")).alias("incell"),
+        )
+    )
+    xw = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    aw = W.partitionBy("query_id", "incell").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    flags = scored.withColumn("xrank", F.row_number().over(xw)).withColumn(
+        "arank", F.row_number().over(aw)
     )
     return (
-        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        flags.filter(F.col("xrank") <= k)
         .groupBy("query_id")
         .agg(
             F.count("*").alias("n_exact"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+            F.sum(
+                (F.col("incell") & (F.col("arank") <= k)).cast("long")
+            ).cast("long").alias("n_hit"),
         )
         .withColumn("recall", F.round(F.col("n_hit") / F.lit(float(k)), 6))
         .select("query_id", "n_exact", "n_hit", "recall")
