@@ -602,6 +602,7 @@ def ivf_adc_topk(
     n_probe: int = 2,
     cb: DataFrame | None = None,
     cell_codes: DataFrame | None = None,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF + ADC: the billion-scale serving path, composing the
     multi-probe coarse quantizer (``ann_multiprobe_topk``'s probe
@@ -637,9 +638,13 @@ def ivf_adc_topk(
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
+    # ``cents`` overrides the inline corpus aggregation with the stored
+    # v3 coarse-centroid table (row-equal by construction)
+    if cents is None:
+        cents = cell_centroids(embeddings)
     cw = W.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
     probes = (
-        q.crossJoin(F.broadcast(cell_centroids(embeddings)))
+        q.crossJoin(F.broadcast(cents))
         .withColumn("ccos", F.round(cosine(F.col("qvec"), F.col("centroid")), 6))
         .withColumn("probe_rank", F.row_number().over(cw))
         .filter(F.col("probe_rank") <= n_probe)
@@ -673,6 +678,7 @@ def ivf_adc_recall(
     n_probe: int = 2,
     cb: DataFrame | None = None,
     cell_codes: DataFrame | None = None,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of the IVF+ADC path vs exact brute-force top-k — the
     audit that quantifies TOTAL loss of the compressed serving path
@@ -683,7 +689,9 @@ def ivf_adc_recall(
     exact = ann_bruteforce_topk(embeddings, n_queries, k).select(
         "query_id", "neighbor_id"
     )
-    approx = ivf_adc_topk(embeddings, n_queries, k, n_probe, cb, cell_codes).select(
+    approx = ivf_adc_topk(
+        embeddings, n_queries, k, n_probe, cb, cell_codes, cents
+    ).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
     return (
@@ -1296,7 +1304,11 @@ def embedding_neardup_pairs(embeddings: DataFrame) -> DataFrame:
 #: codebook and the label-cell PQ code table, so the whole ADC family
 #: (q127/q137/q153/q154) serves with zero Lloyd jobs and zero encode
 #: passes in its DAGs
-INDEX_FORMAT_VERSION = 2
+#: v3 (round 13): the artifact also stores the label-cell coarse
+#: centroids — a real IVF index ships its coarse quantizer with the
+#: inverted lists; q153/q154 were re-deriving them from the full
+#: corpus on every probe selection
+INDEX_FORMAT_VERSION = 3
 
 
 def ivfpq_index_paths(index_dir: str) -> tuple[str, str, str]:
@@ -1314,6 +1326,13 @@ def ivfpq_index_extra_paths(index_dir: str) -> tuple[str, str]:
     marker for the whole index."""
     base = index_dir.rstrip("/")
     return (base + "/pq_codebook", base + "/pq_codes")
+
+
+def ivfpq_index_centroids_path(index_dir: str) -> str:
+    """label_centroids dir — the v3 coarse-quantizer half of the
+    label-cell inverted lists (cell, centroid); written before
+    ``codes`` so the completeness marker still covers it."""
+    return index_dir.rstrip("/") + "/label_centroids"
 
 
 def build_ivfpq_index(embeddings: DataFrame, index_dir: str) -> None:
@@ -1358,6 +1377,13 @@ def build_ivfpq_index(embeddings: DataFrame, index_dir: str) -> None:
         .partitionBy("cell")
         .parquet(pq_codes_dir)
     )
+    # v3: the label-cell coarse centroids (6dp-rounded per-dim means,
+    # the exact table cell_centroids() derives) ride with the inverted
+    # lists, so probe selection at serve time reads IVF_K-ish rows
+    # instead of re-aggregating the corpus
+    cell_centroids(embeddings).write.mode("overwrite").parquet(
+        ivfpq_index_centroids_path(index_dir)
+    )
     codes = best.select("vec_id", "s", "cid").join(
         res.select("vec_id", "cell"), "vec_id"
     )
@@ -1399,6 +1425,19 @@ def read_pq_index(spark, index_dir: str) -> tuple[DataFrame, DataFrame]:
         "vec_id", "s", "cid", "d2", F.col("cell").cast("int").alias("cell")
     )
     return pqcb, pq_codes
+
+
+def read_label_centroids(spark, index_dir: str) -> DataFrame:
+    """(cell, centroid) off the v3 artifact — row-equal to
+    ``cell_centroids(embeddings)`` (deterministic: 6dp-rounded per-dim
+    means; the build writes exactly that table)."""
+    from whale_sightings_spark.plans.store_utils import read_artifact_table
+
+    return read_artifact_table(
+        spark,
+        ivfpq_index_centroids_path(index_dir),
+        "cell int, centroid array<double>",
+    )
 
 
 def trained_assign_from_index(spark, index_dir: str) -> DataFrame:

@@ -747,9 +747,15 @@ _IVF_ADC_CTES = f"""
 )
 def q153_ivf_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 9: codebook + label-cell code table off the stored artifact
-    pqcb, pq_codes = SIM.read_pq_index(spark, _ivfpq_index_dir(spark, sf_dir))
+    # round 13: probe selection off the stored coarse centroids too —
+    # the only remaining corpus-scale leg was re-aggregating them
+    idx = _ivfpq_index_dir(spark, sf_dir)
+    pqcb, pq_codes = SIM.read_pq_index(spark, idx)
     return SIM.ivf_adc_topk(
-        load_table(spark, sf_dir, "embeddings"), cb=pqcb, cell_codes=pq_codes
+        load_table(spark, sf_dir, "embeddings"),
+        cb=pqcb,
+        cell_codes=pq_codes,
+        cents=SIM.read_label_centroids(spark, idx),
     )
 
 
@@ -780,9 +786,13 @@ def q153_ivf_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q154_ivf_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pqcb, pq_codes = SIM.read_pq_index(spark, _ivfpq_index_dir(spark, sf_dir))
+    idx = _ivfpq_index_dir(spark, sf_dir)
+    pqcb, pq_codes = SIM.read_pq_index(spark, idx)
     return SIM.ivf_adc_recall(
-        load_table(spark, sf_dir, "embeddings"), cb=pqcb, cell_codes=pq_codes
+        load_table(spark, sf_dir, "embeddings"),
+        cb=pqcb,
+        cell_codes=pq_codes,
+        cents=SIM.read_label_centroids(spark, idx),
     )
 
 
