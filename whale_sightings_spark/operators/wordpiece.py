@@ -58,6 +58,12 @@ def _words(docs: DataFrame) -> DataFrame:
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").cast("bigint").alias("wcount"))
+        # the word dictionary is referenced by every trainer stage
+        # (candidates, both vocab branches, the segmenter) — without a
+        # barrier each reference replays the corpus explode+agg. Lazy
+        # localCheckpoint: dictionary-scale, lineage ends in the
+        # shuffle agg, so it is race-safe (r13; guide §2.4)
+        .localCheckpoint(eager=False)
     )
 
 
@@ -122,7 +128,10 @@ def wp_vocab(wd: DataFrame) -> DataFrame:
     """(piece, cnt, is_cont): ALL single-char pieces (both positional
     forms) plus the deterministic top-WP_TOPV multi-char pieces by
     (cnt DESC, piece ASC)."""
-    cand = wp_candidates(wd)
+    # piece-dictionary-scale, referenced by BOTH branches below (each
+    # would replay the double-explode over the word dict); lineage ends
+    # in the groupBy shuffle — race-safe lazy barrier
+    cand = wp_candidates(wd).localCheckpoint(eager=False)
     plen = F.length(F.regexp_replace(F.col("piece"), "^##", ""))
     singles = cand.filter(plen == 1)
     multi = (
