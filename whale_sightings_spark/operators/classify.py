@@ -108,6 +108,11 @@ def nb_train(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.sum(1 - F.col("y")).cast("double").alias("c0"),
         )
         .filter(F.col("c1") + F.col("c0") >= NB_MIN_COUNT)
+        # referenced by both the totals agg and the llr projection —
+        # each would replay the corpus token agg (no exchange reuse:
+        # the two subtrees prune differently). Vocab-scale, lineage
+        # ends in the shuffle agg — race-safe lazy barrier (r13)
+        .localCheckpoint(eager=False)
     )
     tot = vocab.agg(
         F.sum("c1").alias("n1"),
