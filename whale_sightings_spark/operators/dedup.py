@@ -158,7 +158,15 @@ def ngram_jaccard_pairs(
     """
     if pairs is None:
         pairs = _shingle_docs(docs)
-    sizes = pairs.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    # referenced once per pair side (sa, sb) — each reference would
+    # replay the postings scan + agg. Per-doc-count-scale (one short
+    # row per doc, far smaller than the postings it aggregates);
+    # lineage ends in the shuffle agg — race-safe lazy barrier (r13)
+    sizes = (
+        pairs.groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"))
+        .localCheckpoint(eager=False)
+    )
 
     # the shingle inverted index is a banded table: group each shingle's
     # (df-capped, <= MAX_SHINGLE_DF) posting list, expand in-bucket
@@ -294,9 +302,17 @@ def minhash_incremental_pairs(
     # the q191 optimizer barrier: it keeps the jaccard filter out of
     # the join condition, where array_intersect would be re-evaluated
     # per conjunct.
-    arrs = pairs.groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("shs"),
-        F.count("*").alias("n_shingles"),
+    # referenced once per pair side — each reference would replay the
+    # postings scan + collect_list agg (no exchange reuse: the sides
+    # prune differently). Lineage ends in the shuffle agg — race-safe
+    # lazy barrier (r13)
+    arrs = (
+        pairs.groupBy("doc_id")
+        .agg(
+            F.collect_list("shingle").alias("shs"),
+            F.count("*").alias("n_shingles"),
+        )
+        .localCheckpoint(eager=False)
     )
     j = cands.join(
         arrs.select(
@@ -390,9 +406,17 @@ def minhash_estimate_audit(
     # shuffling the posting lists per candidate. The per-doc size rides
     # on the same row, so the two size-table joins disappear too
     # (5 post-candidate joins -> 3).
-    arrs = pairs.groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("shs"),
-        F.count("*").alias("n_shingles"),
+    # referenced once per pair side — each reference would replay the
+    # postings scan + collect_list agg (no exchange reuse: the sides
+    # prune differently). Lineage ends in the shuffle agg — race-safe
+    # lazy barrier (r13)
+    arrs = (
+        pairs.groupBy("doc_id")
+        .agg(
+            F.collect_list("shingle").alias("shs"),
+            F.count("*").alias("n_shingles"),
+        )
+        .localCheckpoint(eager=False)
     )
     n_common = F.size(F.array_intersect("shs_a", "shs_b"))
     exact = n_common / (
