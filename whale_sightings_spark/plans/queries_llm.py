@@ -2047,7 +2047,13 @@ def q141_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = SHI.capped_postings(
         spark, shingle_artifact_dir(spark, sf_dir), DD.MAX_SHINGLE_DF
     ).select("doc_id", "shingle")
-    sizes = pairs.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    # the q14 barrier pattern: one replay of the postings scan + agg
+    # per pair side without it (race-safe: lineage ends in the agg)
+    sizes = (
+        pairs.groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"))
+        .localCheckpoint(eager=False)
+    )
     inter = (
         DD._bucket_candidate_pairs(
             pairs.select(F.col("shingle").alias("band"), "doc_id")
