@@ -1838,7 +1838,17 @@ def q36_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.lower("tok").alias("tok"))
         .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    # tf feeds BOTH the df aggregation and the scoring join — each
+    # would replay the corpus tokenize + agg. Corpus-token-scale, so
+    # the barrier materializes spillable (the q129 signature-table
+    # convention); lineage ends in the shuffle agg — race-safe lazy
+    from pyspark import StorageLevel
+
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
     df_counts = tf.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
     scored = (
         tf.join(df_counts, "tok")
