@@ -589,6 +589,9 @@ def q195_transition_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
         .alias("prev_type"),
     )
+    # type^2-bounded, referenced four times (both margins, the grand
+    # total, the lift join) — each replayed the corpus lag window +
+    # agg. Race-safe lazy barrier (shuffle-agg lineage)
     tr = (
         seq.filter(F.col("prev_type").isNotNull())
         .groupBy(
@@ -596,6 +599,7 @@ def q195_transition_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("dst_type"),
         )
         .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
     )
     src = tr.groupBy("src_type").agg(F.sum("n").alias("n_src"))
     dst = tr.groupBy("dst_type").agg(F.sum("n").alias("n_dst"))
@@ -679,7 +683,17 @@ def q196_interarrival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         sec
         - F.lag(sec).over(W.partitionBy("user_id").orderBy("ts", "event_id"))
     ).cast("double")
-    g = ev.select(gap.alias("gap_s")).filter(F.col("gap_s").isNotNull())
+    # referenced by the mean aggregate AND the binning pass — each
+    # would replay the corpus lag window. One double per event, so the
+    # barrier materializes spillable (race-safe: the lineage's last
+    # wide step is the window's user_id exchange)
+    from pyspark import StorageLevel
+
+    g = (
+        ev.select(gap.alias("gap_s"))
+        .filter(F.col("gap_s").isNotNull())
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
     m = g.agg(F.avg("gap_s").alias("mean_s"), F.count("*").alias("n"))
     binc = None
     for i, (_lo, hi) in enumerate(_IET_BINS):

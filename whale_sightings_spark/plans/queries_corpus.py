@@ -2036,13 +2036,22 @@ def q220_source_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id", "source", TX.token_count(F.col("text")).alias("ntok")
     )
-    per_src = t.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("ntok").cast("bigint").alias("toks"),
+    # source-cardinality; feeds the totals roll-up, the join and the
+    # ablation arithmetic — barrier so they replay a tiny local table
+    # instead of the corpus token_count scan (race-safe: shuffle agg)
+    per_src = (
+        t.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("toks"),
+        )
+        .localCheckpoint(eager=False)
     )
-    tot = t.agg(
-        F.count("*").cast("bigint").alias("nd"),
-        F.sum("ntok").cast("bigint").alias("nt"),
+    # corpus totals are the integer roll-up of the per-source sums —
+    # exact, and one corpus scan fewer than aggregating t again
+    tot = per_src.agg(
+        F.sum("n_docs").cast("bigint").alias("nd"),
+        F.sum("toks").cast("bigint").alias("nt"),
     )
     tk = docs.select(
         "source", TX.tokens(F.col("text")).alias("toks")
@@ -2053,9 +2062,16 @@ def q220_source_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shingle"
         ),
     ).distinct()
-    shs = sh.groupBy("shingle").agg(
-        F.count("*").alias("n_sources"),
-        F.min("source").alias("only_source"),
+    # shingle-dictionary-scale, referenced by the exclusivity agg AND
+    # the global count — each would replay the corpus shingle explode
+    # + distinct (race-safe lazy barrier: lineage ends in the agg)
+    shs = (
+        sh.groupBy("shingle")
+        .agg(
+            F.count("*").alias("n_sources"),
+            F.min("source").alias("only_source"),
+        )
+        .localCheckpoint(eager=False)
     )
     excl = (
         shs.filter(F.col("n_sources") == 1)

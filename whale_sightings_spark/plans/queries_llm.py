@@ -2293,7 +2293,14 @@ def q144_doc_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q145_lang_mix_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sl = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    # (source x lang)-cardinality, referenced four times (both margin
+    # totals, the grand total, the chi2 terms) — each replayed the
+    # corpus scan + agg. Race-safe lazy barrier (shuffle-agg lineage)
+    sl = (
+        docs.groupBy("source", "lang")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
     st = sl.groupBy("source").agg(F.sum("n").alias("s_total"))
     lt = sl.groupBy("lang").agg(F.sum("n").alias("l_total"))
     tot = sl.agg(F.sum("n").alias("t"))
@@ -2353,7 +2360,14 @@ def q149_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(
         F.col("label").alias("cell"), "lang"
     )
-    cl = j.groupBy("cell", "lang").agg(F.count("*").alias("n"))
+    # (cell x lang)-cardinality, referenced by both the totals and the
+    # dominant-language agg — each replayed the embeddings x documents
+    # join. Race-safe lazy barrier (shuffle-agg lineage)
+    cl = (
+        j.groupBy("cell", "lang")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
     tot = cl.groupBy("cell").agg(F.sum("n").alias("cell_n"))
     dom = cl.groupBy("cell").agg(
         F.max(F.struct("n", "lang")).alias("m")
