@@ -32,10 +32,20 @@ def ks_report(d: DataFrame) -> DataFrame:
     per source over the aggregated grid; output |sources| rows. At
     N ~ 1e9+ docs the BIGINT products need DECIMAL(38). Columns:
     (source, n_source, ks_stat, ks_at_len) — the q205 contract."""
-    tot = d.groupBy("source").agg(F.count("*").alias("ns"))
-    grand = d.agg(F.count("*").alias("n"))
-    gc = d.groupBy("n_chars").agg(F.count("*").alias("gc"))
-    cnt = d.groupBy("source", "n_chars").agg(F.count("*").alias("c"))
+    # ONE corpus pass: the (source, n_chars) count grid; the source
+    # totals, the global length histogram and the grand total are its
+    # exact integer roll-ups (groupBy keeps NULL groups, so the sums
+    # partition count(*) exactly). The barrier stops the three roll-ups
+    # replaying the corpus agg (race-safe: shuffle-agg lineage). Was
+    # four corpus scans (r13).
+    cnt = (
+        d.groupBy("source", "n_chars")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("ns"))
+    grand = cnt.agg(F.sum("c").alias("n"))
+    gc = cnt.groupBy("n_chars").agg(F.sum("c").alias("gc"))
     grid = (
         tot.crossJoin(F.broadcast(gc))
         .join(cnt, ["source", "n_chars"], "left")

@@ -415,9 +415,15 @@ def q135_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bin"),
         "is_cur",
     )
-    a = binned.groupBy("bin").agg(
-        F.sum(F.when(F.col("is_cur"), 0).otherwise(1)).alias("n_ref"),
-        F.sum(F.when(F.col("is_cur"), 1).otherwise(0)).alias("n_cur"),
+    # 10-row bin table referenced by the totals and the psi terms —
+    # each replayed the corpus binning pass (race-safe lazy barrier)
+    a = (
+        binned.groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("is_cur"), 0).otherwise(1)).alias("n_ref"),
+            F.sum(F.when(F.col("is_cur"), 1).otherwise(0)).alias("n_cur"),
+        )
+        .localCheckpoint(eager=False)
     )
     t = a.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
     pr = (F.col("n_ref") + 0.5) / (F.col("tr") + _PSI_BINS * 0.5)

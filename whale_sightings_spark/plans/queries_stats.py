@@ -308,7 +308,14 @@ _MIX_SALT = "#mix"
 )
 def q59_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("source").agg(F.count("*").alias("n_total"))
+    # source-cardinality, referenced by the min aggregate, the rate
+    # projection and (via rates) the keep-join and final report — each
+    # replayed the corpus count agg (race-safe lazy barrier)
+    counts = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_total"))
+        .localCheckpoint(eager=False)
+    )
     min_n = counts.agg(F.min("n_total").alias("min_n"))
     rates = counts.crossJoin(F.broadcast(min_n)).select(
         "source",

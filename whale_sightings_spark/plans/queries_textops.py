@@ -1337,15 +1337,25 @@ def q170_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(TX.tokens(F.col("text"))).alias("tok"),
         )
     )
+    # the bucketed token stream feeds BOTH growth aggs — each would
+    # replay the corpus tokenize+explode. NARROW lineage (scan +
+    # broadcast + explode, no terminal shuffle), so the barrier must be
+    # EAGER (the q166/round-3 racing-duplication rule); spillable
+    # (token-scale)
+    from pyspark import StorageLevel
+
+    t = t.localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     new_types = (
         t.groupBy("tok")
         .agg(F.min("bucket").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").cast("bigint").alias("new_types"))
     )
+    # bucket-cardinality, referenced by the driver side AND the
+    # cumulative side of the growth-curve join (race-safe lazy barrier)
     tok_counts = t.groupBy("bucket").agg(
         F.count("*").cast("bigint").alias("n_tokens")
-    )
+    ).localCheckpoint(eager=False)
     a = tok_counts.select("bucket")
     bc = tok_counts.join(new_types, "bucket", "left").select(
         F.col("bucket").alias("b2"),
