@@ -767,7 +767,16 @@ def ivf_trained_recall(
     top-k — q116's audit with the trained quantizer substituted for the
     label stand-in, quantifying what training buys. Candidates are the
     query's own trained cell, ranked by full-precision cosine with the
-    q17 tie-break."""
+    q17 tie-break.
+
+    Plan shape (r13, the q116 collapse): ONE corpus scan scores every
+    pair once — the probe ranking is the same cosine restricted to
+    same-trained-cell pairs, so a second row_number partitioned by
+    (query, in-cell) ranks it without the former separate probe pass.
+    The assignment attaches by LEFT join so the exact side can never
+    lose a candidate (unassigned vectors rank exactly as brute force
+    and can never count as probe hits — identical to the old inner
+    cell-equality join)."""
     # ``assign`` overrides inline training with the stored trained-cell
     # assignment (trained_assign_from_index — round 9)
     if assign is None:
@@ -778,34 +787,44 @@ def ivf_trained_recall(
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qvec"),
-            "cell",
+            _norm(F.col("embedding")).alias("qnrm"),
+            F.col("cell").alias("qcell"),
         )
     )
-    c = embeddings.join(assign, "vec_id").select(
+    c = embeddings.join(assign, "vec_id", "left").select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cvec"),
+        _norm(F.col("embedding")).alias("cnrm"),
         "cell",
     )
     scored = (
-        c.join(F.broadcast(q), ["cell"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnrm") * F.col("cnrm")),
+                6,
+            ).alias("cos"),
+            (F.col("cell") == F.col("qcell")).alias("incell"),
+        )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    approx = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    xw = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    aw = W.partitionBy("query_id", "incell").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
     )
-    exact = ann_bruteforce_topk(embeddings, n_queries, k).select(
-        "query_id", "neighbor_id"
+    flags = scored.withColumn("xrank", F.row_number().over(xw)).withColumn(
+        "arank", F.row_number().over(aw)
     )
     return (
-        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        flags.filter(F.col("xrank") <= k)
         .groupBy("query_id")
         .agg(
             F.count("*").alias("n_exact"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+            F.sum(
+                (F.col("incell") & (F.col("arank") <= k)).cast("long")
+            ).cast("long").alias("n_hit"),
         )
         .withColumn("recall", F.round(F.col("n_hit") / F.lit(float(k)), 6))
         .select("query_id", "n_exact", "n_hit", "recall")

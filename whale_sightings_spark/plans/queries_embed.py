@@ -119,10 +119,14 @@ def q187_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q192_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # (label x dim)-cardinality, referenced three times (norms + both
+    # dot-product sides) — each replayed the corpus posexplode + agg.
+    # Race-safe lazy barrier (shuffle-agg lineage; r13)
     comp = (
         emb.select("label", F.posexplode("embedding").alias("p", "x"))
         .groupBy("label", (F.col("p") + 1).alias("dim"))
         .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("v"))
+        .localCheckpoint(eager=False)
     )
     nrm = comp.groupBy("label").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"))
     a = comp.select(F.col("label").alias("label_a"), "dim", F.col("v").alias("va"))
